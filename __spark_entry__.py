@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (or the
+beyond-reference training-data surface) implemented Spark-first in
+``data_pengadaan_agent_spark``; ``oracle_sql()`` carries its DuckDB
+twin. Column names and output types are aligned on both sides
+(aggregates aliased identically; money sums go through DECIMAL on both
+engines so parallel summation is bit-deterministic; float cosines are
+rounded at the output edge).
 """
 
 from __future__ import annotations
@@ -12,27 +14,650 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import aggregates as A
+from data_pengadaan_agent_spark.operators import dedup as D
+from data_pengadaan_agent_spark.operators import relational as R
+from data_pengadaan_agent_spark.operators import similarity as S
+from data_pengadaan_agent_spark.operators import textan as X
+from data_pengadaan_agent_spark.operators.filters import filter_keywords
+from data_pengadaan_agent_spark.sources.catalog import load_table
+from data_pengadaan_agent_spark.streaming import windows as SW
+
+SF0001 = "/root/testdata/sf0.001"
+
+# Tokenizer shared by the text/dedup oracles (DuckDB spelling of
+# split(lower(trim(text)), '\\s+')).
+_DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: keyword-CNF filter → monthly rollup (the reference's
+    'monthly trend' scenario, P3+P5+A2+T2 in one plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    hit = filter_keywords(orders, "o_orderpriority", include=[["urgent", "high"]])
+    return (
+        hit.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("bulan"))
+        .agg(
+            F.count("o_orderkey").alias("jumlah_paket"),
+            A.decimal_sum("o_totalprice").cast("double").alias("total_pagu"),
+        )
+        .orderBy("bulan")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Smoke check: flagship query at sf0.001; driver checks rows>0."""
+    return _flagship(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_keyword_cnf(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return filter_keywords(
+        docs, "text", include=[["spark", "hash"], ["join"]], exclude=["window"]
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _q_date_attribute_filter(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").between(
+                F.lit("2024-01-10 00:00:00").cast("timestamp"),
+                F.lit("2024-01-20 00:00:00").cast("timestamp"),
+            )
+        )
+        .select("event_id", "user_id", "value")
+    )
+
+
+def _q_groupby_count(spark, sf):
+    return A.groupby_count(load_table(spark, sf, "orders"), "o_orderstatus", alias="n")
+
+
+def _q_monthly_rollup(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("bulan"))
+        .agg(
+            F.count("o_orderkey").alias("jumlah_paket"),
+            A.decimal_sum("o_totalprice").cast("double").alias("total_pagu"),
+        )
+        .orderBy("bulan")
+    )
+
+
+def _q_value_counts(spark, sf):
+    return A.value_counts(load_table(spark, sf, "events"), "event_type", alias="cnt")
+
+
+def _q_scalar_insights(spark, sf):
+    li = load_table(spark, sf, "lineitem")
+    c = F.col("l_extendedprice")
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        (A.decimal_sum(c).cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        A.decimal_sum(c).cast("double").alias("sum_v"),
+    )
+
+
+def _q_arg_extreme(spark, sf):
+    monthly = _q_monthly_rollup(spark, sf)
+    return monthly.agg(
+        F.expr("max_by(bulan, total_pagu)").alias("peak_month"),
+        F.expr("min_by(bulan, total_pagu)").alias("trough_month"),
+        F.max("total_pagu").alias("peak_value"),
+        F.min("total_pagu").alias("trough_value"),
+    )
+
+
+def _q_histogram_numeric(spark, sf):
+    return A.histogram_numeric(load_table(spark, sf, "lineitem"), "l_extendedprice", bins=12)
+
+
+def _q_histogram_month_of_year(spark, sf):
+    return A.histogram_month_of_year(load_table(spark, sf, "orders"), "o_orderdate")
+
+
+def _q_distinct_count(spark, sf):
+    return A.distinct_count(load_table(spark, sf, "events"), "event_type", "user_id")
+
+
+def _q_top_k(spark, sf):
+    part = load_table(spark, sf, "part")
+    return part.orderBy(F.desc("p_retailprice"), F.asc("p_partkey")).limit(10).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+def _q_limit_preview(spark, sf):
+    orders = load_table(spark, sf, "orders")
+    return orders.orderBy("o_orderkey").limit(5)
+
+
+def _q_join_broadcast_dim(spark, sf):
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    return (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+def _q_star_join_revenue(spark, sf):
+    return R.revenue_by_nation(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def _q_semi_join(spark, sf):
+    return R.customers_with_orders(load_table(spark, sf, "customer"), load_table(spark, sf, "orders"))
+
+
+def _q_anti_join(spark, sf):
+    return R.customers_without_orders(load_table(spark, sf, "customer"), load_table(spark, sf, "orders"))
+
+
+def _q_pricing_summary(spark, sf):
+    return R.pricing_summary(load_table(spark, sf, "lineitem"))
+
+
+def _q_window_topk_per_group(spark, sf):
+    return R.top_order_per_customer(load_table(spark, sf, "orders"), k=3)
+
+
+def _q_window_mom_delta(spark, sf):
+    return R.month_over_month(load_table(spark, sf, "orders"))
+
+
+def _q_rollup_grouping_sets(spark, sf):
+    return R.status_priority_rollup(load_table(spark, sf, "orders"))
+
+
+def _q_set_ops(spark, sf):
+    return R.segment_union_intersect(load_table(spark, sf, "customer"))
+
+
+def _q_dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return D.dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_duplicate_groups(spark, sf):
+    return D.duplicate_groups(load_table(spark, sf, "documents"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    # jaccard = n_inter/(n_a+n_b-n_inter): one double division of exact
+    # ints → bit-identical on both engines, no rounding needed.
+    return D.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+
+
+def _q_minhash_lsh_pairs(spark, sf):
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_lsh_pairs(docs, n_hashes=32, bands=16)
+
+
+def _q_simhash_pairs(spark, sf):
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return D.simhash_pairs(docs, max_hamming=16, blocks=4)
+
+
+def _q_embedding_cosine_pairs(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return S.cosine_pairs(emb, "embedding", threshold=0.35, max_id=300).withColumn(
+        "similarity", F.round("similarity", 4)
+    )
+
+
+def _q_sim_topk_brute(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.cosine_topk(emb, "embedding", qvec, k=10).withColumn(
+        "similarity", F.round("similarity", 4)
+    )
+
+
+def _q_text_token_count(spark, sf):
+    return X.token_count(load_table(spark, sf, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "n_bpe_est"
+    )
+
+
+def _q_text_quality(spark, sf):
+    return X.quality_score(load_table(spark, sf, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "alpha_ratio",
+        "quality_score",
+    )
+
+
+def _q_text_language_id(spark, sf):
+    return X.language_id(load_table(spark, sf, "documents"))
+
+
+def _q_text_fingerprint(spark, sf):
+    return X.fingerprint(load_table(spark, sf, "documents"))
+
+
+def _q_tumbling_window(spark, sf):
+    ev = load_table(spark, sf, "events")
+    out = SW.tumbling_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def _q_sessionize(spark, sf):
+    ev = load_table(spark, sf, "events")
+    out = SW.sessionize_batch(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def _q_chart_pie_shares(spark, sf):
+    ev = load_table(spark, sf, "events")
+    totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
+    from pyspark.sql import Window
+
+    return totals.select(
+        "event_type",
+        "total",
+        F.round(F.col("total") / F.sum("total").over(Window.partitionBy()), 6).alias("share"),
+    ).orderBy("event_type")
+
+
+def _q_flagship(spark, sf):
+    return _flagship(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_monthly_trend": _q_flagship,
+        "keyword_cnf_filter": _q_keyword_cnf,
+        "date_attribute_filter": _q_date_attribute_filter,
+        "groupby_count": _q_groupby_count,
+        "monthly_rollup": _q_monthly_rollup,
+        "value_counts": _q_value_counts,
+        "scalar_insights": _q_scalar_insights,
+        "arg_extreme": _q_arg_extreme,
+        "histogram_numeric": _q_histogram_numeric,
+        "histogram_month_of_year": _q_histogram_month_of_year,
+        "distinct_count": _q_distinct_count,
+        "top_k": _q_top_k,
+        "limit_preview": _q_limit_preview,
+        "join_broadcast_dim": _q_join_broadcast_dim,
+        "star_join_revenue": _q_star_join_revenue,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
+        "pricing_summary": _q_pricing_summary,
+        "window_topk_per_group": _q_window_topk_per_group,
+        "window_mom_delta": _q_window_mom_delta,
+        "rollup_grouping_sets": _q_rollup_grouping_sets,
+        "set_ops": _q_set_ops,
+        "dedup_exact": _q_dedup_exact,
+        "duplicate_groups": _q_duplicate_groups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "sim_topk_brute": _q_sim_topk_brute,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_language_id": _q_text_language_id,
+        "text_fingerprint": _q_text_fingerprint,
+        "tumbling_window": _q_tumbling_window,
+        "sessionize": _q_sessionize,
+        "chart_pie_shares": _q_chart_pie_shares,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MONTHLY_ROLLUP_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS bulan,
+       count(o_orderkey) AS jumlah_paket,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_pagu
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         n_chars,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / greatest(n_chars, 1) AS alpha_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + alpha_ratio * 0.3, 6) AS quality_score
+FROM m
+"""
+
+_LANGID_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','and','of')))  AS score_en,
+    len(list_filter(toks, x -> x IN ('der','die','und'))) AS score_de,
+    len(list_filter(toks, x -> x IN ('le','la','et')))    AS score_fr,
+    len(list_filter(toks, x -> x IN ('el','los','que')))  AS score_es,
+    len(list_filter(toks, x -> x IN ('的','是','了')))     AS score_zh,
+    greatest(
+      len(list_filter(toks, x -> x IN ('the','and','of'))),
+      len(list_filter(toks, x -> x IN ('der','die','und'))),
+      len(list_filter(toks, x -> x IN ('le','la','et'))),
+      len(list_filter(toks, x -> x IN ('el','los','que'))),
+      len(list_filter(toks, x -> x IN ('的','是','了')))) AS best
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN best = 0 THEN 'und'
+       WHEN score_de = best THEN 'de'
+       WHEN score_en = best THEN 'en'
+       WHEN score_es = best THEN 'es'
+       WHEN score_fr = best THEN 'fr'
+       WHEN score_zh = best THEN 'zh'
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM d
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+"""
+
+_COSINE_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS similarity
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(similarity, 4) AS similarity
+FROM p WHERE similarity >= 0.35
+"""
+
+_SIM_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS similarity
+  FROM embeddings e, q
+)
+SELECT vec_id, round(similarity, 4) AS similarity
+FROM s ORDER BY s.similarity DESC, vec_id LIMIT 10
+"""
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+), sid AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_value
+FROM sid GROUP BY user_id, session_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_monthly_trend": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS bulan,
+                   count(o_orderkey) AS jumlah_paket,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_pagu
+            FROM orders
+            WHERE (lower(o_orderpriority) LIKE '%urgent%' OR lower(o_orderpriority) LIKE '%high%')
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "keyword_cnf_filter": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE (lower(text) LIKE '%spark%' OR lower(text) LIKE '%hash%')
+              AND lower(text) LIKE '%join%'
+              AND NOT (lower(text) LIKE '%window%')
+        """,
+        "date_attribute_filter": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase'
+              AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "groupby_count": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+        "monthly_rollup": _MONTHLY_ROLLUP_SQL,
+        "value_counts": "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+        "scalar_insights": """
+            SELECT count(*) AS n, min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS mean_v,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+            FROM lineitem
+        """,
+        "arg_extreme": f"""
+            WITH m AS ({_MONTHLY_ROLLUP_SQL})
+            SELECT arg_max(bulan, total_pagu) AS peak_month,
+                   arg_min(bulan, total_pagu) AS trough_month,
+                   max(total_pagu) AS peak_value,
+                   min(total_pagu) AS trough_value
+            FROM m
+        """,
+        "histogram_numeric": """
+            WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+            SELECT CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 12)), 11) AS INT) AS bucket,
+                   count(*) AS cnt
+            FROM lineitem, b
+            WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "histogram_month_of_year": """
+            WITH months AS (SELECT unnest(range(1, 13)) AS month_no),
+            c AS (SELECT CAST(month(o_orderdate) AS INT) AS month_no, count(*) AS cnt
+                  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+            SELECT CAST(months.month_no AS INT) AS month_no, coalesce(c.cnt, 0) AS cnt
+            FROM months LEFT JOIN c ON months.month_no = c.month_no
+            ORDER BY 1
+        """,
+        "distinct_count": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "top_k": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+        """,
+        "limit_preview": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
+        "join_broadcast_dim": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "star_join_revenue": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))
+                            * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "window_topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "window_mom_delta": """
+            WITH monthly AS (
+              SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                     sum(CAST(o_totalprice AS DECIMAL(28,2))) AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT month, CAST(revenue AS DOUBLE) AS revenue,
+                   CAST(revenue - lag(revenue) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
+            FROM monthly ORDER BY month
+        """,
+        "rollup_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "set_ops": """
+            SELECT DISTINCT c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+               INTERSECT
+               SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+            ) ORDER BY c_custkey
+        """,
+        "dedup_exact": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
+        "duplicate_groups": """
+            SELECT text, count(*) AS n_dups, min(doc_id) AS rep_id
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": _JACCARD_SQL,
+        "embedding_cosine_pairs": _COSINE_PAIRS_SQL,
+        "sim_topk_brute": _SIM_TOPK_SQL,
+        "text_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+            FROM documents
+        """,
+        "text_quality": _QUALITY_SQL,
+        "text_language_id": _LANGID_SQL,
+        # text_fingerprint, minhash_lsh_pairs, simhash_pairs: xxhash64-based →
+        # not DuckDB-expressible; rows-only check.
+        "tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+                   event_type, count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": _SESSIONIZE_SQL,
+        "chart_pie_shares": """
+            WITH t AS (
+              SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+              FROM events GROUP BY 1
+            )
+            SELECT event_type, total,
+                   round(total / sum(total) OVER (), 6) AS share
+            FROM t ORDER BY event_type
+        """,
+    }

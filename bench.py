@@ -1,0 +1,59 @@
+"""Benchmark harness: runs every queries() entry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = plan build + full execution + collect of the (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as E
+    from data_pengadaan_agent_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers so per-query times measure the
+    # engine, not first-touch JIT.
+    from data_pengadaan_agent_spark.sources.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    times: dict[str, float] = {}
+    for name, fn in E.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            times[name] = -1.0
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "all_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Aggregation operators (SURVEY.md §2.4, A1–A8).
+
+All are single-pass groupBy/agg plans: Spark computes partial
+aggregates map-side and merges them after a hash shuffle on the group
+key — at 100 TB the shuffle carries only (key → partial state), never
+raw rows. No UDAFs needed anywhere.
+
+Determinism note for oracle comparison: floating-point SUM/AVG is
+order-dependent, so headline money aggregates go through DECIMAL
+(exact, associative) and are rounded at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def groupby_count(df: DataFrame, key: str, count_col: str | None = None, alias: str = "cnt") -> DataFrame:
+    """A1: SELECT key, COUNT(*|col) … GROUP BY key
+    (openai/function_definition.py:92,228). COUNT(col) keeps SQL
+    null-skipping semantics."""
+    agg = F.count(F.col(count_col)) if count_col else F.count(F.lit(1))
+    return df.groupBy(key).agg(agg.alias(alias))
+
+
+def monthly_rollup(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    measure_col: str,
+    month_alias: str = "bulan",
+    count_alias: str = "jumlah_paket",
+    sum_alias: str = "total_pagu",
+) -> DataFrame:
+    """A2: the canonical line-chart query —
+    strftime('%Y-%m') → count(id) + sum(measure) → ORDER BY month
+    (openai/function_definition.py:153-159). date_format preserves the
+    reference's *string* month dialect."""
+    return (
+        df.groupBy(F.date_format(F.col(ts_col), "yyyy-MM").alias(month_alias))
+        .agg(
+            F.count(F.col(id_col)).alias(count_alias),
+            F.sum(F.col(measure_col)).alias(sum_alias),
+        )
+        .orderBy(month_alias)
+    )
+
+
+def value_counts(df: DataFrame, col: str, alias: str = "cnt") -> DataFrame:
+    """A3: pandas value_counts().sort_index()
+    (openai/list_of_tools.py:75,100,107)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias(alias)).orderBy(col)
+
+
+def scalar_insights(df: DataFrame, col: str) -> DataFrame:
+    """A4: the insights block every chart tool emits — n, min, max,
+    mean, sum of one numeric column (openai/list_of_tools.py:98-109).
+    One job; partial+final agg is native."""
+    c = F.col(col)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.avg(c).alias("mean_v"),
+        F.sum(c).alias("sum_v"),
+    )
+
+
+def arg_extreme(df: DataFrame, label_col: str, value_col: str) -> DataFrame:
+    """A5: idxmax/idxmin — peak label by measure
+    (openai/list_of_tools.py:100-109,381-382). max_by/min_by replaces
+    the reference's positional .iloc contract (T4 fix, SURVEY.md §2.6)."""
+    return df.agg(
+        F.expr(f"max_by({label_col}, {value_col})").alias("argmax"),
+        F.expr(f"min_by({label_col}, {value_col})").alias("argmin"),
+        F.max(value_col).alias("max_v"),
+        F.min(value_col).alias("min_v"),
+    )
+
+
+def histogram_numeric(df: DataFrame, col: str, bins: int = 12) -> DataFrame:
+    """A6: equal-width binning with count per bin — plt.hist(bins=12)
+    semantics (openai/list_of_tools.py:22,60-68): edges span [min,max],
+    the last bin is closed on both sides (x == max falls in bin n-1).
+
+    Two jobs: a scalar min/max pass, then one groupBy — the Spark way
+    to bin without a UDF. The bin expression is pure arithmetic →
+    codegen'd; the shuffle carries ≤ ``bins`` rows.
+    """
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("cnt", T.LongType()),
+            ])
+        )
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def histogram_month_of_year(df: DataFrame, ts_col: str, alias: str = "month_no") -> DataFrame:
+    """A7: month-of-year histogram — **collapses years** (dt.month,
+    openai/list_of_tools.py:47-55), with a 1..12 scaffold so empty
+    months appear with count 0. The scaffold is 12 rows → broadcast
+    join, free at any scale."""
+    spark = df.sparkSession
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias(alias))
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.month(F.col(ts_col)).alias(alias))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        months.join(counts, alias, "left")
+        .select(alias, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .orderBy(alias)
+    )
+
+
+def distinct_count(df: DataFrame, key: str, col: str, approx: bool = False) -> DataFrame:
+    """A8: COUNT(DISTINCT col) per key; approx variant uses HLL++ and
+    avoids the exact-distinct expand at scale."""
+    agg = (
+        F.approx_count_distinct(col) if approx else F.countDistinct(col)
+    ).alias("n_distinct")
+    return df.groupBy(key).agg(agg).orderBy(key)
+
+
+def decimal_sum(col: str | Column, precision: int = 28, scale: int = 2) -> Column:
+    """Order-independent exact SUM for money columns: cast to DECIMAL
+    before aggregating so parallel execution is bit-deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(T.DecimalType(precision, scale)))

@@ -1,0 +1,261 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Beyond-reference surface (the reference has no dedup; driver contract
+requires it as first-class). Five strategies, all over the
+``documents`` fixture (doc_id, text, ...):
+
+- exact:       hash-groupBy on normalized text — one shuffle of
+               (hash, min_id), never of full documents.
+- minhash+LSH: shingle → minhash signature → band buckets →
+               candidate pairs via equi-join on (band, band_hash) —
+               the classic near-dup pipeline (Broder 1997; used by
+               every large-scale LLM corpus pipeline). Join keys are
+               small ints, so the shuffle is signature-sized.
+- simhash:     64-bit weighted-bit fingerprint (Charikar 2002);
+               near-dups = small hamming distance, candidates via
+               4-block exact-match (Manku et al., WWW'07).
+- n-gram jaccard: exact token-set / shingle-set jaccard via
+               explode + equi-join on shared token — exact, used as
+               the verifier behind the LSH candidates.
+- embedding cosine: see operators/similarity.cosine_pairs.
+
+All hashing uses Spark's built-in xxhash64 (JVM-side, seedable via
+column salt), so signatures are deterministic and cluster-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id representative per distinct text.
+    groupBy on the text hash keeps the shuffle narrow; the final join
+    recovers full rows only for survivors."""
+    keep = (
+        df.select(F.xxhash64(F.col(text_col)).alias("_h"), F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup report: one row per duplicated text with the group
+    size and representative id."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("rep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --- shingles / tokens ------------------------------------------------------
+
+
+def tokens_col(text_col: str):
+    """Whitespace tokenization of lowered text (split on runs)."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: n-gram word shingles via a transform over
+    token positions — no UDF, no explode-then-window."""
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>): minhash over word shingles. Each hash
+    function = xxhash64(shingle, seed_i) via string salt; the min per
+    seed is a plain groupBy aggregate (map-side partials)."""
+    sh = shingles(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: split the signature into ``bands``
+    rows-per-band blocks, bucket by (band_idx, hash(block)), emit pairs
+    sharing any bucket. The only wide operation is an equi-join on the
+    band hash — at 100 TB this is the standard shuffle-light LSH join."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set jaccard — the full
+    near-dup pipeline (candidates cheap, verification exact)."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, shingle_n)
+    jac = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold=0.0, pairs=cand)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# --- n-gram jaccard (exact) -------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact jaccard over distinct n-gram sets. Pair generation via
+    equi-join on shared shingle (never a cross join); pass ``pairs`` to
+    restrict to pre-generated candidates (the LSH path)."""
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_col(text_col: str = "text", bits: int = 64):
+    """64-bit simhash as a pure column expression: per-token xxhash64,
+    sum of per-bit ±1 votes, sign → bit. All array ops, no UDF."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int):
+        # vote_i = sum over tokens of (bit_i(h) ? 1 : -1)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        # bitwiseOR + shiftleft: no 64-bit literal and no ANSI overflow
+        sim = sim.bitwiseOR(
+            F.when(bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sim
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ k: Manku-style candidate
+    generation — split 64 bits into ``blocks`` chunks; any pair within
+    hamming k must agree on ≥ one chunk (pigeonhole for k < blocks), so
+    candidates come from an equi-join per chunk, then exact popcount
+    verification via bit_count(XOR)."""
+    width = 64 // blocks
+    sig = simhash_signatures(df, text_col, id_col)
+    chunked = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,105 @@
+"""Multimodal-column plumbing (driver contract: images/audio/video as
+opaque binary columns with typed metadata).
+
+The container ships no image/audio codecs, so the decode kernels are
+deterministic fakes / clearly-marked stubs — but the Spark-side
+plumbing is real: schemas, Arrow batch shapes, mapInPandas operators,
+and partition sizing are exactly what a production decode stage uses.
+Swap `_decode_image_stub` for PIL/torchvision and nothing else moves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),  # opaque encoded bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests: payload bytes derived
+    from the id, metadata cycling over plausible values."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("id") % 3 + 1).cast("int")).alias("media_type"),
+        F.encode(F.concat(F.lit(f"payload-{seed}-"), F.col("id").cast("string")), "utf-8").alias("payload"),
+        (F.col("id") % 640 + 64).cast("int").alias("width"),
+        (F.col("id") % 480 + 48).cast("int").alias("height"),
+        (F.col("id") % 30000).cast("int").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )
+    return df
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int) -> list[float]:
+    """STUB decode: a real deployment calls PIL here. Deterministic
+    fake: 8 features derived from payload bytes + dimensions."""
+    if payload is None:
+        raise NotImplementedError("real image decode requires PIL — not in this container")
+    s = sum(payload)
+    return [float((s + i * 37) % 251) / 251.0 for i in range(6)] + [float(width), float(height)]
+
+
+def extract_image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode + feature-extract over mapInPandas: Arrow-batched,
+    one Python worker per partition, constant memory per batch. At
+    100 TB the input should be repartitioned so each task holds
+    O(100 MB) of payload — callers do `df.repartition(n)` upstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return (
+        df.filter(F.col("media_type") == "image")
+        .select("media_id", "payload", "width", "height")
+        .mapInPandas(run, schema="media_id long, features array<double>")
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize metadata computation stays JVM-side (pure arithmetic);
+    only the pixel transform would enter Python. Returns target dims
+    preserving aspect ratio."""
+    scale = F.least(
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")), F.lit(1.0)
+    )
+    return df.select(
+        "media_id",
+        "media_type",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (sequence + explode, JVM-side); the actual frame decode
+    is the stubbed Python kernel."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference surface (driver contract): language ID, quality
+scoring, token counting, document fingerprinting — each a pure column
+expression over the ``documents`` table, so the whole stage is
+whole-stage-codegen'd and shuffles nothing.
+
+The reference's only text processing is the *offline* derivation of
+``filtered_keywords`` (lowercase → tokenize → stopword-strip →
+comma-join; observable in its data only, SURVEY.md §2.8).
+``derive_filtered_keywords`` makes that magic column reproducible
+in-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list (the reference's list is not shipped;
+# this one covers the fixture corpus + common English fillers).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Distinctive-marker heuristic for the fixture corpus: deterministic
+# and SQL-expressible so the DuckDB oracle can replicate it. A real
+# deployment swaps in character-n-gram profiles (same operator shape).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+    "zh": ("的", "是", "了"),
+}
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate
+    (≈ chars/4, the common heuristic for byte-level BPE)."""
+    t = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint").alias("n_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: length, mean word length, stopword
+    ratio, alpha ratio, and a composite [0,1] score. All built-ins."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z ]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1)).cast("double")
+    )
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    mean_word_len = (n_chars - (n_tok - 1)).cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + alpha_ratio * F.lit(0.3)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language ID: count each language's marker tokens,
+    pick the argmax (ties broken by language code order); 'und' when no
+    marker hits. Deterministic, codegen'd, oracle-replicable."""
+    t = tokens(text_col)
+    scores = [
+        F.size(F.filter(t, lambda x: x.isin(*marks))).alias(f"score_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), t.alias("_t"), *scores)
+    # argmax via greatest + chained when (few languages → shallow CASE)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(sorted(langs)):
+        pred = F.when(
+            (best > 0) & (F.col(f"score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: order-sensitive rolling hash — left fold
+    fp = xxhash64(fp, token). Chained hashing instead of fp*31+h keeps
+    the fold overflow-free under ANSI mode while staying deterministic
+    and order-sensitive (unlike a set hash)."""
+    t = tokens(text_col)
+    fp = F.aggregate(
+        t,
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.xxhash64(acc, tok),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def derive_filtered_keywords(
+    df: DataFrame, text_cols: list[str], out_col: str = "filtered_keywords"
+) -> DataFrame:
+    """Reproduce the reference's offline keyword-column derivation:
+    lowercase → tokenize → de-dup → stopword-strip → comma-join
+    (SURVEY.md §2.8 'lowercase+tokenize+stopword-strip')."""
+    joined = F.concat_ws(" ", *[F.col(c) for c in text_cols])
+    toks = F.array_except(
+        F.array_distinct(F.split(F.lower(F.regexp_replace(joined, r"[^\p{L}\p{N} ]", " ")), r"\s+")),
+        F.array(*[F.lit(s) for s in STOPWORDS], F.lit("")),
+    )
+    return df.withColumn(out_col, F.array_join(toks, ","))

@@ -1,0 +1,134 @@
+"""Sources + catalog operators.
+
+Covers SURVEY.md §2.1 (S1–S4 scans/sinks) and §2.9 (M1–M4 catalog
+ops), re-grounded on Parquet + the Spark catalog instead of SQLite
+``PRAGMA`` calls (reference: openai/list_of_tools.py:148-202,
+langchain/langchain_tool.py:56-102).
+
+Scale notes:
+- Tables are plain Parquet scans; Catalyst pushes predicates and
+  prunes columns into the scan, so registering *views* costs nothing.
+- The ``events`` fixture carries TIMESTAMP(NANOS) which Spark's
+  vectorized reader rejects; we read nanos as LongType
+  (``spark.sql.legacy.parquet.nanosAsLong``) and rebuild a proper
+  TimestampType with *integer* division (``div 1000``) — floating
+  division would lose precision above 2^53 ns and is wrong. DuckDB
+  truncates ns→µs identically, keeping the oracle comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # Session not built by get_spark(): enable nanos-as-long and retry.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: columnar scan of one fixture table, normalized schema."""
+    if name == "events":
+        # events carries TIMESTAMP(NANOS): enable nanos-as-long up front
+        # (runtime-settable) so a vanilla driver session reads it too.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = _read_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+    # Normalize nanosecond-long timestamp columns back to TimestampType.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLES
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for spark.sql use."""
+    dfs = load_tables(spark, sf_dir, names)
+    for n, df in dfs.items():
+        df.createOrReplaceTempView(n)
+    return dfs
+
+
+# --- Catalog / metadata operators (M1–M4) ---------------------------------
+
+
+def schema_check(spark: SparkSession) -> dict:
+    """M1: full catalog dump, same JSON shape as the reference's
+    PRAGMA-based ``schema_check`` (openai/list_of_tools.py:167-202).
+    Spark has no primary keys, so ``primary_key`` is always False.
+    """
+    out: dict[str, list[dict]] = {}
+    for t in spark.catalog.listTables():
+        cols = spark.catalog.listColumns(t.name)
+        out[t.name] = [
+            {
+                "name": c.name,
+                "type": c.dataType,
+                "nullable": c.nullable,
+                "primary_key": False,
+            }
+            for c in cols
+        ]
+    return out
+
+
+def list_tables(spark: SparkSession) -> str:
+    """M2: comma-separated table names (langchain/langchain_tool.py:85-102)."""
+    return ", ".join(sorted(t.name for t in spark.catalog.listTables()))
+
+
+def table_schema(spark: SparkSession, names: Iterable[str], sample_rows: int = 3) -> str:
+    """M3: DDL-ish schema + sample rows for named tables
+    (langchain/langchain_tool.py:56-81).
+    """
+    blocks = []
+    for name in names:
+        df = spark.table(name)
+        ddl_cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields)
+        rows = [tuple(r) for r in df.limit(sample_rows).collect()]
+        blocks.append(
+            f"CREATE TABLE {name} (\n  {ddl_cols}\n)\n/*\n{sample_rows} rows:\n"
+            + "\n".join(str(r) for r in rows)
+            + "\n*/"
+        )
+    return "\n\n".join(blocks)
+
+
+def schema_head_echo(df: DataFrame, n: int = 5) -> dict:
+    """M4: {schema, first n rows} echo returned after materialization
+    (openai/list_of_tools.py:154-164, langchain/my_toolkit.py:73-109).
+    """
+    return {
+        "schema": df.schema.jsonValue(),
+        "first_rows": [r.asDict(recursive=True) for r in df.limit(n).collect()],
+    }

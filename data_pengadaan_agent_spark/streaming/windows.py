@@ -1,0 +1,104 @@
+"""Structured Streaming operators (SURVEY.md §2.13 / §7 phase 5).
+
+The reference has no streaming; the ``events`` fixture exists for a
+streaming-shaped extension. Batch/stream parity is the design rule:
+every aggregation here is expressed so the same code runs on a static
+DataFrame (tests, DuckDB oracle) and on a readStream source
+(watermarked, incremental state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count+sum per event_type. On a stream the
+    watermark bounds state; on a batch frame withWatermark is a no-op,
+    so the same function serves both."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_len).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window_len: str = "1 hour", slide: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Native session windows (streaming-only operator shape)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "user_id", "n_events")
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization via gaps-and-islands (lag + cumulative sum)
+    — the SQL-expressible twin of session_window, so the oracle can
+    verify it. Sessions = per-user runs with inter-event gap ≤ gap."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    # Interval comparison (not unix_timestamp subtraction): exact to the
+    # microsecond and replicable in ANSI SQL for the oracle.
+    with_gap = events.withColumn("_prev", F.lag("ts").over(w)).withColumn(
+        "_new_session",
+        F.when(
+            F.col("_prev").isNull()
+            | (F.col("ts") > F.col("_prev") + F.expr(f"INTERVAL {gap_minutes} MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_id = with_gap.withColumn("session_id", F.sum("_new_session").over(w))
+    return (
+        with_id.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(["event_id"])
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming frame to completion against a finite source
+    (file/parquet) and return the materialized result — the local test
+    harness for every operator above."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

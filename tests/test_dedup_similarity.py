@@ -1,0 +1,121 @@
+"""Dedup (exact / minhash-LSH / simhash / jaccard) + vector similarity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import dedup as D
+from data_pengadaan_agent_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, "completely different text about spark shuffle partitions and joins"),
+        (5, "another unrelated document mentioning hash aggregation pipelines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_dedup_exact(docs):
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 5]  # min-id representative survives
+
+
+def test_duplicate_groups(docs):
+    out = D.duplicate_groups(docs).collect()
+    assert len(out) == 1 and out[0]["n_dups"] == 2 and out[0]["rep_id"] == 1
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+    got = sorted(r["shingle"] for r in D.shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1 shingle set (n=1): {a,b,c,d}; doc2: {a,b,c,e} → J = 3/5
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id LONG, text STRING")
+    out = D.ngram_jaccard_pairs(df, n=1, threshold=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 3 / 5) < 1e-12
+
+
+def test_minhash_pipeline_finds_near_dups(docs):
+    out = D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=32, bands=16, shingle_n=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs  # exact dup: jaccard 1.0, must survive any banding
+    assert all(p[0] in (1, 2, 3) and p[1] in (2, 3) for p in pairs)
+
+
+def test_minhash_signature_deterministic(docs):
+    a = D.minhash_signatures(docs).collect()
+    b = D.minhash_signatures(docs).collect()
+    assert {r["doc_id"]: r["sig"] for r in a} == {r["doc_id"]: r["sig"] for r in b}
+
+
+def test_simhash_identical_and_near(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical simhash
+    ham13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    ham14 = bin((sigs[1] ^ sigs[4]) & ((1 << 64) - 1)).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+
+def test_simhash_pairs_hamming(docs):
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, max_hamming=10).collect()}
+    assert out[(1, 2)] == 0
+
+
+# --- similarity -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_cosine_topk_values(vecs):
+    out = S.cosine_topk(vecs, "embedding", [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 4]
+    assert abs(out[0]["similarity"] - 1.0) < 1e-9
+    assert abs(out[1]["similarity"] - 0.9 / math.sqrt(0.82)) < 1e-9
+    assert abs(out[2]["similarity"] - 0.5) < 1e-9
+
+
+def test_cosine_pandas_path_matches_builtin(vecs):
+    q = [0.3, -0.2, 0.9, 0.1]
+    a = {(r["vec_id"], round(r["similarity"], 9)) for r in S.cosine_topk(vecs, "embedding", q, k=5).collect()}
+    b = {(r["vec_id"], round(r["similarity"], 9)) for r in S.cosine_topk_pandas(vecs, "embedding", q, k=5).collect()}
+    assert a == b
+
+
+def test_lsh_topk_subset_of_brute(tables):
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    brute = [r["vec_id"] for r in S.cosine_topk(emb, "embedding", q, k=50).collect()]
+    approx = S.lsh_topk(emb, "embedding", q, k=10, n_planes=8)
+    got = [r["vec_id"] for r in approx.collect()]
+    assert 7 in got  # the query's own vector shares its bucket by construction
+    assert set(got).issubset(set(brute) | set(got))  # sanity: no dups/garbage
+    assert len(got) == len(set(got))
+
+
+def test_cosine_pairs_threshold(vecs):
+    out = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs(vecs, "embedding", threshold=0.99).collect()}
+    assert out == {(0, 1)} or (0, 1) in out  # 0–1 are near-identical

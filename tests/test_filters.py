@@ -1,0 +1,80 @@
+"""P3–P7 keyword-CNF + semantic-trap property tests (SURVEY.md §1.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators.filters import (
+    date_range_filter,
+    filter_keywords,
+    keyword_cnf,
+    parse_ts_coerce,
+    token_match,
+)
+from data_pengadaan_agent_spark.plans.sql_gate import SqlGateError, check_select_only, preview
+
+
+def ids(df):
+    return sorted(r[0] for r in df.select("kode_rup").collect())
+
+
+def test_substring_not_token_semantics(pengadaan):
+    """The alat/peralatan trap: '%alat%' must match 'peralatan' rows."""
+    got = filter_keywords(pengadaan, "filtered_keywords", [["alat"]])
+    assert ids(got) == [1, 2]  # row 2 matches via substring of 'peralatan'
+
+
+def test_token_match_is_strict(pengadaan):
+    got = pengadaan.filter(token_match(F.col("filtered_keywords"), "alat"))
+    assert ids(got) == [1]  # exact-token variant excludes 'peralatan'
+
+
+def test_cnf_or_groups_and_groups(pengadaan):
+    # (perbaikan OR rehabilitasi) AND gedung  — gedung matches 'gedungnya' too
+    got = filter_keywords(pengadaan, "filtered_keywords", [["perbaikan", "rehabilitasi"], ["gedung"]])
+    assert ids(got) == [3, 4]
+
+
+def test_exclusion_group(pengadaan):
+    got = filter_keywords(pengadaan, "filtered_keywords", [["kantor"]], exclude=["gedung"])
+    assert ids(got) == [1, 2]
+
+
+def test_case_insensitive_like_sqlite_parity(pengadaan):
+    """SQLite LIKE is ASCII-case-insensitive; ours must be too."""
+    got = filter_keywords(pengadaan, "nama_paket", [["PENGADAAN"]])
+    assert ids(got) == [1]
+
+
+def test_empty_cnf_is_true(pengadaan):
+    assert pengadaan.filter(keyword_cnf(F.col("filtered_keywords"), [])).count() == 6
+
+
+def test_parse_ts_coerce_drops_nulls(pengadaan):
+    got = parse_ts_coerce(pengadaan, "tanggal_umumkan_paket")
+    assert got.count() == 5  # row 6 (NULL date) dropped
+    assert dict(got.dtypes)["ts"] == "timestamp"
+
+
+def test_date_range_filter(pengadaan):
+    df = parse_ts_coerce(pengadaan, "tanggal_umumkan_paket")
+    got = date_range_filter(df, "ts", "2024-01-01", "2024-02-01")
+    assert ids(got) == [2, 3]
+
+
+def test_sql_gate_rejects_dml():
+    for bad in ["DROP TABLE x", "insert into t values (1)", "UPDATE t SET a=1",
+                "SELECT 1; DROP TABLE x", "set spark.foo=1"]:
+        with pytest.raises(SqlGateError):
+            check_select_only(bad)
+    assert check_select_only("  SELECT 1  ") == "SELECT 1"
+    assert check_select_only("WITH t AS (SELECT 1) SELECT * FROM t")
+
+
+def test_preview_shape(spark, pengadaan):
+    pengadaan.createOrReplaceTempView("pengadaan")
+    out = preview(spark, "SELECT kode_rup, total_pagu FROM pengadaan ORDER BY kode_rup")
+    assert len(out["first_rows"]) == 5
+    assert out["first_rows"][0]["kode_rup"] == 1
+    assert [f["name"] for f in out["schema"]["fields"]] == ["kode_rup", "total_pagu"]

@@ -1,0 +1,118 @@
+"""Joins/windows/setops/rollup + chart pipelines + materialize + catalog."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import charts as C
+from data_pengadaan_agent_spark.operators import relational as R
+from data_pengadaan_agent_spark.operators.materialize import (
+    drop_intermediary,
+    materialize,
+    read_intermediary,
+)
+from data_pengadaan_agent_spark.operators.topk import sorted_first_last
+from data_pengadaan_agent_spark.sources.catalog import list_tables, schema_check, schema_head_echo
+
+
+def test_semi_anti_partition(tables):
+    cust, orders = tables["customer"], tables["orders"]
+    with_o = R.customers_with_orders(cust, orders).count()
+    without_o = R.customers_without_orders(cust, orders).count()
+    assert with_o + without_o == cust.count()
+
+
+def test_rollup_has_grand_total(tables):
+    out = R.status_priority_rollup(tables["orders"]).collect()
+    grand = [r for r in out if r["o_orderstatus"] is None and r["o_orderpriority"] is None]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == tables["orders"].count()
+
+
+def test_top_order_per_customer_rank(tables):
+    out = R.top_order_per_customer(tables["orders"], k=2)
+    per = out.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert per <= 2
+
+
+def test_month_over_month_delta_consistency(tables):
+    rows = R.month_over_month(tables["orders"]).collect()
+    assert rows[0]["mom_delta"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs((cur["revenue"] - prev["revenue"]) - cur["mom_delta"]) < 1e-6
+
+
+def test_pricing_summary_plan_is_single_agg(tables):
+    plan = R.pricing_summary(tables["lineitem"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg, one shuffle (+AQE sort)
+
+
+# --- charts -----------------------------------------------------------------
+
+
+def test_bar_chart_data(tables):
+    counts = tables["orders"].groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    data, ins = C.bar_chart_data(counts, "o_orderstatus", "n")
+    assert ins["n"] == 3
+    assert ins["sum_v"] == tables["orders"].count()
+    assert ins["top_category"] in ("O", "F", "P")
+
+
+def test_line_chart_data(tables):
+    data, ins = C.line_chart_data(tables["orders"], "o_orderdate", "o_orderkey", "o_totalprice")
+    months = [r["bulan"] for r in data.collect()]
+    assert months == sorted(months)
+    assert ins["peak_value_month"] in months
+
+
+def test_pie_chart_data_shares_sum_to_one(tables):
+    counts = tables["orders"].groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    data, ins = C.pie_chart_data(counts, "o_orderpriority", "n")
+    total_share = sum(r["share"] for r in data.collect())
+    assert abs(total_share - 1.0) < 1e-9
+    assert ins["total"] == tables["orders"].count()
+
+
+def test_histogram_dispatch_numeric_vs_ts_vs_string(tables):
+    d1, _ = C.histogram_data(tables["lineitem"], "l_extendedprice")
+    assert "bucket" in d1.columns
+    d2, _ = C.histogram_data(tables["orders"], "o_orderdate")
+    assert "month_no" in d2.columns and d2.count() == 12
+    d3, _ = C.histogram_data(tables["orders"], "o_orderpriority")
+    assert d3.count() == 5  # categorical fallback
+
+
+def test_histogram_missing_column_raises(tables):
+    with pytest.raises(C.ChartColumnError):
+        C.histogram_data(tables["orders"], "nope")
+
+
+def test_sorted_first_last(tables):
+    counts = tables["orders"].groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    out = sorted_first_last(counts, "o_orderstatus", "n")
+    assert out["first_value"] >= out["last_value"]
+
+
+# --- materialize + catalog ---------------------------------------------------
+
+
+def test_materialize_overwrite_contract(spark, tables):
+    echo = materialize(tables["region"], rename={"r_name": "region_name"})
+    assert [f["name"] for f in echo["schema"]["fields"]] == ["r_regionkey", "region_name"]
+    assert len(echo["first_rows"]) == 5
+    assert read_intermediary(spark).count() == 5
+    # overwrite with a different frame — replace semantics
+    materialize(tables["nation"])
+    assert read_intermediary(spark).count() == 25
+    drop_intermediary(spark)
+
+
+def test_catalog_ops(spark, tables):
+    tables["region"].createOrReplaceTempView("region_v")
+    assert "region_v" in list_tables(spark)
+    sc = schema_check(spark)
+    assert {c["name"] for c in sc["region_v"]} == {"r_regionkey", "r_name"}
+    echo = schema_head_echo(tables["nation"], 3)
+    assert len(echo["first_rows"]) == 3

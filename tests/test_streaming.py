@@ -1,0 +1,75 @@
+"""Structured Streaming operators: batch/stream parity on events."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.streaming import windows as SW
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tables, tmp_path_factory):
+    """File streaming sources need a directory; also normalizes the
+    fixture's nanos timestamps through a parquet round-trip."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    tables["events"].write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture()
+def events_stream(spark, tables, events_dir):
+    schema = tables["events"].schema
+    return spark.readStream.schema(schema).format("parquet").load(events_dir)
+
+
+def test_tumbling_batch_stream_parity(spark, tables, events_stream):
+    batch = SW.tumbling_counts(tables["events"], "1 hour")
+    stream = SW.tumbling_counts(events_stream, "1 hour")
+    got = SW.run_stream_to_memory(spark, stream, "tumbling_out", output_mode="append")
+    b = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in batch.collect()}
+    s = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"]) for r in got.collect()}
+    # append mode: every emitted window matches batch exactly; only the
+    # final (never-closed-by-watermark) window may be withheld.
+    assert set(s.items()) <= set(b.items())
+    max_window = max(k[0] for k in b)
+    assert all(k[0] == max_window for k in b.keys() - s.keys())
+
+
+def test_streaming_dedup(spark, tables, events_stream):
+    dup_batch = tables["events"].union(tables["events"])
+    assert SW.streaming_dedup(dup_batch).count() == tables["events"].count()
+    out = SW.run_stream_to_memory(
+        spark, SW.streaming_dedup(events_stream), "dedup_out", output_mode="append"
+    )
+    assert out.count() == tables["events"].count()
+
+
+def test_session_windows_stream(spark, events_stream):
+    out = SW.run_stream_to_memory(
+        spark, SW.session_windows_stream(events_stream, gap="30 minutes"), "sess_out"
+    )
+    assert out.count() > 0
+    assert set(out.columns) == {"session_start", "session_end", "user_id", "n_events"}
+
+
+def test_sessionize_batch_gap_property(spark, tables):
+    """No two consecutive events inside one session may be > gap apart,
+    and session count matches the native session_window count."""
+    sessions = SW.sessionize_batch(tables["events"], gap_minutes=30)
+    native = (
+        tables["events"]
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert sessions.count() == native.count()
+    assert (
+        sessions.agg(F.sum("n_events")).first()[0] == tables["events"].count()
+    )
+
+
+def test_sliding_counts(tables):
+    out = SW.sliding_counts(tables["events"], "1 hour", "30 minutes")
+    # every event lands in exactly 2 sliding windows
+    assert out.agg(F.sum("n")).first()[0] == 2 * tables["events"].count()

@@ -1,0 +1,79 @@
+"""Text analysis + multimodal plumbing."""
+
+from __future__ import annotations
+
+from data_pengadaan_agent_spark.operators import multimodal as M
+from data_pengadaan_agent_spark.operators import textan as X
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello world foo"), (2, "one")], "doc_id LONG, text STRING")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_bpe_est"]) for r in X.token_count(df).collect()}
+    assert out[1] == (3, 4)  # ceil(15/4)
+    assert out[2] == (1, 1)
+
+
+def test_quality_score_bounds(tables):
+    rows = X.quality_score(tables["documents"]).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["stopword_ratio"] <= 1.0 for r in rows)
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze und der vogel"),
+            (3, "le chat et la maison et le chien"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in X.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in X.fingerprint(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def test_derive_filtered_keywords(spark):
+    df = spark.createDataFrame(
+        [(1, "Belanja ALAT Tulis", "alat tulis untuk the kantor!")],
+        "id LONG, a STRING, b STRING",
+    )
+    out = X.derive_filtered_keywords(df, ["a", "b"]).first()["filtered_keywords"]
+    toks = out.split(",")
+    assert "belanja" in toks and "alat" in toks and "kantor" in toks
+    assert "the" not in toks  # stopword stripped
+    assert len(toks) == len(set(toks))  # de-duplicated
+
+
+def test_media_feature_extraction(spark):
+    media = M.synthesize_media(spark, n=30)
+    feats = M.extract_image_features(media).collect()
+    assert len(feats) == sum(1 for r in media.collect() if r["media_type"] == "image")
+    assert all(len(r["features"]) == 8 for r in feats)
+    # deterministic: same id → same features
+    again = {r["media_id"]: r["features"] for r in M.extract_image_features(media).collect()}
+    assert all(again[r["media_id"]] == r["features"] for r in feats)
+
+
+def test_resize_plan_aspect_ratio(spark):
+    media = M.synthesize_media(spark, n=10)
+    out = M.resize_plan(media, max_side=100).collect()
+    for r in out:
+        assert max(r["target_width"], r["target_height"]) <= 101  # rounding slack
+        assert r["target_width"] > 0 and r["target_height"] > 0
+
+
+def test_frame_sampling(spark):
+    media = M.synthesize_media(spark, n=12)
+    frames = M.sample_frames(media, every_ms=5000).collect()
+    vids = {r["media_id"]: r["duration_ms"] for r in media.collect() if r["media_type"] == "video"}
+    assert len(frames) == sum(dur // 5000 + 1 for dur in vids.values())

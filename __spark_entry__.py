@@ -282,6 +282,87 @@ def _q_sessionize(spark, sf):
     )
 
 
+def _q_tpch_q3(spark, sf):
+    return R.shipping_priority(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_tpch_q6(spark, sf):
+    return R.forecast_revenue(load_table(spark, sf, "lineitem"))
+
+
+def _q_tpch_q18(spark, sf):
+    return R.large_volume_orders(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_pivot_counts(spark, sf):
+    return R.pivot_status_by_priority(load_table(spark, sf, "orders"))
+
+
+def _q_cube_agg(spark, sf):
+    return R.cube_returns(load_table(spark, sf, "lineitem"))
+
+
+def _q_percentiles(spark, sf):
+    return R.exact_percentiles(load_table(spark, sf, "events"), "value")
+
+
+def _split_events(spark, sf):
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return purchases, clicks
+
+
+def _q_asof_join(spark, sf):
+    from data_pengadaan_agent_spark.operators.asof import asof_join_backward
+
+    purchases, clicks = _split_events(spark, sf)
+    out = asof_join_backward(
+        purchases, clicks, left_on="p_ts", right_on="c_ts", by="user_id",
+        right_cols=["c_id", "c_value"],
+    )
+    return out.select(
+        "p_id", "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+        F.col("c_id_right").alias("c_id"),
+        F.col("c_value_right").alias("c_value"),
+    )
+
+
+def _q_range_join(spark, sf):
+    from data_pengadaan_agent_spark.operators.asof import range_join_bucketed
+
+    purchases, clicks = _split_events(spark, sf)
+    out = range_join_bucketed(
+        purchases.select("p_id", "user_id", "p_ts"),
+        clicks.select("c_id", "user_id", "c_ts"),
+        left_ts="p_ts", right_ts="c_ts", by="user_id", max_gap_seconds=600,
+    )
+    return out.select("p_id", "c_id")
+
+
+def _q_embedding_normalize(spark, sf):
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    normed = S.l2_normalize_pandas(emb)
+    return normed.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.round("v", 6).alias("v"))
+
+
 def _q_chart_pie_shares(spark, sf):
     ev = load_table(spark, sf, "events")
     totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
@@ -336,6 +417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
         "chart_pie_shares": _q_chart_pie_shares,
+        "tpch_q3_shipping_priority": _q_tpch_q3,
+        "tpch_q6_forecast_revenue": _q_tpch_q6,
+        "tpch_q18_large_orders": _q_tpch_q18,
+        "pivot_counts": _q_pivot_counts,
+        "cube_agg": _q_cube_agg,
+        "percentiles": _q_percentiles,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "embedding_normalize": _q_embedding_normalize,
     }
 
 
@@ -659,5 +749,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, total,
                    round(total / sum(total) OVER (), 6) AS share
             FROM t ORDER BY event_type
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            )
+            SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, CAST(sumq AS DOUBLE) AS total_qty
+            FROM big
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "pivot_counts": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+                   count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+                   count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+                   count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+                   count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "percentiles": """
+            SELECT round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.50), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75
+            FROM events
+        """,
+        "asof_join": """
+            WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS c_id, user_id, ts AS c_ts, value AS c_value
+                       FROM events WHERE event_type = 'click')
+            SELECT p.p_id, p.user_id,
+                   strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+                   c.c_id, c.c_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+        """,
+        "range_join": """
+            WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS c_id, user_id, ts AS c_ts
+                       FROM events WHERE event_type = 'click')
+            SELECT p.p_id, c.c_id
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 600 SECOND
+        """,
+        "embedding_normalize": """
+            WITH e AS (SELECT vec_id, embedding,
+                              sqrt(list_sum(list_transform(embedding,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                       FROM embeddings WHERE vec_id < 100)
+            SELECT vec_id,
+                   unnest(range(len(embedding))) AS dim,
+                   round(unnest(list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)), 6) AS v
+            FROM e
         """,
     }

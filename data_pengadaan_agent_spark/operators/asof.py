@@ -1,0 +1,99 @@
+"""As-of and range joins — operators Spark lacks natively, built as
+compositions of built-in ops (SURVEY.md §7 phase 4 / guide 'Common
+OLAP patterns').
+
+as-of join (backward): for each left row, the single most recent right
+row with rt <= lt within the same key. Implemented with the
+union+window trick:
+
+    tag left/right → union → window last_value over (key ORDER BY ts,
+    right-first tiebreak) → filter left rows
+
+One shuffle on (key), no per-key pandas, no cross join — the plan is a
+single sort-based window, which scales to arbitrarily large inputs and
+AQE-handles key skew. (pd.merge_asof-per-group via applyInPandas is
+the fallback when the payload is too wide to union; same API.)
+
+range join: equi-bucketize the range key so candidates meet on
+(key, bucket) instead of a cross join; exact predicate re-applied
+after. Bucket width ≈ range width ⇒ each left row probes ≤2 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: latest right row with right_on <= left_on,
+    matched within `by`. Right payload columns arrive suffixed; rows
+    with no prior right row keep NULLs (left outer semantics)."""
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(by).alias("_by"),
+        F.col(left_on).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast("struct<" + ",".join(
+            f"{c}:{dict(right.dtypes)[c]}" for c in right_cols
+        ) + ">").alias("_r"),
+    )
+    tagged_r = right.select(
+        F.col(by).alias("_by"),
+        F.col(right_on).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast(tagged_l.schema["_l"].dataType).alias("_l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+    )
+    # right rows sort BEFORE left rows at equal ts → a right row at
+    # exactly lt matches (<= semantics, like pd.merge_asof default)
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged_l.unionByName(tagged_r).withColumn(
+        "_last_r", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_is_left") == 1).select(
+        F.col("_l.*"),
+        *[F.col(f"_last_r.{c}").alias(c + suffix) for c in right_cols],
+    )
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    by: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Pairs (left, right) with same `by` and right_ts in
+    [left_ts - gap, left_ts]: bucketize time by the gap width and join
+    on (by, bucket±1) — candidates per row are bounded by bucket
+    population, never the whole key group."""
+    gap = F.lit(max_gap_seconds)
+    lb = left.withColumn("_lb", (F.unix_timestamp(left_ts) / gap).cast("long"))
+    # rename the right-side key so the equi-join condition can't resolve
+    # both sides to the same attribute when left/right share lineage
+    rb = right.withColumnRenamed(by, "_rby").withColumn(
+        "_rb", (F.unix_timestamp(right_ts) / gap).cast("long")
+    )
+    # a right row in [lt-gap, lt] lives in bucket(lt) or bucket(lt)-1
+    probe = lb.withColumn("_probe", F.explode(F.array(F.col("_lb"), F.col("_lb") - 1)))
+    joined = probe.join(rb, (F.col("_probe") == F.col("_rb")) & (F.col(by) == F.col("_rby")))
+    cond = (F.col(right_ts) <= F.col(left_ts)) & (
+        F.col(right_ts) >= F.col(left_ts) - F.make_dt_interval(secs=gap)
+    )
+    return joined.filter(cond).drop("_lb", "_rb", "_probe", "_rby")

@@ -192,30 +192,36 @@ def ngram_jaccard_pairs(
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash_col(text_col: str = "text", bits: int = 64):
+# Bit masks for 64-bit packing; bit 63 is the long sign bit, so its
+# mask is the (negative) two's-complement value — no 1<<63 overflow.
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash_col(text_col: str = "text"):
     """64-bit simhash as a pure column expression: per-token xxhash64,
-    sum of per-bit ±1 votes, sign → bit. All array ops, no UDF."""
-    toks = F.array_distinct(tokens_col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int):
-        # vote_i = sum over tokens of (bit_i(h) ? 1 : -1)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        # bitwiseOR + shiftleft: no 64-bit literal and no ANSI overflow
-        sim = sim.bitwiseOR(
-            F.when(bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return sim
+    per-bit ±1 votes, sign → bit. Formulated as ONE fold over the
+    token-hash array carrying a 64-vote array accumulator — each token
+    is hashed exactly once per row (a naive per-bit fold would
+    re-evaluate the hash array 64×)."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    hashes = F.transform(F.array_distinct(tokens_col(text_col)), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # pack: OR together the masks of positive-vote bits
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

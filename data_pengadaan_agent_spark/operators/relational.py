@@ -125,6 +125,107 @@ def status_priority_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, cutoff: str = "1997-01-01"
+) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one
+    segment. Join prunes with pushed date filters on BOTH fact scans;
+    TakeOrderedAndProject caps the result without a global sort."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    cut = F.lit(cutoff).cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_shipdate") > cut)
+        .join(orders.filter(F.col("o_orderdate") < cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def forecast_revenue(lineitem: DataFrame, year: int = 1996) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+scalar agg — the pushdown
+    benchmark. All predicates reach the parquet scan."""
+    rev = F.col("l_extendedprice").cast(D18) * F.col("l_discount").cast(D8)
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def large_volume_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, min_qty: float = 300.0
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact-side pre-aggregation, then
+    semi-joined up the star. Aggregating lineitem FIRST shrinks the
+    join probe side from |lineitem| to |qualifying orders|."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(D18)).alias("_sumq"))
+        .filter(F.col("_sumq") > F.lit(min_qty))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("o_totalprice"),
+            F.col("_sumq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def pivot_status_by_priority(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts, status × priority. Values enumerated
+    explicitly — at scale an unenumerated pivot needs an extra
+    distinct-scan job to discover columns."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aliases = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    piv = orders.groupBy("o_orderstatus").pivot("o_orderpriority", prios).count()
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(a) for p, a in zip(prios, aliases)],
+    ).orderBy("o_orderstatus")
+
+
+def cube_returns(lineitem: DataFrame) -> DataFrame:
+    """CUBE grouping sets over returnflag × linestatus."""
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(D18)).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+def exact_percentiles(df: DataFrame, col: str, points=(0.25, 0.5, 0.75)) -> DataFrame:
+    """Exact linear-interpolation percentiles (type R-7, same method
+    as DuckDB quantile_cont). Exact percentile requires a full sort of
+    the column per group — at 100 TB swap in approx_percentile
+    (KLL/GK sketch, mergeable, one pass); same call shape."""
+    pct = F.percentile(F.col(col), F.array(*[F.lit(p) for p in points]))
+    return df.agg(
+        *[F.round(pct[i], 4).alias(f"p{int(p * 100)}") for i, p in enumerate(points)]
+    )
+
+
 def segment_union_intersect(customer: DataFrame) -> DataFrame:
     """Set ops: customers in BUILDING ∪ (AUTOMOBILE ∩ acctbal>0) —
     exercises union/intersect; Spark plans them as aggregates/joins."""

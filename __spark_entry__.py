@@ -235,6 +235,22 @@ def _q_sim_topk_brute(spark, sf):
     )
 
 
+def _q_sim_topk_lsh(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.lsh_topk(emb, "embedding", qvec, k=10, n_planes=6, seed=42).withColumn(
+        "similarity", F.round("similarity", 4)
+    )
+
+
+def _q_sim_topk_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ivf_topk(
+        emb, "embedding", qvec, k=10, n_centroids=8, n_probe=2, seed=7
+    ).withColumn("similarity", F.round("similarity", 4))
+
+
 def _q_text_token_count(spark, sf):
     return X.token_count(load_table(spark, sf, "documents")).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "n_bpe_est"
@@ -363,6 +379,74 @@ def _q_embedding_normalize(spark, sf):
     ).select("vec_id", "dim", F.round("v", 6).alias("v"))
 
 
+def _q_tpch_q4(spark, sf):
+    return R.priority_with_late_lines(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q12(spark, sf):
+    return R.returnflag_priority_mix(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q14(spark, sf):
+    return R.promo_revenue_share(
+        load_table(spark, sf, "part"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q17(spark, sf):
+    return R.small_quantity_revenue(
+        load_table(spark, sf, "part"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q19(spark, sf):
+    return R.brand_size_quantity_revenue(
+        load_table(spark, sf, "part"), load_table(spark, sf, "lineitem")
+    )
+
+
+def _q_tpch_q22(spark, sf):
+    return R.idle_rich_customers(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def _q_window_cumulative(spark, sf):
+    return R.cumulative_revenue(load_table(spark, sf, "orders"))
+
+
+def _q_window_ntile(spark, sf):
+    return R.customer_value_tiles(load_table(spark, sf, "customer"))
+
+
+def _media(spark, sf):
+    from data_pengadaan_agent_spark.operators import multimodal as M
+
+    return M, M.media_from_documents(load_table(spark, sf, "documents"))
+
+
+def _q_multimodal_resize(spark, sf):
+    M, media = _media(spark, sf)
+    return M.resize_plan(media).orderBy("media_id")
+
+
+def _q_multimodal_frames(spark, sf):
+    M, media = _media(spark, sf)
+    return M.sample_frames(media, every_ms=1000)
+
+
+def _q_multimodal_features(spark, sf):
+    M, media = _media(spark, sf)
+    feats = M.extract_image_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim", "v")
+    ).select("media_id", "dim", F.round("v", 6).alias("v"))
+
+
 def _q_chart_pie_shares(spark, sf):
     ev = load_table(spark, sf, "events")
     totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
@@ -410,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "sim_topk_brute": _q_sim_topk_brute,
+        "sim_topk_lsh": _q_sim_topk_lsh,
+        "sim_topk_ivf": _q_sim_topk_ivf,
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
@@ -426,6 +512,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "embedding_normalize": _q_embedding_normalize,
+        "tpch_q4_late_orders": _q_tpch_q4,
+        "tpch_q12_priority_mix": _q_tpch_q12,
+        "tpch_q14_promo_share": _q_tpch_q14,
+        "tpch_q17_small_qty": _q_tpch_q17,
+        "tpch_q19_brand_ranges": _q_tpch_q19,
+        "tpch_q22_idle_rich": _q_tpch_q22,
+        "window_cumulative": _q_window_cumulative,
+        "window_ntile": _q_window_ntile,
+        "multimodal_resize_plan": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_image_features": _q_multimodal_features,
     }
 
 
@@ -532,6 +629,82 @@ p AS (
 SELECT id_a, id_b, round(similarity, 4) AS similarity
 FROM p WHERE similarity >= 0.35
 """
+
+_COSINE_Q_SQL = """
+  list_sum(list_transform(list_zip(e.embedding, q.qv),
+           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def _vec_values_sql(vectors) -> str:
+    """(id, DOUBLE[]) VALUES rows from Python float lists — repr() is
+    shortest-round-trip, so DuckDB parses bit-identical doubles."""
+    return ",\n".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in vec)}])" for i, vec in enumerate(vectors)
+    )
+
+
+def _lsh_topk_sql() -> str:
+    """DuckDB twin of S.lsh_topk(seed=42, n_planes=6): the hyperplane
+    codebook is emitted as literals from the SAME generator the Spark
+    side uses, so even the approximate path is equality-checked."""
+    from data_pengadaan_agent_spark.operators.similarity import _hyperplanes
+
+    planes = _vec_values_sql(_hyperplanes(64, 6, 42))
+    sig = """string_agg(CASE WHEN list_sum(list_transform(list_zip({vec}, p.pv),
+                     x -> CAST(x[1] AS DOUBLE) * x[2])) >= 0
+                THEN '1' ELSE '0' END, '' ORDER BY p.pid)"""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+planes(pid, pv) AS (VALUES {planes}),
+sigs AS (
+  SELECT e.vec_id, {sig.format(vec='e.embedding')} AS sig
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+qsig AS (
+  SELECT {sig.format(vec='q.qv')} AS sig
+  FROM q CROSS JOIN planes p
+),
+cand AS (SELECT s.vec_id FROM sigs s, qsig WHERE s.sig = qsig.sig),
+s AS (
+  SELECT e.vec_id, {_COSINE_Q_SQL} AS similarity
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, round(similarity, 4) AS similarity
+FROM s ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
+
+def _ivf_topk_sql() -> str:
+    """DuckDB twin of S.ivf_topk(seed=7, n_centroids=8, n_probe=2)."""
+    from data_pengadaan_agent_spark.operators.similarity import _hyperplanes
+
+    cents = _vec_values_sql(_hyperplanes(64, 8, 7))
+    dot = """list_sum(list_transform(list_zip({a}, {b}),
+                x -> CAST(x[1] AS DOUBLE) * x[2]))"""
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents(cid, cv) AS (VALUES {cents}),
+probe AS (
+  SELECT cid FROM cents c, q
+  ORDER BY {dot.format(a='q.qv', b='c.cv')} DESC, cid LIMIT 2
+),
+assign AS (
+  SELECT e.vec_id,
+         arg_max(c.cid, {dot.format(a='e.embedding', b='c.cv')}) AS centroid_id
+  FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id
+),
+cand AS (SELECT vec_id FROM assign WHERE centroid_id IN (SELECT cid FROM probe)),
+s AS (
+  SELECT e.vec_id, {_COSINE_Q_SQL} AS similarity
+  FROM embeddings e JOIN cand USING (vec_id), q
+)
+SELECT vec_id, round(similarity, 4) AS similarity
+FROM s ORDER BY similarity DESC, vec_id LIMIT 10
+"""
+
 
 _SIM_TOPK_SQL = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -723,6 +896,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_SQL,
         "embedding_cosine_pairs": _COSINE_PAIRS_SQL,
         "sim_topk_brute": _SIM_TOPK_SQL,
+        "sim_topk_lsh": _lsh_topk_sql(),
+        "sim_topk_ivf": _ivf_topk_sql(),
         "text_token_count": f"""
             SELECT doc_id,
                    CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
@@ -836,5 +1011,127 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(len(embedding))) AS dim,
                    round(unnest(list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)), 6) AS v
             FROM e
+        """,
+        "tpch_q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            )
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q12_priority_mix": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q14_promo_share": """
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(8,2)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "tpch_q17_small_qty": """
+            WITH avg_q AS (
+              SELECT l_partkey AS a_partkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+              FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+            JOIN avg_q ON l_partkey = a_partkey
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "tpch_q19_brand_ranges": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22_idle_rich": """
+            WITH avg_pos AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+              FROM customer WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer, avg_pos
+            WHERE c_acctbal > v
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "window_cumulative": """
+            WITH m AS (
+              SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS bulan,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m_total
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderstatus, bulan,
+                   CAST(sum(m_total) OVER (PARTITION BY o_orderstatus ORDER BY bulan
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS cum_total
+            FROM m ORDER BY o_orderstatus, bulan
+        """,
+        "window_ntile": """
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   ntile(4) OVER w AS tile,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+            ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+        """,
+        "multimodal_resize_plan": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+                     CAST(n_chars % 640 + 64 AS INT) AS width,
+                     CAST(doc_id % 480 + 48 AS INT) AS height
+              FROM documents
+            )
+            SELECT media_id, media_type,
+                   CAST(round(width  * least(256.0 / greatest(width, height), 1.0)) AS INT) AS target_width,
+                   CAST(round(height * least(256.0 / greatest(width, height), 1.0)) AS INT) AS target_height
+            FROM m ORDER BY media_id
+        """,
+        "multimodal_frame_sample": """
+            WITH m AS (
+              SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS mt,
+                     CAST(n_chars * 37 % 30000 AS INT) AS duration_ms
+              FROM documents
+            )
+            SELECT media_id,
+                   unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
+            FROM m WHERE mt = 2
+        """,
+        "multimodal_image_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS mt,
+                     list_sum(list_transform(range(length(text)), i -> ord(text[i+1]))) AS s,
+                     CAST(n_chars % 640 + 64 AS INT) AS width,
+                     CAST(doc_id % 480 + 48 AS INT) AS height
+              FROM documents
+            ), d AS (SELECT media_id, mt, s, width, height,
+                            unnest(range(8)) AS dim FROM m)
+            SELECT media_id, CAST(dim AS INT) AS dim,
+                   round(CASE WHEN dim < 6 THEN ((s + dim * 37) % 251) / 251.0
+                              WHEN dim = 6 THEN CAST(width AS DOUBLE)
+                              ELSE CAST(height AS DOUBLE) END, 6) AS v
+            FROM d WHERE mt = 0
         """,
     }

@@ -45,6 +45,26 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     return df
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the `documents` fixture:
+    payload = utf-8 bytes of the text, metadata arithmetic on
+    (doc_id, n_chars). Every derivation is a pure column expression, so
+    an external oracle can recompute the whole pipeline from the same
+    parquet — which makes the opaque-binary plumbing itself testable."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
+        (F.col("n_chars") * 37 % 30000).cast("int").alias("duration_ms"),
+        F.lit("fake/v1").alias("codec"),
+    )
+
+
 def _decode_image_stub(payload: bytes, width: int, height: int) -> list[float]:
     """STUB decode: a real deployment calls PIL here. Deterministic
     fake: 8 features derived from payload bytes + dimensions."""

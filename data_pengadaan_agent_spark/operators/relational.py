@@ -233,3 +233,159 @@ def segment_union_intersect(customer: DataFrame) -> DataFrame:
     b = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
     c = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
     return a.union(b.intersect(c)).distinct().orderBy("c_custkey")
+
+
+def priority_with_late_lines(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders that have at least one line shipped after
+    the order date, counted per priority. The EXISTS subquery compiles
+    to a LEFT SEMI join — the lineitem side carries only its join key
+    + predicate columns, never payload, so the shuffle moves the
+    minimum bytes; semi-join short-circuits on first match per key."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def returnflag_priority_mix(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (shipmode→returnflag): conditional counts via
+    sum(CASE WHEN) — one pass, no second scan per condition. The
+    orders side is projected to (key, priority) before the join."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_returnflag")
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def promo_revenue_share(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio. part is a dim →
+    broadcast join, zero shuffle on the fact side; both numerator and
+    denominator come out of ONE aggregation."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    return (
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def small_quantity_revenue(part: DataFrame, lineitem: DataFrame, brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17 shape: per-part average subquery. The avg is computed
+    by ONE partial-aggregated pass over lineitem grouped by partkey
+    (not a correlated per-row subquery), then joined back — at 100 TB
+    the per-part agg output is |parts|, tiny next to the fact."""
+    avg_qty = (
+        lineitem.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.sum(F.col("l_quantity").cast(D18)).cast("double") / F.count(F.lit(1))).alias("avg_qty"))
+    )
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(D18)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def brand_size_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive groups spanning both
+    join sides. The per-side conjuncts (brand/size on part, quantity on
+    lineitem) are pushed below the join by Catalyst as
+    (brand1|brand2|brand3)-style residuals; part is broadcast."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    g1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11)
+    g2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20)
+    g3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 40) & F.col("l_quantity").between(20, 30)
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(g1 | g2 | g3)
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg of positive
+    balances, computed once and broadcast as a literal-like 1-row
+    plan) + NOT EXISTS anti join + group-by. "Idle" = no order since
+    the cutoff; the date filter is pushed into the anti-join's build
+    side scan, and the probe carries only c_custkey."""
+    avg_pos = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(D18)).cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    rich = customer.join(F.broadcast(avg_pos)).filter(F.col("c_acctbal") > F.col("v"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(D18)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def cumulative_revenue(orders: DataFrame) -> DataFrame:
+    """Running cumulative sum over an ordered monthly series. The
+    window partitions by order status so the sort is distributed per
+    status — an intentionally keyed running total (an unpartitioned
+    running total over raw rows would serialize; at scale, aggregate
+    first, window over the small rollup)."""
+    monthly = orders.groupBy(
+        "o_orderstatus", F.date_format("o_orderdate", "yyyy-MM").alias("bulan")
+    ).agg(F.sum(F.col("o_totalprice").cast(D18)).alias("m_total"))
+    w = Window.partitionBy("o_orderstatus").orderBy("bulan").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "o_orderstatus",
+        "bulan",
+        F.sum("m_total").over(w).cast("double").alias("cum_total"),
+    ).orderBy("o_orderstatus", "bulan")
+
+
+def customer_value_tiles(customer: DataFrame, n_tiles: int = 4) -> DataFrame:
+    """ntile + percent_rank over account balance within market segment:
+    the ranking-window family. Per-segment partitions distribute the
+    sort; a single window spec serves both functions (one exchange,
+    one sort)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(n_tiles).over(w).alias("tile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ).orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")

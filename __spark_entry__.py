@@ -275,6 +275,24 @@ def _q_text_fingerprint(spark, sf):
     return X.fingerprint(load_table(spark, sf, "documents"))
 
 
+def _q_text_vocabulary(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return X.vocabulary(docs).orderBy(F.desc("df"), "token").limit(50)
+
+
+def _q_text_filtered_keywords(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    out = X.derive_filtered_keywords(docs, ["text"])
+    # canonicalize token order at the output edge so the value-hash
+    # compare is order-insensitive w.r.t. first-occurrence order
+    return out.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.split("filtered_keywords", ",")), ",").alias(
+            "filtered_keywords"
+        ),
+    )
+
+
 def _q_tumbling_window(spark, sf):
     ev = load_table(spark, sf, "events")
     out = SW.tumbling_counts(ev, "1 hour")
@@ -283,6 +301,16 @@ def _q_tumbling_window(spark, sf):
         "event_type",
         "n",
         F.round("total_value", 2).alias("total_value"),
+    )
+
+
+def _q_sliding_window(spark, sf):
+    ev = load_table(spark, sf, "events")
+    out = SW.sliding_counts(ev, "1 hour", "30 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n",
     )
 
 
@@ -500,7 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
         "text_fingerprint": _q_text_fingerprint,
+        "text_vocabulary": _q_text_vocabulary,
+        "text_filtered_keywords": _q_text_filtered_keywords,
         "tumbling_window": _q_tumbling_window,
+        "sliding_window": _q_sliding_window,
         "sessionize": _q_sessionize,
         "chart_pie_shares": _q_chart_pie_shares,
         "tpch_q3_shipping_priority": _q_tpch_q3,
@@ -908,11 +939,39 @@ def oracle_sql() -> dict[str, str]:
         "text_language_id": _LANGID_SQL,
         # text_fingerprint, minhash_lsh_pairs, simhash_pairs: xxhash64-based →
         # not DuckDB-expressible; rows-only check.
+        "text_vocabulary": f"""
+            SELECT token, count(*) AS df FROM (
+              SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token
+              FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY df DESC, token LIMIT 50
+        """,
+        "text_filtered_keywords": """
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(list_filter(
+                     string_split_regex(lower(regexp_replace(text,
+                         '[^\\p{L}\\p{N} ]', ' ', 'g')), '\\s+'),
+                     t -> t <> '' AND t NOT IN
+                          ('the','a','an','and','or','of','to','in','is','it')
+                   ))), ',') AS filtered_keywords
+            FROM documents
+        """,
         "tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
                    event_type, count(*) AS n,
                    round(CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+            WITH starts AS (
+              SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS s FROM events
+              UNION ALL
+              SELECT event_type,
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM events
+            )
+            SELECT strftime(s, '%Y-%m-%d %H:%M') AS window_start, event_type,
+                   count(*) AS n
+            FROM starts GROUP BY 1, 2
         """,
         "sessionize": _SESSIONIZE_SQL,
         "chart_pie_shares": """

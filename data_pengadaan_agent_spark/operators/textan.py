@@ -125,3 +125,22 @@ def derive_filtered_keywords(
         F.array(*[F.lit(s) for s in STOPWORDS], F.lit("")),
     )
     return df.withColumn(out_col, F.array_join(toks, ","))
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """Document-frequency vocabulary — the reference's 1,562-token
+    `v2_key.csv` keyword universe, derived in-engine (SURVEY.md §1.1
+    'Keyword vocabulary'). Per-doc distinct tokens explode JVM-side;
+    one partial-aggregated shuffle on token. At 100 TB the token key
+    is zipf-skewed — AQE skew handling applies, and min_df pruning
+    happens in the aggregate, not a second pass."""
+    t = F.array_distinct(tokens(text_col))
+    out = (
+        df.select(F.explode(t).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return out.filter(F.col("df") >= min_df) if min_df > 1 else out

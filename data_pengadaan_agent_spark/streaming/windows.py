@@ -102,3 +102,36 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, total_value), emitted each micro-batch in
+    update mode. State is one tiny tuple per user — bounded by
+    |users|, not |events| — and lives in the state store, partitioned
+    by the group key, so a 1000-executor cluster shards it for free.
+    Streaming-only (Spark rejects applyInPandasWithState on batch
+    frames); its batch twin is a plain groupBy — see the parity test."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            total, cnt = state.get
+        else:
+            total, cnt = 0.0, 0
+        for pdf in pdfs:
+            total += float(pdf["value"].fillna(0.0).sum())
+            cnt += len(pdf)
+        state.update((float(total), int(cnt)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="total double, cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,74 @@
+"""As-of/range joins and ANN search: semantics on tiny literal frames,
+recall vs brute force on the fixture embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import similarity as S
+from data_pengadaan_agent_spark.operators.asof import asof_join_backward, range_join_bucketed
+
+
+def _ts(s):
+    return f"timestamp'{s}'"
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 12:00:00"), (3, 2, "2024-01-01 10:00:00")],
+        "lid long, k long, lt string",
+    ).select("lid", "k", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 09:00:00", 1.0),
+            (11, 1, "2024-01-01 11:30:00", 2.0),
+            (12, 1, "2024-01-01 12:00:00", 3.0),  # exactly at left ts → matches (<=)
+            (13, 3, "2024-01-01 08:00:00", 4.0),
+        ],
+        "rid long, k long, rt string, v double",
+    ).select("rid", "k", F.col("rt").cast("timestamp"), "v")
+    out = asof_join_backward(left, right, left_on="lt", right_on="rt", by="k", right_cols=["rid", "v"])
+    got = {r["lid"]: r["rid_right"] for r in out.collect()}
+    # lid=1: only rid=10 is <= 10:00; lid=2: rid=12 at exactly 12:00 wins
+    # over 11; lid=3: no right rows for key 2 → NULL (left outer)
+    assert got == {1: 10, 2: 12, 3: None}
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00")], "lid long, k long, lt string"
+    ).select("lid", "k", F.col("lt").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 09:49:59"),  # outside 10-min gap
+            (11, 1, "2024-01-01 09:50:00"),  # exactly at lower bound → in
+            (12, 1, "2024-01-01 10:00:00"),  # upper bound → in
+            (13, 1, "2024-01-01 10:00:01"),  # after left → out
+            (14, 2, "2024-01-01 09:55:00"),  # wrong key → out
+        ],
+        "rid long, k long, rt string",
+    ).select("rid", "k", F.col("rt").cast("timestamp"))
+    out = range_join_bucketed(left, right, left_ts="lt", right_ts="rt", by="k", max_gap_seconds=600)
+    assert sorted(r["rid"] for r in out.collect()) == [11, 12]
+
+
+def test_ivf_and_lsh_recall(spark, tables):
+    """ANN variants must recover most of the brute-force top-10 for a
+    query drawn from the corpus (its near-dups share buckets)."""
+    emb = tables["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    brute = {r["vec_id"] for r in S.cosine_topk(emb, "embedding", qvec, k=10).collect()}
+    ivf = {r["vec_id"] for r in S.ivf_topk(emb, "embedding", qvec, k=10, n_probe=2).collect()}
+    assert len(brute & ivf) >= 5  # recall ≥ 0.5 with 2/8 probes
+    assert 0 in ivf  # the query itself is always found
+    lsh = {r["vec_id"] for r in S.lsh_topk(emb, "embedding", qvec, k=10, n_planes=6).collect()}
+    assert 0 in lsh
+
+
+def test_ivf_assignment_partitions_corpus(spark, tables):
+    emb = tables["embeddings"]
+    assign = S.ivf_assignments(emb, "embedding", dim=64, n_centroids=8)
+    n = assign.count()
+    assert n == emb.count()  # every vector assigned exactly once
+    n_clusters = assign.select("centroid_id").distinct().count()
+    assert n_clusters > 1  # codebook actually splits the corpus

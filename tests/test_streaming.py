@@ -73,3 +73,32 @@ def test_sliding_counts(tables):
     out = SW.sliding_counts(tables["events"], "1 hour", "30 minutes")
     # every event lands in exactly 2 sliding windows
     assert out.agg(F.sum("n")).first()[0] == 2 * tables["events"].count()
+
+
+def test_user_running_totals_stateful(spark, tables, events_stream):
+    """applyInPandasWithState parity: final per-user state equals the
+    batch groupBy aggregate (update mode, last emission per user)."""
+    out = SW.run_stream_to_memory(
+        spark,
+        SW.user_running_totals_stream(events_stream),
+        "running_totals_out",
+        output_mode="update",
+    )
+    # update mode may emit a row per micro-batch per user; the final
+    # (max n_events) row per user is the converged state.
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"), F.col("s.total_value").alias("total_value"))
+    )
+    batch = (
+        tables["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
+    assert got == want

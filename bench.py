@@ -23,11 +23,19 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers so per-query times measure the
-    # engine, not first-touch JIT.
+    # Warm the JVM + parquet footers + codegen/shuffle paths so
+    # per-query times measure the engine, not first-touch JIT: one
+    # trivial scan-agg per headline table shape.
+    from pyspark.sql import functions as F
+
     from data_pengadaan_agent_spark.sources.catalog import load_table
 
     load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "orders").groupBy(
+        F.date_format("o_orderdate", "yyyy-MM")
+    ).count().collect()
+    # warm one Python/Arrow worker (reused across jobs: worker.reuse)
+    spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
     times: dict[str, float] = {}
     for name, fn in E.queries().items():

@@ -304,6 +304,69 @@ def _q_tumbling_window(spark, sf):
     )
 
 
+def _q_supplier_revenue(spark, sf):
+    return R.supplier_nation_revenue(
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_full_outer_monthly(spark, sf):
+    return R.monthly_orders_vs_events(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "events")
+    )
+
+
+def _q_except_all(spark, sf):
+    return R.surplus_order_multiplicity(
+        load_table(spark, sf, "orders"), load_table(spark, sf, "customer")
+    )
+
+
+def _q_salted_join(spark, sf):
+    return R.salted_user_totals_join(load_table(spark, sf, "events"), n_salts=8)
+
+
+def _q_intermediary_pipeline(spark, sf):
+    """S4→S2: stage-1 keyword filter materialized as the cached
+    intermediary view, stage-2 aggregate compiled against the view —
+    the reference's two-stage query lifecycle (SURVEY.md §3)."""
+    from data_pengadaan_agent_spark.operators import materialize as MA
+
+    docs = load_table(spark, sf, "documents")
+    stage1 = filter_keywords(docs, "text", include=[["spark", "hash"]])
+    MA.materialize(stage1, view_name="intermediary_q")
+    return spark.sql(
+        """SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+           FROM intermediary_q GROUP BY source ORDER BY source"""
+    )
+
+
+def _q_chart_histogram_categorical(spark, sf):
+    """C4 dtype dispatch, categorical branch (value_counts fallback)."""
+    from data_pengadaan_agent_spark.operators import charts as C
+
+    docs = load_table(spark, sf, "documents")
+    data, _insights = C.histogram_data(docs, "source")
+    return data.orderBy("source")
+
+
+def _q_chart_line_monthly(spark, sf):
+    """C2 line-chart data: dual-axis monthly rollup over orders."""
+    from data_pengadaan_agent_spark.operators import charts as C
+
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("measure"),
+    )
+    data, _insights = C.line_chart_data(orders, "ts", "id", "measure")
+    return data.select(
+        "bulan", "jumlah_paket", F.round(F.col("total_pagu").cast("double"), 2).alias("total_pagu")
+    ).orderBy("bulan")
+
+
 def _q_sliding_window(spark, sf):
     ev = load_table(spark, sf, "events")
     out = SW.sliding_counts(ev, "1 hour", "30 minutes")
@@ -551,6 +614,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_rich": _q_tpch_q22,
         "window_cumulative": _q_window_cumulative,
         "window_ntile": _q_window_ntile,
+        "supplier_revenue": _q_supplier_revenue,
+        "full_outer_monthly": _q_full_outer_monthly,
+        "except_all_multiplicity": _q_except_all,
+        "salted_join": _q_salted_join,
+        "intermediary_pipeline": _q_intermediary_pipeline,
+        "chart_histogram_categorical": _q_chart_histogram_categorical,
+        "chart_line_monthly": _q_chart_line_monthly,
         "multimodal_resize_plan": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_image_features": _q_multimodal_features,
@@ -1154,6 +1224,60 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+        """,
+        "supplier_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "full_outer_monthly": """
+            WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders
+                        FROM orders GROUP BY 1),
+                 em AS (SELECT strftime(ts, '%Y-%m') AS e_month, count(*) AS n_events
+                        FROM events GROUP BY 1)
+            SELECT coalesce(o_month, e_month) AS month,
+                   coalesce(n_orders, 0) AS n_orders,
+                   coalesce(n_events, 0) AS n_events
+            FROM om FULL OUTER JOIN em ON o_month = e_month
+            ORDER BY month
+        """,
+        "except_all_multiplicity": """
+            WITH diff AS (
+              SELECT o_custkey AS custkey FROM orders
+              EXCEPT ALL
+              SELECT c_custkey FROM customer
+            )
+            SELECT custkey, count(*) AS multiplicity
+            FROM diff GROUP BY 1 ORDER BY 1
+        """,
+        "salted_join": """
+            WITH dim AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1)
+            SELECT e.user_id, d.user_n, count(*) AS n_joined
+            FROM events e JOIN dim d ON e.user_id = d.user_id
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "intermediary_pipeline": """
+            WITH intermediary AS (
+              SELECT * FROM documents
+              WHERE lower(text) LIKE '%spark%' OR lower(text) LIKE '%hash%'
+            )
+            SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+            FROM intermediary GROUP BY source ORDER BY source
+        """,
+        "chart_histogram_categorical": """
+            SELECT source, count(*) AS cnt FROM documents
+            GROUP BY source ORDER BY source
+        """,
+        "chart_line_monthly": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS bulan,
+                   count(o_orderkey) AS jumlah_paket,
+                   round(sum(o_totalprice), 2) AS total_pagu
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "multimodal_resize_plan": """
             WITH m AS (

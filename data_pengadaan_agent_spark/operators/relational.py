@@ -389,3 +389,85 @@ def customer_value_tiles(customer: DataFrame, n_tiles: int = 4) -> DataFrame:
         F.ntile(n_tiles).over(w).alias("tile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     ).orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+
+
+def supplier_nation_revenue(
+    supplier: DataFrame, nation: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Supplier-side star: revenue per supplier nation. Both dims are
+    broadcast; lineitem is scanned once with only (suppkey, price,
+    discount) read (column pruning reaches the parquet scan)."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    return (
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("n_name")
+    )
+
+
+def monthly_orders_vs_events(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """FULL OUTER join of two monthly rollups with disjoint date
+    domains — exercises outer-join null sides + coalesce. Both inputs
+    are pre-aggregated (tiny), so the outer join is broadcast-able."""
+    om = orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("o_month")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    em = events.groupBy(F.date_format("ts", "yyyy-MM").alias("e_month")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        om.join(em, F.col("o_month") == F.col("e_month"), "full_outer")
+        .select(
+            F.coalesce("o_month", "e_month").alias("month"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("month")
+    )
+
+
+def surplus_order_multiplicity(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """EXCEPT ALL (multiset difference): each customer key appears
+    (orders-per-customer − 1) times after subtracting the customer
+    list once. Spark plans exceptAll as an aggregate of signed counts
+    — one shuffle, no join explosion."""
+    return (
+        orders.select(F.col("o_custkey").alias("custkey"))
+        .exceptAll(customer.select(F.col("c_custkey").alias("custkey")))
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("custkey")
+    )
+
+
+def salted_user_totals_join(events: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Skew-mitigation pattern, verifiable: join a zipf-skewed fact
+    (events by user_id) to a per-user dim through an explicit salt.
+    The fact side gets a random-free deterministic salt (event_id %
+    n_salts); the dim side is replicated n_salts×, so one hot user's
+    rows spread over n_salts shuffle partitions instead of one. The
+    result is IDENTICAL to the unsalted join — which is what the
+    oracle checks. (With AQE skew-join this is automatic; the manual
+    form is for engines/paths where it is not.)"""
+    dim = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_n"),
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    dim_rep = dim.select(F.col("user_id").alias("d_user"), "user_n", salts)
+    fact = events.select(
+        "event_id", "user_id", (F.col("event_id") % n_salts).cast("int").alias("_fsalt")
+    )
+    joined = fact.join(
+        dim_rep,
+        (F.col("user_id") == F.col("d_user")) & (F.col("_fsalt") == F.col("_salt")),
+    )
+    return (
+        joined.groupBy("user_id", "user_n")
+        .agg(F.count(F.lit(1)).alias("n_joined"))
+        .orderBy("user_id")
+    )

@@ -275,6 +275,20 @@ def _q_text_fingerprint(spark, sf):
     return X.fingerprint(load_table(spark, sf, "documents"))
 
 
+def _q_keyword_retrieval(spark, sf):
+    """§2.10 end-to-end: vocab derived from the corpus, embedded with
+    the deterministic hash-ngram embedder (S6 stand-in), cosine-ranked
+    against the embedded query — the reference's
+    mini_retrieve_similar_keywords pipeline."""
+    docs = load_table(spark, sf, "documents")
+    vocab = X.vocabulary(docs).orderBy(F.desc("df"), "token").limit(50).select(
+        F.col("token").alias("keyword")
+    )
+    return S.retrieve_similar_keywords(vocab, "sparkle", k=10).withColumn(
+        "similarity", F.round("similarity", 4)
+    )
+
+
 def _q_text_vocabulary(spark, sf):
     docs = load_table(spark, sf, "documents")
     return X.vocabulary(docs).orderBy(F.desc("df"), "token").limit(50)
@@ -591,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_language_id": _q_text_language_id,
         "text_fingerprint": _q_text_fingerprint,
+        "keyword_retrieval": _q_keyword_retrieval,
         "text_vocabulary": _q_text_vocabulary,
         "text_filtered_keywords": _q_text_filtered_keywords,
         "tumbling_window": _q_tumbling_window,
@@ -745,6 +760,48 @@ def _vec_values_sql(vectors) -> str:
     return ",\n".join(
         f"({i}, [{', '.join(repr(float(v)) for v in vec)}])" for i, vec in enumerate(vectors)
     )
+
+
+def _keyword_retrieval_sql(query_text: str = "sparkle", dim: int = 64) -> str:
+    """DuckDB twin of §2.10: the query vector literal comes from the
+    SAME Python embedder the Spark side uses; the per-keyword embedding
+    is re-derived in SQL with identical integer arithmetic."""
+    from data_pengadaan_agent_spark.functions.vectors import hash_ngram_embed
+
+    qvec = hash_ngram_embed(query_text, dim)
+    qlit = "[" + ", ".join(repr(v) for v in qvec) + "]"
+    h = ("(ord(substr(g,1,1))*961 + ord(substr(g,2,1))*31 + ord(substr(g,3,1)))")
+    return f"""
+WITH vocab AS (
+  SELECT token AS keyword FROM (
+    SELECT token, count(*) AS df FROM (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token FROM documents
+    ) WHERE token <> '' GROUP BY token ORDER BY df DESC, token LIMIT 50
+  )
+),
+emb AS (
+  SELECT keyword,
+         list_transform(range({dim}), b ->
+           list_sum(list_transform(
+             list_transform(range(greatest(length(keyword), 1)),
+                            i -> substr(keyword || '##', CAST(i+1 AS INT), 3)),
+             g -> CASE WHEN {h} % {dim} = b
+                       THEN (CASE WHEN ({h} // {dim}) % 2 = 0 THEN 1 ELSE -1 END)
+                       ELSE 0 END))) AS e
+  FROM vocab
+),
+s AS (
+  SELECT keyword,
+         list_sum(list_transform(list_zip(e, {qlit}),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform({qlit}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         AS similarity
+  FROM emb
+)
+SELECT keyword, round(similarity, 4) AS similarity
+FROM s ORDER BY s.similarity DESC, keyword LIMIT 10
+"""
 
 
 def _lsh_topk_sql() -> str:
@@ -998,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_pairs": _COSINE_PAIRS_SQL,
         "sim_topk_brute": _SIM_TOPK_SQL,
         "sim_topk_lsh": _lsh_topk_sql(),
+        "keyword_retrieval": _keyword_retrieval_sql(),
         "sim_topk_ivf": _ivf_topk_sql(),
         "text_token_count": f"""
             SELECT doc_id,

@@ -1,0 +1,82 @@
+"""Sources/sinks and vector scalar functions: CSV vocab round-trip,
+embedder determinism, partition pruning, bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.functions.vectors import (
+    hash_ngram_embed,
+    hash_ngram_embedding_col,
+    parse_vector_string,
+)
+from data_pengadaan_agent_spark.operators import similarity as S
+from data_pengadaan_agent_spark.sources import readers as RD
+
+
+def test_vector_string_roundtrip_csv(spark, tables, tmp_path):
+    """S3 parity: ARRAY<FLOAT> → '[a, b, …]' CSV → parse back."""
+    vocab = tables["embeddings"].limit(20).select(
+        F.col("vec_id").cast("string").alias("keyword"), "embedding"
+    )
+    path = str(tmp_path / "vocab_csv")
+    RD.write_keyword_vocab_csv(vocab, path)
+    back = RD.read_keyword_vocab_csv(spark, path)
+    want = {r["keyword"]: [round(v, 5) for v in r["embedding"]] for r in vocab.collect()}
+    got = {r["keyword"]: [round(v, 5) for v in r["embedding"]] for r in back.collect()}
+    assert got == want
+
+
+def test_hash_ngram_embedder_spark_python_parity(spark):
+    words = ["spark", "sparkle", "ab", "x", "hash join"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["e"]
+        for r in df.select("w", hash_ngram_embedding_col("w").alias("e")).collect()
+    }
+    for w in words:
+        assert got[w] == [int(v) for v in hash_ngram_embed(w)], w
+
+
+def test_keyword_retrieval_self_similarity(spark):
+    vocab = spark.createDataFrame(
+        [("spark",), ("hash",), ("join",), ("window",), ("sparkle",)], "keyword string"
+    )
+    out = S.retrieve_similar_keywords(vocab, "spark", k=3).collect()
+    assert out[0]["keyword"] == "spark"
+    assert abs(out[0]["similarity"] - 1.0) < 1e-9  # exact self-match
+    # morphological neighbor ranks above unrelated tokens
+    assert out[1]["keyword"] == "sparkle"
+
+
+def test_write_partitioned_prunes(spark, tables, tmp_path):
+    path = str(tmp_path / "events_bymonth")
+    RD.write_partitioned(tables["events"], path, "month", derive_month_from="ts")
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("month") == "2024-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
+    # pruned read touches only the matching partition's rows
+    want = tables["events"].filter(F.date_format("ts", "yyyy-MM") == "2024-01").count()
+    assert pruned.count() == want
+
+
+def test_bucketed_join_skips_shuffle(spark, tables):
+    RD.write_bucketed(tables["orders"], "orders_b", "o_custkey", n_buckets=4)
+    RD.write_bucketed(
+        tables["customer"].select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        "customer_b",
+        "o_custkey",
+        n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

@@ -211,8 +211,11 @@ def _q_ngram_jaccard(spark, sf):
 
 
 def _q_minhash_lsh_pairs(spark, sf):
+    """Arithmetic universal-hash minhash (oracle recomputes signatures
+    exactly); the xxhash64 variant D.minhash_lsh_pairs is the JVM-only
+    production twin with the identical plan shape."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return D.minhash_lsh_pairs(docs, n_hashes=32, bands=16)
+    return D.minhash_lsh_pairs_arith(docs, n_hashes=32, bands=16)
 
 
 def _q_simhash_pairs(spark, sf):
@@ -272,7 +275,9 @@ def _q_text_language_id(spark, sf):
 
 
 def _q_text_fingerprint(spark, sf):
-    return X.fingerprint(load_table(spark, sf, "documents"))
+    """62-bit two-channel polynomial fingerprint (oracle-checkable);
+    X.fingerprint is the xxhash64 production twin."""
+    return X.fingerprint_arith(load_table(spark, sf, "documents"))
 
 
 def _q_keyword_retrieval(spark, sf):
@@ -762,6 +767,71 @@ def _vec_values_sql(vectors) -> str:
     )
 
 
+_DUCK_POLY = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(range(greatest(length({s}), 1)),
+                 i -> CAST(ord({s}[CAST(i+1 AS INT)]) AS BIGINT))),
+  (acc, c) -> (acc * {mult} + c) % 2147483647)"""
+
+
+def _minhash_lsh_sql(n_hashes: int = 32, bands: int = 16, seed: int = 1234567) -> str:
+    """DuckDB twin of D.minhash_lsh_pairs_arith: (a,b) coefficients
+    emitted as literals from the SAME generator."""
+    from data_pengadaan_agent_spark.operators.dedup import _lcg_coeffs
+
+    r = n_hashes // bands
+    coeffs = _lcg_coeffs(n_hashes, seed)
+    sig_cols = ",\n         ".join(
+        f"min((x * {a} + {b}) % 2147483647) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    buckets = []
+    for b in range(bands):
+        expr = "CAST(0 AS BIGINT)"
+        for j in range(r):
+            expr = f"(({expr}) * 1000003 + h{b * r + j}) % 2147483647"
+        buckets.append(expr)
+    bucket_list = ",\n        ".join(buckets)
+    poly = _DUCK_POLY.format(s="shingle", mult=131)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM d
+), hx AS (
+  SELECT doc_id, {poly} AS x FROM sh
+), sig AS (
+  SELECT doc_id, {sig_cols}
+  FROM hx GROUP BY doc_id
+), banded AS (
+  SELECT doc_id,
+         unnest(range({bands})) AS band,
+         unnest([{bucket_list}]) AS bucket
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _fingerprint_sql() -> str:
+    """DuckDB twin of X.fingerprint_arith (two 31-bit channels)."""
+    ch = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 t -> t <> ''),
+                     t -> {tok})),
+      (acc, x) -> (acc * 1000003 + x) % 2147483647)"""
+    c131 = ch.format(tok=_DUCK_POLY.format(s="t", mult=131))
+    c137 = ch.format(tok=_DUCK_POLY.format(s="t", mult=137))
+    return f"""
+SELECT doc_id, ({c131}) * 2147483648 + ({c137}) AS fingerprint
+FROM documents
+"""
+
+
 def _keyword_retrieval_sql(query_text: str = "sparkle", dim: int = 64) -> str:
     """DuckDB twin of §2.10: the query vector literal comes from the
     SAME Python embedder the Spark side uses; the per-keyword embedding
@@ -1065,8 +1135,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": _QUALITY_SQL,
         "text_language_id": _LANGID_SQL,
-        # text_fingerprint, minhash_lsh_pairs, simhash_pairs: xxhash64-based →
-        # not DuckDB-expressible; rows-only check.
+        # simhash_pairs: xxhash64-based → not DuckDB-expressible;
+        # rows-only check (the one remaining non-oracled batch query).
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "text_fingerprint": _fingerprint_sql(),
         "text_vocabulary": f"""
             SELECT token, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token

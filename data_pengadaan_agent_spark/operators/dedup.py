@@ -265,3 +265,98 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- MinHash, universal-hash family (oracle-checkable) ----------------------
+
+P31 = 2147483647  # Mersenne prime 2^31-1: products stay < 2^62 in longs
+
+
+def poly_hash_col(s, mult: int = 131):
+    """Per-char polynomial rolling hash mod P31 as a fold — pure
+    integer column arithmetic, so Spark, Python and SQL agree bit-for-
+    bit (vs xxhash64, which only the JVM can compute)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.pmod(acc * mult + F.ascii(F.substring(s, i, 1)), F.lit(P31)),
+    )
+
+
+def _lcg_coeffs(n: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal family
+    h(x) = (a·x + b) mod P31 — the textbook minhash construction
+    (Broder 1997), seedable without external RNG state."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (P31 - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % P31
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures_arith(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 1234567,
+) -> DataFrame:
+    """MinHash with the (a·x+b) mod p universal family over
+    poly-hashed shingles. Same plan shape as the xxhash64 variant
+    (shingle explode → one groupBy with n_hashes min-aggregates,
+    map-side partials), but every number is reproducible outside the
+    JVM — the oracle recomputes signatures exactly."""
+    sh = shingles(df, text_col, id_col, shingle_n).withColumn(
+        "x", poly_hash_col(F.col("shingle"))
+    )
+    coeffs = _lcg_coeffs(n_hashes, seed)
+    mins = [
+        F.min(F.pmod(F.col("x") * F.lit(a) + F.lit(b), F.lit(P31))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs_arith(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 1234567,
+) -> DataFrame:
+    """LSH banding over the arithmetic signatures; band bucket = fold
+    of the band's values (x·1000003 + v mod P31). Equi-join on
+    (band, bucket) exactly as the xxhash64 variant."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures_arith(df, text_col, id_col, n_hashes, shingle_n, seed)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.aggregate(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: F.pmod(acc * 1000003 + v, F.lit(P31)),
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

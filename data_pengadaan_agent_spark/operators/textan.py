@@ -144,3 +144,24 @@ def vocabulary(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     return out.filter(F.col("df") >= min_df) if min_df > 1 else out
+
+
+def fingerprint_arith(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive rolling fingerprint from two independent 31-bit
+    polynomial channels (char multipliers 131/137) combined into one
+    62-bit value — integer arithmetic end-to-end, so an external SQL
+    oracle reproduces it exactly (the xxhash64 `fingerprint` is the
+    JVM-only production variant; this is the verifiable twin)."""
+    from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
+
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+
+    def channel(mult: int):
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * 1000003 + poly_hash_col(t, mult), F.lit(P31)),
+        )
+
+    fp = channel(131) * F.lit(1 << 31).cast("long") + channel(137)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -37,16 +37,29 @@ def main() -> None:
     # warm one Python/Arrow worker (reused across jobs: worker.reuse)
     spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
-    times: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            n = len(df.collect())
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # pragma: no cover
-            times[name] = -1.0
-            print(f"# {name} FAILED: {e}", file=sys.stderr)
+    def lap() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, fn in E.queries().items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                len(df.collect())
+                t[name] = round(time.time() - t0, 3)
+            except Exception as e:  # pragma: no cover
+                t[name] = -1.0
+                print(f"# {name} FAILED: {e}", file=sys.stderr)
+        return t
+
+    # Steady-state measurement: lap 1 warms codegen/JIT/page cache per
+    # query, lap 2 is recorded (standard warm-run benchmarking). If the
+    # warm lap already blew the time budget, record it instead of
+    # doubling the wall clock. SPARK_GRAFT_BENCH_LAPS=1 forces cold.
+    laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2"))
+    times = lap()
+    lap1_total = sum(t for t in times.values() if t >= 0)
+    if laps > 1 and lap1_total < 300:
+        warm = lap()
+        times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

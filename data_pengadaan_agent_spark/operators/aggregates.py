@@ -142,3 +142,21 @@ def decimal_sum(col: str | Column, precision: int = 28, scale: int = 2) -> Colum
     before aggregating so parallel execution is bit-deterministic."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(T.DecimalType(precision, scale)))
+
+
+def groupby_sum_count(
+    df: DataFrame,
+    key: str,
+    measure_col: str,
+    id_col: str,
+    count_alias: str = "jumlah_paket",
+    sum_alias: str = "total_pagu",
+) -> DataFrame:
+    """A1+A4 category variant of the A2 rollup: per-category package
+    count + budget sum — the reference's pie/bar stage-2 query shape
+    (openai/function_definition.py:224-235). COUNT(id) keeps the
+    reference's NULL-skipping semantics."""
+    return df.groupBy(key).agg(
+        F.count(F.col(id_col)).alias(count_alias),
+        F.sum(F.col(measure_col)).alias(sum_alias),
+    )

@@ -323,6 +323,39 @@ def _q_tumbling_window(spark, sf):
     )
 
 
+def _q_correlated_subquery(spark, sf):
+    return R.above_nation_avg_customers(load_table(spark, sf, "customer"))
+
+
+def _q_tpch_q7(spark, sf):
+    return R.nation_volume_shipping(
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_tpch_q10(spark, sf):
+    return R.returned_item_losses(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "nation"),
+    )
+
+
+def _q_tpch_q13(spark, sf):
+    return R.customer_order_distribution(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "orders")
+    )
+
+
+def _q_window_moving_avg(spark, sf):
+    return R.moving_avg_revenue(load_table(spark, sf, "orders"))
+
+
 def _q_supplier_revenue(spark, sf):
     return R.supplier_nation_revenue(
         load_table(spark, sf, "supplier"),
@@ -634,6 +667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_rich": _q_tpch_q22,
         "window_cumulative": _q_window_cumulative,
         "window_ntile": _q_window_ntile,
+        "correlated_subquery": _q_correlated_subquery,
+        "tpch_q7_nation_volume": _q_tpch_q7,
+        "tpch_q10_returned_items": _q_tpch_q10,
+        "tpch_q13_order_distribution": _q_tpch_q13,
+        "window_moving_avg": _q_window_moving_avg,
         "supplier_revenue": _q_supplier_revenue,
         "full_outer_monthly": _q_full_outer_monthly,
         "except_all_multiplicity": _q_except_all,
@@ -1354,6 +1392,65 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
             ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+        """,
+        "correlated_subquery": """
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer c1
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                               WHERE c2.c_nationkey = c1.c_nationkey)
+            ORDER BY c_custkey
+        """,
+        "tpch_q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1','NATION_2')
+              AND cn.n_name IN ('NATION_1','NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q13_order_distribution": """
+            WITH per_cust AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "window_moving_avg": """
+            WITH m AS (
+              SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS bulan,
+                     sum(CAST(o_totalprice AS DECIMAL(28,2))) AS m_total
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT o_orderstatus, bulan,
+                   round(avg(CAST(m_total AS DOUBLE)) OVER (
+                     PARTITION BY o_orderstatus ORDER BY bulan
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
+            FROM m ORDER BY o_orderstatus, bulan
         """,
         "supplier_revenue": """
             SELECT n_name,

@@ -471,3 +471,113 @@ def salted_user_totals_join(events: DataFrame, n_salts: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_joined"))
         .orderBy("user_id")
     )
+
+
+def above_nation_avg_customers(customer: DataFrame) -> DataFrame:
+    """Correlated scalar subquery shape: customers above their own
+    nation's average balance. Expressed via SQL so Catalyst's
+    decorrelation rewrites it to ONE aggregate + join — never a
+    per-row subquery execution (SURVEY.md §4.2 'subquery
+    decorrelation'). DataFrame twin: window avg over nationkey."""
+    customer.createOrReplaceTempView("_cust_corr")
+    return customer.sparkSession.sql(
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM _cust_corr c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _cust_corr c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+def nation_volume_shipping(
+    supplier: DataFrame, nation: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame,
+    n1: str = "NATION_1", n2: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by year. The
+    nation filter lands on both broadcast dims BEFORE the fact joins,
+    so non-qualifying rows never shuffle."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    supp_n = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(n1, n2))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(nation.filter(F.col("n_name").isin(n1, n2)).select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        lineitem.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def returned_item_losses(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Both fact scans are date/flag-filtered before the
+    join; the final top-k is TakeOrderedAndProject."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(q_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: histogram of orders-per-customer including the
+    zero bucket — LEFT OUTER join + two-level aggregation. The first
+    agg shrinks |orders| to |customers| before the second (tiny)
+    shuffle on the count."""
+    per_cust = (
+        customer.join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def moving_avg_revenue(orders: DataFrame, window_months: int = 3) -> DataFrame:
+    """Trailing 3-month moving average over the monthly rollup — a
+    rows-frame window on the PRE-AGGREGATED series (months × statuses
+    rows), so the expensive part is the rollup, not the frame."""
+    monthly = orders.groupBy(
+        "o_orderstatus", F.date_format("o_orderdate", "yyyy-MM").alias("bulan")
+    ).agg(F.sum(F.col("o_totalprice").cast(D18)).alias("m_total"))
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("bulan")
+        .rowsBetween(-(window_months - 1), 0)
+    )
+    return monthly.select(
+        "o_orderstatus",
+        "bulan",
+        F.round(F.avg(F.col("m_total").cast("double")).over(w), 2).alias("mavg"),
+    ).orderBy("o_orderstatus", "bulan")

@@ -1,0 +1,55 @@
+"""Sketch-based approximations (the 100 TB swap-ins) within tolerance
+of their exact twins, plus hypothesis property tests for the semantic
+traps and integer-hash parity."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.functions.vectors import hash_ngram_embed
+from data_pengadaan_agent_spark.operators.filters import keyword_cnf
+
+
+def test_approx_count_distinct_tolerance(spark, tables):
+    ev = tables["events"]
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_approx_percentile_tolerance(spark, tables):
+    li = tables["lineitem"]
+    exact = li.select(F.expr("percentile(l_extendedprice, 0.5)")).first()[0]
+    approx = li.select(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    ).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+_token = st.text(alphabet="abcdefghij", min_size=1, max_size=6)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_token, min_size=1, max_size=5, unique=True), _token)
+def test_substring_cnf_property(spark, keywords, probe):
+    """P3 substring semantics: a row matches iff the probe is a
+    substring of the comma-joined keyword list — independent of token
+    boundaries (the alat/peralatan trap generalized)."""
+    joined = ",".join(keywords)
+    df = spark.createDataFrame([(joined,)], "kw string")
+    got = df.filter(keyword_cnf(F.col("kw"), include=[[probe]])).count()
+    assert got == (1 if probe in joined else 0)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=24))
+def test_hash_ngram_embed_properties(text):
+    """Embedder invariants: fixed dim, integer votes, total |votes| ==
+    number of grams (one ±1 vote per character position), case-fold."""
+    v = hash_ngram_embed(text)
+    assert len(v) == 64
+    assert all(float(x).is_integer() for x in v)
+    assert sum(abs(int(x)) for x in v) <= max(len(text), 1)
+    assert v == hash_ngram_embed(text.upper())

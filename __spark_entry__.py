@@ -356,6 +356,14 @@ def _q_window_moving_avg(spark, sf):
     return R.moving_avg_revenue(load_table(spark, sf, "orders"))
 
 
+def _q_window_range_frame(spark, sf):
+    return R.nearby_order_volume(load_table(spark, sf, "orders"))
+
+
+def _q_json_props_rollup(spark, sf):
+    return R.props_key_rollup(load_table(spark, sf, "events"))
+
+
 def _q_supplier_revenue(spark, sf):
     return R.supplier_nation_revenue(
         load_table(spark, sf, "supplier"),
@@ -672,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": _q_tpch_q10,
         "tpch_q13_order_distribution": _q_tpch_q13,
         "window_moving_avg": _q_window_moving_avg,
+        "window_range_frame": _q_window_range_frame,
+        "json_props_rollup": _q_json_props_rollup,
         "supplier_revenue": _q_supplier_revenue,
         "full_outer_monthly": _q_full_outer_monthly,
         "except_all_multiplicity": _q_except_all,
@@ -1451,6 +1461,21 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY o_orderstatus ORDER BY bulan
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
             FROM m ORDER BY o_orderstatus, bulan
+        """,
+        "window_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                     RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS trailing_volume
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "json_props_rollup": """
+            SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "supplier_revenue": """
             SELECT n_name,

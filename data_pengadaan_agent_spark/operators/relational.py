@@ -581,3 +581,40 @@ def moving_avg_revenue(orders: DataFrame, window_months: int = 3) -> DataFrame:
         "bulan",
         F.round(F.avg(F.col("m_total").cast("double")).over(w), 2).alias("mavg"),
     ).orderBy("o_orderstatus", "bulan")
+
+
+def nearby_order_volume(orders: DataFrame, days: int = 3) -> DataFrame:
+    """Value-RANGE window frame: for each order, that customer's order
+    volume within the trailing N days — a range frame over event-time
+    seconds (not row counts). Partitioned per customer, so the sort is
+    distributed; the frame bound is a value predicate the window
+    operator evaluates without re-shuffling."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.sum(F.col("o_totalprice").cast(D18)).over(w).cast("double").alias("trailing_volume"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def props_key_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured column path: parse the JSON `props` string with
+    an explicit schema (from_json — typed, null-safe, no inference
+    scan), bucket the extracted value, aggregate. At scale prefer
+    materializing extracted fields to columns at ingest; this operator
+    IS that extraction."""
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        events.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(D18)).cast("double").alias("total_value"),
+        )
+        .orderBy("k_mod")
+    )

@@ -135,3 +135,22 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def purchase_click_join_stream(
+    purchases: DataFrame, clicks: DataFrame, gap_seconds: int = 600, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to clicks by
+    the same user within the preceding ``gap_seconds`` — the streaming
+    twin of operators/asof.range_join_bucketed (batch parity tested).
+    Watermarks on BOTH sides bound the join state: Spark can discard
+    buffered rows once event time passes watermark + interval, so
+    state is O(rate × horizon), not O(stream)."""
+    p = purchases.withWatermark("p_ts", watermark) if purchases.isStreaming else purchases
+    c = clicks.withWatermark("c_ts", watermark) if clicks.isStreaming else clicks
+    cond = (
+        (p["user_id"] == c["c_user_id"])
+        & (c["c_ts"] <= p["p_ts"])
+        & (c["c_ts"] >= p["p_ts"] - F.make_dt_interval(secs=F.lit(gap_seconds)))
+    )
+    return p.join(c, cond, "inner").select("p_id", "user_id", "c_id")

@@ -102,3 +102,35 @@ def test_user_running_totals_stateful(spark, tables, events_stream):
     got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join_parity(spark, tables, events_dir):
+    """Stream-stream interval join == batch range join on the same
+    events (watermarked state-bounded join, SURVEY.md §7 phase 5)."""
+    schema = tables["events"].schema
+    def split(src):
+        purchases = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+        )
+        clicks = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        return purchases, clicks
+
+    sp, sc = split(spark.readStream.schema(schema).format("parquet").load(events_dir))
+    stream_out = SW.run_stream_to_memory(
+        spark, SW.purchase_click_join_stream(sp, sc, gap_seconds=600), "ssj_out"
+    )
+    got = {(r["p_id"], r["c_id"]) for r in stream_out.collect()}
+
+    from data_pengadaan_agent_spark.operators.asof import range_join_bucketed
+
+    bp, bc = split(tables["events"])
+    batch = range_join_bucketed(
+        bp, bc.withColumnRenamed("c_user_id", "user_id"),
+        left_ts="p_ts", right_ts="c_ts", by="user_id", max_gap_seconds=600,
+    )
+    want = {(r["p_id"], r["c_id"]) for r in batch.collect()}
+    assert got == want and len(want) > 0

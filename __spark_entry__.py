@@ -203,6 +203,34 @@ def _q_duplicate_groups(spark, sf):
     return D.duplicate_groups(load_table(spark, sf, "documents"))
 
 
+def _q_dedup_clusters(spark, sf):
+    """Near-dup clustering: jaccard candidate pairs → connected
+    components → (doc, cluster representative)."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.12).select("id_a", "id_b")
+    return D.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+def _q_corpus_curation(spark, sf):
+    """The training-data curation composite: quality gate ∧ language
+    gate ∧ exact dedup → per-source corpus stats. Each gate is a
+    left-semi join of doc_ids (no payload shuffles); the gates and the
+    dedup all run off one documents scan."""
+    docs = load_table(spark, sf, "documents")
+    good = X.quality_score(docs).filter(F.col("quality_score") >= 0.55).select("doc_id")
+    eng = X.language_id(docs).filter(F.col("lang_pred") == "en").select("doc_id")
+    kept = (
+        D.dedup_exact(docs)
+        .join(good, "doc_id", "left_semi")
+        .join(eng, "doc_id", "left_semi")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source")
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # jaccard = n_inter/(n_a+n_b-n_inter): one double division of exact
@@ -641,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "duplicate_groups": _q_duplicate_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
@@ -1170,6 +1200,82 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text HAVING count(*) > 1
         """,
         "ngram_jaccard_pairs": _JACCARD_SQL,
+        "corpus_curation": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     length(text) AS n_chars
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + least((CAST(len(list_filter(toks, x -> x IN
+                           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                           / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
+                       + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                           / greatest(n_chars, 1)) * 0.3, 6) AS quality_score
+              FROM t
+            ), lang AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('the','and','of'))) AS score_en,
+                     len(list_filter(toks, x -> x IN ('der','die','und'))) AS score_de,
+                     greatest(
+                       len(list_filter(toks, x -> x IN ('the','and','of'))),
+                       len(list_filter(toks, x -> x IN ('der','die','und'))),
+                       len(list_filter(toks, x -> x IN ('le','la','et'))),
+                       len(list_filter(toks, x -> x IN ('el','los','que'))),
+                       len(list_filter(toks, x -> x IN ('的','是','了')))) AS best
+              FROM t
+            ), eng AS (
+              -- 'en' wins only when it ties best and 'de' does not
+              -- (de > en precedence, mirroring the Spark CASE order)
+              SELECT doc_id FROM lang
+              WHERE best > 0 AND score_en = best AND score_de < best
+            ), keep AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            )
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM keep)
+              AND doc_id IN (SELECT doc_id FROM q WHERE quality_score >= 0.55)
+              AND doc_id IN (SELECT doc_id FROM eng)
+            GROUP BY source ORDER BY source
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id < 200
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+              FROM d
+            ), sz AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT dd.doc_id, least(dd.doc_id, coalesce(min(r.b), dd.doc_id)) AS cluster_rep
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) dd
+            LEFT JOIN reach r ON r.a = dd.doc_id
+            GROUP BY dd.doc_id ORDER BY dd.doc_id
+        """,
         "embedding_cosine_pairs": _COSINE_PAIRS_SQL,
         "sim_topk_brute": _SIM_TOPK_SQL,
         "sim_topk_lsh": _lsh_topk_sql(),

@@ -360,3 +360,56 @@ def minhash_lsh_pairs_arith(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# --- near-dup clustering (connected components) -----------------------------
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup endgame: collapse candidate PAIRS into CLUSTERS via
+    min-label propagation (each node adopts the smallest id reachable
+    from it), then every doc maps to its cluster representative
+    (singletons map to themselves).
+
+    Iterative-but-distributed: each round is one join + min-aggregate
+    over the edge list; the driver only checks convergence (a count,
+    not data). Rounds needed = graph diameter — near-dup components
+    are shallow, so a handful. This is the simple form of the
+    large-star/small-star map-reduce CC algorithm; localCheckpoint
+    truncates lineage so plans don't grow with iterations."""
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .localCheckpoint()
+    )
+    labels = df.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))

@@ -247,8 +247,10 @@ def _q_minhash_lsh_pairs(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    """Arithmetic-channel simhash (oracle recomputes the signatures);
+    D.simhash_pairs is the xxhash64 production twin, same plan."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    return D.simhash_pairs(docs, max_hamming=16, blocks=4)
+    return D.simhash_pairs_arith(docs, max_hamming=16)
 
 
 def _q_embedding_cosine_pairs(spark, sf):
@@ -382,6 +384,21 @@ def _q_tpch_q13(spark, sf):
 
 def _q_window_moving_avg(spark, sf):
     return R.moving_avg_revenue(load_table(spark, sf, "orders"))
+
+
+def _q_tpch_q8(spark, sf):
+    return R.market_share(
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_hourly_distinct_users(spark, sf):
+    return R.hourly_distinct_users(load_table(spark, sf, "events"))
 
 
 def _q_window_range_frame(spark, sf):
@@ -710,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_returned_items": _q_tpch_q10,
         "tpch_q13_order_distribution": _q_tpch_q13,
         "window_moving_avg": _q_window_moving_avg,
+        "tpch_q8_market_share": _q_tpch_q8,
+        "hourly_distinct_users": _q_hourly_distinct_users,
         "window_range_frame": _q_window_range_frame,
         "json_props_rollup": _q_json_props_rollup,
         "supplier_revenue": _q_supplier_revenue,
@@ -892,6 +911,41 @@ WITH d AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 16) -> str:
+    """DuckDB twin of D.simhash_pairs_arith (62-bit two-channel)."""
+    p131 = _DUCK_POLY.format(s="t", mult=131)
+    p137 = _DUCK_POLY.format(s="t", mult=137)
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS toks
+  FROM documents WHERE doc_id < 200
+), hx AS (
+  SELECT doc_id,
+         list_transform(toks, t -> ({p131}) * 2147483648 + ({p137})) AS hs
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(62), b ->
+           CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS simhash
+  FROM hx
+), chunks AS (
+  SELECT doc_id, simhash,
+         unnest([0, 1, 2, 3]) AS chunk_idx,
+         unnest([(simhash >> 0) & 65535, (simhash >> 16) & 65535,
+                 (simhash >> 32) & 32767, (simhash >> 47) & 32767]) AS chunk
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -1289,8 +1343,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_quality": _QUALITY_SQL,
         "text_language_id": _LANGID_SQL,
-        # simhash_pairs: xxhash64-based → not DuckDB-expressible;
-        # rows-only check (the one remaining non-oracled batch query).
+        "simhash_pairs": _simhash_pairs_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "text_fingerprint": _fingerprint_sql(),
         "text_vocabulary": f"""
@@ -1567,6 +1620,26 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY o_orderstatus ORDER BY bulan
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
             FROM m ORDER BY o_orderstatus, bulan
+        """,
+        "tpch_q8_market_share": """
+            SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CASE WHEN n_name = 'NATION_5'
+                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * CAST(1 - l_discount AS DECIMAL(8,2)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                   AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "hourly_distinct_users": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                   count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "window_range_frame": """
             SELECT o_custkey, o_orderkey,

@@ -413,3 +413,72 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+# --- SimHash, arithmetic channels (oracle-checkable) ------------------------
+
+# 62-bit signature from two 31-bit polynomial channels; four blocks of
+# widths 16/16/15/15 cover every bit, so hamming ≤ 3 ⇒ ≥ 1 equal block
+# (pigeonhole) exactly as in the 64-bit xxhash64 variant.
+_SH62_BLOCKS = [(0, 16), (16, 16), (32, 15), (47, 15)]
+
+
+def simhash_col_arith(text_col: str = "text"):
+    """62-bit simhash whose token hash is poly131·2³¹ + poly137 —
+    same one-fold/64-vote formulation as `simhash_col`, but every bit
+    is reproducible outside the JVM."""
+    toks = F.array_distinct(F.filter(tokens_col(text_col), lambda t: t != ""))
+    hashes = F.transform(
+        toks,
+        lambda t: poly_hash_col(t, 131) * F.lit(1 << 31).cast("long") + poly_hash_col(t, 137),
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(62)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 62),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs_arith(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Manku-style block-match candidates + exact popcount verify over
+    the arithmetic 62-bit signatures."""
+    sig = df.select(F.col(id_col), simhash_col_arith(text_col).alias("simhash"))
+    chunked = sig.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in _SH62_BLOCKS
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

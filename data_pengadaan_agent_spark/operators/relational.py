@@ -618,3 +618,48 @@ def props_key_rollup(events: DataFrame) -> DataFrame:
         )
         .orderBy("k_mod")
     )
+
+
+def market_share(
+    part: DataFrame, supplier: DataFrame, nation: DataFrame,
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    supp_nation: str = "NATION_5", part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue for one
+    part type. Numerator and denominator come out of ONE aggregation
+    (sum(CASE WHEN)) — never two scans; part/supplier/nation dims all
+    broadcast, with their filters applied before the fact joins."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == supp_nation, rev)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("l_year")
+    )
+
+
+def hourly_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact windowed distinct — count(DISTINCT user) per hour. Spark
+    plans this as a two-phase expand+agg; at 100 TB swap the exact
+    count for approx_count_distinct (HLL, mergeable, one pass)."""
+    return (
+        events.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("hour"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour")
+    )

@@ -397,6 +397,12 @@ def _q_tpch_q8(spark, sf):
     )
 
 
+def _q_tpch_q15(spark, sf):
+    return R.top_supplier_revenue(
+        load_table(spark, sf, "supplier"), load_table(spark, sf, "lineitem")
+    )
+
+
 def _q_hourly_distinct_users(spark, sf):
     return R.hourly_distinct_users(load_table(spark, sf, "events"))
 
@@ -728,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_distribution": _q_tpch_q13,
         "window_moving_avg": _q_window_moving_avg,
         "tpch_q8_market_share": _q_tpch_q8,
+        "tpch_q15_top_supplier": _q_tpch_q15,
         "hourly_distinct_users": _q_hourly_distinct_users,
         "window_range_frame": _q_window_range_frame,
         "json_props_rollup": _q_json_props_rollup,
@@ -1635,6 +1642,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             JOIN orders   ON l_orderkey = o_orderkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue0 AS (
+              SELECT l_suppkey AS supplier_no,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l_discount AS DECIMAL(8,2))) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+            FROM revenue0 JOIN supplier ON supplier_no = s_suppkey
+            WHERE rev = (SELECT max(rev) FROM revenue0)
+            ORDER BY s_suppkey
         """,
         "hourly_distinct_users": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,

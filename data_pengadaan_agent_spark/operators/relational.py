@@ -663,3 +663,32 @@ def hourly_distinct_users(events: DataFrame) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def top_supplier_revenue(
+    supplier: DataFrame, lineitem: DataFrame,
+    start: str = "1996-01-01", end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue. The per-supplier aggregate is computed ONCE and reused on
+    both sides of the max-equality (Spark reuses the exchange); the
+    equality compares exact DECIMALs, so ties and float drift can't
+    split results between engines."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    revenue0 = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("_rev"))
+    )
+    max_rev = revenue0.agg(F.max("_rev").alias("_max"))
+    return (
+        revenue0.join(F.broadcast(max_rev), F.col("_rev") == F.col("_max"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )

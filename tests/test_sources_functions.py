@@ -80,3 +80,10 @@ def test_bucketed_join_skips_shuffle(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_load_table_trailing_slash(spark):
+    from data_pengadaan_agent_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    assert load_table(spark, SF_DIR + "/", "region").count() == 5

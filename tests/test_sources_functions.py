@@ -87,3 +87,31 @@ def test_load_table_trailing_slash(spark):
     from tests.conftest import SF_DIR
 
     assert load_table(spark, SF_DIR + "/", "region").count() == 5
+
+
+def test_materialize_durable_roundtrip(spark, tables, tmp_path):
+    from data_pengadaan_agent_spark.operators.materialize import materialize
+
+    path = str(tmp_path / "inter_durable")
+    src = tables["orders"].limit(50)
+    echo = materialize(src, view_name="inter_dur", durable_path=path)
+    assert len(echo["first_rows"]) == 5
+    back = spark.read.parquet(path)
+    assert back.count() == 50
+    assert back.schema == src.schema
+    spark.catalog.dropTempView("inter_dur")
+
+
+def test_read_events_json(spark, tables, tmp_path):
+    from data_pengadaan_agent_spark.sources.readers import read_events_json
+
+    path = str(tmp_path / "events_json")
+    tables["events"].limit(100).selectExpr(
+        "event_id", "CAST(ts AS STRING) AS ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").json(path)
+    back = read_events_json(
+        spark, path,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    assert back.count() == 100
+    assert dict(back.dtypes)["ts"] == "timestamp"

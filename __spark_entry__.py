@@ -649,6 +649,31 @@ def _q_multimodal_features(spark, sf):
     ).select("media_id", "dim", F.round("v", 6).alias("v"))
 
 
+def _q_multimodal_audio_chunks(spark, sf):
+    M, media = _media(spark, sf)
+    return M.chunk_audio(media, chunk_ms=5000)
+
+
+def _q_text_top_terms(spark, sf):
+    return X.top_terms_per_doc(
+        load_table(spark, sf, "documents").filter(F.col("doc_id") < 100), k=3
+    )
+
+
+def _q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (beyond rollup/cube): (status,priority),
+    (status), () — Spark expands to one Expand + single aggregation."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
 def _q_chart_pie_shares(spark, sf):
     ev = load_table(spark, sf, "events")
     totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
@@ -748,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_plan": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_image_features": _q_multimodal_features,
+        "multimodal_audio_chunks": _q_multimodal_audio_chunks,
+        "text_top_terms": _q_text_top_terms,
+        "grouping_sets": _q_grouping_sets,
     }
 
 
@@ -1754,6 +1782,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
             FROM m WHERE mt = 2
+        """,
+        "multimodal_audio_chunks": """
+            WITH m AS (
+              SELECT doc_id AS media_id, CAST(doc_id % 3 AS INT) AS mt,
+                     CAST(n_chars * 37 % 30000 AS INT) AS duration_ms
+              FROM documents
+            ), s AS (
+              SELECT media_id, duration_ms,
+                     unnest(range(0, greatest(duration_ms - 1, 0) + 1, 5000)) AS start_ms
+              FROM m WHERE mt = 1
+            )
+            SELECT media_id, CAST(start_ms // 5000 AS INT) AS chunk_idx, start_ms,
+                   least(start_ms + 5000, duration_ms) AS end_ms
+            FROM s
+        """,
+        "text_top_terms": f"""
+            WITH counts AS (
+              SELECT doc_id, token, count(*) AS tf FROM (
+                SELECT doc_id, unnest({_DUCK_TOKS}) AS token
+                FROM documents WHERE doc_id < 100
+              ) WHERE token <> '' GROUP BY 1, 2
+            )
+            SELECT doc_id, token, tf, CAST(rnk AS INT) AS rnk FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tf DESC, token) AS rnk
+              FROM counts
+            ) WHERE rnk <= 3
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
         "multimodal_image_features": """
             WITH m AS (

@@ -123,3 +123,28 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def chunk_audio(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking plan: one row per fixed-length window of each
+    audio row (sequence + explode, JVM-side; the waveform decode of
+    each chunk is the stubbed Python kernel). end_ms clamps to the
+    clip's duration."""
+    return (
+        df.filter(F.col("media_type") == "audio")
+        .select(
+            "media_id",
+            "duration_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(chunk_ms)
+                )
+            ).alias("start_ms"),
+        )
+        .select(
+            "media_id",
+            (F.col("start_ms") / chunk_ms).cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(F.col("start_ms") + chunk_ms, F.col("duration_ms")).alias("end_ms"),
+        )
+    )

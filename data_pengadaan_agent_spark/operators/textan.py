@@ -165,3 +165,23 @@ def fingerprint_arith(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
     fp = channel(131) * F.lit(1 << 31).cast("long") + channel(137)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def top_terms_per_doc(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document top-k terms by frequency (rank window over the
+    exploded token counts; ties broken by token). The window partitions
+    per doc, so the sort is distributed across documents."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf"), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", F.col("rnk").cast("int").alias("rnk"))
+    )

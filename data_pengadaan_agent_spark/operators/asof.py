@@ -97,3 +97,48 @@ def range_join_bucketed(
         F.col(right_ts) >= F.col(left_ts) - F.make_dt_interval(secs=gap)
     )
     return joined.filter(cond).drop("_lb", "_rb", "_probe", "_rby")
+
+
+def asof_join_backward_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """The cogrouped-pandas strategy for the same as-of semantics:
+    applyInPandas over a cogroup on the key, pd.merge_asof per group.
+    Prefer this over the union+window plan when the LEFT payload is
+    wide (the union plan carries left payload through the window sort;
+    this one sorts only within each Arrow batch). Same one-shuffle
+    cost, but Python workers in the path — measure before choosing."""
+    import pandas as pd
+
+    out_fields = []
+    for f in left.schema.fields:
+        out_fields.append(f"{f.name} {f.dataType.simpleString()}")
+    rtypes = dict(right.dtypes)
+    for c in right_cols:
+        out_fields.append(f"{c}{suffix} {rtypes[c]}")
+    schema = ", ".join(out_fields)
+    lcols = list(left.columns)
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(l_pdf) == 0:
+            return pd.DataFrame(columns=lcols + [c + suffix for c in right_cols])
+        l_sorted = l_pdf.sort_values(left_on)
+        r_sorted = r_pdf.sort_values(right_on)[[right_on, *right_cols]].rename(
+            columns={c: c + suffix for c in right_cols}
+        )
+        merged = pd.merge_asof(
+            l_sorted, r_sorted, left_on=left_on, right_on=right_on, direction="backward"
+        )
+        return merged[lcols + [c + suffix for c in right_cols]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(merge, schema=schema)
+    )

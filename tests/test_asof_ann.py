@@ -72,3 +72,23 @@ def test_ivf_assignment_partitions_corpus(spark, tables):
     assert n == emb.count()  # every vector assigned exactly once
     n_clusters = assign.select("centroid_id").distinct().count()
     assert n_clusters > 1  # codebook actually splits the corpus
+
+
+def test_asof_pandas_strategy_matches_window(spark, tables):
+    """Both as-of strategies (union+window vs cogrouped merge_asof)
+    must produce identical results on the events split."""
+    from data_pengadaan_agent_spark.operators.asof import asof_join_backward_pandas
+
+    ev = tables["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    kw = dict(left_on="p_ts", right_on="c_ts", by="user_id", right_cols=["c_id", "c_value"])
+    a = asof_join_backward(purchases, clicks, **kw)
+    b = asof_join_backward_pandas(purchases, clicks, **kw)
+    key = lambda r: (r["p_id"], r["c_id_right"])
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))

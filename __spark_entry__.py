@@ -674,6 +674,44 @@ def _q_grouping_sets(spark, sf):
     )
 
 
+def _q_unpivot_metrics(spark, sf):
+    """UNPIVOT/melt: the Q1 pricing summary turned long — one row per
+    (group, metric). Spark plans melt as a single Expand (no join, no
+    shuffle beyond the source agg)."""
+    wide = R.pricing_summary(load_table(spark, sf, "lineitem"))
+    metrics = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]
+    return (
+        wide.unpivot(
+            ["l_returnflag", "l_linestatus"], metrics, "metric", "metric_value"
+        )
+        .withColumn("metric_value", F.round("metric_value", 2))
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )
+
+
+def _q_lateral_topk(spark, sf):
+    """LATERAL correlated subquery: for each region, its top-2 nations
+    by customer count. Catalyst rewrites the lateral to a ranked
+    window join — no per-row re-execution."""
+    load_table(spark, sf, "region").createOrReplaceTempView("_region_lat")
+    load_table(spark, sf, "nation").createOrReplaceTempView("_nation_lat")
+    load_table(spark, sf, "customer").createOrReplaceTempView("_customer_lat")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM _region_lat r,
+        LATERAL (
+          SELECT n.n_name, count(*) AS n_customers
+          FROM _nation_lat n JOIN _customer_lat c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n.n_name LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.n_customers DESC, t.n_name
+        """
+    )
+
+
 def _q_chart_pie_shares(spark, sf):
     ev = load_table(spark, sf, "events")
     totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
@@ -776,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,
         "text_top_terms": _q_text_top_terms,
         "grouping_sets": _q_grouping_sets,
+        "unpivot_metrics": _q_unpivot_metrics,
+        "lateral_topk": _q_lateral_topk,
     }
 
 
@@ -1782,6 +1822,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
             FROM m WHERE mt = 2
+        """,
+        "unpivot_metrics": """
+            WITH wide AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(8,2))
+                              * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY 1, 2
+            )
+            SELECT l_returnflag, l_linestatus, metric, round(metric_value, 2) AS metric_value
+            FROM wide
+            UNPIVOT (metric_value FOR metric IN (sum_qty, sum_base_price, sum_disc_price, sum_charge))
+            ORDER BY l_returnflag, l_linestatus, metric
+        """,
+        "lateral_topk": """
+            SELECT r.r_name, t.n_name, t.n_customers
+            FROM region r,
+            LATERAL (
+              SELECT n.n_name, count(*) AS n_customers
+              FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+              WHERE n.n_regionkey = r.r_regionkey
+              GROUP BY n.n_name
+              ORDER BY n_customers DESC, n.n_name LIMIT 2
+            ) t
+            ORDER BY r.r_name, t.n_customers DESC, t.n_name
         """,
         "multimodal_audio_chunks": """
             WITH m AS (

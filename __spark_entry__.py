@@ -674,6 +674,30 @@ def _q_grouping_sets(spark, sf):
     )
 
 
+def _q_null_safe_join(spark, sf):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL
+    key group (derived via nullif) matches across sides, which a plain
+    equi-join would silently drop. Spark plans eqNullSafe as a normal
+    hash join on a null-safe key — no fallback to nested-loop."""
+    ev = load_table(spark, sf, "events")
+    key = F.expr("nullif(user_id % 50, 0)")
+    a = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(key.alias("k2"))
+        .agg(F.count(F.lit(1)).alias("n_click"))
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("k2")))
+        .select("k", "n_purch", "n_click")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
 def _q_unpivot_metrics(spark, sf):
     """UNPIVOT/melt: the Q1 pricing summary turned long — one row per
     (group, metric). Spark plans melt as a single Expand (no join, no
@@ -814,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": _q_multimodal_audio_chunks,
         "text_top_terms": _q_text_top_terms,
         "grouping_sets": _q_grouping_sets,
+        "null_safe_join": _q_null_safe_join,
         "unpivot_metrics": _q_unpivot_metrics,
         "lateral_topk": _q_lateral_topk,
     }
@@ -1822,6 +1847,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id,
                    unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
             FROM m WHERE mt = 2
+        """,
+        "null_safe_join": """
+            WITH a AS (
+              SELECT nullif(user_id % 50, 0) AS k, count(*) AS n_purch
+              FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ), b AS (
+              SELECT nullif(user_id % 50, 0) AS k2, count(*) AS n_click
+              FROM events WHERE event_type = 'click' GROUP BY 1
+            )
+            SELECT k, n_purch, n_click
+            FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+            ORDER BY k NULLS FIRST
         """,
         "unpivot_metrics": """
             WITH wide AS (

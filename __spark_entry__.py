@@ -736,6 +736,20 @@ def _q_lateral_topk(spark, sf):
     )
 
 
+def _q_session_window_native(spark, sf):
+    """Native session_window in BATCH mode (same operator the stream
+    uses) — the gaps-and-islands `sessionize` query is its SQL twin;
+    note the different end semantics (last_event + gap, not max(ts))."""
+    ev = load_table(spark, sf, "events")
+    out = SW.session_windows_stream(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def _q_chart_pie_shares(spark, sf):
     ev = load_table(spark, sf, "events")
     totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
@@ -797,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": _q_tumbling_window,
         "sliding_window": _q_sliding_window,
         "sessionize": _q_sessionize,
+        "session_window_native": _q_session_window_native,
         "chart_pie_shares": _q_chart_pie_shares,
         "tpch_q3_shipping_priority": _q_tpch_q3,
         "tpch_q6_forecast_revenue": _q_tpch_q6,
@@ -1481,6 +1496,30 @@ def oracle_sql() -> dict[str, str]:
             FROM starts GROUP BY 1, 2
         """,
         "sessionize": _SESSIONIZE_SQL,
+        "session_window_native": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ), f AS (
+              -- session_window is end-exclusive: [start, last + gap),
+              -- so an event at exactly prev + gap opens a NEW session
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM g
+            ), sid AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM f
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events
+            FROM sid GROUP BY user_id, session_id
+        """,
         "chart_pie_shares": """
             WITH t AS (
               SELECT event_type,

@@ -1,7 +1,14 @@
 """Benchmark harness: runs every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (learned from round 1, where the driver stored only the
+LAST 2000 characters of stdout and recorded ``"parsed": null`` because
+the one JSON line carrying all ~90 per-query timings was longer than
+that): stdout is EXACTLY ONE compact JSON line, kept under ~1800 chars
+— {"metric", "value" (total sec), "unit", "sf", "cold_total",
+"n_queries", "queries" (slowest-first, truncated to fit),
+"detail_file"}. The untruncated per-query map goes to BENCH_DETAIL.json
+next to this file and to stderr for humans.
 
 Timing = plan build + full execution + collect of the (small) result.
 """
@@ -13,7 +20,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+MAX_STDOUT_LINE = 1800
 
 
 def main() -> None:
@@ -61,19 +71,46 @@ def main() -> None:
         warm = lap()
         times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_total",
-                "value": total,
-                "unit": "sec",
-                "cold_total": cold_total,
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
+
+    detail = {
+        "metric": "all_queries_total",
+        "value": total,
+        "unit": "sec",
+        "cold_total": cold_total,
+        "n_queries": len(times),
+        "queries": times,
+        "sf": sf,
+    }
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:  # pragma: no cover
+        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+
+    # Compact stdout line: include per-query times slowest-first until
+    # the line budget is hit — the slow ones are the informative ones.
+    summary = {
+        "metric": "all_queries_total",
+        "value": total,
+        "unit": "sec",
+        "cold_total": cold_total,
+        "n_queries": len(times),
+        "queries": {},
+        "sf": sf,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    for name in sorted(times, key=lambda n: -times[n]):
+        summary["queries"][name] = times[name]
+        if len(json.dumps(summary)) > MAX_STDOUT_LINE:
+            del summary["queries"][name]
+            break
+    line = json.dumps(summary)
+    assert len(line) <= MAX_STDOUT_LINE + 100, len(line)
+    print(line)
     spark.stop()
 
 

@@ -29,11 +29,14 @@ def _require(df: DataFrame, *cols: str) -> None:
         raise ChartColumnError(f"columns not in result: {missing}; have {df.columns}")
 
 
-def bar_chart_data(df: DataFrame, x: str, y: str) -> tuple[DataFrame, dict]:
+def bar_chart_data(df: DataFrame, x: str, y: str, insights: bool = True) -> tuple[DataFrame, dict]:
     """C1: categorical x vs numeric y + count/max/min/mean/sum insights
-    (openai/list_of_tools.py:204-269)."""
+    (openai/list_of_tools.py:204-269). ``insights=False`` returns only
+    the plottable frame, skipping the eager insights action."""
     _require(df, x, y)
     data = df.select(x, y)
+    if not insights:
+        return data, {}
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.max(y).alias("max_v"),
@@ -47,11 +50,16 @@ def bar_chart_data(df: DataFrame, x: str, y: str) -> tuple[DataFrame, dict]:
 
 
 def line_chart_data(
-    df: DataFrame, ts_col: str, id_col: str, measure_col: str
+    df: DataFrame, ts_col: str, id_col: str, measure_col: str, insights: bool = True
 ) -> tuple[DataFrame, dict]:
     """C2: dual-axis monthly series (A2) + period insights
-    (openai/list_of_tools.py:272-385)."""
+    (openai/list_of_tools.py:272-385). ``insights=False`` skips the
+    eager insights action (and the cache that amortizes it) when the
+    caller only wants the plottable frame — e.g. the correctness gate,
+    which would otherwise pay a second full aggregation per call."""
     _require(df, ts_col, id_col, measure_col)
+    if not insights:
+        return A.monthly_rollup(df, ts_col, id_col, measure_col), {}
     data = A.monthly_rollup(df, ts_col, id_col, measure_col).cache()
     row = data.agg(
         F.min("bulan").alias("first_month"),

@@ -159,8 +159,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact jaccard over distinct n-gram sets. Pair generation via
     equi-join on shared shingle (never a cross join); pass ``pairs`` to
-    restrict to pre-generated candidates (the LSH path)."""
-    sh = shingles(df, text_col, id_col, n).cache()
+    restrict to pre-generated candidates (the LSH path).
+
+    Deliberately NOT cached: the exploded shingle frame is the
+    largest intermediate in the pipeline (|docs| × |shingles|), so
+    pinning it would hold executor memory for the session lifetime
+    (round-1 review finding) and at 100 TB would never fit anyway.
+    Recomputing it per consumer is a cheap projection+explode off the
+    same scan, and Spark reuses the shuffle files of the aggregations
+    built on top of it across the plan."""
+    sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -412,6 +420,16 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Loop exhausted max_iter with labels still changing: the
+        # result would be silently wrong (partial propagation) for any
+        # component whose diameter exceeds max_iter. Fail loud — the
+        # caller can raise max_iter or pre-contract the graph.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds; "
+            "a connected component has diameter > max_iter — raise "
+            "max_iter or reduce the candidate-pair threshold"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
 
 

@@ -67,10 +67,14 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def _decode_image_stub(payload: bytes, width: int, height: int) -> list[float]:
     """STUB decode: a real deployment calls PIL here. Deterministic
-    fake: 8 features derived from payload bytes + dimensions."""
+    fake: 8 features derived from the payload + dimensions. The fake
+    "decodes" the payload as UTF-8 and sums CODEPOINTS (not raw
+    bytes) so it agrees with the SQL oracle's ``ord(text[i])`` sum
+    for non-ASCII text too — the fixtures carry a zh lang label, so
+    multibyte text is a live possibility."""
     if payload is None:
         raise NotImplementedError("real image decode requires PIL — not in this container")
-    s = sum(payload)
+    s = sum(ord(c) for c in bytes(payload).decode("utf-8", errors="replace"))
     return [float((s + i * 37) % 251) / 251.0 for i in range(6)] + [float(width), float(height)]
 
 

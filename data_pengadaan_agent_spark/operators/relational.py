@@ -232,7 +232,9 @@ def segment_union_intersect(customer: DataFrame) -> DataFrame:
     a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
     c = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
-    return a.union(b.intersect(c)).distinct().orderBy("c_custkey")
+    # No output sort: the result is customer-scale, and a global
+    # orderBy would add a full range-exchange purely for display.
+    return a.union(b.intersect(c)).distinct()
 
 
 def priority_with_late_lines(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -388,7 +390,10 @@ def customer_value_tiles(customer: DataFrame, n_tiles: int = 4) -> DataFrame:
         "c_acctbal",
         F.ntile(n_tiles).over(w).alias("tile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-    ).orderBy("c_mktsegment", F.col("c_acctbal").desc(), "c_custkey")
+    )
+    # No trailing global orderBy: the window already sorted within each
+    # segment partition; a display sort over the whole customer table
+    # would add a second (range) exchange for nothing.
 
 
 def supplier_nation_revenue(
@@ -441,7 +446,6 @@ def surplus_order_multiplicity(orders: DataFrame, customer: DataFrame) -> DataFr
         .exceptAll(customer.select(F.col("c_custkey").alias("custkey")))
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("multiplicity"))
-        .orderBy("custkey")
     )
 
 
@@ -466,11 +470,7 @@ def salted_user_totals_join(events: DataFrame, n_salts: int = 8) -> DataFrame:
         dim_rep,
         (F.col("user_id") == F.col("d_user")) & (F.col("_fsalt") == F.col("_salt")),
     )
-    return (
-        joined.groupBy("user_id", "user_n")
-        .agg(F.count(F.lit(1)).alias("n_joined"))
-        .orderBy("user_id")
-    )
+    return joined.groupBy("user_id", "user_n").agg(F.count(F.lit(1)).alias("n_joined"))
 
 
 def above_nation_avg_customers(customer: DataFrame) -> DataFrame:
@@ -594,12 +594,15 @@ def nearby_order_volume(orders: DataFrame, days: int = 3) -> DataFrame:
         .orderBy(F.unix_timestamp("o_orderdate"))
         .rangeBetween(-days * 86400, 0)
     )
+    # Output is the FULL orders table: no cosmetic global sort — at
+    # scale that range-exchange over the whole fact was the single
+    # slowest step of the round-1 bench (2.1 s of a 2.1 s query).
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
         F.sum(F.col("o_totalprice").cast(D18)).over(w).cast("double").alias("trailing_volume"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 def props_key_rollup(events: DataFrame) -> DataFrame:

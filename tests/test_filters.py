@@ -72,6 +72,39 @@ def test_sql_gate_rejects_dml():
     assert check_select_only("WITH t AS (SELECT 1) SELECT * FROM t")
 
 
+def test_sql_gate_rejects_cte_wrapped_dml():
+    """Round-1 review bypass: Spark executes CTE-prefixed DML, and the
+    old prefix-only allowlist let it through."""
+    for bad in [
+        "WITH t AS (SELECT 1) INSERT INTO tbl SELECT * FROM t",
+        "WITH t AS (SELECT 1) DELETE FROM tbl",
+        "WITH t AS (SELECT 1) MERGE INTO a USING t ON a.id=t.id "
+        "WHEN MATCHED THEN DELETE",
+        "with x as (select 1) create table y as select * from x",
+    ]:
+        with pytest.raises(SqlGateError):
+            check_select_only(bad)
+    # keywords inside literals / quoted identifiers / comments are data
+    assert check_select_only("SELECT 'please INSERT this' AS note")
+    assert check_select_only("SELECT `drop` FROM t -- create nothing")
+    assert check_select_only("SELECT a FROM t GROUP BY GROUPING SETS ((a),())")
+
+
+def test_sql_gate_parse_layer_rejects_commands(spark):
+    from data_pengadaan_agent_spark.plans.sql_gate import safe_sql
+
+    spark.range(3).createOrReplaceTempView("gate_t")
+    assert safe_sql(spark, "SELECT count(*) AS n FROM gate_t").collect()[0][0] == 3
+    # parse layer (reached only if the textual layer were bypassed)
+    from data_pengadaan_agent_spark.plans.sql_gate import _reject_command_plan
+
+    with pytest.raises(SqlGateError):
+        _reject_command_plan(spark, "WITH t AS (SELECT 1) INSERT INTO tbl SELECT * FROM t")
+    with pytest.raises(SqlGateError):
+        _reject_command_plan(spark, "DROP TABLE gate_t")
+    _reject_command_plan(spark, "SELECT 1")  # query plans pass
+
+
 def test_preview_shape(spark, pengadaan):
     pengadaan.createOrReplaceTempView("pengadaan")
     out = preview(spark, "SELECT kode_rup, total_pagu FROM pengadaan ORDER BY kode_rup")

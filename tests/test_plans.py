@@ -76,3 +76,46 @@ def test_pricing_summary_partial_aggregation(spark, tables):
     plan = _plan(R.pricing_summary(tables["lineitem"]))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_precomputed_lsh_probe_prunes_partitions(spark, tables, tmp_path):
+    """The ingest-time ANN path: the probe against the signature table
+    must be a PARTITION-PRUNED scan (the signature predicate lands in
+    PartitionFilters, so only one bucket directory is read) — never a
+    full-corpus scan with a post-filter."""
+    from data_pengadaan_agent_spark.operators import similarity as S
+
+    emb = tables["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "lsh_sig_table")
+    S.build_lsh_signature_table(emb, "embedding", 64, path, n_planes=6, seed=42)
+    probe = S.lsh_topk_precomputed(spark, path, "embedding", qvec, k=5, n_planes=6, seed=42)
+    plan = _plan(probe)
+    part_filters = [
+        seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
+    ]
+    assert part_filters and any("_sig" in s for s in part_filters)
+    # the signature predicate must NOT degrade to a data filter
+    assert all("_sig" not in seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:])
+    # and the probe result is the same top row as the inline LSH path
+    inline = S.lsh_topk(emb, "embedding", qvec, k=5, n_planes=6, seed=42)
+    assert [r["vec_id"] for r in probe.collect()] == [r["vec_id"] for r in inline.collect()]
+
+
+def test_precomputed_ivf_probe_prunes_partitions(spark, tables, tmp_path):
+    """IVF twin: inverted lists are partitions; an n_probe=2 probe
+    reads exactly the two matching centroid directories."""
+    from data_pengadaan_agent_spark.operators import similarity as S
+
+    emb = tables["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "ivf_table")
+    S.build_ivf_table(emb, "embedding", 64, path, n_centroids=8, seed=7)
+    probe = S.ivf_topk_precomputed(
+        spark, path, "embedding", qvec, k=5, n_centroids=8, n_probe=2, seed=7
+    )
+    plan = _plan(probe)
+    part_filters = [
+        seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
+    ]
+    assert part_filters and any("centroid_id" in s for s in part_filters)

@@ -1,6 +1,16 @@
 """Local replica of the driver's correctness gate: run every
 queries() entry on Spark and its oracle_sql() twin on DuckDB at the
-given SF, compare row count + schema-width + order-insensitive values.
+given SF, compare row count + column names + CANONICAL ARROW TYPES +
+order-insensitive values.
+
+Round-2 hardening: the round-1 replica stringified every cell through
+``f"{float(v):.12g}"``, which masked type-representation drift that the
+driver's hash sees (DuckDB ``sum(BIGINT)`` returns HUGEINT — exported
+as decimal128/float — while Spark returns LONG; identical values,
+different serialization → driver hash fail on `corpus_curation`).
+Now both results are fetched as Arrow tables and their canonical types
+must agree: an integer column only matches an integer column, a
+decimal's scale must match, floats only match floats.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -13,37 +23,91 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import pyarrow as pa
 
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
+
+def canon_type(t: pa.DataType) -> str:
+    """Collapse an Arrow type to the equivalence class the driver's
+    value-hash cares about: ints of any width are one class, floats
+    another, decimals keyed by scale (precision is engine-dependent:
+    Spark widens sum(DECIMAL(12,2)) to (22,2), DuckDB to (38,2) — the
+    serialized values are identical)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(.,{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{canon_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def norm_cell(v, ctype: str):
+    """Normalize a Python-level cell for order-insensitive value
+    comparison WITHIN an already-type-matched column."""
+    if v is None:
+        return "NULL"
+    if ctype == "float":
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        # canonicalize -0.0 and format with enough digits to catch real drift
-        if v == 0.0:
-            v = 0.0
-        return f"{v:.12g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ")
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, bool):
-        return str(int(v))
-    try:
+        if f == 0.0:
+            f = 0.0
+        return f"{f:.12g}"
+    if ctype.startswith("decimal"):
+        # same scale on both sides → exact string compare after
+        # stripping exponent form
         from decimal import Decimal
 
-        if isinstance(v, Decimal):
-            return f"{float(v):.12g}"
-    except ImportError:
-        pass
+        return str(Decimal(str(v)).normalize())
+    if ctype == "timestamp":
+        return v.isoformat(sep=" ") if hasattr(v, "isoformat") else str(v)
+    if ctype == "date":
+        return v.isoformat() if hasattr(v, "isoformat") else str(v)
+    if ctype == "bin":
+        return bytes(v).hex()
+    if ctype == "bool":
+        return str(bool(v))
+    if ctype.startswith("list"):
+        inner = ctype[5:-1]
+        return "[" + ",".join(norm_cell(x, inner) for x in v) + "]"
+    if ctype == "int":
+        return str(int(v))
     return str(v)
 
 
-def normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    return sorted(out), [colnames[i] for i in order]
+def table_to_normalized(tbl: pa.Table):
+    """(sorted rows of normalized cells, sorted col names, canon types
+    by sorted col order)."""
+    names = list(tbl.column_names)
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    ctypes = [canon_type(tbl.schema.field(i).type) for i in order]
+    cols = [tbl.column(i).to_pylist() for i in order]
+    rows = sorted(
+        tuple(norm_cell(cols[j][r], ctypes[j]) for j in range(len(order)))
+        for r in range(tbl.num_rows)
+    )
+    return rows, [names[i] for i in order], ctypes
+
+
+def spark_to_arrow(df) -> pa.Table:
+    return df.toArrow()
 
 
 def main():
@@ -68,36 +132,42 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     results = {}
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stbl = spark_to_arrow(sdf)
         except Exception as e:
             results[name] = f"SPARK-ERROR: {type(e).__name__}: {e}"
             continue
         if name not in oracles:
-            results[name] = f"rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)"
+            results[name] = f"rows-only ({stbl.num_rows} rows, {time.time()-t0:.1f}s)"
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            dtbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             results[name] = f"DUCKDB-ERROR: {type(e).__name__}: {e}"
             continue
-        sn, scn = normalize(srows, scols)
-        dn, dcn = normalize(drows, dcols)
+        sn, scn, sct = table_to_normalized(stbl)
+        dn, dcn, dct = table_to_normalized(dtbl)
         if scn != dcn:
             results[name] = f"COLUMN-MISMATCH spark={scn} duck={dcn}"
+        elif sct != dct:
+            pairs = [
+                f"{c}: spark={a} duck={b}"
+                for c, a, b in zip(scn, sct, dct)
+                if a != b
+            ]
+            results[name] = f"TYPE-MISMATCH {pairs}"
         elif len(sn) != len(dn):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(sn)} duck={len(dn)}"
         elif sn != dn:
             diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-            results[name] = f"VALUE-MISMATCH ({len([1 for a,b in zip(sn,dn) if a!=b])} rows) e.g. {diff}"
+            n_bad = len([1 for a, b in zip(sn, dn) if a != b])
+            results[name] = f"VALUE-MISMATCH ({n_bad} rows) e.g. {diff}"
         else:
             results[name] = f"OK ({len(sn)} rows, {time.time()-t0:.1f}s)"
 
@@ -105,7 +175,7 @@ def main():
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")))
     for name, res in results.items():
         print(f"{name:<{width}}  {res}")
-    print(f"\n{n_ok}/{len(results)} passing")
+    print(f"\n{n_ok}/{len(results)} passing in {time.time()-t_start:.1f}s")
     spark.stop()
     return 0 if n_ok == len(results) else 1
 

@@ -311,6 +311,36 @@ def _q_sim_topk_ivf_precomputed(spark, sf):
     ).withColumn("similarity", F.round("similarity", 4))
 
 
+def _q_bucketed_join_revenue(spark, sf):
+    """Bucketed co-located join: orders and customer are materialized
+    ONCE as managed tables bucketed 8-ways on the join key
+    (spark-warehouse ingest; rebuilt only if row counts drift from the
+    fixtures), then the revenue-per-segment join runs WITHOUT a
+    shuffle on either join side — the single biggest cost of a fact ×
+    dim join at 100 TB is the fact shuffle, and bucketing removes it
+    from every subsequent query. hint("merge") pins the sort-merge
+    strategy so the bucket layout (not a broadcast) is what's
+    exercised; tests/test_sources_functions.py asserts the no-Exchange
+    plan for this layout."""
+    from data_pengadaan_agent_spark.sources.readers import write_bucketed
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    orders = load_table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    if (not spark.catalog.tableExists(ot)) or spark.table(ot).count() != orders.count():
+        write_bucketed(orders, ot, "o_custkey", n_buckets=8)
+    if (not spark.catalog.tableExists(ct)) or spark.table(ct).count() != customer.count():
+        write_bucketed(customer, ct, "c_custkey", n_buckets=8)
+    joined = spark.table(ot).hint("merge").join(
+        spark.table(ct), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(A.decimal_sum("o_totalprice").cast("double"), 2).alias("total_rev"),
+    )
+
+
 def _q_minhash_dedup_pairs(spark, sf):
     """The FULL near-dup pipeline registered end-to-end: banded
     minhash LSH candidates → exact shingle-jaccard verify ≥ 0.12.
@@ -881,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_ts_coerce": _q_parse_ts_coerce,
         "chart_bar_priority": _q_chart_bar_priority,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
+        "bucketed_join_revenue": _q_bucketed_join_revenue,
         "sim_topk_lsh_precomputed": _q_sim_topk_lsh_precomputed,
         "sim_topk_ivf_precomputed": _q_sim_topk_ivf_precomputed,
         "embedding_cosine_allpairs": _q_embedding_cosine_allpairs,
@@ -1416,6 +1447,13 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2)
                      AS total_pagu
             FROM orders GROUP BY 1
+        """,
+        "bucketed_join_revenue": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2)
+                     AS total_rev
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
         """,
         "flagship_monthly_trend": """
             SELECT strftime(o_orderdate, '%Y-%m') AS bulan,

@@ -72,7 +72,24 @@ def write_bucketed(
 ) -> None:
     """Managed bucketed table: joins/aggs on ``bucket_col`` between
     tables bucketed the same way read co-located data — no shuffle.
-    The write itself shuffles once; every subsequent join amortizes."""
+    The write itself shuffles once; every subsequent join amortizes.
+
+    The default in-memory catalog is SESSION-scoped while the
+    warehouse DIRECTORY persists, so a fresh session can hit
+    LOCATION_ALREADY_EXISTS for a table it has never heard of —
+    drop any same-named table AND its orphaned location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:  # pragma: no cover - non-JVM session
+        pass
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)

@@ -311,6 +311,171 @@ def _q_sim_topk_ivf_precomputed(spark, sf):
     ).withColumn("similarity", F.round("similarity", 4))
 
 
+def _partsupp(spark, sf):
+    """Derived partsupp (sources/derived.py): the fixtures carry no
+    partsupp table, so one is derived with integer arithmetic the
+    oracle CTE re-emits verbatim — bit-identical on both engines."""
+    from data_pengadaan_agent_spark.sources.derived import derive_partsupp
+
+    part = load_table(spark, sf, "part")
+    s_count = load_table(spark, sf, "supplier").count()
+    return derive_partsupp(part, s_count)
+
+
+def _q_tpch_q2(spark, sf):
+    """TPC-H Q2 shape (min-cost supplier): for LARGE mid-size parts,
+    the supplier(s) in REGION_0 offering the minimum ps_supplycost.
+    The correlated min-subquery compiles to ONE window over the
+    region-restricted candidates (partitioned by part — no re-probe
+    per row); dims broadcast."""
+    from pyspark.sql import Window
+
+    ps = _partsupp(spark, sf)
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    sn = supp.join(
+        F.broadcast(
+            nat.join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        ),
+        supp["s_nationkey"] == nat["n_nationkey"],
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cand = (
+        ps.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                ps["ps_partkey"] == F.col("p_partkey"))
+        .join(sn, ps["ps_suppkey"] == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("ps_partkey").alias("p_partkey"), "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def _q_tpch_q9(spark, sf):
+    """TPC-H Q9 shape (product-type profit by nation/year) over the
+    derived partsupp. Profit = price×(1−disc) − supplycost×qty, all
+    factors through DECIMAL so the parallel sum is exact; part and
+    supplier dims broadcast; the one big shuffle is lineitem ⋈ orders
+    on orderkey."""
+    ps = _partsupp(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    orders = load_table(spark, sf, "orders")
+    profit = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,2)")
+        - F.col("ps_supplycost").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(8,2)")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li["l_partkey"] == F.col("p_partkey"))
+        .join(ps, (li["l_partkey"] == ps["ps_partkey"]) & (li["l_suppkey"] == ps["ps_suppkey"]))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        # round the exact DECIMAL sum, then cast: rounding after the
+        # double conversion can land a half-cent on the wrong side
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+def _q_tpch_q11(spark, sf):
+    """TPC-H Q11 shape (important stock): per-part stock value for one
+    nation's suppliers, kept when above a fraction of the total. The
+    scalar total is a second aggregation over the SAME grouped frame,
+    broadcast back — never an unpartitioned window over every part."""
+    ps = _partsupp(spark, sf)
+    # nation-GROUP filter (≈1/5 of suppliers) instead of one nationkey:
+    # a single nation can be empty at tiny SFs (10 suppliers, 25 nations)
+    supp = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") % 5 == 2)
+    val = (F.col("ps_supplycost").cast("decimal(18,2)") * F.col("ps_availqty")).alias("v")
+    grouped = (
+        ps.join(F.broadcast(supp.select("s_suppkey")), ps["ps_suppkey"] == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(val).cast("double").alias("stock_value"))
+    )
+    tot = grouped.agg(F.sum("stock_value").alias("tot"))
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .filter(F.col("stock_value") > F.col("tot") * 0.002)
+        .select("ps_partkey", F.round("stock_value", 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+        .limit(50)
+    )
+
+
+def _q_tpch_q16(spark, sf):
+    """TPC-H Q16 shape (supplier count by part attrs). The reference
+    Q16 excludes suppliers with complaint comments; the fixtures carry
+    no s_comment, so the excluded set is re-grounded as s_acctbal < 0
+    (same anti-join shape). count(DISTINCT ps_suppkey) after the
+    anti-join; part dim broadcast."""
+    ps = _partsupp(spark, sf)
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad_supp = load_table(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(bad_supp, "ps_suppkey", "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+              ps["ps_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q_tpch_q20(spark, sf):
+    """TPC-H Q20 shape (excess-stock suppliers): suppliers of 'small…'
+    parts whose availqty exceeds half the 1996 shipped quantity for
+    that (part, supplier). The shipped aggregate is computed once
+    (partial+final agg), the availqty predicate is a plain join
+    filter, and the supplier projection is a left-semi join — no
+    payload duplication anywhere."""
+    ps = _partsupp(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_name").like("small%"))
+    supp = load_table(spark, sf, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey"), F.col("l_suppkey"))
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(part.select("p_partkey")), ps["ps_partkey"] == F.col("p_partkey"))
+        .join(shipped, (ps["ps_partkey"] == shipped["l_partkey"])
+              & (ps["ps_suppkey"] == shipped["l_suppkey"]))
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(excess, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 def _q_bucketed_join_revenue(spark, sf):
     """Bucketed co-located join: orders and customer are materialized
     ONCE as managed tables bucketed 8-ways on the join key
@@ -912,6 +1077,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chart_bar_priority": _q_chart_bar_priority,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
+        "tpch_q2_min_cost_supplier": _q_tpch_q2,
+        "tpch_q9_product_profit": _q_tpch_q9,
+        "tpch_q11_important_stock": _q_tpch_q11,
+        "tpch_q16_supplier_count": _q_tpch_q16,
+        "tpch_q20_excess_stock": _q_tpch_q20,
         "sim_topk_lsh_precomputed": _q_sim_topk_lsh_precomputed,
         "sim_topk_ivf_precomputed": _q_sim_topk_ivf_precomputed,
         "embedding_cosine_allpairs": _q_embedding_cosine_allpairs,
@@ -1133,6 +1303,96 @@ _DUCK_POLY = """list_reduce(list_prepend(CAST(0 AS BIGINT),
   list_transform(range(greatest(length({s}), 1)),
                  i -> CAST(ord({s}[CAST(i+1 AS INT)]) AS BIGINT))),
   (acc, c) -> (acc * {mult} + c) % 2147483647)"""
+
+
+def _tpch_partsupp_oracles() -> dict[str, str]:
+    """Q2/Q9/Q11/Q16/Q20 over the DERIVED partsupp (sources/derived.py
+    emits the same arithmetic into both engines)."""
+    from data_pengadaan_agent_spark.sources.derived import PARTSUPP_SQL_CTE as PS
+
+    return {
+        "tpch_q2_min_cost_supplier": f"""
+            WITH ps AS ({PS}),
+            sn AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            cand AS (
+              SELECT sn.s_acctbal, sn.s_name, sn.n_name,
+                     ps.ps_partkey, p.p_brand, ps.ps_supplycost
+              FROM ps
+              JOIN part p ON ps.ps_partkey = p.p_partkey
+                         AND p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+              JOIN sn ON ps.ps_suppkey = sn.s_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+                   p_brand, ps_supplycost
+            FROM cand
+            QUALIFY ps_supplycost = min(ps_supplycost) OVER (PARTITION BY ps_partkey)
+            ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20
+        """,
+        "tpch_q9_product_profit": f"""
+            WITH ps AS ({PS})
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(round(sum(
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+                     - CAST(ps_supplycost AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(8,2))
+                   ), 2) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+            JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+        """,
+        "tpch_q11_important_stock": f"""
+            WITH ps AS ({PS}),
+            grouped AS (
+              SELECT ps_partkey,
+                     sum(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS sv
+              FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              WHERE s_nationkey % 5 = 2
+              GROUP BY 1
+            )
+            SELECT ps_partkey, round(CAST(sv AS DOUBLE), 2) AS stock_value
+            FROM grouped
+            WHERE CAST(sv AS DOUBLE) > CAST((SELECT sum(sv) FROM grouped) AS DOUBLE) * 0.002
+            ORDER BY stock_value DESC, ps_partkey LIMIT 50
+        """,
+        "tpch_q16_supplier_count": f"""
+            WITH ps AS ({PS})
+            SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+            FROM ps JOIN part ON ps_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20_excess_stock": f"""
+            WITH ps AS ({PS}),
+            shipped AS (
+              SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1, 2
+            ),
+            excess AS (
+              SELECT DISTINCT ps_suppkey AS s_suppkey
+              FROM ps
+              JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+              JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+              WHERE ps_availqty > half_qty
+            )
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (SELECT s_suppkey FROM excess)
+            ORDER BY s_name
+        """,
+    }
 
 
 def _cosine_pairs_lsh_sql(
@@ -1455,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
+        **_tpch_partsupp_oracles(),
         "flagship_monthly_trend": """
             SELECT strftime(o_orderdate, '%Y-%m') AS bulan,
                    count(o_orderkey) AS jumlah_paket,

@@ -10,7 +10,8 @@ stay value-checked, not rows-only.
 
 Derivation (for j in 0..3, S = |supplier|):
     ps_partkey    = p_partkey
-    ps_suppkey    = ((p_partkey * 4 + j) % S) + 1        (4 distinct suppliers/part)
+    ps_suppkey    = (p_partkey * 4 + j) % S              (4 distinct suppliers/part;
+                    suppkeys are 0-based in the fixtures)
     ps_availqty   = (p_partkey * 37 + j * 11) % 9999 + 1
     ps_supplycost = ((p_partkey * 53 + j * 17) % 90000) / 100.0 + 100.0
 
@@ -32,7 +33,7 @@ from pyspark.sql import functions as F
 # spelling so the twins can't drift.
 PARTSUPP_SQL_CTE = """
   SELECT p_partkey AS ps_partkey,
-         ((p_partkey * 4 + j) % (SELECT count(*) FROM supplier)) + 1 AS ps_suppkey,
+         (p_partkey * 4 + j) % (SELECT count(*) FROM supplier) AS ps_suppkey,
          CAST((p_partkey * 37 + j * 11) % 9999 + 1 AS INT) AS ps_availqty,
          CAST((p_partkey * 53 + j * 17) % 90000 AS DOUBLE) / 100.0 + 100.0 AS ps_supplycost
   FROM part CROSS JOIN (SELECT unnest(range(4)) AS j)
@@ -46,7 +47,7 @@ def derive_partsupp(part: DataFrame, supplier_count: int) -> DataFrame:
     j = F.col("j")
     return part.select(p, F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")).select(
         p.alias("ps_partkey"),
-        (((p * 4 + j) % F.lit(supplier_count)) + 1).alias("ps_suppkey"),
+        ((p * 4 + j) % F.lit(supplier_count)).alias("ps_suppkey"),
         ((p * 37 + j * 11) % 9999 + 1).cast("int").alias("ps_availqty"),
         (((p * 53 + j * 17) % 90000).cast("double") / 100.0 + 100.0).alias("ps_supplycost"),
     )

@@ -163,3 +163,31 @@ def test_sqlite_fallback_row_cap(spark, tmp_path):
     con.close()
     with _pytest.raises(ValueError, match="too large"):
         load_sqlite_table(spark, db, "t", max_fallback_rows=10)
+
+
+def test_derived_partsupp_parity_and_shape(spark, tables):
+    """The derived partsupp must be bit-identical between the Spark
+    derivation and the DuckDB CTE the oracles embed, reference every
+    existing suppkey, and contain no duplicate (part, supp) pairs."""
+    import duckdb
+
+    from data_pengadaan_agent_spark.sources.derived import PARTSUPP_SQL_CTE, derive_partsupp
+    from tests.conftest import SF_DIR
+
+    s_count = tables["supplier"].count()
+    ps = derive_partsupp(tables["part"], s_count)
+    srows = sorted(tuple(r) for r in ps.collect())
+
+    con = duckdb.connect()
+    for t in ("part", "supplier"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    drows = sorted(tuple(r) for r in con.execute(f"SELECT * FROM ({PARTSUPP_SQL_CTE})").fetchall())
+    assert srows == drows
+    assert len({(a, b) for a, b, _, _ in srows}) == len(srows)  # (part,supp) unique
+    suppkeys = {r[1] for r in srows}
+    assert suppkeys <= {r["s_suppkey"] for r in tables["supplier"].collect()}
+    # no shuffle in the derivation plan (pure projection + explode)
+    plan = ps._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -283,16 +283,34 @@ def _warehouse_path(spark, sf, name):
     return os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse", f"{name}_{tag}")
 
 
+def _table_stale(spark, path, expected_rows, expect_types=()):
+    """True when a precomputed table at ``path`` is absent, its row
+    count drifted from the source fixture, or a column's dtype is not
+    the expected one (ingest-once semantics: the build is skipped on
+    every later call of the same round)."""
+    try:
+        df = spark.read.parquet(path)
+        dtypes = dict(df.dtypes)
+        for col, typ in expect_types:
+            if dtypes.get(col) != typ:
+                return True
+        return df.count() != expected_rows
+    except Exception:
+        return True
+
+
 def _q_sim_topk_lsh_precomputed(spark, sf):
     """The ingest-time ANN path: signatures PRECOMPUTED into a table
-    partitioned by signature, probe = partition-pruned read of ONE
+    partitioned by signature (ingest runs once; later calls detect
+    freshness and skip it), probe = partition-pruned read of ONE
     bucket + exact rescore. Same (n_planes=6, seed=42) family as
     `sim_topk_lsh`, so the inline and precomputed paths share one
     oracle. tests/test_plans.py asserts the probe plan prunes."""
     emb = load_table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     path = _warehouse_path(spark, sf, "lsh_signatures")
-    S.build_lsh_signature_table(emb, "embedding", 64, path, n_planes=6, seed=42)
+    if _table_stale(spark, path, emb.count(), expect_types=[("_sig", "string")]):
+        S.build_lsh_signature_table(emb, "embedding", 64, path, n_planes=6, seed=42)
     return S.lsh_topk_precomputed(
         spark, path, "embedding", qvec, k=10, n_planes=6, seed=42
     ).withColumn("similarity", F.round("similarity", 4))
@@ -300,12 +318,13 @@ def _q_sim_topk_lsh_precomputed(spark, sf):
 
 def _q_sim_topk_ivf_precomputed(spark, sf):
     """IVF twin of the precomputed probe: inverted lists ARE partitions
-    (partitionBy centroid_id at ingest); the probe reads n_probe=2 of
-    8 partitions and rescores."""
+    (partitionBy centroid_id at ingest, skipped when fresh); the probe
+    reads n_probe=2 of 8 partitions and rescores."""
     emb = load_table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     path = _warehouse_path(spark, sf, "ivf_lists")
-    S.build_ivf_table(emb, "embedding", 64, path, n_centroids=8, seed=7)
+    if _table_stale(spark, path, emb.count()):
+        S.build_ivf_table(emb, "embedding", 64, path, n_centroids=8, seed=7)
     return S.ivf_topk_precomputed(
         spark, path, "embedding", qvec, k=10, n_centroids=8, n_probe=2, seed=7
     ).withColumn("similarity", F.round("similarity", 4))

@@ -154,3 +154,43 @@ def purchase_click_join_stream(
         & (c["c_ts"] >= p["p_ts"] - F.make_dt_interval(secs=F.lit(gap_seconds)))
     )
     return p.join(c, cond, "inner").select("p_id", "user_id", "c_id")
+
+
+def enrich_events_stream(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream
+    joins the (small) static dimension — STATELESS on the stream side
+    (no watermark needed for the join itself; the static side is
+    re-broadcast per micro-batch, so dimension updates between batches
+    are picked up). The 100 TB shape for attaching reference data to a
+    firehose: dim broadcast, stream never shuffled for the join."""
+    return events.join(F.broadcast(dim), on)
+
+
+def foreach_batch_parquet_sink(
+    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+):
+    """foreachBatch sink: per micro-batch, write the batch DataFrame
+    to parquet stamped with the epoch id. Combined with the streaming
+    checkpoint this gives effectively-once file output: a replayed
+    epoch rewrites the SAME _epoch partition (dynamic partition
+    overwrite) instead of duplicating rows — the standard idempotent
+    foreachBatch recipe for sinks without native exactly-once.
+
+    Returns the started StreamingQuery; callers stop it (tests use
+    processAllAvailable)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("_epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite" if mode == "append" else mode)
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

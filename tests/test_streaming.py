@@ -134,3 +134,51 @@ def test_stream_stream_interval_join_parity(spark, tables, events_dir):
     )
     want = {(r["p_id"], r["c_id"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrich_parity(spark, tables, events_stream):
+    """Stream-static join must equal the batch join on a finite source."""
+    from data_pengadaan_agent_spark.streaming.windows import (
+        enrich_events_stream,
+        run_stream_to_memory,
+    )
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("signup", 5.0), ("refund", -8.0)],
+        "event_type string, weight double",
+    )
+    out = run_stream_to_memory(
+        spark,
+        enrich_events_stream(events_stream, dim).select("event_id", "weight"),
+        "enriched_stream",
+    )
+    batch = tables["events"].join(dim, "event_type").select("event_id", "weight")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_foreach_batch_sink_effectively_once(spark, tables, events_stream, tmp_path):
+    """foreachBatch parquet sink: all rows land exactly once across
+    micro-batches, stamped with their epoch."""
+    from data_pengadaan_agent_spark.streaming.windows import foreach_batch_parquet_sink
+
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    agg = events_stream.groupBy("event_type").count()
+    q = foreach_batch_parquet_sink(agg, out_dir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out_dir)
+    assert "_epoch" in got.columns
+    # final counts per event_type (last epoch wins in update mode)
+    from pyspark.sql import functions as F
+
+    last = got.withColumn(
+        "rk",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "event_type"
+            ).orderBy(F.desc("_epoch"))
+        ),
+    ).filter("rk = 1")
+    expect = {r["event_type"]: r["count"] for r in tables["events"].groupBy("event_type").count().collect()}
+    assert {r["event_type"]: r["count"] for r in last.collect()} == expect

@@ -495,6 +495,79 @@ def _q_tpch_q20(spark, sf):
     )
 
 
+def _q_train_test_split(spark, sf):
+    """Deterministic corpus split (operators/sampling.py): per-(split,
+    source) counts + id checksums. The Knuth-hash assignment is
+    re-emitted in the oracle, so the 'random' split is value-checked."""
+    from data_pengadaan_agent_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        train_test_split(docs, "doc_id", 0.8)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+
+
+def _q_sample_per_group(spark, sf):
+    """k-per-group deterministic cap: at most 5 documents per source,
+    chosen by scrambled-hash rank (the 'cap per domain' curation
+    step)."""
+    from data_pengadaan_agent_spark.operators.sampling import sample_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return sample_per_group(docs, "source", "doc_id", k=5).select(
+        "source", "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting) over derived
+    commit/receipt dates (sources/derived.py). The EXISTS /
+    NOT EXISTS correlated subqueries compile to a left-semi and a
+    left-anti join on the orderkey (with the supplier inequality as a
+    residual) — no per-row re-execution; supplier dim broadcast."""
+    from data_pengadaan_agent_spark.sources.derived import derive_line_dates
+
+    li = derive_line_dates(load_table(spark, sf, "lineitem"))
+    late = li.filter(F.col("l_receiptdate") > F.col("l_commitdate")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    others_late = (
+        li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+        .select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    )
+    l1 = late.join(
+        others,
+        (late["l_orderkey"] == others["o_key"]) & (late["l_suppkey"] != others["o_supp"]),
+        "left_semi",
+    ).join(
+        others_late,
+        (late["l_orderkey"] == others_late["o_key"])
+        & (late["l_suppkey"] != others_late["o_supp"]),
+        "left_anti",
+    )
+    orders_f = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    supp = load_table(spark, sf, "supplier").filter(F.col("s_nationkey") % 5 == 1).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        l1.join(orders_f, l1["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(supp), l1["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def _q_bucketed_join_revenue(spark, sf):
     """Bucketed co-located join: orders and customer are materialized
     ONCE as managed tables bucketed 8-ways on the join key
@@ -1096,6 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chart_bar_priority": _q_chart_bar_priority,
         "minhash_dedup_pairs": _q_minhash_dedup_pairs,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
+        "tpch_q21_waiting_suppliers": _q_tpch_q21,
+        "train_test_split": _q_train_test_split,
+        "sample_per_group": _q_sample_per_group,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
@@ -1329,7 +1405,30 @@ def _tpch_partsupp_oracles() -> dict[str, str]:
     emits the same arithmetic into both engines)."""
     from data_pengadaan_agent_spark.sources.derived import PARTSUPP_SQL_CTE as PS
 
+    from data_pengadaan_agent_spark.sources.derived import LINE_DATES_SQL_CTE as LD
+
     return {
+        "tpch_q21_waiting_suppliers": f"""
+            WITH li AS ({LD}),
+            l1 AS (
+              SELECT l_orderkey, l_suppkey FROM li
+              WHERE l_receiptdate > l_commitdate
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM l1
+            JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l1.l_suppkey AND s_nationkey % 5 = 1
+            WHERE EXISTS (
+                SELECT 1 FROM li l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM li l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_receiptdate > l3.l_commitdate
+              )
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+        """,
         "tpch_q2_min_cost_supplier": f"""
             WITH ps AS ({PS}),
             sn AS (
@@ -1735,6 +1834,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         **_tpch_partsupp_oracles(),
+        "train_test_split": """
+            WITH s AS (
+              SELECT *, CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836
+                             THEN 'train' ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT split, source, count(*) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum
+            FROM s GROUP BY 1, 2
+        """,
+        "sample_per_group": """
+            SELECT source, doc_id, lang, n_chars FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source
+                ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 5
+        """,
         "flagship_monthly_trend": """
             SELECT strftime(o_orderdate, '%Y-%m') AS bulan,
                    count(o_orderkey) AS jumlah_paket,

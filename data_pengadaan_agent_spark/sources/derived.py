@@ -40,6 +40,34 @@ PARTSUPP_SQL_CTE = """
 """
 
 
+# Commit/receipt dates for TPC-H Q21-style lateness predicates; the
+# fixtures carry only l_shipdate. Same rule on both engines:
+#   l_commitdate  = l_shipdate + ((l_orderkey*3 + l_linenumber) % 45 - 15) days
+#   l_receiptdate = l_shipdate + ((l_orderkey + l_linenumber) % 30 + 1) days
+# so ~some lines are late (receipt > commit) and some are not.
+LINE_DATES_SQL_CTE = """
+  SELECT *,
+         l_shipdate + ((l_orderkey * 3 + l_linenumber) % 45 - 15) * INTERVAL 1 DAY
+           AS l_commitdate,
+         l_shipdate + ((l_orderkey + l_linenumber) % 30 + 1) * INTERVAL 1 DAY
+           AS l_receiptdate
+  FROM lineitem
+"""
+
+
+def derive_line_dates(lineitem: DataFrame) -> DataFrame:
+    """Adds l_commitdate / l_receiptdate; see LINE_DATES_SQL_CTE. Pure
+    projection — integer day offsets on exact timestamps, no shuffle,
+    bit-identical across engines."""
+    return lineitem.withColumn(
+        "l_commitdate",
+        F.expr("timestampadd(DAY, CAST((l_orderkey * 3 + l_linenumber) % 45 - 15 AS INT), l_shipdate)"),
+    ).withColumn(
+        "l_receiptdate",
+        F.expr("timestampadd(DAY, CAST((l_orderkey + l_linenumber) % 30 + 1 AS INT), l_shipdate)"),
+    )
+
+
 def derive_partsupp(part: DataFrame, supplier_count: int) -> DataFrame:
     """4 supplier assignments per part; see module docstring. The
     explode is JVM-side (sequence+explode), no shuffle, no Python."""

@@ -119,3 +119,35 @@ def test_lsh_topk_subset_of_brute(tables):
 def test_cosine_pairs_threshold(vecs):
     out = {(r["id_a"], r["id_b"]) for r in S.cosine_pairs(vecs, "embedding", threshold=0.99).collect()}
     assert out == {(0, 1)} or (0, 1) in out  # 0–1 are near-identical
+
+
+def test_train_test_split_deterministic_under_repartition(tables):
+    """The split must not depend on partitioning or run order — the
+    property df.sample()/TABLESAMPLE cannot give."""
+    from data_pengadaan_agent_spark.operators.sampling import train_test_split
+
+    docs = tables["documents"]
+    a = {r["doc_id"]: r["split"] for r in train_test_split(docs, "doc_id", 0.8).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs.repartition(13), "doc_id", 0.8).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # close to 0.8 in expectation
+
+
+def test_sample_per_group_cap_and_determinism(tables):
+    from data_pengadaan_agent_spark.operators.sampling import sample_per_group
+
+    docs = tables["documents"]
+    out = sample_per_group(docs, "source", "doc_id", k=3)
+    rows = out.collect()
+    from collections import Counter
+
+    per = Counter(r["source"] for r in rows)
+    assert all(v <= 3 for v in per.values())
+    again = sample_per_group(docs.repartition(7), "source", "doc_id", k=3).collect()
+    assert sorted((r["source"], r["doc_id"]) for r in rows) == sorted(
+        (r["source"], r["doc_id"]) for r in again
+    )

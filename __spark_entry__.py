@@ -534,23 +534,23 @@ def _q_tpch_q21(spark, sf):
     from data_pengadaan_agent_spark.sources.derived import derive_line_dates
 
     li = derive_line_dates(load_table(spark, sf, "lineitem"))
-    late = li.filter(F.col("l_receiptdate") > F.col("l_commitdate")).select(
-        "l_orderkey", "l_suppkey"
-    )
-    others = li.select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
-    others_late = (
-        li.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
-        .select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    is_late = F.col("l_receiptdate") > F.col("l_commitdate")
+    late = li.filter(is_late).select("l_orderkey", "l_suppkey")
+    # Rewrite of the textbook EXISTS ("another supplier on the order")
+    # + NOT EXISTS ("no OTHER supplier was late") pair: for a LATE line
+    # those are exactly n_suppliers ≥ 2 AND n_late_suppliers = 1. One
+    # per-order aggregate replaces a semi-join AND an anti-join —
+    # lineitem is shuffled once on orderkey instead of three times.
+    # The oracle keeps the declarative EXISTS form, so the rewrite
+    # itself is value-checked.
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(is_late, F.col("l_suppkey"))).alias("n_late_supp"),
     )
     l1 = late.join(
-        others,
-        (late["l_orderkey"] == others["o_key"]) & (late["l_suppkey"] != others["o_supp"]),
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        late["l_orderkey"] == F.col("o_key"),
         "left_semi",
-    ).join(
-        others_late,
-        (late["l_orderkey"] == others_late["o_key"])
-        & (late["l_suppkey"] != others_late["o_supp"]),
-        "left_anti",
     )
     orders_f = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"

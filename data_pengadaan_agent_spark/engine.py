@@ -48,6 +48,24 @@ class Engine:
         base_df.createOrReplaceTempView(base_name)
         self.vocab = vocab_df
 
+    @classmethod
+    def from_sqlite(
+        cls,
+        spark: SparkSession,
+        db_path: str,
+        table: str,
+        base_name: str = "data_pengadaan",
+        vocab_df: DataFrame | None = None,
+    ) -> "Engine":
+        """Reference-fidelity constructor: bind directly to the SQLite
+        procurement database the reference agent scans
+        (openai/list_of_tools.py:148-150) via sources/jdbc —
+        executor-parallel JDBC when a driver jar is present, loud
+        driver-side fallback otherwise."""
+        from data_pengadaan_agent_spark.sources.jdbc import load_sqlite_table
+
+        return cls(spark, load_sqlite_table(spark, db_path, table), base_name, vocab_df)
+
     # 1. semantic keyword retrieval (§2.10)
     def retrieve_keywords(self, query_text: str, top_k: int = 10) -> list[dict]:
         if self.vocab is None:

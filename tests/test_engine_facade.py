@@ -68,3 +68,35 @@ def test_histogram_dispatch_via_facade(engine):
     )
     assert insights["mode"] in {"Dinas A", "Dinas B", "Dinas C"}
     assert sum(d["cnt"] for d in data) == 6
+
+
+def test_engine_from_sqlite(spark, tmp_path):
+    """The reference's exact setup: an Engine bound to a SQLite
+    procurement DB, driving gate + preview + a chart end-to-end."""
+    import sqlite3
+
+    from data_pengadaan_agent_spark.engine import Engine
+
+    db = str(tmp_path / "ref.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE pengadaan (kode_rup INTEGER, nama_paket TEXT,"
+        " jenis_pengadaan TEXT, total_pagu REAL)"
+    )
+    con.executemany(
+        "INSERT INTO pengadaan VALUES (?, ?, ?, ?)",
+        [(i, f"paket {i}", "Barang" if i % 2 else "Jasa", 500.0 * i) for i in range(1, 21)],
+    )
+    con.commit()
+    con.close()
+
+    eng = Engine.from_sqlite(spark, db, "pengadaan")
+    prev = eng.preview("SELECT kode_rup, total_pagu FROM data_pengadaan ORDER BY kode_rup")
+    assert [r["kode_rup"] for r in prev["first_rows"]] == [1, 2, 3, 4, 5]
+    data, insights = eng.bar_chart(
+        "SELECT jenis_pengadaan, sum(total_pagu) AS pagu FROM data_pengadaan GROUP BY 1",
+        "jenis_pengadaan",
+        "pagu",
+    )
+    assert {d["jenis_pengadaan"] for d in data} == {"Barang", "Jasa"}
+    assert insights["n"] == 2

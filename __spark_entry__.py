@@ -495,6 +495,22 @@ def _q_tpch_q20(spark, sf):
     )
 
 
+def _q_chunk_text(spark, sf):
+    """Context-window chunking (operators/textan.chunk_text): docs →
+    overlapping 200-char chunks with [start, end) provenance spans."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return X.chunk_text(docs, chunk_chars=200, overlap=50)
+
+
+def _q_mad_by_event_type(spark, sf):
+    """Grouped-agg Pandas UDAF (median absolute deviation) — Spark has
+    no MAD built-in; DuckDB's native mad() is the oracle."""
+    ev = load_table(spark, sf, "events")
+    return A.mad_pandas_udaf(ev, "event_type", "value").select(
+        "event_type", F.round("mad", 6).alias("mad")
+    )
+
+
 def _q_train_test_split(spark, sf):
     """Deterministic corpus split (operators/sampling.py): per-(split,
     source) counts + id checksums. The Knuth-hash assignment is
@@ -1164,6 +1180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round 2 leads with the 38 then-unproven ones plus this round's new
     queries, so every entry lands inside some round's hard signal."""
     return {
+        # --- round-1's one red row, type-drift refixed: MUST land
+        # inside any driver budget, so it leads ---
+        "corpus_curation": _q_corpus_curation,
+        # --- semantics changed this round (capped all-pairs → banded
+        # LSH over the full corpus): re-prove under the hard signal ---
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         # --- new this round (never driver-checked) ---
         "parse_ts_coerce": _q_parse_ts_coerce,
         "chart_bar_priority": _q_chart_bar_priority,
@@ -1172,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_suppliers": _q_tpch_q21,
         "train_test_split": _q_train_test_split,
         "sample_per_group": _q_sample_per_group,
+        "mad_by_event_type": _q_mad_by_event_type,
+        "chunk_text": _q_chunk_text,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
@@ -1219,8 +1243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join": _q_null_safe_join,
         "unpivot_metrics": _q_unpivot_metrics,
         "lateral_topk": _q_lateral_topk,
-        # --- round-1 red row, refixed this round: keep inside any budget ---
-        "corpus_curation": _q_corpus_curation,
         # --- round-1 driver-green (original positions 1-50) ---
         "flagship_monthly_trend": _q_flagship,
         "keyword_cnf_filter": _q_keyword_cnf,
@@ -1250,7 +1272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
-        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "sim_topk_brute": _q_sim_topk_brute,
         "sim_topk_lsh": _q_sim_topk_lsh,
         "sim_topk_ivf": _q_sim_topk_ivf,
@@ -1852,6 +1873,25 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
               FROM documents
             ) WHERE rk <= 5
+        """,
+        "mad_by_event_type": """
+            SELECT event_type, round(CAST(mad(value) AS DOUBLE), 6) AS mad
+            FROM events GROUP BY 1
+        """,
+        "chunk_text": """
+            WITH d AS (
+              SELECT doc_id, text, length(text) AS n
+              FROM documents WHERE doc_id < 100
+            ), s AS (
+              SELECT doc_id, text, n,
+                     unnest(range(0, greatest(n - 1, 0) + 1, 150)) AS start
+              FROM d
+            )
+            SELECT doc_id, CAST(start // 150 AS INT) AS chunk_idx,
+                   CAST(start AS INT) AS start,
+                   CAST(least(start + 200, n) AS INT) AS chunk_end,
+                   substr(text, CAST(start + 1 AS INT), 200) AS chunk
+            FROM s
         """,
         "flagship_monthly_trend": """
             SELECT strftime(o_orderdate, '%Y-%m') AS bulan,

@@ -185,3 +185,37 @@ def top_terms_per_doc(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .filter(F.col("rnk") <= k)
         .select(id_col, "token", "tf", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Overlapping character chunks — the context-window preparation
+    step of a training pipeline (doc → chunks of ``chunk_chars`` with
+    ``overlap`` carried between neighbors). Pure JVM: start offsets
+    come from sequence()+explode (no Python, no UDTF needed), substring
+    slices each chunk, so the operator is codegen'd and shuffle-free.
+    One output row per (doc, chunk_idx) with the chunk text and its
+    [start, end) span for provenance."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        n.alias("_n"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.least(F.col("start") + chunk_chars, F.col("_n")).cast("int").alias("chunk_end"),
+        F.substring(F.col(text_col), F.col("start") + 1, F.lit(chunk_chars)).alias("chunk"),
+    )

@@ -68,3 +68,14 @@ def test_month_of_year_collapses_years(pengadaan):
 def test_distinct_count(spark, tables):
     out = A.distinct_count(tables["events"], "event_type", "user_id").collect()
     assert all(r["n_distinct"] > 0 for r in out)
+
+
+def test_mad_pandas_udaf_matches_pandas(tables):
+    from data_pengadaan_agent_spark.operators.aggregates import mad_pandas_udaf
+
+    ev = tables["events"]
+    got = {r["event_type"]: r["mad"] for r in mad_pandas_udaf(ev, "event_type", "value").collect()}
+    pdf = ev.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp["value"]
+        assert abs(got[etype] - float((v - v.median()).abs().median())) < 1e-9

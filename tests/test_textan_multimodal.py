@@ -77,3 +77,34 @@ def test_frame_sampling(spark):
     frames = M.sample_frames(media, every_ms=5000).collect()
     vids = {r["media_id"]: r["duration_ms"] for r in media.collect() if r["media_type"] == "video"}
     assert len(frames) == sum(dur // 5000 + 1 for dur in vids.values())
+
+
+def test_chunk_text_spans_and_overlap(tables):
+    from data_pengadaan_agent_spark.operators.textan import chunk_text
+
+    docs = tables["documents"].filter("doc_id < 20")
+    out = chunk_text(docs, chunk_chars=100, overlap=20).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        text = src[doc_id]
+        for r in rows:
+            assert r["chunk"] == text[r["start"]: r["start"] + 100]
+            assert r["chunk_end"] == min(r["start"] + 100, len(text))
+        # neighbors overlap by exactly chunk_chars - step = 20 chars
+        for a, b in zip(rows, rows[1:]):
+            assert b["start"] - a["start"] == 80
+        # full coverage: last chunk reaches the end of the document
+        assert rows[-1]["chunk_end"] == len(text)
+
+
+def test_chunk_text_rejects_bad_overlap(tables):
+    import pytest as _pytest
+
+    from data_pengadaan_agent_spark.operators.textan import chunk_text
+
+    with _pytest.raises(ValueError):
+        chunk_text(tables["documents"], chunk_chars=50, overlap=50)

@@ -495,6 +495,32 @@ def _q_tpch_q20(spark, sf):
     )
 
 
+def _q_latest_by_key(spark, sf):
+    """CDC compaction: current state per user from the event log
+    (rank-1 window, deterministic tiebreak on event_id)."""
+    ev = load_table(spark, sf, "events")
+    return R.latest_by_key(ev, "user_id", "ts", tiebreak_col="event_id").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
+def _q_profile_columns(spark, sf):
+    """Data-QA profile of orders in ONE aggregation pass + stack()
+    unpivot. o_totalprice goes through DECIMAL before stringifying so
+    min/max render identically on both engines (no sci-notation
+    drift)."""
+    orders = load_table(spark, sf, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    return R.profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+
+
 def _q_chunk_text(spark, sf):
     """Context-window chunking (operators/textan.chunk_text): docs →
     overlapping 200-char chunks with [start, end) provenance spans."""
@@ -1196,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": _q_sample_per_group,
         "mad_by_event_type": _q_mad_by_event_type,
         "chunk_text": _q_chunk_text,
+        "latest_by_key": _q_latest_by_key,
+        "profile_columns": _q_profile_columns,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
@@ -1877,6 +1905,50 @@ def oracle_sql() -> dict[str, str]:
         "mad_by_event_type": """
             SELECT event_type, round(CAST(mad(value) AS DOUBLE), 6) AS mad
             FROM events GROUP BY 1
+        """,
+        "latest_by_key": """
+            SELECT user_id, event_id, event_type, value,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "profile_columns": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+                     o_orderdate
+              FROM orders
+            )
+            SELECT 'o_orderkey' AS column_name, count(o_orderkey) AS n,
+                   count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM o
+            UNION ALL
+            SELECT 'o_orderstatus', count(o_orderstatus),
+                   count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR),
+                   CAST(max(o_orderstatus) AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'o_totalprice', count(o_totalprice),
+                   count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+                   count(DISTINCT o_totalprice),
+                   CAST(min(o_totalprice) AS VARCHAR),
+                   CAST(max(o_totalprice) AS VARCHAR)
+            FROM o
+            UNION ALL
+            SELECT 'o_orderdate', count(o_orderdate),
+                   count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+                   count(DISTINCT o_orderdate),
+                   CAST(min(o_orderdate) AS VARCHAR),
+                   CAST(max(o_orderdate) AS VARCHAR)
+            FROM o
         """,
         "chunk_text": """
             WITH d AS (

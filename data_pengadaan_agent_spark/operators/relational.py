@@ -695,3 +695,42 @@ def top_supplier_revenue(
         )
         .orderBy("s_suppkey")
     )
+
+
+def latest_by_key(
+    df: DataFrame, key_col: str, ts_col: str, tiebreak_col: str | None = None
+) -> DataFrame:
+    """Current-state view of an event/CDC log: the most recent row per
+    key (rank-1 of a per-key window ordered by time descending, ties
+    broken deterministically). One hash exchange on the key; at scale
+    this is the standard compaction step before snapshot joins —
+    never a self-join against max(ts)."""
+    order = [F.col(ts_col).desc()]
+    order.append(F.col(tiebreak_col).desc() if tiebreak_col else F.col(key_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-QA profile: one row per column with count / nulls /
+    distincts / min / max (stringified at the edge for a uniform
+    schema). ONE aggregation job computes every metric for every
+    column (a single row of partial-aggregated scalars), then a stack()
+    unpivot turns it long — never one pass per column."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -116,3 +116,32 @@ def test_catalog_ops(spark, tables):
     assert {c["name"] for c in sc["region_v"]} == {"r_regionkey", "r_name"}
     echo = schema_head_echo(tables["nation"], 3)
     assert len(echo["first_rows"]) == 3
+
+
+def test_latest_by_key(tables):
+    out = R.latest_by_key(tables["events"], "user_id", "ts", tiebreak_col="event_id")
+    rows = out.collect()
+    assert len(rows) == tables["events"].select("user_id").distinct().count()
+    # spot-check one user against a manual max
+    uid = rows[0]["user_id"]
+    manual = max(
+        tables["events"].filter(F.col("user_id") == uid).collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    got = [r for r in rows if r["user_id"] == uid][0]
+    assert got["event_id"] == manual["event_id"]
+
+
+def test_profile_columns_single_pass(tables):
+    prof = R.profile_columns(tables["orders"], ["o_orderkey", "o_orderstatus"])
+    rows = {r["column_name"]: r for r in prof.collect()}
+    n = tables["orders"].count()
+    assert rows["o_orderkey"]["n"] == n and rows["o_orderkey"]["n_nulls"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderstatus"]["n_distinct"] <= 3
+    # single aggregation: exactly one scan, no per-column passes
+    # (AQE's string repeats the plan under "== Initial Plan ==" after
+    # execution — only count the final section)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1

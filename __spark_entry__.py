@@ -521,6 +521,58 @@ def _q_profile_columns(spark, sf):
     )
 
 
+def _q_tpch_q5(spark, sf):
+    """TPC-H Q5 (operators/relational.local_supplier_volume): revenue
+    by nation where customer and supplier share a nation in one
+    region over one year — completes the 22-query TPC-H surface."""
+    return R.local_supplier_volume(
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    )
+
+
+def _q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality filters
+    (operators/textan.repetition_stats): dup-word / top-word /
+    dup-2-gram / top-2-gram fractions per document."""
+    return X.repetition_stats(load_table(spark, sf, "documents"))
+
+
+def _q_ngram_contamination(spark, sf):
+    """Train/test contamination audit
+    (operators/textan.ngram_contamination): share of each held-out
+    document's distinct 5-grams that appear in the training split
+    (deterministic doc_id % 10 holdout)."""
+    docs = load_table(spark, sf, "documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return X.ngram_contamination(test, train, n=5)
+
+
+def _q_normalize_text(spark, sf):
+    """Canonical normalization (operators/textan.normalize_text) over
+    deliberately-dirtied input (upper-cased text + a punctuated
+    revision suffix) so the lowercase/strip/collapse path does real
+    work the oracle can check."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.upper("text"),
+            F.lit(" [Rev-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".0]"),
+        ).alias("text"),
+    )
+    out = X.normalize_text(docs)
+    return out.select(
+        "doc_id", "text_norm", F.col("n_chars_norm").cast("bigint").alias("n_chars_norm")
+    )
+
+
 def _q_chunk_text(spark, sf):
     """Context-window chunking (operators/textan.chunk_text): docs →
     overlapping 200-char chunks with [start, end) provenance spans."""
@@ -1224,6 +1276,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": _q_chunk_text,
         "latest_by_key": _q_latest_by_key,
         "profile_columns": _q_profile_columns,
+        "tpch_q5_local_supplier": _q_tpch_q5,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
+        "normalize_text": _q_normalize_text,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
@@ -1905,6 +1961,98 @@ def oracle_sql() -> dict[str, str]:
         "mad_by_event_type": """
             SELECT event_type, round(CAST(mad(value) AS DOUBLE), 6) AS mad
             FROM events GROUP BY 1
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY 1 ORDER BY revenue DESC, n_name
+        """,
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents
+            ), pw AS (
+              SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+            ), ws_ AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct_words,
+                     max(c) AS top_w
+              FROM pw GROUP BY 1
+            ), wl AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) AS g
+              FROM wl WHERE len(ws) >= 2
+            ), pg AS (
+              SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+            ), gs AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_g,
+                     CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_g,
+                     max(c) AS top_g
+              FROM pg GROUP BY 1
+            )
+            SELECT doc_id, n_words, n_distinct_words,
+                   round((n_words - n_distinct_words) * 1.0 / n_words, 6) AS dup_word_frac,
+                   round(top_w * 1.0 / n_words, 6) AS top_word_frac,
+                   round(COALESCE(dup_g * 1.0 / n_g, 0), 6) AS dup_2gram_frac,
+                   round(COALESCE(top_g * 1.0 / n_g, 0), 6) AS top_2gram_frac
+            FROM ws_ LEFT JOIN gs USING (doc_id)
+        """,
+        "ngram_contamination": """
+            WITH wl AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 3),
+                            i -> array_to_string(ws[i:i+4], ' '))) AS g
+              FROM wl WHERE len(ws) >= 5
+            ), test_g AS (
+              SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 10 = 0
+            ), train_g AS (
+              SELECT DISTINCT g FROM g WHERE doc_id % 10 <> 0
+            ), tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM test_g GROUP BY 1
+            ), hit AS (
+              SELECT t.doc_id, count(*) AS n_overlap
+              FROM test_g t JOIN train_g USING (g) GROUP BY 1
+            )
+            SELECT doc_id, n_ngrams,
+                   CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+                   round(COALESCE(n_overlap, 0) * 1.0 / n_ngrams, 6) AS contamination,
+                   COALESCE(n_overlap, 0) >= 1 AS contaminated
+            FROM tot LEFT JOIN hit USING (doc_id)
+        """,
+        "normalize_text": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     upper(text) || ' [Rev-' || CAST(doc_id AS VARCHAR) || '.0]' AS text
+              FROM documents
+            ), n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS text_norm
+              FROM dirty
+            )
+            SELECT doc_id, text_norm,
+                   CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+            FROM n
         """,
         "latest_by_key": """
             SELECT user_id, event_id, event_type, value,

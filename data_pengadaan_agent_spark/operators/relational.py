@@ -520,6 +520,48 @@ def nation_volume_shipping(
     )
 
 
+def local_supplier_volume(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1995-01-01", date_to: str = "1996-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation inside one region, over one year. The
+    region filter lands on the broadcast nation dim BEFORE any fact
+    touches it, so customers/suppliers outside the region never
+    shuffle. The local-supplier constraint (c_nationkey = s_nationkey)
+    rides the broadcast supplier join as a second equi-key — no extra
+    exchange. Orders is date-pruned at the scan; lineitem shuffles
+    once on l_orderkey."""
+    rev = F.col("l_extendedprice").cast(D18) * (F.lit(1.0) - F.col("l_discount")).cast(D8)
+    r_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    cust = customer.join(
+        F.broadcast(r_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    q_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(q_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(r_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def returned_item_losses(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
 ) -> DataFrame:

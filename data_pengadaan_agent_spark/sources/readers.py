@@ -94,3 +94,37 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str, partition_col: str) -> None:
+    """Incremental partition replacement: with
+    ``partitionOverwriteMode=dynamic`` an overwrite replaces ONLY the
+    partitions present in ``df`` and leaves every other partition's
+    files untouched. This is how a daily job lands one day into a
+    100 TB table — the static default would TRUNCATE the whole table
+    first. The conf is set per-write (runtime-settable) and restored,
+    so other writers in the session keep the safer static default."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """ORC sink (built into Spark — no extra package). Same columnar
+    pushdown/pruning properties as parquet; offered because warehouse
+    estates are frequently ORC-side (Hive lineage)."""
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — predicate pushdown and column pruning apply
+    exactly as with parquet (`.explain` shows PushedFilters)."""
+    return spark.read.orc(path)

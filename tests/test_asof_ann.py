@@ -92,3 +92,37 @@ def test_asof_pandas_strategy_matches_window(spark, tables):
     b = asof_join_backward_pandas(purchases, clicks, **kw)
     key = lambda r: (r["p_id"], r["c_id_right"])
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_kmeans_lloyd_invariants(spark, tables):
+    """Lloyd invariants: every vector is assigned to its ACTUAL
+    nearest trained centroid, and total inertia does not increase
+    with more iterations."""
+    import numpy as np
+    from data_pengadaan_agent_spark.operators.similarity import kmeans_lloyd
+
+    emb = tables["embeddings"]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+
+    def inertia(assign_df, iters):
+        # recompute centroids as the mean of each cluster, then sum
+        # each vector's squared distance to its assigned centroid
+        a = {r["vec_id"]: r["cluster"] for r in assign_df.collect()}
+        cents = {}
+        for c in set(a.values()):
+            members = [vecs[i] for i, ci in a.items() if ci == c]
+            cents[c] = np.mean(members, axis=0)
+        return sum(float(((vecs[i] - cents[c]) ** 2).sum()) for i, c in a.items()), a
+
+    i1, a1 = inertia(kmeans_lloyd(emb, k=4, iters=1), 1)
+    i3, a3 = inertia(kmeans_lloyd(emb, k=4, iters=3), 3)
+    assert i3 <= i1 + 1e-9
+    assert set(a3.values()) <= {0, 1, 2, 3}
+    # iters=1 assignment must equal brute-force nearest of the init
+    # centroids (ids 0..3)
+    init = {c: vecs[c] for c in range(4)}
+    for vid, c in list(a1.items())[:50]:
+        dists = {cid: float(((vecs[vid] - cv) ** 2).sum()) for cid, cv in init.items()}
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert c == best, f"vec {vid}: got {c}, nearest {best}"

@@ -191,3 +191,32 @@ def test_derived_partsupp_parity_and_shape(spark, tables):
     # no shuffle in the derivation plan (pure projection + explode)
     plan = ps._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_overwrite_preserves_untouched(spark, tmp_path):
+    """The dynamic mode must replace only the partitions present in
+    the incoming frame — the static default would truncate the table."""
+    path = str(tmp_path / "daily")
+    full = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3)], "day STRING, v INT"
+    )
+    RD.write_partitioned(full, path, "day")
+    # re-land ONLY d2 with new values
+    delta = spark.createDataFrame([("d2", 99)], "day STRING, v INT")
+    RD.overwrite_partitions_dynamic(delta, path, "day")
+    back = {(r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert back == {("d1", 1), ("d1", 2), ("d2", 99)}
+    # conf restored to the safer default afterwards
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"
+
+
+def test_orc_round_trip_pushdown(spark, tables, tmp_path):
+    path = str(tmp_path / "orders_orc")
+    RD.write_orc(tables["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice"), path)
+    back = RD.read_orc(spark, path)
+    assert back.count() == tables["orders"].count()
+    plan = (
+        back.filter(back["o_orderstatus"] == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan

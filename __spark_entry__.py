@@ -22,7 +22,7 @@ from data_pengadaan_agent_spark.operators import relational as R
 from data_pengadaan_agent_spark.operators import similarity as S
 from data_pengadaan_agent_spark.operators import textan as X
 from data_pengadaan_agent_spark.operators.filters import filter_keywords
-from data_pengadaan_agent_spark.sources.catalog import load_table
+from data_pengadaan_agent_spark.sources.catalog import load_table, spread
 from data_pengadaan_agent_spark.streaming import windows as SW
 
 SF0001 = "/root/testdata/sf0.001"
@@ -636,7 +636,10 @@ def _q_tpch_q21(spark, sf):
     residual) — no per-row re-execution; supplier dim broadcast."""
     from data_pengadaan_agent_spark.sources.derived import derive_line_dates
 
-    li = derive_line_dates(load_table(spark, sf, "lineitem"))
+    # spread: the per-order multi-DISTINCT aggregate expands 600k+
+    # lineitem rows before its partial agg — keep that off one core
+    # when the fixture scan is a single split.
+    li = derive_line_dates(spread(load_table(spark, sf, "lineitem"), "l_orderkey"))
     is_late = F.col("l_receiptdate") > F.col("l_commitdate")
     late = li.filter(is_late).select("l_orderkey", "l_suppkey")
     # Rewrite of the textbook EXISTS ("another supplier on the order")

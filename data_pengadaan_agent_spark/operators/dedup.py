@@ -64,7 +64,12 @@ def tokens_col(text_col: str):
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) pairs: n-gram word shingles via a transform over
-    token positions — no UDF, no explode-then-window."""
+    token positions — no UDF, no explode-then-window. spread() keeps
+    the shingle explode + downstream minhash aggregates wide even off
+    a single-split input (see sources/catalog.spread)."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    df = spread(df, id_col)
     toks = tokens_col(text_col)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -233,7 +238,9 @@ def simhash_col(text_col: str = "text"):
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return df.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    return spread(df, id_col).select(F.col(id_col), simhash_col(text_col).alias("simhash"))
 
 
 def simhash_pairs(
@@ -475,7 +482,9 @@ def simhash_pairs_arith(
 ) -> DataFrame:
     """Manku-style block-match candidates + exact popcount verify over
     the arithmetic 62-bit signatures."""
-    sig = df.select(F.col(id_col), simhash_col_arith(text_col).alias("simhash"))
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    sig = spread(df, id_col).select(F.col(id_col), simhash_col_arith(text_col).alias("simhash"))
     chunked = sig.select(
         id_col,
         "simhash",

@@ -758,7 +758,13 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     distincts / min / max (stringified at the edge for a uniform
     schema). ONE aggregation job computes every metric for every
     column (a single row of partial-aggregated scalars), then a stack()
-    unpivot turns it long — never one pass per column."""
+    unpivot turns it long — never one pass per column. The input goes
+    through spread() first: multi-DISTINCT aggregation expands the
+    input 1+n_cols× before the partial aggregate, and a single-split
+    scan would run that expansion on one core."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    df = spread(df)
     aggs = []
     for c in cols:
         aggs += [

@@ -582,6 +582,29 @@ def _q_kmeans_clusters(spark, sf):
     return S.kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2)
 
 
+def _q_resample_ffill(spark, sf):
+    """Daily resample + forward fill (operators/relational.
+    resample_ffill): per-user regular day grid over the user's own
+    observation span, gap days carry the last observed daily mean."""
+    ev = load_table(spark, sf, "events")
+    out = R.resample_ffill(ev, "user_id", "ts", "value", step="day")
+    return out.select(
+        "user_id",
+        F.date_format("slot", "yyyy-MM-dd").alias("slot"),
+        "value_ffill",
+        "observed",
+    )
+
+
+def _q_pack_sequences(spark, sf):
+    """Token-budget sequence packing (operators/textan.pack_sequences):
+    (shard, bin, offset) assignment for 512-token training windows —
+    integer arithmetic end-to-end, exact SQL twin."""
+    return X.pack_sequences(
+        load_table(spark, sf, "documents"), budget=512, shards=8
+    )
+
+
 def _q_chunk_text(spark, sf):
     """Context-window chunking (operators/textan.chunk_text): docs →
     overlapping 200-char chunks with [start, end) provenance spans."""
@@ -1290,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": _q_profile_columns,
         "tpch_q5_local_supplier": _q_tpch_q5,
         "kmeans_clusters": _q_kmeans_clusters,
+        "resample_ffill": _q_resample_ffill,
+        "pack_sequences": _q_pack_sequences,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "normalize_text": _q_normalize_text,
@@ -2024,6 +2049,46 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY 1
             )
             SELECT vec_id, cluster FROM a2
+        """,
+        "resample_ffill": """
+            WITH b AS (
+              SELECT user_id, date_trunc('day', min(ts)) AS t0,
+                     date_trunc('day', max(ts)) AS t1
+              FROM events GROUP BY 1
+            ), grid AS (
+              SELECT user_id,
+                     unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS slot
+              FROM b
+            ), obs AS (
+              SELECT user_id, date_trunc('day', ts) AS slot,
+                     round(avg(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            )
+            SELECT g.user_id, strftime(g.slot, '%Y-%m-%d') AS slot,
+                   last_value(o.v IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.slot
+                     ROWS UNBOUNDED PRECEDING) AS value_ffill,
+                   o.v IS NOT NULL AS observed
+            FROM grid g LEFT JOIN obs o
+              ON g.user_id = o.user_id AND g.slot = o.slot
+        """,
+        "pack_sequences": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard
+              FROM documents
+            ), cum AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS c
+              FROM base
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST((c - n_tokens) // 512 AS BIGINT) AS bin_id,
+                   CAST((c - n_tokens) % 512 AS BIGINT) AS offset
+            FROM cum
         """,
         "repetition_stats": """
             WITH w AS (

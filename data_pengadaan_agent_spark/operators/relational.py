@@ -782,3 +782,48 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n, n_nulls, n_distinct, min_value, max_value)"
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step: str = "day",
+) -> DataFrame:
+    """Time-series resampling with forward fill: per key, build the
+    regular ``step`` grid spanning that key's own first→last
+    observation (sequence + explode — no driver-side calendar), left
+    join the per-slot aggregate, and carry the last non-null value
+    forward with last(ignorenulls) over a per-key ordered window.
+    Slot values are rounded BEFORE the fill so both engines propagate
+    the identical literal. Cost at scale: one shuffle on the key for
+    the grid/obs join + one for the window — both on the same key, so
+    AQE/exchange-reuse collapses them; grid size is bounded by
+    span/step per key, never |rows|."""
+    t0 = F.date_trunc(step, F.min(ts_col))
+    t1 = F.date_trunc(step, F.max(ts_col))
+    bounds = df.groupBy(key_col).agg(t0.alias("_t0"), t1.alias("_t1"))
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"interval 1 {step}"))
+        ).alias("slot"),
+    )
+    obs = df.groupBy(
+        F.col(key_col), F.date_trunc(step, F.col(ts_col)).alias("slot")
+    ).agg(F.round(F.avg(val_col), 6).alias("_v"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "slot"], "left")
+        .select(
+            F.col(key_col),
+            F.col("slot"),
+            F.last("_v", ignorenulls=True).over(w).alias("value_ffill"),
+            F.col("_v").isNotNull().alias("observed"),
+        )
+    )

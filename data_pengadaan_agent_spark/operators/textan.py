@@ -14,7 +14,7 @@ in-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny embedded stopword list (the reference's list is not shipped;
@@ -403,4 +403,47 @@ def normalize_text(
         F.col(id_col),
         norm.alias("text_norm"),
         F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Sequence packing for training batches: assign each document a
+    (shard, bin, offset) so concatenated documents fill ~``budget``
+    token windows. Distributed form of greedy packing: documents
+    shard by id hash, and within a shard the bin is the token-prefix
+    sum divided by the budget (first-fit by offset — a document whose
+    start offset lands in bin b belongs to b even if its tail would
+    straddle, so bins overflow by at most one document; exact
+    close-the-bin greedy packing is inherently sequential and buys
+    <1% fill). All integer arithmetic — the shard comes from the same
+    Knuth multiplicative hash as train_test_split, so the whole
+    assignment is SQL-expressible for the value-checked twin; prefix
+    sums come from ONE running-sum window per shard, so the operator
+    costs one hash exchange on the shard key."""
+    from data_pengadaan_agent_spark.operators.sampling import split_hash_col
+
+    n_tok = F.size(tokens(text_col))
+    base = df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.pmod(split_hash_col(id_col), F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        F.col(id_col),
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("bin_id"),
+        F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("bigint").alias("offset"),
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pengadaan_agent_spark.operators import multimodal as M
 from data_pengadaan_agent_spark.operators import textan as X
 
@@ -156,3 +158,38 @@ def test_normalize_text(spark):
     r = X.normalize_text(df).first()
     assert r["text_norm"] == "hello world v2 1"
     assert r["n_chars_norm"] == len("hello world v2 1")
+
+
+def test_pack_sequences_invariants(spark, tables):
+    out = X.pack_sequences(tables["documents"], budget=512, shards=8).collect()
+    assert len(out) == tables["documents"].count()
+    by_bin = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8 and r["offset"] < 512
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    # first-fit-by-offset: every bin's START offsets stay under budget,
+    # and total tokens overflow the budget by at most one document
+    for rows in by_bin.values():
+        rows.sort(key=lambda r: r["offset"])
+        total = sum(r["n_tokens"] for r in rows)
+        assert total - rows[-1]["n_tokens"] < 512
+
+
+def test_resample_ffill_fills_gaps(spark):
+    from data_pengadaan_agent_spark.operators.relational import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0),
+            (1, "2024-01-03 09:00:00", 7.0),   # Jan 2 is a gap
+            (2, "2024-01-05 00:30:00", 1.0),
+        ],
+        "user_id LONG, ts STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {(r["user_id"], str(r["slot"])[:10]): r
+            for r in resample_ffill(df, "user_id", "ts", "value", step="day").collect()}
+    assert len(rows) == 4  # u1: 3 days, u2: 1 day
+    gap = rows[(1, "2024-01-02")]
+    assert gap["value_ffill"] == 5.0 and gap["observed"] is False
+    assert rows[(1, "2024-01-03")]["value_ffill"] == 7.0
+    assert rows[(2, "2024-01-05")]["observed"] is True

@@ -582,6 +582,21 @@ def _q_kmeans_clusters(spark, sf):
     return S.kmeans_lloyd(emb, "embedding", "vec_id", k=4, iters=2)
 
 
+def _q_funnel_conversion(spark, sf):
+    """Ordered funnel (operators/relational.funnel_conversion):
+    view → click → purchase survival per user with strict time
+    ordering between steps."""
+    ev = load_table(spark, sf, "events")
+    return R.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+def _q_skew_profile(spark, sf):
+    """Join-key skew diagnostics (operators/relational.skew_profile)
+    over the events user key: top-10 heaviest keys with row share and
+    skew factor."""
+    return R.skew_profile(load_table(spark, sf, "events"), "user_id", top_k=10)
+
+
 def _q_resample_ffill(spark, sf):
     """Daily resample + forward fill (operators/relational.
     resample_ffill): per-user regular day grid over the user's own
@@ -1315,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "resample_ffill": _q_resample_ffill,
         "pack_sequences": _q_pack_sequences,
+        "funnel_conversion": _q_funnel_conversion,
+        "skew_profile": _q_skew_profile,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "normalize_text": _q_normalize_text,
@@ -2049,6 +2066,48 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY 1
             )
             SELECT vec_id, cluster FROM a2
+        """,
+        "funnel_conversion": """
+            WITH s0 AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+              FROM events GROUP BY 1
+            ), s1 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'click' AND s0.t0 IS NOT NULL
+                              AND e.ts > s0.t0 THEN e.ts END) AS t1
+              FROM events e JOIN s0 ON e.user_id = s0.user_id GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'purchase' AND s1.t1 IS NOT NULL
+                              AND e.ts > s1.t1 THEN e.ts END) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY 1
+            ), c AS (
+              SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2
+              FROM s0 JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+            )
+            SELECT CAST(step_no AS INT) AS step_no, step,
+                   CAST(n_users AS BIGINT) AS n_users, conversion
+            FROM (
+              SELECT 1 AS step_no, 'view' AS step, n0 AS n_users,
+                     round(n0 * 1.0 / greatest(n0, 1), 6) AS conversion FROM c
+              UNION ALL
+              SELECT 2, 'click', n1, round(n1 * 1.0 / greatest(n0, 1), 6) FROM c
+              UNION ALL
+              SELECT 3, 'purchase', n2, round(n2 * 1.0 / greatest(n0, 1), 6) FROM c
+            )
+        """,
+        "skew_profile": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+              FROM events GROUP BY 1
+            ), t AS (
+              SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nkeys FROM c
+            )
+            SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                   round(cnt * 1.0 / total, 6) AS share,
+                   round(cnt * nkeys * 1.0 / total, 6) AS skew_factor
+            FROM c, t ORDER BY cnt DESC, key LIMIT 10
         """,
         "resample_ffill": """
             WITH b AS (

@@ -827,3 +827,82 @@ def resample_ffill(
             F.col("_v").isNotNull().alias("observed"),
         )
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest time step k
+    occurred STRICTLY AFTER the user's step k-1 time; the output is
+    one row per step with the surviving-user count and the conversion
+    rate vs step 1. Each stage is a conditional min() aggregate per
+    user — k-1 re-aggregations of the (already user-partitioned)
+    event set, all on the same key so the per-user frame shuffles
+    once and exchange reuse covers the rest. Never a per-user
+    collect or UDF."""
+    per_user = events.select(F.col(user_col), F.col(type_col), F.col(ts_col))
+    stage = per_user.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t0")
+    )
+    times = ["t0"]
+    for i, s in enumerate(steps[1:], start=1):
+        prev = times[-1]
+        joined = per_user.join(stage, user_col)
+        stage = joined.groupBy(user_col, *times).agg(
+            F.min(
+                F.when(
+                    (F.col(type_col) == s) & F.col(prev).isNotNull()
+                    & (F.col(ts_col) > F.col(prev)),
+                    F.col(ts_col),
+                )
+            ).alias(f"t{i}")
+        )
+        times.append(f"t{i}")
+    counts = stage.agg(
+        *[F.count(F.col(t)).alias(f"n{i}") for i, t in enumerate(times)]
+    )
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("step_no"),
+            F.lit(s).alias("step"),
+            F.col(f"n{i}").alias("n_users"),
+            F.round(F.col(f"n{i}") / F.greatest(F.col("n0"), F.lit(1)), 6).alias(
+                "conversion"
+            ),
+        )
+        for i, s in enumerate(steps)
+    ]
+    return counts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnostics — the operational answer to 'will
+    this key shuffle hot?': per-key counts aggregated once (map-side
+    partials), then top-k heaviest keys each annotated with the
+    key's share of all rows and the skew factor (count / mean
+    rows-per-key). A skew factor ≫ 1 on a join key is the signal to
+    salt or let AQE split that partition. TakeOrderedAndProject caps
+    the output; the full per-key frame is never sorted."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("_nkeys") / F.col("_total"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(top_k)
+    )

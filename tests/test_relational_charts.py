@@ -145,3 +145,35 @@ def test_profile_columns_single_pass(tables):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase BEFORE the user's first click must not count."""
+    df = spark.createDataFrame(
+        [
+            # u1 completes in order
+            (1, "view", "2024-01-01 10:00:00"),
+            (1, "click", "2024-01-01 11:00:00"),
+            (1, "purchase", "2024-01-01 12:00:00"),
+            # u2 purchases before clicking -> survives only to click
+            (2, "view", "2024-01-01 10:00:00"),
+            (2, "purchase", "2024-01-01 10:30:00"),
+            (2, "click", "2024-01-01 11:00:00"),
+            # u3 never views -> counts nowhere
+            (3, "click", "2024-01-01 10:00:00"),
+        ],
+        "user_id LONG, event_type STRING, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["step"]: r for r in
+           R.funnel_conversion(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"]["n_users"] == 2
+    assert out["click"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1
+    assert out["purchase"]["conversion"] == 0.5
+
+
+def test_skew_profile_topk(spark, tables):
+    out = R.skew_profile(tables["orders"], "o_custkey", top_k=5).collect()
+    assert len(out) == 5
+    assert out[0]["cnt"] >= out[-1]["cnt"]
+    assert all(0 < r["share"] < 1 and r["skew_factor"] > 0 for r in out)

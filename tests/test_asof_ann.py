@@ -126,3 +126,15 @@ def test_kmeans_lloyd_invariants(spark, tables):
         dists = {cid: float(((vecs[vid] - cv) ** 2).sum()) for cid, cv in init.items()}
         best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
         assert c == best, f"vec {vid}: got {c}, nearest {best}"
+
+
+def test_ivf_trained_build_partitions_corpus(spark, tables, tmp_path):
+    from data_pengadaan_agent_spark.operators.similarity import build_ivf_table
+
+    path = str(tmp_path / "ivf_trained")
+    emb = tables["embeddings"]
+    build_ivf_table(emb, "embedding", 64, path, n_centroids=4, train_iters=2)
+    back = spark.read.parquet(path)
+    assert back.count() == emb.count()
+    cents = {r["centroid_id"] for r in back.select("centroid_id").distinct().collect()}
+    assert cents <= {0, 1, 2, 3} and len(cents) >= 2

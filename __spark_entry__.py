@@ -1300,6 +1300,54 @@ def _q_flagship(spark, sf):
     return _flagship(spark, sf)
 
 
+# Target language mixture for corpus_mix — LLaMA-style mixing table.
+_MIX_WEIGHTS = {"en": 0.4, "es": 0.2, "de": 0.2, "fr": 0.15, "zh": 0.05}
+
+
+def _q_passage_dedup(spark, sf):
+    """Passage-level duplication audit (operators/dedup
+    .passage_dedup_stats): 16-token windows, per-doc share of
+    passages that also appear in another document."""
+    return D.passage_dedup_stats(load_table(spark, sf, "documents"))
+
+
+def _q_pii_pseudonymize(spark, sf):
+    """PII pseudonymization + k-anonymity audit (operators/privacy
+    .pseudonymize_customers): md5 names, nation→region and
+    balance→bucket generalization, quasi-identifier group sizes."""
+    from data_pengadaan_agent_spark.operators.privacy import pseudonymize_customers
+
+    return pseudonymize_customers(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def _q_tfidf_top_terms(spark, sf):
+    """Per-doc top-3 terms by exact-arithmetic tf·idf
+    (operators/textan.tfidf_top_terms)."""
+    return X.tfidf_top_terms(load_table(spark, sf, "documents"))
+
+
+def _q_corpus_mix(spark, sf):
+    """Weighted language mixing (operators/sampling.corpus_mix):
+    deterministic downsample to the target mixture."""
+    from data_pengadaan_agent_spark.operators.sampling import corpus_mix
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "source")
+    return corpus_mix(docs, _MIX_WEIGHTS)
+
+
+def _q_quantile_band(spark, sf):
+    """Quantile-band length filter (operators/sampling.quantile_band):
+    keep docs inside the [p05, p95] discrete-quantile n_chars band."""
+    from data_pengadaan_agent_spark.operators.sampling import quantile_band
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_band(docs, "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the entries the round-1 driver gate did NOT reach
     (it checked exactly the first 50 registered queries) come FIRST:
@@ -1335,6 +1383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "normalize_text": _q_normalize_text,
+        "passage_dedup": _q_passage_dedup,
+        "pii_pseudonymize": _q_pii_pseudonymize,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "corpus_mix": _q_corpus_mix,
+        "quantile_band": _q_quantile_band,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
@@ -1963,6 +2016,90 @@ FROM sid GROUP BY user_id, session_id
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "passage_dedup": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     array_to_string(tk[(1 + i*16):(i*16 + 16)], ' ') AS passage
+              FROM t, UNNEST(range(CAST(ceil(greatest(len(tk), 1)/16.0) AS BIGINT))) AS u(i)
+            ), d AS (
+              SELECT passage, count(DISTINCT doc_id) AS ndocs FROM p GROUP BY 1
+            )
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_passages,
+                   CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_shared_passages,
+                   round(CAST(sum(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS shared_ratio
+            FROM p JOIN d USING (passage) GROUP BY 1
+        """,
+        "pii_pseudonymize": """
+            WITH g AS (
+              SELECT c_custkey, md5(c_name) AS name_pseudo, r_name AS region,
+                     c_mktsegment AS segment,
+                     CAST(floor(c_acctbal/1000) AS BIGINT) * 1000 AS bal_bucket
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            )
+            SELECT c_custkey, name_pseudo, region, segment, bal_bucket,
+                   CAST(count(*) OVER (PARTITION BY region, segment, bal_bucket)
+                        AS BIGINT) AS group_n,
+                   count(*) OVER (PARTITION BY region, segment, bal_bucket) >= 5
+                     AS k_ok
+            FROM g
+        """,
+        "tfidf_top_terms": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM tk GROUP BY 1, 2
+            ), dfq AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tk GROUP BY 1
+            ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+            SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                     tf.tf * ((n.n_total * 1000000) // dfq.df) AS score,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ((n.n_total * 1000000) // dfq.df) DESC,
+                                tf.term) AS rnk
+              FROM tf JOIN dfq USING (term), n
+            ) WHERE rnk <= 3
+        """,
+        "corpus_mix": """
+            WITH w(lang, w) AS (VALUES ('en', 0.4), ('es', 0.2), ('de', 0.2),
+                                       ('fr', 0.15), ('zh', 0.05)),
+            c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                  FROM documents GROUP BY 1),
+            cw AS (SELECT c.lang, c.n, w.w FROM c JOIN w USING (lang)),
+            s AS (SELECT min(CAST(n AS DOUBLE) / w) AS s FROM cw),
+            r AS (SELECT cw.lang,
+                         CAST(floor((cw.w * s.s / CAST(cw.n AS DOUBLE))
+                                    * 4294967296) AS BIGINT) AS thresh
+                  FROM cw, s)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE (d.doc_id * 2654435761) % 4294967296 < r.thresh
+        """,
+        "quantile_band": """
+            WITH b AS (
+              SELECT quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars
+            FROM documents, b
+            WHERE n_chars BETWEEN b.lo AND b.hi
+        """,
         "parse_ts_coerce": """
             WITH dirty AS (
               SELECT o_orderkey,

@@ -509,3 +509,53 @@ def simhash_pairs_arith(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- passage-level dedup ----------------------------------------------------
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Passage-level duplication audit: split each document's token
+    stream into fixed non-overlapping ``window``-token passages, count
+    per passage how many distinct documents contain it, and report
+    per-doc ``n_passages`` plus the share of passages that also occur
+    in ANOTHER document (the substring-dedup idea of Lee et al.
+    "Deduplicating Training Data Makes Language Models Better",
+    ACL'22, expressed relationally — whole-suffix-array granularity
+    traded for fixed windows so it stays one explode + one agg).
+
+    Scale shape: the explode is shuffle-free; the corpus-wide count
+    keys on ``xxhash64(passage)`` so the aggregation shuffle carries
+    (64-bit hash, partial count), never passage text; the join back is
+    an equi-join on the same hash (collision probability ~n²/2⁶⁴ —
+    negligible at corpus scale). The DuckDB oracle joins on the
+    passage STRING itself: semantically identical modulo xxhash64
+    collisions, so the twin also guards the hash-keying shortcut.
+    """
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    t = tokens_col(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(window))
+    passages = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, window)))
+    p = spread(df, id_col).select(
+        F.col(id_col), F.explode(passages).alias("passage")
+    )
+    ph = p.select(F.col(id_col), F.xxhash64("passage").alias("_ph"))
+    docs_per = ph.groupBy("_ph").agg(F.count_distinct(F.col(id_col)).alias("_ndocs"))
+    shared = F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        ph.join(docs_per, "_ph")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            shared.alias("n_shared_passages"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("shared_ratio"),
+        )
+    )

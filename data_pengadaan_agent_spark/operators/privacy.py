@@ -1,0 +1,64 @@
+"""Privacy / PII handling operators for training-data pipelines.
+
+Beyond-reference surface (driver contract): corpora destined for
+model training routinely pass through a pseudonymization +
+k-anonymity generalization step before leaving the trust boundary.
+The reference has no privacy handling; this module provides the
+standard shape over the TPC-H-ish fixtures:
+
+- direct identifiers are replaced by a keyed one-way digest
+  (``md5`` here — any hex digest built-in slots in),
+- quasi-identifiers are GENERALIZED up a hierarchy (nation → region,
+  exact balance → fixed-width bucket),
+- every row is annotated with its quasi-identifier group size so
+  downstream can suppress groups smaller than k (Sweeney 2002,
+  "k-anonymity: a model for protecting privacy").
+
+Everything is built-in column expressions + two broadcast dim joins +
+one window count, so the operator is a single hash-partitioned pass
+at any scale: the shuffle keys are the (already generalized, low
+cardinality) quasi-identifiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pseudonymize_customers(
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    k: int = 5,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Pseudonymize + generalize the customer table and audit
+    k-anonymity over the generalized quasi-identifiers
+    (region, market segment, balance bucket)."""
+    gen = (
+        customer.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_custkey"),
+            F.md5(F.col("c_name")).alias("name_pseudo"),
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.floor(F.col("c_acctbal") / F.lit(bucket_width)).cast("bigint")
+                * F.lit(bucket_width)
+            ).alias("bal_bucket"),
+        )
+    )
+    w = Window.partitionBy("region", "segment", "bal_bucket")
+    return gen.select(
+        "*",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_n"),
+        (F.count(F.lit(1)).over(w) >= F.lit(k)).alias("k_ok"),
+    )

@@ -63,3 +63,85 @@ def sample_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def corpus_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted corpus mixing: downsample each group (language,
+    source, domain...) so the surviving corpus matches the target
+    proportions in ``weights`` — the data-mixing step of every LLM
+    pretraining recipe (e.g. The Pile / LLaMA mixture tables).
+
+    The output size is the LARGEST total achievable without
+    upsampling:  S = min_g(n_g / w_g);  each group then keeps
+    rate_g = w_g·S / n_g of its rows, selected by the deterministic
+    Knuth hash of the id (stable under re-runs and repartitioning,
+    same trick as train_test_split). Groups absent from ``weights``
+    are dropped.
+
+    Scale shape: one small per-group count (partial-aggregated
+    shuffle), rates computed on that tiny frame, broadcast-joined
+    back onto the corpus, then a stateless hash filter — the corpus
+    itself is scanned once and never shuffled.
+    """
+    w_expr = F.lit(None).cast("double")
+    for g, w in weights.items():
+        w_expr = F.when(F.col(group_col) == g, F.lit(float(w))).otherwise(w_expr)
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .withColumn("_w", w_expr)
+        .filter(F.col("_w").isNotNull())
+    )
+    feasible = counts.agg(
+        F.min(F.col("_n").cast("double") / F.col("_w")).alias("_s")
+    )
+    rates = counts.crossJoin(F.broadcast(feasible)).select(
+        group_col,
+        F.floor(
+            (F.col("_w") * F.col("_s") / F.col("_n").cast("double")) * F.lit(float(_M32))
+        )
+        .cast("bigint")
+        .alias("_thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(split_hash_col(id_col) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def quantile_band(
+    df: DataFrame, value_col: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the corpus's
+    [lo, hi] discrete quantile band — the standard outlier-length
+    filter of corpus curation (drop the empty shells and the
+    concatenated monsters).
+
+    ``percentile_disc`` picks an ACTUAL data value (first value with
+    cumulative distribution ≥ p), so the band never depends on
+    interpolation arithmetic — exact on any engine. The thresholds
+    are a 1-row aggregate broadcast into a stateless filter: the
+    corpus is scanned once, unshuffled. Spark's exact percentile
+    aggregates a value→count map, so its memory is bounded by
+    DISTINCT values, not rows; for extreme-cardinality columns swap
+    in approx_percentile.
+    """
+    band = df.agg(
+        F.expr(
+            f"percentile_disc({lo}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_lo"),
+        F.expr(
+            f"percentile_disc({hi}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(band))
+        .filter(F.col(value_col).between(F.col("_lo"), F.col("_hi")))
+        .drop("_lo", "_hi")
+    )

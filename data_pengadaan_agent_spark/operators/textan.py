@@ -447,3 +447,46 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("bin_id"),
         F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("bigint").alias("offset"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf — the classic keyword
+    extractor over a corpus (vs ``top_terms_per_doc``'s raw tf).
+
+    The idf factor is an EXACT-ARITHMETIC proxy: instead of the
+    floating ``ln(N/df)`` (whose last-ulp libm drift across engines
+    would break value-hash verification), the score is
+    ``tf * ((N * 1_000_000) DIV df)`` — integer division, strictly
+    decreasing in df, identical on any SQL engine. Ranking behavior
+    matches 1/df-weighted tf·idf; swap the expression for
+    ``ln((N+1)/(df+1))`` when cross-engine equality is not required.
+
+    Scale shape: tf agg shuffles (doc, term); df agg shuffles (term)
+    with partial aggregation; the df side joins back on term (shuffle
+    equi-join — term vocabulary is Zipfian but the df table is
+    term-distinct so no skew amplification); corpus size N arrives via
+    a broadcast 1-row cross join, and the final top-k is one window
+    partitioned by doc.
+    """
+    t = tokens(text_col)
+    exploded = df.select(F.col(id_col), F.explode(t).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = exploded.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("df")
+    )
+    n_total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("score", F.expr("tf * ((n_total * 1000000) DIV df)"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", F.col("score").cast("bigint").alias("score"), "rnk")
+    )

@@ -1,0 +1,113 @@
+"""Tests for the round-2 curation additions: passage-level dedup,
+PII pseudonymization / k-anonymity, tf-idf top terms, corpus mixing,
+and quantile-band filtering."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import dedup as D
+from data_pengadaan_agent_spark.operators import textan as X
+from data_pengadaan_agent_spark.operators.privacy import pseudonymize_customers
+from data_pengadaan_agent_spark.operators.sampling import corpus_mix, quantile_band
+
+
+@pytest.fixture()
+def pdocs(spark):
+    # 36 tokens = 3 passages of 16,16,4; doc 2 shares doc 1's first window
+    w1 = " ".join(f"t{i}" for i in range(16))
+    w2 = " ".join(f"u{i}" for i in range(16))
+    tail = "x y z w"
+    rows = [
+        (1, f"{w1} {w2} {tail}"),
+        (2, f"{w1} only half".strip()),
+        (3, "entirely different tokens here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_passage_dedup_counts_and_shared(pdocs):
+    out = {r["doc_id"]: r for r in D.passage_dedup_stats(pdocs).collect()}
+    assert out[1]["n_passages"] == 3
+    # doc 1's first window also opens doc 2's text? No — doc 2's first
+    # passage is w1's 16 tokens exactly (window size 16), so shared.
+    assert out[1]["n_shared_passages"] == 1
+    assert out[2]["n_passages"] == 2  # 16 tokens + 2 leftover
+    assert out[2]["n_shared_passages"] == 1
+    assert out[3]["n_shared_passages"] == 0
+    assert abs(out[1]["shared_ratio"] - 1 / 3) < 1e-6
+
+
+def test_passage_dedup_short_doc_single_passage(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b")], "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in D.passage_dedup_stats(df).collect()}
+    assert out[1]["n_passages"] == 1 and out[1]["n_shared_passages"] == 1
+
+
+def test_pseudonymize_k_anonymity(tables):
+    out = pseudonymize_customers(
+        tables["customer"], tables["nation"], tables["region"]
+    )
+    rows = out.collect()
+    assert len(rows) == tables["customer"].count()
+    # pseudonym is a 32-hex digest, never the raw name
+    assert all(len(r["name_pseudo"]) == 32 for r in rows[:20])
+    # group_n is consistent: count rows per (region, segment, bal_bucket)
+    from collections import Counter
+
+    c = Counter((r["region"], r["segment"], r["bal_bucket"]) for r in rows)
+    for r in rows[:50]:
+        assert r["group_n"] == c[(r["region"], r["segment"], r["bal_bucket"])]
+        assert r["k_ok"] == (r["group_n"] >= 5)
+    # buckets are multiples of the width
+    assert all(r["bal_bucket"] % 1000 == 0 for r in rows[:50])
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    rows = [
+        (1, "common common common rare"),
+        (2, "common filler words"),
+        (3, "common other things"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = X.tfidf_top_terms(df, k=2).filter(F.col("doc_id") == 1).collect()
+    by_rank = {r["rnk"]: r for r in out}
+    # tf=3 * idf(df=3) = 3*1_000_000 vs tf=1 * idf(df=1) = 3_000_000:
+    # tie broken by term name — 'common' < 'rare'
+    assert by_rank[1]["term"] == "common" and by_rank[2]["term"] == "rare"
+    assert by_rank[1]["score"] == by_rank[2]["score"] == 3_000_000
+
+
+def test_corpus_mix_proportions(tables):
+    docs = tables["documents"].select("doc_id", "lang", "source")
+    weights = {"en": 0.5, "es": 0.5}
+    out = corpus_mix(docs, weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"en", "es"}  # unweighted langs dropped
+    # proportions within sampling noise of 50/50
+    total = sum(got.values())
+    assert total > 0
+    assert abs(got.get("en", 0) / total - 0.5) < 0.15
+
+
+def test_corpus_mix_deterministic(tables):
+    docs = tables["documents"].select("doc_id", "lang", "source")
+    a = sorted(r["doc_id"] for r in corpus_mix(docs, {"en": 0.6, "de": 0.4}).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in corpus_mix(docs.repartition(7), {"en": 0.6, "de": 0.4}).collect()
+    )
+    assert a == b
+
+
+def test_quantile_band_bounds(tables):
+    docs = tables["documents"].select("doc_id", "n_chars")
+    out = quantile_band(docs, "n_chars")
+    n_all = docs.count()
+    n_kept = out.count()
+    assert 0.85 * n_all <= n_kept <= n_all  # keeps ~90%
+    lo, hi = out.agg(F.min("n_chars"), F.max("n_chars")).first()
+    vals = sorted(r["n_chars"] for r in docs.collect())
+    # thresholds are actual data values (percentile_disc)
+    assert lo in vals and hi in vals

@@ -145,8 +145,16 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """LSH candidates verified by exact shingle-set jaccard — the full
-    near-dup pipeline (candidates cheap, verification exact)."""
+    near-dup pipeline (candidates cheap, verification exact).
+
+    The candidate frame is referenced three times by the verifier
+    (id-restriction union ×2 + the pair-driven intersection join), so
+    it is materialized ONCE via ``localCheckpoint`` — candidates are
+    the small output of LSH banding (that's the whole point of LSH),
+    so the checkpoint is a few executor-local blocks, and without it
+    the signature pipeline would re-run per reference."""
     cand = minhash_lsh_pairs(df, text_col, id_col, n_hashes, bands, shingle_n)
+    cand = cand.localCheckpoint()
     jac = ngram_jaccard_pairs(df, text_col, id_col, shingle_n, threshold=0.0, pairs=cand)
     return jac.filter(F.col("jaccard") >= threshold)
 
@@ -172,19 +180,41 @@ def ngram_jaccard_pairs(
     (round-1 review finding) and at 100 TB would never fit anyway.
     Recomputing it per consumer is a cheap projection+explode off the
     same scan, and Spark reuses the shuffle files of the aggregations
-    built on top of it across the plan."""
+    built on top of it across the plan.
+
+    With ``pairs``, work is proportional to the CANDIDATE set, not the
+    corpus: the shingle frame is first semi-joined down to documents
+    that appear in some candidate pair, and the intersection count is
+    driven pair→shingles (pairs ⋈ shingles(id_a) ⋈ shingles(id_b)) —
+    the corpus-wide shared-shingle equi-join (which degenerates on
+    common shingles) never runs on the LSH path. Candidate pairs that
+    share no shingle drop out, exactly as they do on the unrestricted
+    path (jaccard 0)."""
     sh = shingles(df, text_col, id_col, n)
+    if pairs is not None:
+        ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(ids, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+        inter = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -1348,6 +1348,35 @@ def _q_quantile_band(spark, sf):
     return quantile_band(docs, "n_chars")
 
 
+# Deny-list for the span-level scrub demo — stand-ins for PII classes
+# (the fixture text is synthetic tokens; real deployments pass email /
+# phone / id regex classes through the same pattern argument).
+_SCRUB_TERMS = ("customer", "vector", "stream")
+
+
+def _q_shuffle_shard(spark, sf):
+    """Deterministic training-order shuffle + 8-way sharding
+    (operators/sampling.shuffle_shard)."""
+    from data_pengadaan_agent_spark.operators.sampling import shuffle_shard
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return shuffle_shard(docs, n_shards=8)
+
+
+def _q_scrub_terms(spark, sf):
+    """Span-level deny-list redaction + counts
+    (operators/privacy.scrub_terms)."""
+    from data_pengadaan_agent_spark.operators.privacy import scrub_terms
+
+    return scrub_terms(load_table(spark, sf, "documents"), _SCRUB_TERMS)
+
+
+def _q_mode_per_group(spark, sf):
+    """Per-language dominant source with pinned tie-break
+    (operators/aggregates.mode_per_group)."""
+    return A.mode_per_group(load_table(spark, sf, "documents"), "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the entries the round-1 driver gate did NOT reach
     (it checked exactly the first 50 registered queries) come FIRST:
@@ -1388,6 +1417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "corpus_mix": _q_corpus_mix,
         "quantile_band": _q_quantile_band,
+        "shuffle_shard": _q_shuffle_shard,
+        "scrub_terms": _q_scrub_terms,
+        "mode_per_group": _q_mode_per_group,
         "tpch_q2_min_cost_supplier": _q_tpch_q2,
         "tpch_q9_product_profit": _q_tpch_q9,
         "tpch_q11_important_stock": _q_tpch_q11,
@@ -2089,6 +2121,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.source
             FROM documents d JOIN r ON d.lang = r.lang
             WHERE (d.doc_id * 2654435761) % 4294967296 < r.thresh
+        """,
+        "shuffle_shard": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     (doc_id * 2654435761) % 4294967296 AS _h
+              FROM documents
+            )
+            SELECT doc_id, lang, CAST(_h % 8 AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY _h % 8 ORDER BY _h, doc_id
+                   ) AS BIGINT) AS pos
+            FROM h
+        """,
+        "scrub_terms": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(customer|vector|stream)\b',
+                                  '[REDACTED]', 'g') AS text_scrubbed,
+                   CAST(len(regexp_extract_all(
+                     text, '\b(customer|vector|stream)\b')) AS BIGINT)
+                     AS n_redactions
+            FROM documents
+        """,
+        "mode_per_group": """
+            WITH c AS (
+              SELECT lang, source, CAST(count(*) AS BIGINT) AS n_mode
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT lang, source AS mode_value, n_mode FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n_mode DESC, source) AS rk
+              FROM c
+            ) WHERE rk = 1
         """,
         "quantile_band": """
             WITH b AS (

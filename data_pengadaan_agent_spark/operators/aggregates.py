@@ -183,3 +183,30 @@ def mad_pandas_udaf(
         return float((v - v.median()).abs().median())
 
     return df.groupBy(group_col).agg(_mad(F.col(value_col)).alias(alias))
+
+
+def mode_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Most frequent value of ``value_col`` per group, deterministic
+    tie-break (higher count, then lexicographically smaller value) —
+    the categorical sibling of A5's argmax (value_counts answers "how
+    many of each", mode answers "which one dominates").
+
+    Shape: partial-aggregated count on (group, value) — the shuffle
+    carries distinct pairs, not rows — then a row_number window over
+    the (small) count frame. ``F.mode`` exists but exposes no
+    tie-break contract; this formulation pins one, so results are
+    value-checkable across engines.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mode")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("n_mode").desc(), F.col(value_col)
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(group_col, F.col(value_col).alias("mode_value"), "n_mode")
+    )

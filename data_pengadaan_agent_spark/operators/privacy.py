@@ -62,3 +62,33 @@ def pseudonymize_customers(
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_n"),
         (F.count(F.lit(1)).over(w) >= F.lit(k)).alias("k_ok"),
     )
+
+
+def scrub_terms(
+    df,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    placeholder: str = "[REDACTED]",
+):
+    """Span-level deny-list scrubbing: replace every word-boundary
+    occurrence of the given terms inside the text with ``placeholder``
+    and report the per-document redaction count — the unstructured
+    twin of :func:`pseudonymize_customers` (dictionary-based PII /
+    sensitive-term removal over a corpus; regex classes for emails,
+    phone numbers, ids slot into the same pattern argument).
+
+    Pure column expressions (``regexp_replace`` + ``regexp_count``):
+    stateless, shuffle-free, whole-stage-codegen'd — a single scan at
+    any scale. The pattern uses ``\\b`` boundaries and alternation,
+    supported identically by Java regex and RE2, so the DuckDB twin
+    runs the same pattern verbatim.
+    """
+    pattern = r"\b(" + "|".join(terms) + r")\b"
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(F.col(text_col), pattern, placeholder).alias("text_scrubbed"),
+        F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint").alias(
+            "n_redactions"
+        ),
+    )

@@ -145,3 +145,30 @@ def quantile_band(
         .filter(F.col(value_col).between(F.col("_lo"), F.col("_hi")))
         .drop("_lo", "_hi")
     )
+
+
+def shuffle_shard(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 8
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment
+    — the last step of every pretraining data build: scramble document
+    order (so batches are i.i.d.-ish) and split the stream into
+    ``n_shards`` output shards with a stable within-shard position.
+
+    Order comes from the Knuth hash (no RNG state, stable under
+    repartitioning); ``shard = hash % n_shards`` is a stateless row
+    expression, and ``pos`` is a row_number over (shard) — i.e. the
+    sort is per-shard, never global. At 100 TB this is exactly the
+    "shuffle into K sorted shards" layout (one hash-partitioned
+    exchange into K writers, each sorting its own shard); a single
+    global sequence number would serialize on one reducer and is
+    deliberately not offered.
+    """
+    h = split_hash_col(id_col)
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("_h")
+    )

@@ -111,3 +111,52 @@ def test_quantile_band_bounds(tables):
     vals = sorted(r["n_chars"] for r in docs.collect())
     # thresholds are actual data values (percentile_disc)
     assert lo in vals and hi in vals
+
+
+def test_shuffle_shard_deterministic_and_dense(tables):
+    from data_pengadaan_agent_spark.operators.sampling import shuffle_shard
+
+    docs = tables["documents"].select("doc_id", "lang")
+    a = shuffle_shard(docs, n_shards=4)
+    rows = a.collect()
+    assert len(rows) == docs.count()
+    # every shard's positions are dense 1..n_shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < 4
+        by_shard[r["shard"]].append(r["pos"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # stable under repartitioning
+    b = shuffle_shard(docs.repartition(7), n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_scrub_terms_redacts_and_counts(spark):
+    from data_pengadaan_agent_spark.operators.privacy import scrub_terms
+
+    df = spark.createDataFrame(
+        [(1, "the customer met a customer yesterday"), (2, "no match here"),
+         (3, "customers are not redacted")],  # word boundary: no partial hit
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in scrub_terms(df, ("customer",)).collect()}
+    assert out[1]["n_redactions"] == 2
+    assert out[1]["text_scrubbed"] == "the [REDACTED] met a [REDACTED] yesterday"
+    assert out[2]["n_redactions"] == 0
+    assert out[3]["n_redactions"] == 0 and "customers" in out[3]["text_scrubbed"]
+
+
+def test_mode_per_group_tiebreak(spark):
+    from data_pengadaan_agent_spark.operators.aggregates import mode_per_group
+
+    df = spark.createDataFrame(
+        [("en", "b"), ("en", "b"), ("en", "a"), ("en", "a"), ("de", "z")],
+        "lang STRING, source STRING",
+    )
+    out = {r["lang"]: r for r in mode_per_group(df, "lang", "source").collect()}
+    # tie between a and b at 2 → lexicographically smaller wins
+    assert out["en"]["mode_value"] == "a" and out["en"]["n_mode"] == 2
+    assert out["de"]["mode_value"] == "z" and out["de"]["n_mode"] == 1

@@ -128,3 +128,34 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — predicate pushdown and column pruning apply
     exactly as with parquet (`.explain` shows PushedFilters)."""
     return spark.read.orc(path)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingestion — the actual entry point of an LLM
+    data pipeline: a directory of ``.txt`` shards becomes
+    ``(doc_id, text, source, n_chars)`` ready for the dedup /
+    quality / mixing operators.
+
+    ``whole_files=False`` treats each line as a document (the common
+    one-doc-per-line shard layout); ``True`` reads one document per
+    file (``wholetext``). ``doc_id`` is ``xxhash64(text)`` — content-
+    addressed, so it is deterministic under any partitioning or file
+    ordering; byte-identical documents intentionally collide (they ARE
+    duplicates — ``dedup_exact`` downstream keys on the same hash).
+    ``source`` is the originating file, the provenance column the
+    mixing/contamination operators group by.
+
+    Everything is a stateless projection over the text scan — no
+    shuffle, no driver-side work, splittable line reads at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path, wholetext=whole_files)
+    return raw.select(
+        F.xxhash64(F.col("value")).alias("doc_id"),
+        F.col("value").alias("text"),
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source"),
+        F.length("value").cast("bigint").alias("n_chars"),
+    ).filter(F.length(F.trim(F.col("text"))) > 0)

@@ -131,3 +131,38 @@ def test_q5_dims_broadcast_orders_pruned(spark, tables):
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_selective_dim_join_injects_runtime_bloom_filter(spark, tables):
+    """Spark's runtime bloom-filter injection: a selective filter on
+    the orders side materializes a bloom filter that pre-prunes the
+    lineitem probe side BEFORE the join shuffle. At 100 TB the default
+    size thresholds (10 MB creation side / 10 GB probe scan) enable
+    this automatically; the fixtures are far below them, so the test
+    lowers the thresholds to pin the plan shape Spark would pick at
+    scale. Broadcast is disabled to force the shuffle-join path the
+    feature exists for."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = tables["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = tables["lineitem"]
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy().count()
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan  # filter built on the dim side
+        assert "might_contain" in plan  # ...and probed on the fact side
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

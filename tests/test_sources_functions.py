@@ -220,3 +220,27 @@ def test_orc_round_trip_pushdown(spark, tables, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+
+
+def test_read_text_corpus_lines_and_wholefile(spark, tmp_path):
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "shard0.txt").write_text("alpha beta\ngamma delta\n\n")
+    (d / "shard1.txt").write_text("epsilon zeta\n")
+    out = read_text_corpus(spark, str(d)).collect()
+    assert sorted(r["text"] for r in out) == [
+        "alpha beta", "epsilon zeta", "gamma delta"
+    ]  # blank line dropped
+    by_text = {r["text"]: r for r in out}
+    assert by_text["alpha beta"]["source"] == "shard0.txt"
+    assert by_text["epsilon zeta"]["n_chars"] == 12
+    # content-addressed ids: stable across re-reads and partitioning
+    again = read_text_corpus(spark, str(d)).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+    whole = read_text_corpus(spark, str(d), whole_files=True).collect()
+    assert len(whole) == 2
+    texts = sorted(r["text"] for r in whole)
+    assert texts[0].startswith("alpha beta\ngamma delta")

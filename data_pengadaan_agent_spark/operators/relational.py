@@ -906,3 +906,75 @@ def skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(top_k)
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    rollup: users are cohorted by the week of their FIRST event, and
+    each (cohort_week, offset_weeks) cell counts how many of them were
+    active that many weeks later. ``retention`` is the cell count over
+    the cohort's size, rounded to 6 places.
+
+    Shape: one distinct (user, week) aggregate, one per-user min
+    (both partial-aggregated on user), a user-keyed equi-join, then a
+    count_distinct on the (cohort, offset) pair — every shuffle is on
+    a key whose cardinality shrinks monotonically (events → user-weeks
+    → users → cohort cells). Week arithmetic is integer epoch-seconds
+    division, exact on any engine.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    user_weeks = events.select(
+        F.col(user_col), wk.alias("week")
+    ).distinct()
+    cohorts = user_weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
+    secs_per_week = 7 * 24 * 3600
+    joined = user_weeks.join(cohorts, user_col).select(
+        F.col(user_col),
+        "cohort_week",
+        (
+            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+            / F.lit(secs_per_week)
+        )
+        .cast("bigint")
+        .alias("offset_weeks"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count_distinct(F.col(user_col)).cast("bigint").alias("cohort_n")
+    )
+    cells = joined.groupBy("cohort_week", "offset_weeks").agg(
+        F.count_distinct(F.col(user_col)).cast("bigint").alias("n_active")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "offset_weeks",
+        "n_active",
+        "cohort_n",
+        F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+def activity_heatmap(
+    events: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap cells (counts +
+    distinct users) — the C4-family chart data for temporal usage
+    patterns. ``dow`` is 0=Monday..6=Sunday (Spark ``weekday``;
+    DuckDB ``isodow - 1``). A single partial-aggregated count on a
+    168-value composite key: the shuffle is 168 rows regardless of
+    input size."""
+    return (
+        events.groupBy(
+            F.weekday(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        )
+    )

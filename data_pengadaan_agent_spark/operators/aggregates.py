@@ -12,6 +12,7 @@ order-dependent, so headline money aggregates go through DECIMAL
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -174,12 +175,13 @@ def mad_pandas_udaf(
     per group is the group's values (like any exact median), so use on
     bounded groups or swap the kernel for an approximate P² variant.
     """
-    from pyspark.sql.functions import PandasUDFType
-
-    # explicit functionType: `from __future__ import annotations` turns
-    # hints into strings, which pandas_udf's inference can't read
-    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def _mad(v):
+    # Series -> scalar hints select the grouped-agg eval type (the
+    # PandasUDFType enum is deprecated/removal-tracked in Spark 4).
+    # `from __future__ import annotations` stringifies the hints;
+    # pandas_udf resolves them against this function's __globals__,
+    # which is why pandas must be a MODULE-level import here.
+    @F.pandas_udf("double")
+    def _mad(v: pd.Series) -> float:
         return float((v - v.median()).abs().median())
 
     return df.groupBy(group_col).agg(_mad(F.col(value_col)).alias(alias))

@@ -923,22 +923,20 @@ def cohort_retention(
     (both partial-aggregated on user), a user-keyed equi-join, then a
     count_distinct on the (cohort, offset) pair — every shuffle is on
     a key whose cardinality shrinks monotonically (events → user-weeks
-    → users → cohort cells). Week arithmetic is integer epoch-seconds
-    division, exact on any engine.
+    → users → cohort cells). Week arithmetic is DATE subtraction (both
+    endpoints are Monday week-starts, so datediff is an exact multiple
+    of 7) — deliberately NOT epoch-seconds, which are session-timezone
+    dependent and off-by-3600 across a DST boundary.
     """
-    wk = F.date_trunc("week", F.col(ts_col))
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
     user_weeks = events.select(
         F.col(user_col), wk.alias("week")
     ).distinct()
     cohorts = user_weeks.groupBy(user_col).agg(F.min("week").alias("cohort_week"))
-    secs_per_week = 7 * 24 * 3600
     joined = user_weeks.join(cohorts, user_col).select(
         F.col(user_col),
         "cohort_week",
-        (
-            (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
-            / F.lit(secs_per_week)
-        )
+        (F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7))
         .cast("bigint")
         .alias("offset_weeks"),
     )
@@ -949,7 +947,7 @@ def cohort_retention(
         F.count_distinct(F.col(user_col)).cast("bigint").alias("n_active")
     )
     return cells.join(F.broadcast(sizes), "cohort_week").select(
-        "cohort_week",
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "offset_weeks",
         "n_active",
         "cohort_n",

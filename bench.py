@@ -25,6 +25,20 @@ sys.path.insert(0, REPO)
 
 MAX_STDOUT_LINE = 1800
 
+# Calibration anchor (round-4 addition). Rounds 2→3 showed a uniform
+# ~1.42× whole-lap slowdown with a ~30-line code delta — shared-sandbox
+# load, not a regression — but nothing in the output recorded that, so
+# it read as one. Fix: time one FROZEN query (groupby_count, untouched
+# since round 1) several times around the recorded lap and report
+# lap_factor = anchor_sec / ANCHOR_REF_SEC. Cross-round per-query
+# comparisons should divide by lap_factor first; a uniform shift shows
+# up here, a real per-query regression does not.
+ANCHOR_QUERY = "groupby_count"
+# Frozen reference: median warm groupby_count at sf0.1 local[32],
+# measured on a quiet machine in round 4. Do not update casually —
+# the whole point is that it stays fixed across rounds.
+ANCHOR_REF_SEC = 0.11
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +74,15 @@ def main() -> None:
                 print(f"# {name} FAILED: {e}", file=sys.stderr)
         return t
 
+    def anchor_time(n: int = 3) -> list[float]:
+        fn = E.queries()[ANCHOR_QUERY]
+        out = []
+        for _ in range(n):
+            t0 = time.time()
+            len(fn(spark, sf_dir).collect())
+            out.append(round(time.time() - t0, 4))
+        return out
+
     # Steady-state measurement: lap 1 warms codegen/JIT/page cache per
     # query, lap 2 is recorded (standard warm-run benchmarking). If the
     # warm lap already blew the time budget, record it instead of
@@ -67,9 +90,13 @@ def main() -> None:
     laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2"))
     times = lap()
     cold_total = round(sum(t for t in times.values() if t >= 0), 3)
+    anchor_samples = anchor_time()  # warm anchor, recorded-lap start
     if laps > 1 and cold_total < 300:
         warm = lap()
         times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
+    anchor_samples += anchor_time()  # recorded-lap end
+    anchor_sec = round(sorted(anchor_samples)[len(anchor_samples) // 2], 4)
+    lap_factor = round(anchor_sec / ANCHOR_REF_SEC, 3)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
@@ -82,6 +109,11 @@ def main() -> None:
         "n_queries": len(times),
         "queries": times,
         "sf": sf,
+        "anchor_query": ANCHOR_QUERY,
+        "anchor_sec": anchor_sec,
+        "anchor_samples": anchor_samples,
+        "anchor_ref_sec": ANCHOR_REF_SEC,
+        "lap_factor": lap_factor,
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     try:
@@ -99,6 +131,8 @@ def main() -> None:
         "unit": "sec",
         "cold_total": cold_total,
         "n_queries": len(times),
+        "anchor_sec": anchor_sec,
+        "lap_factor": lap_factor,
         "queries": {},
         "sf": sf,
         "detail_file": "BENCH_DETAIL.json",

@@ -13,11 +13,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _watermarked(df: DataFrame, col: str, watermark: str) -> DataFrame:
+    """Apply a watermark on a stream; pass batch frames through.
+
+    Spark 4 infers tz-less parquet timestamps as TIMESTAMP_NTZ
+    (spark.sql.parquet.inferTimestampNTZ.enabled defaults true) and
+    ``withWatermark`` rejects NTZ event time
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session TZ is pinned UTC
+    (session.py), so casting NTZ → TIMESTAMP is value-preserving; we do
+    it only on the streaming path so batch/oracle schemas are untouched.
+    """
+    if not df.isStreaming:
+        return df
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df.withWatermark(col, watermark)
+
+
 def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
     """Tumbling-window count+sum per event_type. On a stream the
     watermark bounds state; on a batch frame withWatermark is a no-op,
     so the same function serves both."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return (
         src.groupBy(F.window("ts", window_len).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
@@ -34,7 +51,7 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 hour", watermark: st
 def sliding_counts(
     events: DataFrame, window_len: str = "1 hour", slide: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return (
         src.groupBy(F.window("ts", window_len, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -44,7 +61,7 @@ def sliding_counts(
 
 def session_windows_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
     """Native session windows (streaming-only operator shape)."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -83,7 +100,7 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    src = _watermarked(events, "ts", watermark)
     return src.dropDuplicates(["event_id"])
 
 
@@ -146,8 +163,8 @@ def purchase_click_join_stream(
     Watermarks on BOTH sides bound the join state: Spark can discard
     buffered rows once event time passes watermark + interval, so
     state is O(rate × horizon), not O(stream)."""
-    p = purchases.withWatermark("p_ts", watermark) if purchases.isStreaming else purchases
-    c = clicks.withWatermark("c_ts", watermark) if clicks.isStreaming else clicks
+    p = _watermarked(purchases, "p_ts", watermark)
+    c = _watermarked(clicks, "c_ts", watermark)
     cond = (
         (p["user_id"] == c["c_user_id"])
         & (c["c_ts"] <= p["p_ts"])

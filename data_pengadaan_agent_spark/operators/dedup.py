@@ -44,6 +44,29 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_exact_content(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prov_col: str = "source",
+) -> DataFrame:
+    """Exact dedup for CONTENT-ADDRESSED corpora, where ``id_col`` is a
+    hash of the text (``sources.readers.read_text_corpus``'s contract)
+    so byte-identical copies share the id and ``dedup_exact``'s
+    min-id semi-join would keep every copy. Collapses copies to one row
+    per (id, text), keeping the lexicographically smallest provenance —
+    deterministic under any partitioning — plus the copy count (the
+    dup-rate statistic curation reports want anyway).
+
+    One hash aggregation; at scale the shuffle is the unavoidable
+    group-by-content exchange and map-side partial aggregation halves
+    what it carries."""
+    return df.groupBy(id_col, text_col).agg(
+        F.min(prov_col).alias(prov_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
 def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-dup report: one row per duplicated text with the group
     size and representative id."""

@@ -12,6 +12,17 @@ def test_entry_returns_rows(spark):
     assert len(E.entry(spark).collect()) > 0
 
 
+def test_registry_floor():
+    """Regression floor: the registry only grows and stays structurally
+    in sync with its oracles (same assert the local gate runs)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import check_registry
+
+    check_registry(E)
+
+
 def test_every_query_executes_and_has_oracle(spark):
     qs = E.queries()
     oracles = E.oracle_sql()

@@ -110,6 +110,25 @@ def spark_to_arrow(df) -> pa.Table:
     return df.toArrow()
 
 
+# Regression floor (VERDICT r3 ask #8): the registry reached this size
+# with every entry oracle-checked; it must only grow, and structural
+# drift between queries() and oracle_sql() fails fast here instead of
+# in a driver round. Bump the floor when (and only when) adding entries.
+REGISTRY_FLOOR = 127
+
+
+def check_registry(E) -> None:
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert len(qs) >= REGISTRY_FLOOR, (
+        f"queries() shrank: {len(qs)} < floor {REGISTRY_FLOOR} — "
+        "entries must never be dropped, only rotated"
+    )
+    missing = sorted(set(qs) - set(oracles))
+    assert not missing, f"queries() entries with no oracle_sql() twin: {missing}"
+    orphans = sorted(set(oracles) - set(qs))
+    assert not orphans, f"oracle_sql() entries not registered in queries(): {orphans}"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -118,6 +137,8 @@ def main():
 
     import __spark_entry__ as E
     from data_pengadaan_agent_spark.session import get_spark
+
+    check_registry(E)
 
     spark = get_spark("oracle-check")
 

@@ -852,7 +852,9 @@ def _q_minhash_dedup_pairs(spark, sf):
     Candidates cheap (signature equi-join), verification exact and
     restricted to candidates (`pairs=`), never all pairs."""
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
-    cand = D.minhash_lsh_pairs_arith(docs, n_hashes=32, bands=16)
+    # candidates referenced 3× by the verifier — materialize once,
+    # exactly as the production wrapper D.minhash_dedup_pairs does
+    cand = D.minhash_lsh_pairs_arith(docs, n_hashes=32, bands=16).localCheckpoint()
     jac = D.ngram_jaccard_pairs(docs, n=3, threshold=0.0, pairs=cand)
     return jac.filter(F.col("jaccard") >= 0.12)
 

@@ -225,8 +225,18 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     if pairs is not None:
+        # Catalyst cannot estimate Generate(explode) output, so the
+        # static plan inherits the pre-explode scan size and — found by
+        # the round-4 16× scale run — elects to BROADCAST the shingle
+        # frame (|candidate docs| × |shingles/doc| rows), OOMing the
+        # driver. Every frame in this region scales with the data, so
+        # pin the joins to shuffle; the only legitimately small side is
+        # the candidate-pairs frame, which the shuffle_hash hint makes
+        # the build side without ever collecting it to the driver.
         inter = (
-            pairs.join(a, "id_a")
+            pairs.hint("shuffle_hash")
+            .join(a, "id_a")
+            .hint("shuffle_hash")
             .join(b, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -238,11 +248,14 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+    # sizes is one row per doc but is DERIVED from the un-estimable
+    # shingle explode, so its static size estimate is garbage too —
+    # same shuffle pinning (AQE still coalesces the tiny exchanges).
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

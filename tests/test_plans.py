@@ -166,3 +166,55 @@ def test_selective_dim_join_injects_runtime_bloom_filter(spark, tables):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_pipeline_plan_shape(spark):
+    """The end-to-end curation composite must keep its scale-critical
+    properties: the tiny corpus_mix threshold table is broadcast (never
+    a shuffled join against the corpus), no cartesian product appears
+    beyond the single-row feasibility broadcast, and the final
+    per-shard rollup partially aggregates before its exchange."""
+    import __spark_entry__ as E
+
+    df = E._q_corpus_pipeline(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # mix-rate thresholds broadcast
+    assert "partial" in plan.lower()  # map-side combine on the rollup
+    # the only nested-loop allowed is the broadcast of the one-row
+    # feasibility aggregate inside corpus_mix
+    assert plan.count("CartesianProduct") == 0
+
+
+def _broadcast_subtrees(plan: str):
+    """Yield the subtree lines under each BroadcastExchange node."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = max(line.find("+-"), line.find(":-"))
+        sub = []
+        for nxt in lines[i + 1 :]:
+            d = max(nxt.find("+-"), nxt.find(":-"))
+            if d <= depth:
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+def test_minhash_verify_never_broadcasts_shingles(spark, tables):
+    """Round-4 16×-scale-run finding: Catalyst cannot estimate
+    Generate(explode) output, so the static plan inherited the
+    pre-explode scan size and broadcast the candidate-shingle frame —
+    which grows with the corpus — OOMing the driver. The verify joins
+    are pinned to shuffle in ngram_jaccard_pairs; this pins the pin:
+    no exploded frame may ever be a broadcast build side."""
+    from data_pengadaan_agent_spark.operators import dedup as D
+
+    docs = tables["documents"].filter(F.col("doc_id") < 200)
+    cand = D.minhash_lsh_pairs_arith(docs, n_hashes=32, bands=16).localCheckpoint()
+    out = D.ngram_jaccard_pairs(docs, n=3, threshold=0.0, pairs=cand)
+    plan = _plan(out)
+    # pairs⋈a, ⋈b, ⋈sizes_a, ⋈sizes_b all pinned to shuffle joins
+    assert plan.count("ShuffledHashJoin") >= 4, plan
+    for sub in _broadcast_subtrees(plan):
+        assert "Generate explode" not in sub, sub

@@ -1,0 +1,103 @@
+"""sf1-equivalent scaling spot-check (VERDICT r3 ask #5).
+
+Builds scaled fixtures under /tmp/spark_graft_scale (documents x4/x16
+with per-replica token renaming so the near-dup rate stays constant —
+naive replication makes every replica pair a true near-dup and the
+candidate count quadratic BY CONSTRUCTION, which round 4 hit first try;
+orders x10 = TPC-H sf1) and times the heaviest operators at each size,
+printing a per-operator scaling exponent (t ~ size^e). Round-4 results
+are recorded in NOTES.md; this exists so the run is reproducible.
+
+Usage: python tools/scale_check.py
+"""
+
+import duckdb, os, sys, time, json, math
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/tmp/spark_graft_scale", exist_ok=True)
+con = duckdb.connect()
+base = "/root/testdata/sf0.1"
+# scaled fixtures: documents x4/x16 (text mutated per replica so dup
+# structure stays linear), orders x10 (= TPC-H sf1)
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/docs_x{k}"
+    os.makedirs(d, exist_ok=True)
+    p = f"{d}/documents.parquet"
+    if not os.path.exists(p):
+        con.execute(f"""
+        COPY (SELECT doc_id + r*5000 AS doc_id,
+                     array_to_string(list_transform(string_split(text, ' '),
+                       t -> t || substr(md5(t || CAST(r AS VARCHAR)), 1, 1)), ' ') AS text,
+                     lang, source, n_chars
+              FROM read_parquet('{base}/documents.parquet'),
+                   (SELECT unnest(range({k})) AS r))
+        TO '{p}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)""")
+for k in (1, 4, 10):
+    d = f"/tmp/spark_graft_scale/orders_x{k}"
+    os.makedirs(d, exist_ok=True)
+    p = f"{d}/orders.parquet"
+    if not os.path.exists(p):
+        con.execute(f"""
+        COPY (SELECT o_orderkey + r*10000000 AS o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM read_parquet('{base}/orders.parquet'),
+                   (SELECT unnest(range({k})) AS r))
+        TO '{p}' (FORMAT PARQUET, ROW_GROUP_SIZE 65536)""")
+print("fixtures ready", flush=True)
+
+import __spark_entry__ as E
+from data_pengadaan_agent_spark.session import get_spark
+from data_pengadaan_agent_spark.operators import dedup as D, textan as X
+from pyspark.sql import functions as F
+spark = get_spark("scalebench")
+spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
+# warm the minhash/shingle codepaths once on a small slice
+_w = spark.read.parquet("/tmp/spark_graft_scale/docs_x1/documents.parquet").limit(500)
+D_warm = __import__("data_pengadaan_agent_spark.operators.dedup", fromlist=["dedup"])
+D_warm.minhash_lsh_pairs_arith(_w, n_hashes=32, bands=16).count()
+
+res = {}
+def t(name, size, fn):
+    t0 = time.time()
+    n = fn()
+    dt = round(time.time() - t0, 2)
+    res.setdefault(name, []).append((size, dt, n))
+    print(f"{name} @ {size}: {dt}s ({n} rows)", flush=True)
+
+docs = {k: spark.read.parquet(f"/tmp/spark_graft_scale/docs_x{k}/documents.parquet") for k in (1,4,16)}
+for k in (1, 4, 16):
+    n_docs = 5000 * k
+    dk = docs[k]
+    t("minhash_lsh_candidates", n_docs,
+      lambda: D.minhash_lsh_pairs_arith(dk, n_hashes=32, bands=16).count())
+for k in (1, 4, 16):
+    n_docs = 5000 * k
+    dk = docs[k]
+    def full():
+        cand = D.minhash_lsh_pairs_arith(dk, n_hashes=32, bands=16).localCheckpoint()
+        jac = D.ngram_jaccard_pairs(dk, n=3, threshold=0.0, pairs=cand)
+        return jac.filter(F.col("jaccard") >= 0.12).count()
+    t("minhash_dedup_full", n_docs, full)
+for k in (1, 4, 16):
+    n_docs = 5000 * k
+    dk = docs[k]
+    def contam():
+        test = dk.filter(F.col("doc_id") % 10 == 0)
+        train = dk.filter(F.col("doc_id") % 10 != 0)
+        return X.ngram_contamination(test, train, n=5).count()
+    t("ngram_contamination", n_docs, contam)
+for cap in (200, 400, 800):
+    d1 = docs[1].filter(F.col("doc_id") < cap)
+    def clus():
+        pairs = D.ngram_jaccard_pairs(d1, n=3, threshold=0.12).select("id_a", "id_b")
+        return D.dedup_clusters(d1, pairs).count()
+    t("dedup_clusters", cap, clus)
+for k in (1, 4, 10):
+    t("profile_columns", 150000 * k,
+      lambda: E._q_profile_columns(spark, f"/tmp/spark_graft_scale/orders_x{k}").count())
+
+print(json.dumps(res))
+for name, rows in res.items():
+    (s1, t1, _), (s3, t3, _) = rows[0], rows[-1]
+    if t1 > 0:
+        print(f"{name}: exponent ~ {math.log(t3/t1)/math.log(s3/s1):.2f}")
+spark.stop()

@@ -150,8 +150,11 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # banded is explode-derived (garbage static size estimate) and
+    # corpus-proportional: never let the planner broadcast it
     return (
-        a.join(b, ["band", "bucket"])
+        a.hint("shuffle_hash")
+        .join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -242,8 +245,11 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
+        # both sides are the exploded shingle frame (garbage static
+        # size estimate, corpus-proportional) — same shuffle pinning
         inter = (
-            a.join(b, "shingle")
+            a.hint("shuffle_hash")
+            .join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -339,8 +345,11 @@ def simhash_pairs(
     )
     a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    # chunked is explode-derived (garbage static size estimate) and
+    # corpus-proportional: never let the planner broadcast it
     return (
-        a.join(b, ["chunk_idx", "chunk"])
+        a.hint("shuffle_hash")
+        .join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
         .distinct()
@@ -435,8 +444,11 @@ def minhash_lsh_pairs_arith(
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # banded is explode-derived (garbage static size estimate) and
+    # corpus-proportional: never let the planner broadcast it
     return (
-        a.join(b, ["band", "bucket"])
+        a.hint("shuffle_hash")
+        .join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -565,8 +577,11 @@ def simhash_pairs_arith(
     )
     a = chunked.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk")
     b = chunked.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk")
+    # chunked is explode-derived (garbage static size estimate) and
+    # corpus-proportional: never let the planner broadcast it
     return (
-        a.join(b, ["chunk_idx", "chunk"])
+        a.hint("shuffle_hash")
+        .join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
@@ -615,7 +630,9 @@ def passage_dedup_stats(
     docs_per = ph.groupBy("_ph").agg(F.count_distinct(F.col(id_col)).alias("_ndocs"))
     shared = F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0)).cast("bigint")
     return (
-        ph.join(docs_per, "_ph")
+        # docs_per aggregates the exploded passage frame — estimate is
+        # garbage and |distinct passages| grows with the corpus
+        ph.join(docs_per.hint("shuffle_hash"), "_ph")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_passages"),

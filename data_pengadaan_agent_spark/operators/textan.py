@@ -369,14 +369,17 @@ def ngram_contamination(
         .select(F.xxhash64("g").alias("g"))
         .distinct()
     )
+    # both n-gram frames are explode-derived (garbage static size
+    # estimates) and corpus-proportional: pin to shuffle joins so the
+    # planner can never elect to broadcast the training corpus
     hits = (
-        test_g.join(train_g, "g", "left_semi")
+        test_g.join(train_g.hint("shuffle_hash"), "g", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     totals = test_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
     n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
-    return totals.join(hits, id_col, "left").select(
+    return totals.join(hits.hint("shuffle_hash"), id_col, "left").select(
         F.col(id_col),
         F.col("n_ngrams"),
         n_overlap.alias("n_overlap"),
@@ -480,7 +483,9 @@ def tfidf_top_terms(
     )
     n_total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     scored = (
-        tf.join(dfreq, "term")
+        # dfreq aggregates the exploded term frame — estimate is
+        # garbage and |vocabulary| grows with the corpus
+        tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_total))
         .withColumn("score", F.expr("tf * ((n_total * 1000000) DIV df)"))
     )

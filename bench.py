@@ -34,11 +34,12 @@ MAX_STDOUT_LINE = 1800
 # comparisons should divide by lap_factor first; a uniform shift shows
 # up here, a real per-query regression does not.
 ANCHOR_QUERY = "groupby_count"
-# Frozen reference: median warm groupby_count at sf0.1 local[32],
-# measured on a quiet machine in round 4 (matches the r3 lap's own
-# 0.192 s for the same query). Do not update casually — the whole
-# point is that it stays fixed across rounds.
-ANCHOR_REF_SEC = 0.19
+# Frozen reference: median groupby_count timed INSIDE a full warm
+# bench lap at sf0.1 local[32] on a quiet machine (round 4) — the
+# same conditions the anchor always runs under, so a quiet lap reads
+# lap_factor ≈ 1.0. Do not update casually — the whole point is that
+# it stays fixed across rounds.
+ANCHOR_REF_SEC = 0.148
 
 
 def main() -> None:

@@ -329,6 +329,31 @@ def _q_corpus_pipeline(spark, sf):
     )
 
 
+def _q_corpus_ingest_stream(spark, sf):
+    """STREAMING ingestion front-end of the curation pipeline, driven
+    to completion over the finite shard directory: readStream.text →
+    content-addressed projection → stateful streaming dedup
+    (dropDuplicates on the content hash) → quality gate — all inside
+    the stream; the memory sink materializes the result for the
+    driver. The oracle twin models the same semantics relationally
+    (DISTINCT text + the quality formula), so this is the engine's
+    first VALUE-checked streaming entry, not rows-only.
+
+    State note: content dedup keys the state store by doc_id, sharded
+    by the grouping key across executors; a production deployment
+    bounds it with an ingest-time watermark + TTL (the events-based
+    streaming_dedup shows the watermarked form)."""
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus_stream
+
+    corpus = read_text_corpus_stream(spark, _ensure_text_corpus(sf))
+    deduped = corpus.dropDuplicates(["doc_id"])
+    scored = X.quality_score(deduped, carry=("text",))
+    gated = scored.filter(F.col("quality_score") >= _PIPE_QUALITY_MIN).select(
+        "text", "n_chars", "quality_score"
+    )
+    return SW.run_stream_to_memory(spark, gated, "corpus_ingest_stream")
+
+
 def _q_activity_heatmap(spark, sf):
     """Day-of-week × hour-of-day usage heatmap cells (C4-family chart
     data; operators/relational.activity_heatmap)."""
@@ -1499,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,
         "activity_heatmap": _q_activity_heatmap,
+        "corpus_ingest_stream": _q_corpus_ingest_stream,
         # --- round-1 driver-green (oldest hard signal: CORRECTNESS_r01)
         # — re-proven this round. Includes the four batch twins of the
         # streaming ops touched by the round-4 NTZ watermark fix. ---
@@ -3246,6 +3272,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_suppkey
         """,
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "corpus_ingest_stream": f"""
+            WITH corpus AS (
+              SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
+              FROM documents WHERE length(trim(text)) > 0
+            ), t AS (
+              SELECT text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     length(text) AS nc
+              FROM corpus
+            ), q AS (
+              SELECT text, nc AS n_chars,
+                     round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + least((CAST(len(list_filter(toks, x -> x IN
+                           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                           / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
+                       + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                           / greatest(nc, 1)) * 0.3, 6) AS quality_score
+              FROM t
+            )
+            SELECT text, n_chars, quality_score FROM q
+            WHERE quality_score >= {_PIPE_QUALITY_MIN}
+        """,
         "activity_heatmap": """
             SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
                    CAST(hour(ts) AS INTEGER) AS hod,

@@ -49,9 +49,16 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features: length, mean word length, stopword
-    ratio, alpha ratio, and a composite [0,1] score. All built-ins."""
+    ratio, alpha ratio, and a composite [0,1] score. All built-ins.
+    ``carry`` passes extra input columns through unchanged (streaming
+    pipelines can't join the features back by id mid-stream)."""
     t = tokens(text_col)
     n_tok = F.size(t)
     n_chars = F.length(F.col(text_col))
@@ -69,6 +76,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -143,7 +143,9 @@ def read_text_corpus(
     file (``wholetext``). ``doc_id`` is ``xxhash64(text)`` — content-
     addressed, so it is deterministic under any partitioning or file
     ordering; byte-identical documents intentionally collide (they ARE
-    duplicates — ``dedup_exact`` downstream keys on the same hash).
+    duplicates — collapse them with ``dedup_exact_content``, the
+    content-addressed variant; ``dedup_exact``'s min-id semi-join form
+    is for tables whose ids are unique).
     ``source`` is the originating file, the provenance column the
     mixing/contamination operators group by.
 
@@ -157,5 +159,28 @@ def read_text_corpus(
         F.xxhash64(F.col("value")).alias("doc_id"),
         F.col("value").alias("text"),
         F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source"),
+        F.length("value").cast("bigint").alias("n_chars"),
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
+
+
+def read_text_corpus_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_text_corpus``: ``readStream.text`` over
+    a shard directory — the incremental front door of a continuously
+    ingesting curation pipeline (new shards land, micro-batches pick
+    them up; at scale this is the notification-based file source).
+
+    Same content-addressed projection as the batch reader, WITHOUT the
+    provenance column: streaming ``dropDuplicates("doc_id")`` keeps an
+    arbitrary first-seen row per content hash, so any column that
+    differs between byte-identical copies (the originating file) would
+    make the output nondeterministic. Provenance-aware dedup belongs in
+    the batch path where min(source) is expressible.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.readStream.text(path)
+    return raw.select(
+        F.xxhash64(F.col("value")).alias("doc_id"),
+        F.col("value").alias("text"),
         F.length("value").cast("bigint").alias("n_chars"),
     ).filter(F.length(F.trim(F.col("text"))) > 0)

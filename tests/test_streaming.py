@@ -247,3 +247,46 @@ def test_foreach_batch_sink_effectively_once(spark, tables, events_stream, tmp_p
     ).filter("rk = 1")
     expect = {r["event_type"]: r["count"] for r in tables["events"].groupBy("event_type").count().collect()}
     assert {r["event_type"]: r["count"] for r in last.collect()} == expect
+
+
+def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming text ingestion (readStream.text → content dedup →
+    quality gate) must produce exactly the batch front-end's rows on a
+    finite shard directory — including collapsing a duplicate that
+    spans two shards."""
+    from data_pengadaan_agent_spark.operators.dedup import dedup_exact_content
+    from data_pengadaan_agent_spark.operators.textan import quality_score
+    from data_pengadaan_agent_spark.sources.readers import (
+        read_text_corpus,
+        read_text_corpus_stream,
+    )
+
+    shard_a = "the quick brown fox jumps over the lazy dog and it is fine\n" * 2
+    shard_b = (
+        "the quick brown fox jumps over the lazy dog and it is fine\n"
+        "a completely different document about streams and tables in the engine\n"
+        "\n"
+    )
+    (tmp_path / "a.txt").write_text(shard_a)
+    (tmp_path / "b.txt").write_text(shard_b)
+
+    gated = (
+        quality_score(
+            read_text_corpus_stream(spark, str(tmp_path)).dropDuplicates(["doc_id"]),
+            carry=("text",),
+        )
+        .filter(F.col("quality_score") >= 0.0)
+        .select("text", "n_chars", "quality_score")
+    )
+    got = SW.run_stream_to_memory(spark, gated, "ingest_parity_out")
+
+    batch = (
+        quality_score(
+            dedup_exact_content(read_text_corpus(spark, str(tmp_path))),
+            carry=("text",),
+        )
+        .filter(F.col("quality_score") >= 0.0)
+        .select("text", "n_chars", "quality_score")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+    assert got.count() == 2  # 4 non-empty lines, 2 distinct documents

@@ -360,6 +360,47 @@ def _q_activity_heatmap(spark, sf):
     return R.activity_heatmap(load_table(spark, sf, "events"))
 
 
+def _q_detect_pii(spark, sf):
+    """PII span audit (operators/privacy.detect_pii) over support
+    tickets synthesized deterministically from customer rows (the
+    fixtures carry no natural PII; the same arithmetic is emitted into
+    the oracle — the derived-partsupp precedent). Every expression is
+    a codegen'd regexp_count: one scan, zero shuffles."""
+    from data_pengadaan_agent_spark.operators.privacy import detect_pii
+
+    cust = load_table(spark, sf, "customer")
+    k = F.col("c_custkey")
+    msg = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        k.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0"),
+        F.when(
+            F.pmod(k, F.lit(3)) == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                F.pmod(k, F.lit(256)).cast("string"),
+                F.lit("."),
+                F.pmod(k, F.lit(200)).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    tickets = cust.select(k.alias("doc_id"), msg.alias("text"))
+    return detect_pii(tickets)
+
+
+def _q_stratified_sample(spark, sf):
+    """Exact-quota stratified sample (operators/sampling
+    .stratified_sample): every lang contributes ceil(0.2·n_lang)
+    documents, selected by the deterministic Knuth-hash rank."""
+    from data_pengadaan_agent_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, group_col="lang", frac=0.2)
+
+
 def _q_ngram_jaccard(spark, sf):
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
     # jaccard = n_inter/(n_a+n_b-n_inter): one double division of exact
@@ -1525,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": _q_corpus_pipeline,
         "activity_heatmap": _q_activity_heatmap,
         "corpus_ingest_stream": _q_corpus_ingest_stream,
+        "detect_pii": _q_detect_pii,
+        "stratified_sample": _q_stratified_sample,
         # --- round-1 driver-green (oldest hard signal: CORRECTNESS_r01)
         # — re-proven this round. Includes the four batch twins of the
         # streaming ops touched by the round-4 NTZ watermark fix. ---
@@ -3292,6 +3335,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT text, n_chars, quality_score FROM q
             WHERE quality_score >= {_PIPE_QUALITY_MIN}
+        """,
+        "detect_pii": r"""
+            WITH tickets AS (
+              SELECT c_custkey AS doc_id,
+                     'Contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+                     || '@example.com or +1-555-'
+                     || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                     || CASE WHEN c_custkey % 3 = 0
+                             THEN ' host 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                                  || '.' || CAST(c_custkey % 200 AS VARCHAR)
+                             ELSE '' END AS text
+              FROM customer
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text,
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+                    + len(regexp_extract_all(text,
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+                     AS n_pii_total,
+                   (len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+                    + len(regexp_extract_all(text,
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) > 0 AS has_pii
+            FROM tickets
+        """,
+        "stratified_sample": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+            ), q AS (
+              SELECT lang, CAST(ceil(n * 0.2) AS BIGINT) AS q FROM c
+            ), r AS (
+              SELECT d.doc_id, d.lang, d.source,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id
+                     ) AS rk
+              FROM documents d
+            )
+            SELECT r.doc_id, r.lang, r.source FROM r JOIN q USING (lang)
+            WHERE rk <= q.q
         """,
         "activity_heatmap": """
             SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,

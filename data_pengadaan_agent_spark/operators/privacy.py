@@ -92,3 +92,44 @@ def scrub_terms(
             "n_redactions"
         ),
     )
+
+
+# Classes of PII the span detector ships with. Kept to regex shapes
+# whose semantics agree between Java regex (Spark) and RE2 (DuckDB /
+# most scanners), so the oracle can replicate counts exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def detect_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document PII span counts by class — the AUDIT step that
+    decides whether a document goes to ``scrub_terms``-style redaction,
+    to ``pseudonymize``-style replacement, or is dropped outright
+    before a training corpus leaves the trust boundary.
+
+    One ``regexp_count`` column expression per class: codegen'd,
+    shuffle-free, a single scan at any scale (the 100 TB shape is a
+    full-corpus map with zero exchanges). Span EXTRACTION is the same
+    expression with ``regexp_extract_all`` when the downstream redactor
+    needs offsets; counts are what audit dashboards aggregate."""
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint").alias(f"n_{k}")
+        for k, p in pats.items()
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = None
+    for k in pats:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii_total", total.cast("bigint")).withColumn(
+        "has_pii", total > F.lit(0)
+    )

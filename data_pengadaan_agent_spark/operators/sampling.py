@@ -172,3 +172,32 @@ def shuffle_shard(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("_h")
     )
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, frac: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """EXACT-quota proportional stratified sample: every group
+    contributes exactly ``ceil(frac · n_g)`` rows. Complements the
+    rate-based operators (``train_test_split``/``corpus_mix`` hit their
+    fractions only in expectation — fine for huge corpora, wrong for
+    per-stratum evaluation sets that must have a guaranteed size).
+
+    Selection is deterministic: rank within each group by the
+    Knuth-scrambled id (stable under repartitioning and re-runs), keep
+    ranks up to the group's quota. Cost at scale: one tiny per-group
+    count (partial-aggregated) broadcast back onto the corpus plus one
+    hash-partitioned window pass — the corpus shuffles once, on the
+    group key, and the rank filter prunes per partition."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    quota = counts.select(
+        group_col,
+        F.ceil(F.col("_n") * F.lit(float(frac))).cast("bigint").alias("_q"),
+    )
+    w = Window.partitionBy(group_col).orderBy(split_hash_col(id_col), F.col(id_col))
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_rk", "_q")
+    )

@@ -391,6 +391,32 @@ def _q_detect_pii(spark, sf):
     return detect_pii(tickets)
 
 
+_RRF_TERMS = ("spark", "window", "join")
+
+
+def _q_hybrid_retrieval(spark, sf):
+    """Hybrid lexical+vector retrieval fused by RRF
+    (operators/similarity.hybrid_retrieval_rrf): keyword match-count
+    list ⊕ cosine top-k list (query = vec 0's embedding, the
+    query-by-example shape), score = Σ 1/(60+rank)."""
+    from data_pengadaan_agent_spark.operators.similarity import hybrid_retrieval_rrf
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return hybrid_retrieval_rrf(docs, emb, _RRF_TERMS, qvec, k=10, k_each=50)
+
+
+def _q_incremental_dedup(spark, sf):
+    """Daily-ingest dedup (operators/dedup.dedup_incremental): the new
+    batch (doc_id % 10 == 0) anti-joined by content hash against the
+    already-ingested corpus, then collapsed within-batch."""
+    docs = load_table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    seen = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.dedup_incremental(new, seen)
+
+
 def _q_stratified_sample(spark, sf):
     """Exact-quota stratified sample (operators/sampling
     .stratified_sample): every lang contributes ceil(0.2·n_lang)
@@ -1568,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ingest_stream": _q_corpus_ingest_stream,
         "detect_pii": _q_detect_pii,
         "stratified_sample": _q_stratified_sample,
+        "hybrid_retrieval_rrf": _q_hybrid_retrieval,
+        "incremental_dedup": _q_incremental_dedup,
         # --- round-1 driver-green (oldest hard signal: CORRECTNESS_r01)
         # — re-proven this round. Includes the four batch twins of the
         # streaming ops touched by the round-4 NTZ watermark fix. ---
@@ -3335,6 +3363,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT text, n_chars, quality_score FROM q
             WHERE quality_score >= {_PIPE_QUALITY_MIN}
+        """,
+        "hybrid_retrieval_rrf": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            kw AS (
+              SELECT doc_id,
+                     len(list_filter(list_distinct({_DUCK_TOKS}),
+                         t -> t IN ('spark', 'window', 'join'))) AS kw_matches
+              FROM documents
+            ), kw_top AS (
+              SELECT doc_id, kw_matches FROM kw WHERE kw_matches > 0
+              ORDER BY kw_matches DESC, doc_id LIMIT 50
+            ), kw_ranked AS (
+              SELECT doc_id, kw_matches,
+                     row_number() OVER (ORDER BY kw_matches DESC, doc_id) AS kw_rank
+              FROM kw_top
+            ), s AS (
+              SELECT e.vec_id AS doc_id,
+                     list_sum(list_transform(list_zip(e.embedding, q.qv),
+                              x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS similarity
+              FROM embeddings e, q
+            ), vec_top AS (
+              SELECT doc_id, similarity FROM s
+              ORDER BY similarity DESC, doc_id LIMIT 50
+            ), vec_ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY similarity DESC, doc_id) AS vec_rank
+              FROM vec_top
+            ), fused AS (
+              SELECT coalesce(k.doc_id, v.doc_id) AS doc_id,
+                     CAST(coalesce(k.kw_matches, 0) AS BIGINT) AS kw_matches,
+                     CAST(k.kw_rank AS BIGINT) AS kw_rank,
+                     CAST(v.vec_rank AS BIGINT) AS vec_rank,
+                     round(coalesce(CAST(1 AS DOUBLE) / (60 + k.kw_rank), 0.0)
+                         + coalesce(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0.0), 6)
+                       AS rrf_score
+              FROM kw_ranked k FULL OUTER JOIN vec_ranked v ON k.doc_id = v.doc_id
+            )
+            SELECT doc_id, kw_matches, kw_rank, vec_rank, rrf_score
+            FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        "incremental_dedup": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id % 10 = 0
+              AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 <> 0)
+              AND doc_id IN (SELECT min(doc_id) FROM documents
+                             WHERE doc_id % 10 = 0 GROUP BY text)
         """,
         "detect_pii": r"""
             WITH tickets AS (

@@ -642,3 +642,25 @@ def passage_dedup_stats(
             ).alias("shared_ratio"),
         )
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup — the daily-pipeline shape: drop new
+    documents whose content already exists in the ingested corpus
+    (cross-batch exact dedup, left-anti on the content hash), then
+    collapse within-batch copies to the min-id representative.
+
+    Every exchange carries 8-byte hashes, never text. At 100 TB
+    ``seen_df`` is the content-hash index table the ingest job
+    maintains (append the survivors' hashes after each batch) — the
+    full historical corpus is never rescanned."""
+    seen_h = seen_df.select(F.xxhash64(F.col(text_col)).alias("_h")).distinct()
+    new_h = new_df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    fresh = new_h.join(seen_h, "_h", "left_anti")
+    keep = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return new_df.join(keep, id_col, "left_semi")

@@ -1586,7 +1586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row is OLDEST (round 1) — cumulative coverage stays 100% and no
     entry's last green row ages past two rounds (VERDICT r3 ask #7).
     r1 proved the original first 50, r2 its first 50, r3 the remaining
-    26 + cohort_retention; round 4 re-proves the round-1 block."""
+    26 + cohort_retention; round 4 re-proves the round-1 block EXCEPT
+    the five entries its 7 new queries push past position 50
+    (tpch_q3/q6/q18, pivot_counts, cube_agg) — round 5 must lead with
+    those five plus whatever it adds."""
     return {
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,

@@ -160,3 +160,79 @@ def test_mode_per_group_tiebreak(spark):
     # tie between a and b at 2 → lexicographically smaller wins
     assert out["en"]["mode_value"] == "a" and out["en"]["n_mode"] == 2
     assert out["de"]["mode_value"] == "z" and out["de"]["n_mode"] == 1
+
+
+def test_stratified_sample_exact_quota(tables):
+    """Every stratum contributes exactly ceil(frac · n_g) rows, and the
+    selection is deterministic across invocations."""
+    import math
+
+    from data_pengadaan_agent_spark.operators.sampling import stratified_sample
+
+    docs = tables["documents"].select("doc_id", "lang")
+    group_n = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = stratified_sample(docs, group_col="lang", frac=0.3)
+    got = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got == {g: math.ceil(n * 0.3) for g, n in group_n.items()}
+    again = {tuple(r) for r in stratified_sample(docs, "lang", 0.3).collect()}
+    assert again == {tuple(r) for r in out.collect()}
+
+
+def test_incremental_dedup_disjoint_and_unique(tables):
+    """Survivors share no text with the seen corpus and contain no
+    within-batch duplicates; every surviving id is the min of its
+    duplicate group."""
+    from pyspark.sql import functions as F
+
+    from data_pengadaan_agent_spark.operators.dedup import dedup_incremental
+
+    docs = tables["documents"]
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    seen = docs.filter(F.col("doc_id") % 10 != 0)
+    out = dedup_incremental(new, seen)
+    assert out.join(seen, "text", "left_semi").count() == 0
+    assert out.count() == out.select("text").distinct().count()
+    mins = new.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    assert out.join(mins, ["doc_id", "text"], "left_anti").count() == 0
+
+
+def test_hybrid_rrf_scores_consistent(tables):
+    """Each fused score equals Σ 1/(60+rank) of the ranks the row
+    carries, ranks are dense 1..n within each list, and the output is
+    ordered by (score desc, id)."""
+    from pyspark.sql import functions as F
+
+    from data_pengadaan_agent_spark.operators.similarity import hybrid_retrieval_rrf
+
+    docs, emb = tables["documents"], tables["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    rows = hybrid_retrieval_rrf(
+        docs, emb, ("spark", "window", "join"), qvec, k=10, k_each=25
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        want = 0.0
+        if r["kw_rank"] is not None:
+            want += 1.0 / (60 + r["kw_rank"])
+        if r["vec_rank"] is not None:
+            want += 1.0 / (60 + r["vec_rank"])
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+    scores = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)
+
+
+def test_detect_pii_counts(spark):
+    """Span counts per class on crafted text; clean text flags false."""
+    from data_pengadaan_agent_spark.operators.privacy import detect_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d@e.org, call +1-555-0199, host 10.0.0.1"),
+            (2, "no identifiers here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in detect_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (2, 1, 1)
+    assert got[1]["n_pii_total"] == 4 and got[1]["has_pii"]
+    assert got[2]["n_pii_total"] == 0 and not got[2]["has_pii"]

@@ -300,21 +300,34 @@ def _q_corpus_pipeline(spark, sf):
         F.regexp_replace("source", r"\.txt$", ""),
     )
     uniq = D.dedup_exact_content(corpus)  # doc_id, text, source, n_copies
-    norm = X.normalize_text(uniq, text_col="text", id_col="doc_id")
-    withsrc = norm.join(uniq.select("doc_id", "source"), "doc_id")
-    canon = withsrc.groupBy("text_norm").agg(
+    # Every stage from here carries its columns forward (the operators'
+    # carry= passthrough) instead of joining features back by id: each
+    # such join would RE-EXECUTE the whole upstream lineage per
+    # reference — the first cut of this composite scanned the corpus
+    # 28 times / 75 exchanges; this linear form scans it once per
+    # consumer of `keyed` and the checkpoint below makes that once.
+    norm = X.normalize_text(uniq, text_col="text", id_col="doc_id", carry=("source",))
+    canon = norm.groupBy("text_norm").agg(
         F.min("doc_id").alias("doc_id"),
         F.min("source").alias("source"),
         F.min("n_chars_norm").alias("n_chars_norm"),
     )
-    q = X.quality_score(canon, text_col="text_norm", id_col="doc_id")
-    kept = canon.join(q.select("doc_id", "quality_score"), "doc_id").filter(
-        F.col("quality_score") >= _PIPE_QUALITY_MIN
-    )
-    fp = X.fingerprint_arith(kept, text_col="text_norm", id_col="doc_id")
-    keyed = kept.join(fp, "doc_id").withColumn(
-        "mix_key", F.pmod(F.col("fingerprint"), F.lit(1 << 31))
-    )
+    kept = X.quality_score(
+        canon,
+        text_col="text_norm",
+        id_col="doc_id",
+        carry=("text_norm", "source", "n_chars_norm"),
+    ).filter(F.col("quality_score") >= _PIPE_QUALITY_MIN)
+    keyed = X.fingerprint_arith(
+        kept,
+        text_col="text_norm",
+        id_col="doc_id",
+        carry=("source", "n_chars_norm"),
+    ).withColumn("mix_key", F.pmod(F.col("fingerprint"), F.lit(1 << 31)))
+    # corpus_mix reads keyed twice (per-group counts + the selection
+    # filter) and shuffle_shard once more — materialize it ONCE. The
+    # frame is the deduped+gated corpus keys, not raw text blocks.
+    keyed = keyed.select("doc_id", "source", "n_chars_norm", "mix_key").localCheckpoint()
     mixed = SA.corpus_mix(keyed, _PIPE_WEIGHTS, group_col="source", id_col="mix_key")
     sharded = SA.shuffle_shard(mixed, id_col="mix_key", n_shards=_PIPE_SHARDS)
     return (

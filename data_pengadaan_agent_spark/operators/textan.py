@@ -154,12 +154,18 @@ def vocabulary(
     return out.filter(F.col("df") >= min_df) if min_df > 1 else out
 
 
-def fingerprint_arith(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def fingerprint_arith(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """Order-sensitive rolling fingerprint from two independent 31-bit
     polynomial channels (char multipliers 131/137) combined into one
     62-bit value — integer arithmetic end-to-end, so an external SQL
     oracle reproduces it exactly (the xxhash64 `fingerprint` is the
-    JVM-only production variant; this is the verifiable twin)."""
+    JVM-only production variant; this is the verifiable twin).
+    ``carry`` passes input columns through (see normalize_text)."""
     from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
 
     toks = F.filter(tokens(text_col), lambda t: t != "")
@@ -172,7 +178,9 @@ def fingerprint_arith(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         )
 
     fp = channel(131) * F.lit(1 << 31).cast("long") + channel(137)
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in carry], fp.alias("fingerprint")
+    )
 
 
 def top_terms_per_doc(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
@@ -397,12 +405,17 @@ def ngram_contamination(
 
 
 def normalize_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Canonical text normalization (the first step of every curation
     pipeline): lowercase, strip non-alphanumerics to spaces, collapse
     whitespace runs, trim. Pure codegen'd column expressions — zero
-    shuffle, zero Python."""
+    shuffle, zero Python. ``carry`` passes input columns through so
+    composites stay one linear lineage instead of joining provenance
+    back by id (each such join re-executes the whole upstream plan)."""
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
@@ -412,6 +425,7 @@ def normalize_text(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         norm.alias("text_norm"),
         F.length(norm).alias("n_chars_norm"),
     )

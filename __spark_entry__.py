@@ -1593,16 +1593,50 @@ def _q_mode_per_group(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the driver gate (first 50 registered entries per
-    round) always lands on the entries that need the hard signal most:
-    this round's NEW queries first, then the entries whose driver-green
-    row is OLDEST (round 1) — cumulative coverage stays 100% and no
-    entry's last green row ages past two rounds (VERDICT r3 ask #7).
-    r1 proved the original first 50, r2 its first 50, r3 the remaining
-    26 + cohort_retention; round 4 re-proves the round-1 block EXCEPT
-    the five entries its 7 new queries push past position 50
-    (tpch_q3/q6/q18, pivot_counts, cube_agg) — round 5 must lead with
-    those five plus whatever it adds."""
+    """Registry ordered STALEST-FIRST from ROTATION.json (generated by
+    ``tools/update_rotation.py`` from the driver's CORRECTNESS_r*.json
+    files): entries never driver-checked lead, then ascending
+    last-driver-green round, ties broken by registration order in
+    ``_query_impls``. The driver gate checks the first ~50 registered
+    entries per round, so this ordering is what keeps every entry's
+    hard signal ≤2 rounds old (132 entries / 50-entry window → each
+    check must buy 3 rounds of freshness; 132/3 = 44 ≤ 50, feasible)
+    without per-round hand-reordering. Enforced by
+    ``tests/test_driver_contract.py::test_rotation_manifest_current``.
+
+    Rotation-priority tiers (VERDICT r4 #7 — if the gate window ever
+    shrinks, drop freshness for tier-3 entries first):
+      tier 1 (load-bearing semantics): the §2 reference surface
+        (flagship/filters/aggregates/charts/topk), corpus_pipeline,
+        corpus_ingest_stream*, dedup_exact, minhash_lsh_pairs,
+        sim_topk_brute, text_* core, stratified_sample;
+      tier 2 (distinct algorithms): TPC-H 22, windows, as-of/range/
+        bucketed joins, simhash, dedup_clusters, IVF/LSH probes,
+        kmeans, streaming windows, privacy, sampling/mixing;
+      tier 3 (variants/supersets of tier-1/2 entries):
+        *_precomputed probes, embedding_cosine_allpairs (capped exact
+        baseline of embedding_cosine_pairs), duplicate_groups
+        (superset of dedup_exact), session_window_native (twin of
+        sessionize), limit_preview, histogram_month_of_year.
+    """
+    impls = _query_impls()
+    try:
+        import json as _json
+        import os as _os
+
+        _repo = _os.path.dirname(_os.path.abspath(__file__))
+        with open(_os.path.join(_repo, "ROTATION.json")) as f:
+            last_green = _json.load(f)["last_green"]
+    except (OSError, KeyError, ValueError):  # pragma: no cover
+        return impls
+    names = list(impls)
+    order = sorted(range(len(names)), key=lambda i: last_green.get(names[i], 0))
+    return {names[i]: impls[names[i]] for i in order}
+
+
+def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All registered queries in REGISTRATION order (append-only; the
+    historical order doubles as the rotation tiebreak)."""
     return {
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,

@@ -23,6 +23,44 @@ def test_registry_floor():
     check_registry(E)
 
 
+def test_rotation_manifest_current():
+    """ADVICE r4 (medium): the rotation invariant must be data + an
+    assert, not a code comment. (a) ROTATION.json matches what
+    tools/update_rotation.py would regenerate from the CORRECTNESS
+    files on disk; (b) queries() is sorted stalest-first by it; (c)
+    the driver's ~50-entry gate window covers every entry whose hard
+    signal would otherwise age past two rounds this round, plus every
+    never-checked entry."""
+    import json
+    import os
+
+    from tools.update_rotation import ROTATION_PATH, compute_last_green
+
+    fresh, _sources = compute_last_green()
+    assert os.path.exists(ROTATION_PATH), "run tools/update_rotation.py"
+    with open(ROTATION_PATH) as f:
+        on_disk = json.load(f)["last_green"]
+    assert on_disk == fresh, (
+        "ROTATION.json is stale vs CORRECTNESS_r*.json — "
+        "run tools/update_rotation.py"
+    )
+
+    names = list(E.queries())
+    key = [on_disk.get(n, 0) for n in names]
+    assert key == sorted(key), "queries() not sorted stalest-first by ROTATION.json"
+
+    current_round = max(on_disk.values(), default=0) + 1
+    window = set(names[:50])
+    must_check = {
+        n for n in names if on_disk.get(n, 0) <= current_round - 3
+    } | {n for n in names if n not in on_disk}
+    overflow = sorted(must_check - window)
+    assert not overflow, (
+        f"{len(must_check)} entries need a fresh driver signal this round "
+        f"but only 50 fit the gate window; pushed out: {overflow}"
+    )
+
+
 def test_every_query_executes_and_has_oracle(spark):
     qs = E.queries()
     oracles = E.oracle_sql()

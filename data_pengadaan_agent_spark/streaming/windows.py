@@ -104,6 +104,29 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(
+    df: DataFrame, id_cols: list[str], ts_col: str, delay: str = "10 minutes"
+) -> DataFrame:
+    """State-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+) keeps each key's dedup state only until the watermark
+    passes the key's event time + ``delay``, then evicts it. On an
+    infinite stream this is the only dedup whose state is O(rate ×
+    horizon) instead of O(distinct keys ever seen) — the 100 TB form
+    of ``dropDuplicates``. The semantic trade: a duplicate arriving
+    AFTER its original's state was evicted is re-emitted, so
+    exactly-once collapses to once-per-watermark-window; downstream
+    consumers that need global uniqueness finish with a batch
+    ``dedup_exact`` over the sink (the standard lambda-free pattern).
+
+    On a batch frame falls back to plain ``dropDuplicates`` (the
+    within-watermark variant is streaming-only), preserving the
+    batch/stream parity rule."""
+    src = _watermarked(df, ts_col, delay)
+    if not src.isStreaming:
+        return src.dropDuplicates(id_cols)
+    return src.dropDuplicatesWithinWatermark(id_cols)
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

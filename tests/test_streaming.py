@@ -290,3 +290,64 @@ def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
     assert got.count() == 2  # 4 non-empty lines, 2 distinct documents
+
+
+def test_dedup_within_watermark_evicts_state(spark, tmp_path):
+    """State-bounded dedup (VERDICT r4 #3): dropDuplicatesWithinWatermark
+    must (a) suppress a duplicate arriving while its key's state is
+    live, and (b) EVICT the state once the watermark passes event time
+    + delay — proven by the same key being re-emitted in a later
+    trigger. Files land between processAllAvailable() calls so trigger
+    boundaries are deterministic."""
+    import datetime as dt
+
+    schema = "doc_id long, ts timestamp"
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1, h, m)) for i, h, m in rows], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # trigger 1: first sighting of doc 1 (and 2); watermark → 09:50
+    write_batch([(1, 10, 0), (2, 10, 0)])
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    deduped = SW.streaming_dedup_within_watermark(
+        stream, ["doc_id"], "ts", delay="10 minutes"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # trigger 2: doc 1 again at 10:05 — state live (expires 10:10 >
+    # watermark 09:50) → suppressed; doc 3 at 11:00 pushes the
+    # watermark to 10:50, past doc 1's expiry → state evicted
+    write_batch([(1, 10, 5), (3, 11, 0)])
+    q.processAllAvailable()
+    # trigger 3: doc 1 a third time — state is GONE, so it re-emits;
+    # this re-emission IS the proof of bounded state
+    write_batch([(1, 11, 5)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM ttl_dedup_out").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["ts"])
+    assert sorted(by_id) == [1, 2, 3]
+    assert len(by_id[2]) == 1 and len(by_id[3]) == 1
+    assert sorted(by_id[1]) == [
+        dt.datetime(2024, 1, 1, 10, 0),  # first sighting emitted
+        dt.datetime(2024, 1, 1, 11, 5),  # re-emitted AFTER eviction
+    ], by_id[1]  # 10:05 duplicate correctly suppressed
+
+    # batch fallback keeps the parity rule: same callable on a static
+    # frame is a plain dropDuplicates
+    batch = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0)), (1, dt.datetime(2024, 1, 1, 10, 5))],
+        schema,
+    )
+    assert SW.streaming_dedup_within_watermark(batch, ["doc_id"], "ts").count() == 1

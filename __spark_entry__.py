@@ -1022,6 +1022,46 @@ def _q_sim_topk_ivf(spark, sf):
     ).withColumn("similarity", F.round("similarity", 4))
 
 
+def _q_ann_recall(spark, sf):
+    """Retrieval QUALITY as a checkable row (VERDICT r4 #4): recall@10
+    of the two ANN paths (`lsh_topk`, `ivf_topk`) against the exact
+    brute-force top-k, same deterministic query vector and codebooks as
+    the sim_topk_* entries. Semantic retrieval is the reference's
+    signature feature (reference `openai/list_of_tools.py:123-143`,
+    embedding search over the procurement vocab); this entry pins its
+    QUALITY — not just plan shape — against regression: a banding/
+    probe change that silently tanks recall now reds a driver row.
+
+    Scale: each top-k is TakeOrderedAndProject-capped at k=10 before
+    the 10-row broadcast semi-join; the aggregates are single scalar
+    rows. Recall numbers at these settings (NOTES r2): LSH 6-plane
+    single-bucket probe and IVF 2-of-8 probe both recover most of the
+    exact top-10 on the fixture; the entry records whatever they are
+    so drift is visible."""
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    brute = (
+        S.cosine_topk(emb, "embedding", qvec, k=10).select("vec_id").localCheckpoint()
+    )
+    lsh = S.lsh_topk(emb, "embedding", qvec, k=10, n_planes=6, seed=42).select("vec_id")
+    ivf = S.ivf_topk(
+        emb, "embedding", qvec, k=10, n_centroids=8, n_probe=2, seed=7
+    ).select("vec_id")
+
+    def recall_row(name: str, approx: DataFrame) -> DataFrame:
+        return (
+            approx.join(F.broadcast(brute), "vec_id", "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(10).cast("bigint").alias("k"),
+                F.round(F.col("hits") / F.lit(10.0), 4).alias("recall"),
+            )
+        )
+
+    return recall_row("ivf", ivf).unionAll(recall_row("lsh", lsh)).orderBy("method")
+
+
 def _q_text_token_count(spark, sf):
     return X.token_count(load_table(spark, sf, "documents")).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "n_bpe_est"
@@ -1674,6 +1714,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW in round 5 ---
         "corpus_ingest_stream_ttl": _q_corpus_ingest_stream_ttl,
+        "ann_recall_lsh_ivf": _q_ann_recall,
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,
         "activity_heatmap": _q_activity_heatmap,
@@ -3085,6 +3126,21 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_lsh_precomputed": _lsh_topk_sql(),
         "sim_topk_ivf_precomputed": _ivf_topk_sql(),
         "sim_topk_brute": _SIM_TOPK_SQL,
+        # Composition of the three sim_topk oracles: recall@10 of each
+        # ANN path against the exact top-10 (same codebook literals).
+        "ann_recall_lsh_ivf": f"""
+            WITH brute AS (SELECT vec_id FROM ({_SIM_TOPK_SQL}) b),
+                 lshk AS (SELECT vec_id FROM ({_lsh_topk_sql()}) l),
+                 ivfk AS (SELECT vec_id FROM ({_ivf_topk_sql()}) i)
+            SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+                   round(CAST((SELECT count(*) FROM ivfk JOIN brute USING (vec_id))
+                         AS DOUBLE) / 10.0, 4) AS recall
+            UNION ALL
+            SELECT 'lsh', CAST(10 AS BIGINT),
+                   round(CAST((SELECT count(*) FROM lshk JOIN brute USING (vec_id))
+                         AS DOUBLE) / 10.0, 4)
+            ORDER BY method
+        """,
         "sim_topk_lsh": _lsh_topk_sql(),
         "keyword_retrieval": _keyword_retrieval_sql(),
         "sim_topk_ivf": _ivf_topk_sql(),

@@ -240,30 +240,51 @@ def _ensure_text_corpus(sf_dir: str) -> str:
     doc_id, newlines stripped) that ``read_text_corpus`` ingests.
     Fixture plumbing, not part of the measured pipeline: a real corpus
     ALREADY lives as text shards; this exists only because the test
-    fixtures are parquet. Idempotent per sf_dir (``_SUCCESS`` marker),
-    deterministic (content and order derive solely from the table)."""
+    fixtures are parquet. Idempotent and deterministic (content and
+    order derive solely from the table).
+
+    Cache discipline (ADVICE r4): the cache directory is keyed on a
+    CONTENT FINGERPRINT of documents.parquet (size + mtime), not just
+    the sf_dir basename — a regenerated fixture or a different root
+    sharing a basename gets a fresh directory instead of silently
+    reusing stale shards. Shards are written to a temp directory
+    renamed into place, so a concurrent bench/oracle process either
+    sees the complete directory or builds its own temp and loses the
+    atomic-rename race harmlessly."""
     import os
 
     import duckdb
 
+    src = os.path.join(sf_dir.rstrip("/"), "documents.parquet")
+    st = os.stat(src)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/spark_graft_text_corpus/{tag}"
+    fp = f"{tag}_{st.st_size}_{st.st_mtime_ns}"
+    path = f"/tmp/spark_graft_text_corpus/{fp}"
     marker = os.path.join(path, "_SUCCESS")
     if path in _TEXT_CORPUS_READY or os.path.exists(marker):
         _TEXT_CORPUS_READY.add(path)
         return path
-    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     rows = duckdb.connect().execute(
         "SELECT source, string_agg(regexp_replace(text, '[\\r\\n]+', ' ', 'g'),"
         " chr(10) ORDER BY doc_id) "
-        f"FROM read_parquet('{sf_dir.rstrip('/')}/documents.parquet') "
+        f"FROM read_parquet('{src}') "
         "WHERE length(trim(text)) > 0 GROUP BY source"
     ).fetchall()
     for source, body in rows:
-        with open(os.path.join(path, f"{source}.txt"), "w") as f:
+        with open(os.path.join(tmp, f"{source}.txt"), "w") as f:
             f.write(body + "\n")
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("ok\n")
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the race to a concurrent builder — its directory is
+        # complete (rename is atomic, marker written before rename)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     _TEXT_CORPUS_READY.add(path)
     return path
 
@@ -3600,18 +3621,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text,
                      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
                    CAST(len(regexp_extract_all(text,
-                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+                     '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS BIGINT) AS n_ipv4,
                    CAST(len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                     + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
                     + len(regexp_extract_all(text,
-                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+                     '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS BIGINT)
                      AS n_pii_total,
                    (len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                     + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
                     + len(regexp_extract_all(text,
-                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))) > 0 AS has_pii
+                     '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b'))) > 0 AS has_pii
             FROM tickets
         """,
         "stratified_sample": """

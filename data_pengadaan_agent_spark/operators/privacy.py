@@ -94,13 +94,24 @@ def scrub_terms(
     )
 
 
-# Classes of PII the span detector ships with. Kept to regex shapes
-# whose semantics agree between Java regex (Spark) and RE2 (DuckDB /
-# most scanners), so the oracle can replicate counts exactly.
+# Classes of PII the span detector ships with — DEMO / oracle-
+# replicable DEFAULTS, not a compliance gate (ADVICE r4). They are
+# deliberately restricted to regex shapes whose semantics agree
+# between Java regex (Spark) and RE2 (DuckDB / most scanners): no
+# lookarounds, ASCII \b only. Known narrowness a production deployment
+# must widen via the ``patterns=`` parameter: ``phone`` matches only
+# the +N-NNN-NNNN shape (parenthesized/space/dot formats pass
+# undetected), and none of these classes cover names, addresses, or
+# national id formats. ``ipv4`` carries word-boundary guards and
+# octet-range alternation so version strings ("v1.2.3.4" — no word
+# boundary between 'v' and '1') and out-of-range octets ("999.1.1.1")
+# don't count; a dotted-quad PREFIX of a longer chain ("1.2.3.4.5")
+# still matches, since excluding it needs lookahead RE2 lacks.
+_IPV4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
-    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ipv4": rf"\b{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}\b",
 }
 
 

@@ -23,13 +23,25 @@ from pyspark.sql import functions as F
 # engines (max product ~2^63 for ids < 2^31).
 _KNUTH = 2654435761
 _M32 = 1 << 32
+_M31 = 1 << 31  # pre-multiply id fold: keeps id * _KNUTH < 2^63
 
 
 def split_hash_col(id_col: str | Column) -> Column:
     """Uniform [0, 2^32) bucket from an integer id — pure BIGINT
-    arithmetic, identical in any SQL engine."""
+    arithmetic, identical in any SQL engine.
+
+    Id-domain contract (ADVICE r4): the id is first folded to [0, 2^31)
+    with ``pmod`` so the Knuth multiply can NEVER wrap 63-bit signed
+    BIGINT (2^31 x 2654435761 < 2^63; a raw 64-bit id — e.g. the
+    xxhash64 ``doc_id`` from read_text_corpus — would overflow and turn
+    the 'uniform [0, 2^32)' scramble into signed wrapped values). For
+    ids already in [0, 2^31) the fold is the identity, so every
+    existing oracle replica is unchanged; 64-bit ids lose their top
+    bits to the fold, which is harmless for bucketing (the scramble
+    mixes the surviving 31) and keeps the expression replicable in any
+    BIGINT-only SQL engine."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c.cast("long") * F.lit(_KNUTH)) % F.lit(_M32)
+    return (F.pmod(c.cast("long"), F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
 
 
 def train_test_split(

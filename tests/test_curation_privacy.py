@@ -236,3 +236,32 @@ def test_detect_pii_counts(spark):
     assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ipv4"]) == (2, 1, 1)
     assert got[1]["n_pii_total"] == 4 and got[1]["has_pii"]
     assert got[2]["n_pii_total"] == 0 and not got[2]["has_pii"]
+
+
+def test_detect_pii_ipv4_boundary_guards(spark):
+    """ADVICE r4: the default ipv4 pattern must not count version
+    strings (no word boundary inside 'v1') or out-of-range octets,
+    while still counting real dotted quads — and the same RE2-safe
+    shape must agree in DuckDB (the oracle engine)."""
+    import duckdb
+
+    from data_pengadaan_agent_spark.operators.privacy import PII_PATTERNS, detect_pii
+
+    cases = [
+        (1, "release v1.2.3.4 is out"),          # version string: 0
+        (2, "bad host 999.1.1.1 pinged"),        # out-of-range octet: 0
+        (3, "edge 255.255.255.255 and 0.0.0.0"),  # valid extremes: 2
+        (4, "server 192.168.10.250 up"),          # plain valid: 1
+        (5, "chain 1.2.3.4.5 logged"),            # documented prefix match: 1
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_ipv4"] for r in detect_pii(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 2, 4: 1, 5: 1}, got
+
+    duck = {
+        i: duckdb.sql(
+            "SELECT len(regexp_extract_all(?, ?))", params=[t, PII_PATTERNS["ipv4"]]
+        ).fetchone()[0]
+        for i, t in cases
+    }
+    assert duck == got, (duck, got)

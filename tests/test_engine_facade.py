@@ -100,3 +100,58 @@ def test_engine_from_sqlite(spark, tmp_path):
     )
     assert {d["jenis_pengadaan"] for d in data} == {"Barang", "Jasa"}
     assert insights["n"] == 2
+
+
+def test_golden_scenarios_through_facade(spark, engine):
+    """The reference's two rehearsed scenarios (golden PNGs,
+    openai/basic_functions.py:45-53 / langchain/agent_setup.py:25-39)
+    replayed ENTIRELY through the facade — materialize → preview →
+    chart — including the §1.4 substring trap in the stage-1 SQL
+    itself (VERDICT r4 #6; the operator-level golden tests cover the
+    same semantics below the facade).
+
+    Scenario A (office supplies): CNF (alat) AND (kantor OR tulis) as
+    LIKE-substring SQL. 'alat' must match row 2's 'peralatan' — token
+    matching would return only row 1 and the budget sum would miss the
+    150k row."""
+    engine.materialize(
+        """SELECT * FROM data_pengadaan
+           WHERE filtered_keywords LIKE '%alat%'
+             AND (filtered_keywords LIKE '%kantor%'
+                  OR filtered_keywords LIKE '%tulis%')"""
+    )
+    prev = engine.preview("SELECT kode_rup FROM intermediary_table ORDER BY kode_rup")
+    assert [r["kode_rup"] for r in prev["first_rows"]] == [1, 2]  # §1.4: 2 included
+
+    data, insights = engine.bar_chart(
+        """SELECT satuan_kerja, sum(total_pagu) AS total
+           FROM intermediary_table GROUP BY satuan_kerja""",
+        x="satuan_kerja",
+        y="total",
+    )
+    assert insights["top_category"] == "Dinas A"
+    assert insights["sum_v"] == 5_400_150_000  # includes the peralatan row
+
+    # Scenario B (building repairs): (perbaikan OR rehabilitasi) AND
+    # gedung — 'gedung' must match 'gedungnya'; the monthly trend keeps
+    # years distinct (2023-01 vs 2024-01).
+    engine.materialize(
+        """SELECT *, try_to_timestamp(tanggal_umumkan_paket) AS ts
+           FROM data_pengadaan
+           WHERE (filtered_keywords LIKE '%perbaikan%'
+                  OR filtered_keywords LIKE '%rehabilitasi%')
+             AND filtered_keywords LIKE '%gedung%'"""
+    )
+    prev = engine.preview("SELECT kode_rup FROM intermediary_table ORDER BY kode_rup")
+    assert [r["kode_rup"] for r in prev["first_rows"]] == [3, 4]  # gedungnya matched
+
+    data, insights = engine.line_chart(
+        "SELECT ts, kode_rup, total_pagu FROM intermediary_table",
+        ts_col="ts",
+        id_col="kode_rup",
+        measure_col="total_pagu",
+    )
+    months = {d["bulan"]: (d["jumlah_paket"], d["total_pagu"]) for d in data}
+    assert months == {"2023-01": (1, 750_000_000), "2024-01": (1, 2_000_000_000)}
+    assert insights["peak_value_month"] == "2024-01"
+    assert insights["total_value"] == 2_750_000_000

@@ -1083,6 +1083,53 @@ def _q_ann_recall(spark, sf):
     return recall_row("ivf", ivf).unionAll(recall_row("lsh", lsh)).orderBy("method")
 
 
+def _q_bm25_retrieval(spark, sf):
+    """BM25-ranked keyword retrieval (operators/textan.bm25_score) —
+    the principled ranking upgrade of the raw match-count keyword arm
+    (reference retrieval semantics, openai/list_of_tools.py:123-143):
+    idf-weighted, tf-saturating, length-normalized. One corpus scan +
+    a 1-row broadcast of corpus stats; top-20 via
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf, "documents")
+    out = X.bm25_score(docs, ["spark", "window", "join"])
+    return (
+        out.withColumn("bm25", F.round("bm25", 4))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+_MIX_TOKEN_BUDGETS = {"en": 5000, "de": 2000, "fr": 100000}
+
+
+def _q_corpus_mix_tokens(spark, sf):
+    """Token-budget corpus mixing (operators/sampling.
+    corpus_mix_token_budget): per language, admit docs in scrambled-
+    hash order until the TOKEN budget is reached — mixtures specified
+    in tokens (the unit pretraining recipes actually use), vs
+    corpus_mix's proportional document counts. Budgets chosen to
+    exercise all three regimes: en/de partially filled, fr's budget
+    exceeds its supply (keeps everything), es/zh absent (dropped)."""
+    from data_pengadaan_agent_spark.operators.sampling import corpus_mix_token_budget
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(X.tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return corpus_mix_token_budget(docs, _MIX_TOKEN_BUDGETS, group_col="lang")
+
+
+def _q_cluster_representatives(spark, sf):
+    """Quality-keeping near-dup collapse (operators/dedup.
+    cluster_representatives): ngram-jaccard pairs → connected
+    components → keep each cluster's highest-quality member (ties by
+    min id) — dedup that keeps the BEST copy, not the min-id one."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.12).select("id_a", "id_b")
+    clusters = D.dedup_clusters(docs, pairs)
+    scores = X.quality_score(docs).select("doc_id", "quality_score")
+    return D.cluster_representatives(clusters, scores).orderBy("cluster_id")
+
+
 def _q_text_token_count(spark, sf):
     return X.token_count(load_table(spark, sf, "documents")).select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "n_bpe_est"
@@ -1736,6 +1783,9 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 5 ---
         "corpus_ingest_stream_ttl": _q_corpus_ingest_stream_ttl,
         "ann_recall_lsh_ivf": _q_ann_recall,
+        "bm25_retrieval": _q_bm25_retrieval,
+        "corpus_mix_tokens": _q_corpus_mix_tokens,
+        "cluster_representatives": _q_cluster_representatives,
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,
         "activity_heatmap": _q_activity_heatmap,
@@ -3106,6 +3156,137 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id IN (SELECT doc_id FROM q WHERE quality_score >= 0.55)
               AND doc_id IN (SELECT doc_id FROM eng)
             GROUP BY source ORDER BY source
+        """,
+        # BM25 with the integer idf proxy ((N*1e6) DIV df) and a FIXED
+        # IEEE expression order — no libm, so the doubles agree
+        # bit-for-bit with Spark before the round.
+        "bm25_retrieval": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(toks, x -> x = 'window')) AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf2
+              FROM d
+            ), stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) AS sum_dl,
+                     CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                     CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+              FROM base
+            ), scored AS (
+              SELECT doc_id,
+                (CASE WHEN tf0 > 0
+                      THEN (CAST((n_docs * 1000000) // greatest(df0, 1) AS DOUBLE)
+                            * (tf0 * 2.5))
+                           / (tf0 + 1.5 * (0.25 + (0.75 * dl)
+                              / (sum_dl / CAST(n_docs AS DOUBLE))))
+                      ELSE 0.0 END
+                 + CASE WHEN tf1 > 0
+                      THEN (CAST((n_docs * 1000000) // greatest(df1, 1) AS DOUBLE)
+                            * (tf1 * 2.5))
+                           / (tf1 + 1.5 * (0.25 + (0.75 * dl)
+                              / (sum_dl / CAST(n_docs AS DOUBLE))))
+                      ELSE 0.0 END)
+                 + CASE WHEN tf2 > 0
+                      THEN (CAST((n_docs * 1000000) // greatest(df2, 1) AS DOUBLE)
+                            * (tf2 * 2.5))
+                           / (tf2 + 1.5 * (0.25 + (0.75 * dl)
+                              / (sum_dl / CAST(n_docs AS DOUBLE))))
+                      ELSE 0.0 END AS bm25
+              FROM base, stats
+            )
+            SELECT doc_id, round(bm25, 4) AS bm25 FROM scored
+            WHERE bm25 > 0 ORDER BY round(bm25, 4) DESC, doc_id LIMIT 20
+        """,
+        "corpus_mix_tokens": """
+            WITH d AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT doc_id, lang, n_tokens,
+                     CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                               WHEN 'fr' THEN 100000 END AS budget,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+                       - n_tokens AS consumed_before
+              FROM d WHERE lang IN ('en', 'de', 'fr')
+            )
+            SELECT doc_id, lang, n_tokens FROM b WHERE consumed_before < budget
+        """,
+        # dedup_clusters' connected components + the quality formula,
+        # collapsed to each cluster's best-quality member.
+        "cluster_representatives": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id < 200
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+              FROM d
+            ), sz AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ), clust AS (
+              SELECT dd.doc_id,
+                     least(dd.doc_id, coalesce(min(r.b), dd.doc_id)) AS cluster_rep
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 200) dd
+              LEFT JOIN reach r ON r.a = dd.doc_id
+              GROUP BY dd.doc_id
+            ), qt AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     length(text) AS n_chars
+              FROM documents WHERE doc_id < 200
+            ), qm AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     n_chars,
+                     CAST(len(list_filter(toks, t -> t IN
+                        ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                       / greatest(len(toks), 1) AS stop_ratio,
+                     CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                       / greatest(n_chars, 1) AS alpha_ratio
+              FROM qt
+            ), q AS (
+              SELECT doc_id,
+                     round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                           + least(stop_ratio * 5.0, 1.0) * 0.3
+                           + alpha_ratio * 0.3, 6) AS quality_score
+              FROM qm
+            ), j AS (
+              SELECT c.doc_id, c.cluster_rep, q.quality_score,
+                     row_number() OVER (PARTITION BY c.cluster_rep
+                         ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+                     count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+              FROM clust c JOIN q USING (doc_id)
+            )
+            SELECT cluster_rep AS cluster_id, doc_id AS rep_doc_id,
+                   quality_score AS best_score, CAST(n_members AS BIGINT) AS n_members
+            FROM j WHERE rk = 1 ORDER BY cluster_id
         """,
         "dedup_clusters": """
             WITH RECURSIVE d AS (

@@ -25,7 +25,7 @@ column salt), so signatures are deterministic and cluster-invariant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # --- exact ------------------------------------------------------------------
@@ -664,3 +664,45 @@ def dedup_incremental(
     fresh = new_h.join(seen_h, "_h", "left_anti")
     keep = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
     return new_df.join(keep, id_col, "left_semi")
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_rep",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Near-dup endgame AFTER ``dedup_clusters``: keep the BEST
+    document of every cluster instead of the arbitrary min-id one —
+    dedup that keeps the highest-quality copy (the standard corpus
+    rule: near-dup groups collapse to their best-scored member, e.g.
+    longest / highest quality_score, not whichever hashed lowest).
+
+    ``clusters`` is dedup_clusters output (id → cluster label);
+    ``scores`` carries the per-doc score (quality_score output or any
+    scalar). Winner = max score, ties broken by min id, via one
+    row_number window — deterministic on any engine.
+
+    Scale shape: the 1:1 id equi-join shuffles only (id, label, score)
+    triples, then one window partitioned by cluster label; near-dup
+    clusters are small (bounded by the candidate generator), so no
+    skew amplification, and the output is one row per cluster."""
+    joined = clusters.join(scores, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy(cluster_col)).cast("bigint"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(cluster_col).alias("cluster_id"),
+            F.col(id_col).alias("rep_doc_id"),
+            F.col(score_col).alias("best_score"),
+            "n_members",
+        )
+    )

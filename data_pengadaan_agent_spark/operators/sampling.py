@@ -213,3 +213,46 @@ def stratified_sample(
         .filter(F.col("_rk") <= F.col("_q"))
         .drop("_rk", "_q")
     )
+
+
+def corpus_mix_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget corpus mixing: per group, admit documents in
+    deterministic scrambled-hash order until the group's TOKEN budget
+    is exhausted — the unit modern pretraining mixtures are actually
+    specified in (a "30B-token English / 5B-token code" recipe is a
+    token budget per source, not a document count; ``corpus_mix``'s
+    proportional-docs form is the ratio variant).
+
+    A document is admitted iff the tokens consumed BEFORE it in its
+    group's hash order are still under budget, so each group overshoots
+    by at most one document (never undershoots a reachable budget) and
+    membership is a pure function of content ids — stable under
+    re-runs, repartitioning, and incremental corpus growth in
+    everything except the hash frontier. Groups absent from
+    ``budgets`` are dropped.
+
+    Scale shape: one hash-partitioned window per group (the only
+    exchange), carrying (group, hash, tokens) — the running sum never
+    materializes the group; the budget map is a CASE expression, no
+    join at all.
+    """
+    budget_expr = F.lit(None).cast("bigint")
+    for g, t in budgets.items():
+        budget_expr = F.when(F.col(group_col) == g, F.lit(int(t))).otherwise(budget_expr)
+    w = Window.partitionBy(group_col).orderBy(split_hash_col(id_col), F.col(id_col))
+    consumed_before = F.coalesce(
+        F.sum(F.col(token_col)).over(w) - F.col(token_col), F.lit(0)
+    )
+    return (
+        df.withColumn("_budget", budget_expr)
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("_before", consumed_before.cast("bigint"))
+        .filter(F.col("_before") < F.col("_budget"))
+        .drop("_budget", "_before")
+    )

@@ -517,3 +517,76 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", F.col("score").cast("bigint").alias("score"), "rnk")
     )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a literal query-term
+    list (Robertson & Spärck Jones; the ranking function behind every
+    classic search engine) — the principled upgrade of the raw
+    match-count ranking in ``hybrid_retrieval``'s keyword arm.
+
+    Cross-engine determinism (the tfidf_top_terms discipline): the idf
+    factor is the integer proxy ``(N * 1_000_000) DIV df_t`` — ln() is
+    libm and drifts across engines — and everything downstream is
+    IEEE +,*,/ on doubles in a FIXED expression order (per-term scores
+    added left-to-right, never a SUM over rows), so DuckDB reproduces
+    the value bit-for-bit. Docs containing no query term score 0 and
+    are filtered out.
+
+    Scale shape: ONE corpus scan, zero row-level shuffles. Per-term
+    tf comes from ``size(filter(tokens))`` column expressions; the
+    corpus stats (N, avgdl, per-term document frequencies) are a
+    single 1-row aggregate broadcast back; the filter + projection is
+    stateless. At 100 TB this is a map over the corpus plus one
+    scalar broadcast — no explode, no vocabulary shuffle (contrast
+    tfidf_top_terms, which must shuffle the full term space because
+    its query is "all terms").
+    """
+    toks = tokens(text_col)
+    dl = F.size(toks).cast("double")
+
+    def _tf(term: str) -> Column:
+        # one-arg lambda only: a second (defaulted) parameter would make
+        # Spark treat this as the (element, index) lambda form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [
+        _tf(t).cast("double").alias(f"_tf_{i}") for i, t in enumerate(query_terms)
+    ]
+    base = df.select(F.col(id_col), dl.alias("_dl"), *tf_cols)
+
+    stat_aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    ] + [
+        F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"_df_{i}")
+        for i in range(len(query_terms))
+    ]
+    stats = base.agg(*stat_aggs)
+
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl") / F.col("_n_docs").cast("double")
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf_{i}")
+        idf = F.expr(f"(_n_docs * 1000000) DIV greatest(_df_{i}, 1)").cast("double")
+        term = F.when(
+            tf > 0,
+            idf * (tf * F.lit(k1 + 1.0))
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        scored.withColumn("bm25", score)
+        .filter(F.col("bm25") > 0)
+        .select(F.col(id_col), "bm25")
+    )

@@ -265,3 +265,83 @@ def test_detect_pii_ipv4_boundary_guards(spark):
         for i, t in cases
     }
     assert duck == got, (duck, got)
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 semantics: more matches rank higher at equal length, rarer
+    terms outweigh common ones, longer docs are length-penalized, and
+    term-free docs are excluded."""
+    from data_pengadaan_agent_spark.operators.textan import bm25_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad pad pad pad pad"),
+            (2, "spark pad pad pad pad pad pad pad"),
+            (3, "rare pad pad pad pad pad pad pad"),
+            (4, "pad pad pad pad pad pad pad pad"),
+            # 'spark' appears in 3 docs, 'rare' in 1 → rare has higher idf
+            (5, "spark pad pad pad pad pad pad pad pad pad pad pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["bm25"] for r in bm25_score(docs, ["spark", "rare"]).collect()}
+    assert 4 not in got  # no query term → excluded
+    assert got[1] > got[2]  # tf monotone at equal length
+    assert got[3] > got[2]  # rarer term, same tf and length → higher idf
+    assert got[2] > got[5]  # same tf, longer doc → length-normalized down
+
+
+def test_corpus_mix_token_budget_semantics(spark):
+    """Per-group token budgets: admitted prefix in hash order, at most
+    one doc of overshoot, oversupplied budget keeps all, absent groups
+    dropped, and selection is stable under repartitioning."""
+    from data_pengadaan_agent_spark.operators.sampling import (
+        corpus_mix_token_budget,
+        split_hash_col,
+    )
+
+    rows = [(i, "en" if i % 2 else "de", 10 + (i % 7)) for i in range(1, 201)]
+    rows += [(i, "zh", 10) for i in range(201, 221)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    budgets = {"en": 300, "de": 100_000}
+    out = corpus_mix_token_budget(df, budgets, group_col="lang")
+    got = out.groupBy("lang").agg(
+        F.sum("n_tokens").alias("tok"), F.count("*").alias("n")
+    )
+    by_lang = {r["lang"]: (r["tok"], r["n"]) for r in got.collect()}
+    assert set(by_lang) == {"en", "de"}  # zh absent from budgets → dropped
+    assert by_lang["de"][1] == 100  # oversupplied budget keeps the whole group
+    # budget respected up to < one doc of overshoot
+    en_tok = by_lang["en"][0]
+    assert en_tok >= 300 - 16 and en_tok < 300 + 17
+
+    # admitted set == prefix of the hash order (no holes)
+    en = df.filter(F.col("lang") == "en").withColumn("_h", split_hash_col("doc_id"))
+    order = [r["doc_id"] for r in en.orderBy("_h", "doc_id").collect()]
+    admitted = {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()}
+    assert admitted == set(order[: len(admitted)])
+
+    re_out = corpus_mix_token_budget(df.repartition(13), budgets, group_col="lang")
+    assert {r["doc_id"] for r in re_out.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
+
+
+def test_cluster_representatives_keeps_best(spark):
+    """Highest score wins per cluster; ties break to min id; singleton
+    clusters survive with n_members = 1."""
+    from data_pengadaan_agent_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_rep long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (6, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        r["cluster_id"]: (r["rep_doc_id"], r["best_score"], r["n_members"])
+        for r in cluster_representatives(clusters, scores).collect()
+    }
+    assert got == {1: (2, 0.9, 3), 4: (4, 0.7, 2), 6: (6, 0.1, 1)}

@@ -218,3 +218,31 @@ def test_minhash_verify_never_broadcasts_shingles(spark, tables):
     assert plan.count("ShuffledHashJoin") >= 4, plan
     for sub in _broadcast_subtrees(plan):
         assert "Generate explode" not in sub, sub
+
+
+def test_bm25_single_scan_no_explode(spark, tables):
+    """bm25_score must stay a map over ONE corpus scan plus a 1-row
+    stats broadcast: no Generate(explode), no vocabulary shuffle (the
+    contrast with tfidf_top_terms), and the only join is the broadcast
+    of the stats aggregate."""
+    from data_pengadaan_agent_spark.operators.textan import bm25_score
+
+    out = bm25_score(tables["documents"], ["spark", "window", "join"])
+    plan = _plan(out)
+    assert "Generate explode" not in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+    # stats arrive via a broadcast nested-loop of the single agg row
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_corpus_mix_token_budget_one_exchange(spark, tables):
+    """The token-budget mix costs exactly one exchange (the per-group
+    window); the budget map is a CASE expression, never a join."""
+    from data_pengadaan_agent_spark.operators.sampling import corpus_mix_token_budget
+
+    docs = tables["documents"].select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_tokens")
+    )
+    plan = _plan(corpus_mix_token_budget(docs, {"en": 1000, "de": 500}))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -94,6 +94,19 @@ for cap in (200, 400, 800):
 for k in (1, 4, 10):
     t("profile_columns", 150000 * k,
       lambda: E._q_profile_columns(spark, f"/tmp/spark_graft_scale/orders_x{k}").count())
+# round-5 composites (VERDICT r4 #5): the full curation pipeline and
+# both streaming ingest front-ends (unbounded + watermark-TTL state)
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/docs_x{k}"
+    t("corpus_pipeline", 5000 * k, lambda d=d: E._q_corpus_pipeline(spark, d).count())
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/docs_x{k}"
+    t("corpus_ingest_stream", 5000 * k,
+      lambda d=d: E._q_corpus_ingest_stream(spark, d).count())
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/docs_x{k}"
+    t("corpus_ingest_stream_ttl", 5000 * k,
+      lambda d=d: E._q_corpus_ingest_stream_ttl(spark, d).count())
 
 print(json.dumps(res))
 for name, rows in res.items():

@@ -590,3 +590,73 @@ def bm25_score(
         .filter(F.col("bm25") > 0)
         .select(F.col(id_col), "bm25")
     )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean token rarity per document — the integer-arithmetic stand-in
+    for the unigram-LM "perplexity" quality gate of CCNet-style
+    curation (docs whose tokens are uniformly common read as boilerplate;
+    docs full of corpus-rare tokens read as noise/garble; the useful
+    middle band is what a mixture keeps).
+
+    Rarity of one token occurrence = ``(n_total_tokens * 1e6) DIV tf``
+    — the same integer idf-proxy discipline as tfidf_top_terms/bm25
+    (a true ln-perplexity needs libm and would not value-check across
+    engines). ``mean_rarity`` is ONE double division of two exact
+    BIGINTs, so it is bit-identical on any IEEE engine.
+
+    Scale shape: explode → (term) partial-agg shuffle for corpus term
+    frequencies → join back on term — pinned ``shuffle_hash`` because
+    BOTH sides descend from an explode (the house rule: explode-derived
+    frames have garbage size estimates, never leave their join strategy
+    to the static planner) → final (doc) agg. Total tokens arrive via
+    a 1-row broadcast. All exchanges carry (id, int64) pairs.
+    """
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    occ = spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = occ.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    total = tf.agg(F.sum("tf").cast("bigint").alias("n_total"))
+    return (
+        occ.join(tf.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rarity", F.expr("(n_total * 1000000) DIV tf"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("rarity").cast("bigint").alias("rarity_sum"),
+        )
+        .withColumn(
+            "mean_rarity",
+            F.col("rarity_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def decontaminate_train(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination as a FILTER: drop from the training
+    corpus every document sharing more than ``max_overlap`` distinct
+    word n-grams with the evaluation corpus, returning the surviving
+    train rows unchanged (``ngram_contamination`` is the AUDIT twin —
+    same join core with the roles reversed; this is the step that acts
+    on it, GPT-3 appendix-C style).
+
+    Scale shape: the audit's exchanges all carry (id, int64) hashed
+    n-grams; the final step is a left-anti join of train against the
+    (small) contaminated-id set, so full text crosses no exchange."""
+    audit = ngram_contamination(
+        train_df, test_df, n=n, text_col=text_col, id_col=id_col, min_hits=1
+    )
+    bad = audit.filter(F.col("n_overlap") > max_overlap).select(id_col)
+    return train_df.join(bad.hint("shuffle_hash"), id_col, "left_anti")

@@ -193,3 +193,46 @@ def test_resample_ffill_fills_gaps(spark):
     assert gap["value_ffill"] == 5.0 and gap["observed"] is False
     assert rows[(1, "2024-01-03")]["value_ffill"] == 7.0
     assert rows[(2, "2024-01-05")]["observed"] is True
+
+
+def test_token_rarity_semantics(spark):
+    """Docs made of corpus-rare tokens must out-score docs of common
+    tokens; rarity_sum/n_tokens arithmetic is exact."""
+    from data_pengadaan_agent_spark.operators.textan import token_rarity
+
+    docs = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rareword common"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_rarity(docs).collect()}
+    assert 3 not in got  # token-free doc vanishes
+    # corpus: common x5, rareword x1, total 6
+    # rarity(common) = 6e6 DIV 5 = 1_200_000; rarity(rareword) = 6_000_000
+    assert got[1]["rarity_sum"] == 3 * 1_200_000
+    assert got[2]["rarity_sum"] == 2 * 1_200_000 + 6_000_000
+    assert got[2]["mean_rarity"] > got[1]["mean_rarity"]
+    for r in got.values():
+        assert r["mean_rarity"] == r["rarity_sum"] / r["n_tokens"]
+
+
+def test_decontaminate_train_drops_overlap(spark):
+    """A train doc sharing a 3-gram with the eval set is dropped; a
+    clean doc and a too-short-for-ngrams doc both survive."""
+    from data_pengadaan_agent_spark.operators.textan import decontaminate_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs"),
+            (2, "completely unrelated training content here"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox today")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_train(train, test, n=3).collect()
+    )
+    assert kept == [2, 3]

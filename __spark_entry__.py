@@ -817,6 +817,34 @@ def _q_ngram_contamination(spark, sf):
     return X.ngram_contamination(test, train, n=5)
 
 
+def _q_trending_terms_stream(spark, sf):
+    """STREAMING windowed trending-term monitor (streaming/windows.
+    trending_terms_stream): tumbling 10-minute term counts over the
+    ingest stream, complete output mode (the finite-source
+    materialization equals the batch aggregation, so the entry is
+    VALUE-checked). The ingest time derives from line length (base +
+    pmod(n_chars × Knuth, 3600) s) — deterministic AND replicable in
+    plain SQL, unlike the xxhash64 doc hash."""
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus_stream
+
+    corpus = read_text_corpus_stream(spark, _ensure_text_corpus(sf)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.pmod(F.col("n_chars") * F.lit(2654435761), F.lit(3600))
+        ),
+    )
+    out = SW.trending_terms_stream(corpus, min_count=5)
+    res = SW.run_stream_to_memory(
+        spark, out, "trending_terms_stream", output_mode="complete"
+    )
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "term",
+        "n",
+    )
+
+
 def _q_token_rarity(spark, sf):
     """Unigram-rarity quality gate (operators/textan.token_rarity):
     per-doc mean token rarity under the integer idf-proxy — the
@@ -1807,6 +1835,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_representatives": _q_cluster_representatives,
         "token_rarity": _q_token_rarity,
         "decontaminate_train": _q_decontaminate_train,
+        "trending_terms_stream": _q_trending_terms_stream,
         # --- NEW in round 4 (never driver-checked) ---
         "corpus_pipeline": _q_corpus_pipeline,
         "activity_heatmap": _q_activity_heatmap,
@@ -2914,6 +2943,30 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(n_overlap, 0) * 1.0 / n_ngrams, 6) AS contamination,
                    COALESCE(n_overlap, 0) >= 1 AS contaminated
             FROM tot LEFT JOIN hit USING (doc_id)
+        """,
+        # Relational model of the complete-mode streaming aggregation:
+        # same newline-collapse + empty-line filter as the shard
+        # writer, ingest time from line length, epoch-aligned windows.
+        "trending_terms_stream": """
+            WITH lines AS (
+              SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
+              FROM documents WHERE length(trim(text)) > 0
+            ), w AS (
+              SELECT text,
+                     (length(text) * 2654435761) % 3600 AS off
+              FROM lines
+            ), tok AS (
+              SELECT off,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM w
+            ), c AS (
+              SELECT strftime(make_timestamp(
+                       (1704067200 + (off // 600) * 600) * 1000000),
+                       '%Y-%m-%d %H:%M') AS window_start,
+                     term, CAST(count(*) AS BIGINT) AS n
+              FROM tok WHERE term <> '' GROUP BY 1, 2
+            )
+            SELECT window_start, term, n FROM c WHERE n >= 5
         """,
         "token_rarity": """
             WITH occ AS (

@@ -234,3 +234,38 @@ def foreach_batch_parquet_sink(
         .outputMode("update")
         .start()
     )
+
+
+def trending_terms_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    window_len: str = "10 minutes",
+    min_count: int = 5,
+) -> DataFrame:
+    """Trending terms over an ingest stream: tumbling-window term
+    counts gated by ``min_count`` — the live "what is the corpus
+    suddenly full of?" monitor a continuously ingesting curation
+    pipeline runs next to its dedup/quality gates (a burst of one
+    template's tokens in a window is the first symptom of a crawler
+    loop or spam flood).
+
+    Designed for COMPLETE output mode: the windowed count is a
+    streaming aggregation whose result table is small (terms × open
+    windows), so complete mode is the natural sink contract and the
+    finite-source materialization equals the batch aggregation exactly
+    (append mode would withhold the never-closed final window). On a
+    batch frame the same code is a plain windowed groupBy — the parity
+    rule. State is bounded by |distinct terms per window| × |open
+    windows|; the watermark lets the store drop windows the event
+    clock has passed."""
+    src = _watermarked(docs, ts_col, "1 hour")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (
+        src.select(F.window(ts_col, window_len).alias("w"), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("w", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(F.col("w").getField("start").alias("window_start"), "term", "n")
+    )

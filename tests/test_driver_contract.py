@@ -60,6 +60,17 @@ def test_rotation_manifest_current():
         f"but only 50 fit the gate window; pushed out: {overflow}"
     )
 
+    # Rotation capacity: one driver check buys 3 rounds of freshness
+    # (green at N is acceptably fresh through N+2), so keeping every
+    # entry ≤2 rounds stale needs len(registry)/3 ≤ 50 checks/round.
+    # Past 150 entries the invariant becomes arithmetically impossible
+    # — retire variants (tier 3 in the queries() docstring) before
+    # registering more.
+    assert len(names) <= 150, (
+        f"registry has {len(names)} entries; the 50-entry gate window "
+        "can no longer keep everything ≤2 rounds stale past 150"
+    )
+
 
 def test_every_query_executes_and_has_oracle(spark):
     qs = E.queries()

@@ -351,3 +351,32 @@ def test_dedup_within_watermark_evicts_state(spark, tmp_path):
         schema,
     )
     assert SW.streaming_dedup_within_watermark(batch, ["doc_id"], "ts").count() == 1
+
+
+def test_trending_terms_stream_parity(spark, tmp_path):
+    """Complete-mode streaming windowed term counts must equal the
+    batch aggregation of the same frame (finite source)."""
+    (tmp_path / "a.txt").write_text(
+        "alpha beta alpha\n" * 4 + "gamma delta\n" * 3 + "\n"
+    )
+    from data_pengadaan_agent_spark.sources.readers import (
+        read_text_corpus,
+        read_text_corpus_stream,
+    )
+
+    ts = F.timestamp_seconds(
+        F.lit(1704067200) + F.pmod(F.col("n_chars") * F.lit(2654435761), F.lit(3600))
+    )
+    stream = read_text_corpus_stream(spark, str(tmp_path)).withColumn("ingest_ts", ts)
+    got = SW.run_stream_to_memory(
+        spark,
+        SW.trending_terms_stream(stream, min_count=2),
+        "trend_parity_out",
+        output_mode="complete",
+    )
+    batch = read_text_corpus(spark, str(tmp_path)).withColumn("ingest_ts", ts)
+    want = SW.trending_terms_stream(batch, min_count=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # duplicate lines are NOT deduped here (this monitor sits before
+    # the dedup gate): 'alpha' counts 8 across its window
+    assert {(r["term"], r["n"]) for r in got.collect()} >= {("alpha", 8), ("beta", 4), ("gamma", 3), ("delta", 3)}

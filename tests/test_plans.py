@@ -246,3 +246,20 @@ def test_corpus_mix_token_budget_one_exchange(spark, tables):
     plan = _plan(corpus_mix_token_budget(docs, {"en": 1000, "de": 500}))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_token_rarity_pins_explode_joins(spark, tables):
+    """token_rarity's tf join has BOTH sides descending from the token
+    explode (garbage static size estimates) — the house rule pins it
+    to shuffle_hash so the planner can never broadcast a
+    corpus-proportional frame."""
+    from data_pengadaan_agent_spark.operators.textan import token_rarity
+
+    plan = _plan(token_rarity(tables["documents"]))
+    assert "ShuffledHashJoin" in plan
+    for sub in _broadcast_subtrees(plan):
+        if "Generate explode" in sub:
+            # the one legal shape: a SCALAR aggregate of the exploded
+            # frame (the 1-row n_total broadcast) — bounded by
+            # construction; an unaggregated exploded frame is not
+            assert "HashAggregate(keys=[]" in sub, sub

@@ -242,6 +242,7 @@ def trending_terms_stream(
     text_col: str = "text",
     window_len: str = "10 minutes",
     min_count: int = 5,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Trending terms over an ingest stream: tumbling-window term
     counts gated by ``min_count`` — the live "what is the corpus
@@ -250,16 +251,18 @@ def trending_terms_stream(
     template's tokens in a window is the first symptom of a crawler
     loop or spam flood).
 
-    Designed for COMPLETE output mode: the windowed count is a
-    streaming aggregation whose result table is small (terms × open
-    windows), so complete mode is the natural sink contract and the
-    finite-source materialization equals the batch aggregation exactly
-    (append mode would withhold the never-closed final window). On a
-    batch frame the same code is a plain windowed groupBy — the parity
-    rule. State is bounded by |distinct terms per window| × |open
-    windows|; the watermark lets the store drop windows the event
-    clock has passed."""
-    src = _watermarked(docs, ts_col, "1 hour")
+    Output-mode contract, stated honestly: the registered entry runs
+    COMPLETE mode because on a FINITE source its materialization
+    equals the batch aggregation exactly (append mode would withhold
+    the never-closed final window), which is what makes the entry
+    value-checkable — but complete mode retains EVERY window forever
+    (watermarks do not evict complete-mode state), so it is only
+    correct for finite/bounded runs. The infinite-stream production
+    form is this same frame in UPDATE or APPEND mode, where the
+    1-hour watermark really does evict closed windows and state is
+    O(|terms per window| × |open windows|). On a batch frame the same
+    code is a plain windowed groupBy — the parity rule."""
+    src = _watermarked(docs, ts_col, watermark)
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     return (
         src.select(F.window(ts_col, window_len).alias("w"), F.explode(toks).alias("term"))

@@ -380,3 +380,34 @@ def test_trending_terms_stream_parity(spark, tmp_path):
     # duplicate lines are NOT deduped here (this monitor sits before
     # the dedup gate): 'alpha' counts 8 across its window
     assert {(r["term"], r["n"]) for r in got.collect()} >= {("alpha", 8), ("beta", 4), ("gamma", 3), ("delta", 3)}
+
+
+def test_trending_terms_stream_append_mode(spark, tmp_path):
+    """The production (infinite-stream) form: append mode + watermark.
+    Every window the watermark closed is emitted exactly as batch
+    computes it; only the final never-closed window may be withheld."""
+    # two bursts 40 minutes apart -> two distinct 10-minute windows
+    (tmp_path / "a.txt").write_text("aaa bbb aaa\n" * 3)          # len 12
+    (tmp_path / "b.txt").write_text("cc ddd cc ee ff gg hhhh i\n" * 3)  # len 26
+    from data_pengadaan_agent_spark.sources.readers import (
+        read_text_corpus,
+        read_text_corpus_stream,
+    )
+
+    ts = F.timestamp_seconds(
+        F.lit(1704067200) + F.pmod(F.col("n_chars") * F.lit(2654435761), F.lit(3600))
+    )
+    stream = read_text_corpus_stream(spark, str(tmp_path)).withColumn("ingest_ts", ts)
+    got = SW.run_stream_to_memory(
+        spark,
+        SW.trending_terms_stream(stream, min_count=2, watermark="5 minutes"),
+        "trend_append_out",
+        output_mode="append",
+    )
+    batch = read_text_corpus(spark, str(tmp_path)).withColumn("ingest_ts", ts)
+    want = SW.trending_terms_stream(batch, min_count=2, watermark="5 minutes")
+    got_rows = set(map(tuple, got.collect()))
+    want_rows = set(map(tuple, want.collect()))
+    assert got_rows <= want_rows
+    withheld_windows = {w for w, _, _ in want_rows - got_rows}
+    assert len(withheld_windows) <= 1  # only the final open window

@@ -864,6 +864,80 @@ def _q_decontaminate_train(spark, sf):
     return X.decontaminate_train(train, test, n=5).select("doc_id", "lang", "source")
 
 
+def _q_boilerplate_ngrams(spark, sf):
+    """Corpus self-boilerplate audit (operators/textan.
+    boilerplate_ngrams): per-doc share of distinct 3-grams occurring
+    in ≥2 distinct documents — the C4-style templated-content signal,
+    value-checked."""
+    return X.boilerplate_ngrams(
+        load_table(spark, sf, "documents"), n=3, min_docs=2
+    )
+
+
+def _q_length_outliers(spark, sf):
+    """Percentile length-band gate (operators/textan.
+    length_outlier_band): exact corpus p10/p90 token-count band,
+    broadcast back as a 1-row bounds frame; every doc flagged
+    in/out of band."""
+    return X.length_outlier_band(
+        load_table(spark, sf, "documents"), p_lo=0.10, p_hi=0.90
+    )
+
+
+def _q_snapshot_diff(spark, sf):
+    """Snapshot delta (operators/relational.snapshot_diff): two
+    deterministic snapshots of the documents corpus — the old one
+    missing doc_id%13==5 (later additions), the new one missing
+    doc_id%17==3 (deletions) and carrying a ' rev2' suffix on
+    doc_id%9==2 (edits) — classified added/removed/changed/unchanged
+    per key via the content-hash full-outer join."""
+    docs = load_table(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 13 != 5).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 2, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return R.snapshot_diff(old, new)
+
+
+def _q_cross_source_overlap(spark, sf):
+    """Provenance overlap report (operators/dedup.
+    cross_source_overlap): the documents corpus plus a deterministic
+    'mirror' source replaying every doc_id%7==0 text — per source
+    pair, the count of distinct shared contents."""
+    docs = load_table(spark, sf, "documents")
+    mirror = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "text", F.lit("mirror").alias("source")
+    )
+    return D.cross_source_overlap(
+        docs.select("text", "source").unionByName(mirror)
+    )
+
+
+def _q_embedding_qa(spark, sf):
+    """Vector-column QA (operators/relational.embedding_qa) over the
+    embeddings fixture with deterministic planted anomalies — NULL
+    vectors (vec_id%89==11), all-zero vectors (vec_id%101==7), and
+    32-dim truncations (vec_id%97==13) — per-label counts + L2-norm
+    stats, DECIMAL-exact mean."""
+    emb = load_table(spark, sf, "embeddings")
+    vid = F.col("vec_id")
+    v = F.col("embedding")
+    planted = (
+        F.when(vid % 89 == 11, F.lit(None).cast("array<float>"))
+        .when(vid % 101 == 7, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(vid % 97 == 13, F.slice(v, 1, 32))
+        .otherwise(v)
+    )
+    return R.embedding_qa(
+        emb.select(planted.alias("embedding"), "label"), dim=64
+    )
+
+
 def _q_normalize_text(spark, sf):
     """Canonical normalization (operators/textan.normalize_text) over
     deliberately-dirtied input (upper-cased text + a punctuated
@@ -1827,6 +1901,12 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries in REGISTRATION order (append-only; the
     historical order doubles as the rotation tiebreak)."""
     return {
+        # --- NEW in round 5 (second wave) ---
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
+        "length_outliers": _q_length_outliers,
+        "snapshot_diff": _q_snapshot_diff,
+        "cross_source_overlap": _q_cross_source_overlap,
+        "embedding_qa": _q_embedding_qa,
         # --- NEW in round 5 ---
         "corpus_ingest_stream_ttl": _q_corpus_ingest_stream_ttl,
         "ann_recall_lsh_ivf": _q_ann_recall,
@@ -2967,6 +3047,122 @@ def oracle_sql() -> dict[str, str]:
               FROM tok WHERE term <> '' GROUP BY 1, 2
             )
             SELECT window_start, term, n FROM c WHERE n >= 5
+        """,
+        "boilerplate_ngrams": """
+            WITH wl AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), gg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                            i -> array_to_string(ws[i:i+2], ' '))) AS g
+              FROM wl WHERE len(ws) >= 3
+            ), dg AS (
+              SELECT DISTINCT doc_id, g FROM gg
+            ), boiler AS (
+              SELECT g FROM (
+                SELECT g, count(*) AS dfd FROM dg GROUP BY 1
+              ) WHERE dfd >= 2
+            ), tot AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams
+              FROM dg GROUP BY 1
+            ), hit AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+              FROM dg WHERE g IN (SELECT g FROM boiler) GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_ngrams,
+                   CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+                   round(CAST(coalesce(h.n_boiler, 0) AS DOUBLE)
+                         / t.n_ngrams, 6) AS boilerplate_frac,
+                   coalesce(h.n_boiler, 0) * 2 >= t.n_ngrams
+                     AS mostly_boilerplate
+            FROM tot t LEFT JOIN hit h USING (doc_id)
+        """,
+        "length_outliers": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT quantile_cont(n_tokens, 0.10) AS lo,
+                     quantile_cont(n_tokens, 0.90) AS hi
+              FROM base
+            )
+            SELECT doc_id, n_tokens,
+                   round(lo, 6) AS p_lo, round(hi, 6) AS p_hi,
+                   (n_tokens >= lo AND n_tokens <= hi) AS in_band
+            FROM base, b
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5
+            ), new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 2 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 3
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        """,
+        "cross_source_overlap": """
+            WITH u AS (
+              SELECT text, source FROM documents
+              UNION ALL
+              SELECT text, 'mirror' AS source FROM documents
+              WHERE doc_id % 7 = 0
+            ), d AS (
+              SELECT DISTINCT text, source FROM u
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b
+              ON a.text = b.text AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "embedding_qa": """
+            WITH p AS (
+              SELECT label,
+                     CASE WHEN vec_id % 89 = 11 THEN NULL
+                          WHEN vec_id % 101 = 7 THEN
+                            list_transform(embedding,
+                                           x -> CAST(0.0 AS FLOAT))
+                          WHEN vec_id % 97 = 13 THEN embedding[1:32]
+                          ELSE embedding END AS embedding
+              FROM embeddings
+            ), n AS (
+              SELECT label,
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE round(sqrt(list_reduce(
+                            list_prepend(CAST(0 AS DOUBLE),
+                              list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                            (a, b) -> a + b)), 6) END AS nrm,
+                     CASE WHEN embedding IS NULL THEN NULL
+                          ELSE len(embedding) END AS l
+              FROM p
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN l IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(sum(CASE WHEN l IS NOT NULL AND l <> 64
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_bad,
+                   CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero,
+                   min(nrm) AS min_norm,
+                   max(nrm) AS max_norm,
+                   CAST(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                        / (count(*) - sum(CASE WHEN l IS NULL THEN 1
+                                          ELSE 0 END)) AS DOUBLE)
+                     AS mean_norm
+            FROM n GROUP BY label
         """,
         "token_rarity": """
             WITH occ AS (

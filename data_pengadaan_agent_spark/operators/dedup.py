@@ -706,3 +706,44 @@ def cluster_representatives(
             "n_members",
         )
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise content overlap between corpus sources: for every
+    source pair (a < b), how many DISTINCT contents both carry — the
+    provenance-dedup report (mirror sites, CommonCrawl-vs-curated
+    overlap) that decides which source to keep in a mixture before
+    burning dedup compute on the union.
+
+    Scale shape: the corpus collapses to distinct
+    (xxhash64(text), source) pairs at the scan — one partial-aggregated
+    exchange on the 8-byte hash — and the pair counts come from a
+    self-equi-join on that hash. Both join sides are corpus-sized, so
+    this is the sort-merge case: no broadcast, no skew (a content
+    shared by all S sources contributes S·(S−1)/2 pairs; with tens of
+    sources that fan-out is bounded). Text never crosses an exchange;
+    the oracle twin compares raw text and agrees on every fixture row
+    (zero hash collisions)."""
+    h = (
+        df.select(
+            F.xxhash64(F.col(text_col)).alias("_h"), F.col(source_col)
+        )
+        .distinct()
+    )
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col(f"a.{source_col}") < F.col(f"b.{source_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{source_col}").alias("source_a"),
+            F.col(f"b.{source_col}").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

@@ -976,3 +976,110 @@ def activity_heatmap(
             F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
         )
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot delta — the CDC companion of ``latest_by_key``:
+    given two snapshots of the same keyed corpus, classify every key as
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    different content) or ``unchanged``. This is the audit a pipeline
+    runs between crawl refreshes before re-spending dedup/training
+    compute on an unchanged corpus.
+
+    Scale shape: each side collapses to (key, xxhash64(payload)) at
+    the scan, so the one full-outer shuffle join moves 16-byte rows —
+    document text never crosses an exchange. Comparing hashes instead
+    of payloads is the content-addressed-storage trade: a collision
+    misclassifies a changed doc as unchanged with probability ~2⁻⁶⁴
+    per pair (the value-checked oracle compares raw text and agrees on
+    every fixture row, confirming zero collisions)."""
+    o = old_df.select(
+        F.col(id_col), F.xxhash64(F.col(payload_col)).alias("_h_old")
+    )
+    n = new_df.select(
+        F.col(id_col), F.xxhash64(F.col(payload_col)).alias("_h_new")
+    )
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )
+
+
+def embedding_qa(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Vector-column data QA — ``profile_columns`` for an
+    ``array<float>`` embedding column: per group, the vector count,
+    wrong-dimension count, null-vector count, zero-vector count, and
+    the L2-norm min/max/mean (a collapsed or exploding norm
+    distribution is the first symptom of a broken embedder run).
+
+    Cross-engine determinism: the squared norm is a LEFT-TO-RIGHT
+    fold over the float values cast to double (identical sequential
+    summation on DuckDB's ``list_reduce``), norms round to 6 places,
+    and the group MEAN is an exact DECIMAL(18,6) sum divided by the
+    count — never a float SUM over rows, whose accumulation order
+    differs between engines. One scan, one partial-aggregated
+    exchange on the (tiny) group key; the fold is per-row mapper work."""
+    v = F.col(vec_col)
+    norm_sq = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.round(F.sqrt(norm_sq), 6)
+    base = df.select(
+        F.col(group_col),
+        F.size(v).alias("_len"),  # NULL for NULL arrays (Spark 4 default)
+        F.when(v.isNotNull(), norm).alias("_norm"),
+    )
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("_len").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.sum(
+                F.when(
+                    F.col("_len").isNotNull() & (F.col("_len") != dim), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dim_bad"),
+            F.sum(F.when(F.col("_norm") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.min("_norm").alias("min_norm"),
+            F.max("_norm").alias("max_norm"),
+            F.sum(F.col("_norm").cast("decimal(18,6)")).alias("_norm_sum"),
+        )
+        .select(
+            F.col(group_col),
+            "n_vecs",
+            "n_null",
+            "n_dim_bad",
+            "n_zero",
+            "min_norm",
+            "max_norm",
+            (
+                F.col("_norm_sum")
+                / (F.col("n_vecs") - F.col("n_null")).cast("double")
+            )
+            .cast("double")
+            .alias("mean_norm"),
+        )
+    )

@@ -637,6 +637,99 @@ def token_rarity(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate audit: a word n-gram occurring in at
+    least ``min_docs`` DISTINCT documents is boilerplate (navigation
+    chrome, license headers, templated footers — the C4/CCNet cleanup
+    target); emitted per document is the share of its distinct n-grams
+    that are boilerplate. ``ngram_contamination`` is the train-vs-test
+    twin of this join core; here the corpus is audited against itself.
+
+    Scale shape: distinct (doc, n-gram-hash) pairs explode once and are
+    reused for the document-frequency aggregate, the boilerplate
+    semi-join, and the per-doc totals; every exchange carries
+    (id, int64) — n-gram text never shuffles. Both join inputs descend
+    from an explode (garbage static size estimates), so the joins are
+    pinned ``shuffle_hash`` per the house rule. Docs shorter than ``n``
+    words have no n-grams and are absent from the output by contract."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    g = (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .select(F.col(id_col), F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+    boiler = (
+        g.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_docs)
+        .select("g")
+    )
+    hits = (
+        g.join(boiler.hint("shuffle_hash"), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler"))
+    )
+    totals = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
+    )
+    nb = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
+    return totals.join(hits.hint("shuffle_hash"), id_col, "left").select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        nb.alias("n_boiler"),
+        F.round(nb / F.col("n_ngrams"), 6).alias("boilerplate_frac"),
+        (nb * 2 >= F.col("n_ngrams")).alias("mostly_boilerplate"),
+    )
+
+
+def length_outlier_band(
+    df: DataFrame,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-length percentile band filter: flag documents whose
+    whitespace token count falls outside the corpus's exact
+    [p_lo, p_hi] percentile band — the standard "drop truncated
+    fragments and runaway concatenations" curation gate, with the
+    band derived FROM the corpus instead of hand-tuned constants.
+
+    Percentiles are EXACT (``percentile``, linear interpolation at
+    rank p·(n−1) — the same definition DuckDB's ``quantile_cont``
+    uses, so the bounds value-check across engines). At 100 TB exact
+    percentiles of a bigint column are one total-agg pass (Spark
+    partial-aggregates per partition and merges count maps — token
+    counts have tiny cardinality, ~thousands of distinct lengths);
+    swap in ``approx_percentile`` only if the value domain were
+    unbounded. The 1-row bounds frame joins back via broadcast, so
+    the operator costs one scan + one broadcast — no row shuffle."""
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
+    bounds = base.agg(
+        F.expr(f"percentile(n_tokens, CAST({p_lo!r} AS DOUBLE))").alias("lo"),
+        F.expr(f"percentile(n_tokens, CAST({p_hi!r} AS DOUBLE))").alias("hi"),
+    )
+    in_band = (F.col("n_tokens") >= F.col("lo")) & (
+        F.col("n_tokens") <= F.col("hi")
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("lo"), 6).alias("p_lo"),
+        F.round(F.col("hi"), 6).alias("p_hi"),
+        in_band.alias("in_band"),
+    )
+
+
 def decontaminate_train(
     train_df: DataFrame,
     test_df: DataFrame,

@@ -151,3 +151,23 @@ def test_sample_per_group_cap_and_determinism(tables):
     assert sorted((r["source"], r["doc_id"]) for r in rows) == sorted(
         (r["source"], r["doc_id"]) for r in again
     )
+
+
+def test_cross_source_overlap_pairs(spark):
+    """Distinct shared contents per source pair, pairs ordered a<b,
+    duplicate rows within one source collapse first."""
+    from data_pengadaan_agent_spark.operators.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("t1", "a"), ("t1", "a"),  # within-source dup collapses
+            ("t1", "b"), ("t2", "a"), ("t2", "b"),
+            ("t3", "c"), ("t1", "c"),
+        ],
+        "text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in cross_source_overlap(df).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

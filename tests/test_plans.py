@@ -263,3 +263,58 @@ def test_token_rarity_pins_explode_joins(spark, tables):
             # frame (the 1-row n_total broadcast) — bounded by
             # construction; an unaggregated exploded frame is not
             assert "HashAggregate(keys=[]" in sub, sub
+
+
+def test_boilerplate_ngrams_joins_pinned_shuffle(spark, tables):
+    """Every join input in boilerplate_ngrams descends from the n-gram
+    explode (garbage static size estimates, corpus-proportional): the
+    house rule pins them shuffle_hash so the planner can never elect a
+    broadcast build that grows with the corpus."""
+    from data_pengadaan_agent_spark.operators.textan import boilerplate_ngrams
+
+    out = boilerplate_ngrams(tables["documents"], n=3, min_docs=2)
+    plan = _plan(out)
+    assert plan.count("ShuffledHashJoin") >= 2, plan
+    for sub in _broadcast_subtrees(plan):
+        assert "Generate explode" not in sub, sub
+
+
+def test_length_band_broadcasts_bounds_only(spark, tables):
+    """length_outlier_band must cost one scan + a broadcast of the
+    1-row percentile aggregate: no hash exchange of document rows
+    (the only exchanges are the SinglePartition merge of the
+    total aggregate and the broadcast itself)."""
+    from data_pengadaan_agent_spark.operators.textan import length_outlier_band
+
+    out = length_outlier_band(tables["documents"])
+    plan = _plan(out)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_snapshot_diff_full_outer_on_hashes(spark, tables):
+    """snapshot_diff's one shuffle join is FullOuter and both exchange
+    inputs project to (key, xxhash64) — document text never crosses
+    the exchange."""
+    from data_pengadaan_agent_spark.operators.relational import snapshot_diff
+
+    docs = tables["documents"].select("doc_id", "text")
+    out = snapshot_diff(docs, docs)
+    plan = _plan(out)
+    assert "FullOuter" in plan, plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+    # the projections feeding the exchanges carry the hash, not text
+    assert "xxhash64" in plan
+
+
+def test_embedding_qa_single_group_exchange(spark, tables):
+    """embedding_qa is one scan + one partial-aggregated exchange on
+    the tiny group key; the norm fold is mapper-side work."""
+    from data_pengadaan_agent_spark.operators.relational import embedding_qa
+
+    out = embedding_qa(tables["embeddings"], group_col="label")
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan

@@ -177,3 +177,43 @@ def test_skew_profile_topk(spark, tables):
     assert len(out) == 5
     assert out[0]["cnt"] >= out[-1]["cnt"]
     assert all(0 < r["share"] < 1 and r["skew_factor"] > 0 for r in out)
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged classification over a keyed
+    full-outer content comparison."""
+    from data_pengadaan_agent_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "y"), (3, "zz"), (4, "w")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_embedding_qa_counts_and_norms(spark):
+    """NULL / zero / wrong-dim vectors are counted apart; norm stats
+    are L2 over doubles, mean from the DECIMAL-exact sum over the
+    non-null vectors."""
+    from data_pengadaan_agent_spark.operators.relational import embedding_qa
+
+    df = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0]),
+            (0, [0.0, 0.0]),
+            (0, None),
+            (1, [1.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {r["label"]: r for r in embedding_qa(df, dim=2).collect()}
+    r0 = got[0]
+    assert (r0["n_vecs"], r0["n_null"], r0["n_dim_bad"], r0["n_zero"]) == (3, 1, 0, 1)
+    assert (r0["min_norm"], r0["max_norm"]) == (0.0, 5.0)
+    assert r0["mean_norm"] == 2.5
+    r1 = got[1]
+    assert (r1["n_vecs"], r1["n_dim_bad"], r1["n_zero"]) == (1, 1, 0)
+    assert r1["min_norm"] == r1["max_norm"] == r1["mean_norm"] == 1.0

@@ -236,3 +236,38 @@ def test_decontaminate_train_drops_overlap(spark):
         r["doc_id"] for r in decontaminate_train(train, test, n=3).collect()
     )
     assert kept == [2, 3]
+
+
+def test_boilerplate_ngrams_flags_shared_trigrams(spark):
+    """A 3-gram in >=2 distinct docs is boilerplate; per-doc fractions
+    count DISTINCT n-grams; docs shorter than n are absent."""
+    from data_pengadaan_agent_spark.operators.textan import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "q r")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_ngrams(docs, n=3, min_docs=2).collect()}
+    assert 3 not in got  # too short for any 3-gram
+    for d in (1, 2):
+        assert got[d]["n_ngrams"] == 2
+        assert got[d]["n_boiler"] == 1  # only "a b c" is shared
+        assert got[d]["boilerplate_frac"] == 0.5
+        assert got[d]["mostly_boilerplate"] is True
+
+
+def test_length_outlier_band_exact_percentiles(spark):
+    """Band bounds are exact linear-interpolated percentiles over the
+    corpus; docs outside [p10, p90] are flagged out of band."""
+    from data_pengadaan_agent_spark.operators.textan import length_outlier_band
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    rows = length_outlier_band(docs, p_lo=0.10, p_hi=0.90).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # counts 1..10: p10 = 1 + 0.9*(2-1) = 1.9, p90 = 9 + 0.1*(10-9) = 9.1
+    assert by_id[5]["p_lo"] == 1.9 and by_id[5]["p_hi"] == 9.1
+    assert {r["doc_id"] for r in rows if not r["in_band"]} == {1, 10}
+    assert {r["doc_id"] for r in rows if r["in_band"]} == set(range(2, 10))

@@ -938,6 +938,37 @@ def _q_embedding_qa(spark, sf):
     )
 
 
+def _q_prototypicality(spark, sf):
+    """Prototypicality pruning ranks (operators/similarity.
+    prototypicality): distance-to-trained-centroid per vector,
+    farthest-first rank per cluster, top-10% flagged hard — the
+    Sorscher et al. data-pruning signal, value-checked against the
+    unrolled 2-iteration k-means SQL twin."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.prototypicality(
+        emb, "embedding", "vec_id", k=4, iters=2, hard_frac=0.1
+    )
+
+
+def _q_semdedup_prune(spark, sf):
+    """SemDeDup (operators/similarity.semdedup_prune) over the
+    embeddings fixture plus planted semantic dups — a ×1.01-scaled
+    copy of every vec_id%25==0 vector (cosine ≈ 1.0 to its source,
+    organic within-cluster max is 0.51, so threshold 0.9 separates
+    with a huge margin). Keep-lowest-id greedy inside each trained
+    cluster."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    return S.semdedup_prune(
+        emb.unionByName(copies), k=4, iters=2, threshold=0.9
+    )
+
+
 def _q_normalize_text(spark, sf):
     """Canonical normalization (operators/textan.normalize_text) over
     deliberately-dirtied input (upper-cased text + a punctuated
@@ -1902,6 +1933,8 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     historical order doubles as the rotation tiebreak)."""
     return {
         # --- NEW in round 5 (second wave) ---
+        "prototypicality": _q_prototypicality,
+        "semdedup_prune": _q_semdedup_prune,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         "length_outliers": _q_length_outliers,
         "snapshot_diff": _q_snapshot_diff,
@@ -2145,6 +2178,53 @@ JOIN sz sa ON sa.doc_id = id_a
 JOIN sz sb ON sb.doc_id = id_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
 """
+
+def _kmeans_cte_sql(src: str, with_d: bool = False) -> str:
+    """Unrolled 2-iteration Lloyd k-means (k=4, lowest-id init,
+    lowest-cid tie-break) as a DuckDB CTE chain over ``src`` —
+    the parametrized form of the kmeans_clusters oracle, so the
+    SemDeDup / prototypicality twins train on exactly the corpus
+    (incl. planted rows) their Spark sides see. ``with_d`` also
+    exposes the winning squared distance as ``dist2``."""
+    d_sel = (
+        ",\n                     (min(struct_pack(d := d, cid := cid))).d AS dist2"
+        if with_d
+        else ""
+    )
+    return f"""
+            e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM ({src})
+            ), c0 AS (
+              SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 4
+            ), a1 AS (
+              SELECT vec_id, (min(struct_pack(d := d, cid := cid))).cid AS cluster
+              FROM (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+                FROM e, c0 c
+              ) GROUP BY 1
+            ), m1 AS (
+              SELECT cluster, dim, avg(val) AS m FROM (
+                SELECT a1.cluster, unnest(e.v) AS val,
+                       unnest(range(1, len(e.v) + 1)) AS dim
+                FROM a1 JOIN e USING (vec_id)
+              ) GROUP BY 1, 2
+            ), c1 AS (
+              SELECT CAST(cluster AS INT) AS cid, list(m ORDER BY dim) AS cv
+              FROM m1 GROUP BY 1
+            ), a2 AS (
+              SELECT vec_id, (min(struct_pack(d := d, cid := cid))).cid AS cluster{d_sel}
+              FROM (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+                FROM e, c1 c
+              ) GROUP BY 1
+            )"""
+
 
 _COSINE_PAIRS_SQL = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
@@ -3047,6 +3127,45 @@ def oracle_sql() -> dict[str, str]:
               FROM tok WHERE term <> '' GROUP BY 1, 2
             )
             SELECT window_start, term, n FROM c WHERE n >= 5
+        """,
+        "prototypicality": f"""
+            WITH {_kmeans_cte_sql('SELECT vec_id, embedding FROM embeddings', with_d=True)},
+            r AS (
+              SELECT vec_id, cluster, dist2,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY dist2 DESC, vec_id) AS rank_far,
+                     count(*) OVER (PARTITION BY cluster) AS n
+              FROM a2
+            )
+            SELECT vec_id, cluster, round(dist2, 6) AS dist2,
+                   CAST(rank_far AS INT) AS rank_far,
+                   rank_far <= CAST(ceil(n * 0.1) AS BIGINT) AS is_hard
+            FROM r
+        """,
+        "semdedup_prune": f"""
+            WITH src AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
+              FROM embeddings WHERE vec_id % 25 = 0
+            ), {_kmeans_cte_sql('SELECT * FROM src')},
+            n AS (
+              SELECT a2.vec_id, a2.cluster, e.v,
+                     sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+              FROM a2 JOIN e USING (vec_id)
+            ), p AS (
+              SELECT DISTINCT b.vec_id
+              FROM n a JOIN n b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                             i -> a.v[i] * b.v[i]))
+                    / (a.nrm * b.nrm) >= 0.9
+            )
+            SELECT a2.vec_id, a2.cluster,
+                   (a2.vec_id IN (SELECT vec_id FROM p)) AS pruned
+            FROM a2
         """,
         "boilerplate_ngrams": """
             WITH wl AS (

@@ -138,3 +138,60 @@ def test_ivf_trained_build_partitions_corpus(spark, tables, tmp_path):
     assert back.count() == emb.count()
     cents = {r["centroid_id"] for r in back.select("centroid_id").distinct().collect()}
     assert cents <= {0, 1, 2, 3} and len(cents) >= 2
+
+
+def test_prototypicality_ranks_far_tail(spark):
+    """Farthest-from-centroid members rank first within their cluster
+    and the top hard_frac are flagged hard."""
+    from data_pengadaan_agent_spark.operators.similarity import prototypicality
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [0.0, 1.0]),
+            (3, [10.0, 9.0]),
+            (4, [5.0, 6.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in prototypicality(
+            df, k=2, iters=1, hard_frac=0.5
+        ).collect()
+    }
+    # clusters: {0,2} around [0,0]; {1,3,4} around [10,10]
+    assert got[0]["cluster"] == got[2]["cluster"]
+    assert got[1]["cluster"] == got[3]["cluster"] == got[4]["cluster"]
+    assert got[2]["dist2"] == 1.0 and got[0]["dist2"] == 0.0
+    assert got[2]["rank_far"] == 1 and got[2]["is_hard"] is True
+    assert got[0]["is_hard"] is False
+    # far member of the big cluster: id4 at dist2 41 ranks first
+    assert got[4]["rank_far"] == 1 and got[4]["is_hard"] is True
+    # big cluster by dist2: id4 (41) > id3 (1) > id1 (0);
+    # ceil(3*0.5)=2 -> ranks 1 and 2 (id4, id3) are hard, id1 is not
+    assert got[3]["is_hard"] is True
+    assert got[1]["is_hard"] is False
+
+
+def test_semdedup_prunes_same_direction_vector(spark):
+    """A vector colinear with a lower-id cluster member (cos=1) is
+    pruned; sub-threshold members and the keep-first representative
+    survive."""
+    from data_pengadaan_agent_spark.operators.similarity import semdedup_prune
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [2.0, 0.0]),   # colinear with 0 -> pruned
+            (3, [1.0, 3.0]),   # cos to 1 is 0.948 < 0.99 -> kept
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup_prune(df, k=2, iters=1, threshold=0.99).collect()
+    }
+    assert got == {0: False, 1: False, 2: True, 3: False}

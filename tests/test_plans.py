@@ -318,3 +318,32 @@ def test_embedding_qa_single_group_exchange(spark, tables):
     plan = _plan(out)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_prototypicality_one_cluster_window_exchange(spark, tables):
+    """After the Arrow assignment pass, ranking costs exactly one
+    exchange on the cluster key (plus the deliberate spread()
+    round-robin of the single-split fixture scan)."""
+    from data_pengadaan_agent_spark.operators.similarity import prototypicality
+
+    out = prototypicality(tables["embeddings"], k=4, iters=1)
+    plan = _plan(out)
+    cluster_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(cluster" in ln
+    ]
+    assert len(cluster_ex) == 1, plan
+    assert "Window" in plan
+
+
+def test_semdedup_never_broadcasts_arrow_frames(spark, tables):
+    """The within-cluster pair join's sides are Arrow-kernel outputs
+    with garbage size estimates that grow with the corpus — pinned
+    shuffle_hash (same rule as explode-derived frames)."""
+    from data_pengadaan_agent_spark.operators.similarity import semdedup_prune
+
+    out = semdedup_prune(tables["embeddings"], k=4, iters=1)
+    plan = _plan(out)
+    for sub in _broadcast_subtrees(plan):
+        assert "MapInPandas" not in sub, sub
+    assert "ShuffledHashJoin" in plan, plan

@@ -108,6 +108,27 @@ for k in (1, 4, 16):
     t("corpus_ingest_stream_ttl", 5000 * k,
       lambda d=d: E._q_corpus_ingest_stream_ttl(spark, d).count())
 
+for k in (1, 4, 16):
+    dk = docs[k]
+    t("boilerplate_ngrams", 5000 * k,
+      lambda dk=dk: X.boilerplate_ngrams(dk, n=3, min_docs=2).count())
+for k in (1, 4, 16):
+    dk = docs[k]
+    def overlap(dk=dk):
+        mirror = dk.filter(F.col("doc_id") % 7 == 0).select(
+            "text", F.lit("mirror").alias("source"))
+        return D.cross_source_overlap(
+            dk.select("text", "source").unionByName(mirror)).count()
+    t("cross_source_overlap", 5000 * k, overlap)
+for k in (1, 4, 16):
+    dk = docs[k]
+    def diff(dk=dk):
+        from data_pengadaan_agent_spark.operators.relational import snapshot_diff
+        old = dk.filter(F.col("doc_id") % 13 != 5).select("doc_id", "text")
+        new = dk.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+        return snapshot_diff(old, new).count()
+    t("snapshot_diff", 5000 * k, diff)
+
 print(json.dumps(res))
 for name, rows in res.items():
     (s1, t1, _), (s3, t3, _) = rows[0], rows[-1]

@@ -1906,12 +1906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sim_topk_brute, text_* core, stratified_sample;
       tier 2 (distinct algorithms): TPC-H 22, windows, as-of/range/
         bucketed joins, simhash, dedup_clusters, IVF/LSH probes,
-        kmeans, streaming windows, privacy, sampling/mixing;
+        kmeans, streaming windows, privacy, sampling/mixing,
+        boilerplate_ngrams, snapshot_diff, cross_source_overlap,
+        embedding_qa, prototypicality, semdedup_prune;
       tier 3 (variants/supersets of tier-1/2 entries):
         *_precomputed probes, embedding_cosine_allpairs (capped exact
         baseline of embedding_cosine_pairs), duplicate_groups
         (superset of dedup_exact), session_window_native (twin of
-        sessionize), limit_preview, histogram_month_of_year.
+        sessionize), limit_preview, histogram_month_of_year,
+        length_outliers (continuous-percentile twin of quantile_band).
     """
     impls = _query_impls()
     try:

@@ -129,6 +129,38 @@ for k in (1, 4, 16):
         return snapshot_diff(old, new).count()
     t("snapshot_diff", 5000 * k, diff)
 
+# embeddings x4/x16 for the embedding-pruning ops: replicas are
+# direction-perturbed (one coordinate nudged per replica) so they do
+# NOT read as semantic dups of their source — keeping the near-dup
+# rate constant, same discipline as the token-renamed documents
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/emb_x{k}"
+    os.makedirs(d, exist_ok=True)
+    p = f"{d}/embeddings.parquet"
+    if not os.path.exists(p):
+        con.execute(f"""
+        COPY (SELECT vec_id + r*2000 AS vec_id,
+                     list_transform(list_zip(embedding,
+                         range(1, len(embedding) + 1)),
+                       z -> CAST(CASE WHEN (z[2] - 1) % 16 = r % 16
+                                 THEN CAST(z[1] AS DOUBLE) + 0.75
+                                 ELSE CAST(z[1] AS DOUBLE) END AS FLOAT)) AS embedding,
+                     label
+              FROM read_parquet('{base}/embeddings.parquet'),
+                   (SELECT unnest(range({k})) AS r))
+        TO '{p}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)""")
+from data_pengadaan_agent_spark.operators import similarity as SI
+embs = {k: spark.read.parquet(f"/tmp/spark_graft_scale/emb_x{k}/embeddings.parquet") for k in (1,4,16)}
+for k in (1, 4, 16):
+    # SemDeDup's contract: k (clusters) scales with the corpus so
+    # expected cluster size stays ~bounded — fixed k would make the
+    # within-cluster pairwise work O(N^2/k), super-linear by design
+    t("semdedup_prune(k~N)", 2000 * k,
+      lambda k=k: SI.semdedup_prune(embs[k], k=4 * k, iters=1).count())
+for k in (1, 4, 16):
+    t("prototypicality", 2000 * k,
+      lambda k=k: SI.prototypicality(embs[k], k=8, iters=2).count())
+
 print(json.dumps(res))
 for name, rows in res.items():
     (s1, t1, _), (s3, t3, _) = rows[0], rows[-1]

@@ -53,3 +53,49 @@ def test_hash_ngram_embed_properties(text):
     assert all(float(x).is_integer() for x in v)
     assert sum(abs(int(x)) for x in v) <= max(len(text), 1)
     assert v == hash_ngram_embed(text.upper())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(_token, min_size=3, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_boilerplate_ngrams_invariants(spark, docs):
+    """For any corpus: 0 <= n_boiler <= n_ngrams per doc; a doc whose
+    text duplicates another doc's has every n-gram boilerplate; docs
+    shorter than n are absent."""
+    from data_pengadaan_agent_spark.operators.textan import boilerplate_ngrams
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    # plant one exact duplicate of doc 0 at a fresh id
+    rows.append((len(rows), rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_ngrams(df, n=3, min_docs=2).collect()}
+    for r in out.values():
+        assert 0 <= r["n_boiler"] <= r["n_ngrams"]
+        assert abs(r["boilerplate_frac"] - round(r["n_boiler"] / r["n_ngrams"], 6)) < 1e-9
+    if len(docs[0]) >= 3:
+        # doc 0 and its duplicate: every distinct 3-gram shared
+        assert out[0]["n_boiler"] == out[0]["n_ngrams"]
+        assert out[len(rows) - 1]["n_boiler"] == out[len(rows) - 1]["n_ngrams"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=3, max_size=12))
+def test_length_outlier_band_invariants(spark, counts):
+    """Band bounds lie within [min, max] token count; in_band is
+    monotone (anything between two in-band counts is in-band); the
+    full corpus is returned."""
+    from data_pengadaan_agent_spark.operators.textan import length_outlier_band
+
+    rows = [(i, " ".join(["w"] * c)) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_outlier_band(df, p_lo=0.25, p_hi=0.75).collect()
+    assert len(out) == len(rows)
+    lo, hi = out[0]["p_lo"], out[0]["p_hi"]
+    assert min(counts) <= lo <= hi <= max(counts)
+    for r in out:
+        assert r["in_band"] == (lo <= r["n_tokens"] <= hi)

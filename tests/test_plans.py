@@ -336,14 +336,20 @@ def test_prototypicality_one_cluster_window_exchange(spark, tables):
     assert "Window" in plan
 
 
-def test_semdedup_never_broadcasts_arrow_frames(spark, tables):
-    """The within-cluster pair join's sides are Arrow-kernel outputs
-    with garbage size estimates that grow with the corpus — pinned
-    shuffle_hash (same rule as explode-derived frames)."""
+def test_semdedup_one_cluster_exchange_no_pair_join(spark, tables):
+    """semdedup_prune must shuffle |vectors| rows once on the cluster
+    key into the per-cluster Gram-matrix kernel — no pair rows in the
+    engine, no join of Arrow-kernel outputs the planner could botch
+    (the first cut's pair self-join got a corpus-sized broadcast from
+    the static planner)."""
     from data_pengadaan_agent_spark.operators.similarity import semdedup_prune
 
     out = semdedup_prune(tables["embeddings"], k=4, iters=1)
     plan = _plan(out)
-    for sub in _broadcast_subtrees(plan):
-        assert "MapInPandas" not in sub, sub
-    assert "ShuffledHashJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    cluster_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(cluster" in ln
+    ]
+    assert len(cluster_ex) == 1, plan

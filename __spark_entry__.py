@@ -938,6 +938,23 @@ def _q_embedding_qa(spark, sf):
     )
 
 
+def _q_corpus_report(spark, sf):
+    """Per-source corpus datasheet (operators/textan.corpus_report)
+    over documents plus a planted within-source replay of every
+    doc_id%11==0 row (so dup_rate does real work): doc/content
+    counts, dup rate, token volume with exact mean and median,
+    language spread — one scan, one source-key aggregate."""
+    docs = load_table(spark, sf, "documents")
+    copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return X.corpus_report(docs.unionByName(copies))
+
+
 def _q_prototypicality(spark, sf):
     """Prototypicality pruning ranks (operators/similarity.
     prototypicality): distance-to-trained-centroid per vector,
@@ -1908,7 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bucketed joins, simhash, dedup_clusters, IVF/LSH probes,
         kmeans, streaming windows, privacy, sampling/mixing,
         boilerplate_ngrams, snapshot_diff, cross_source_overlap,
-        embedding_qa, prototypicality, semdedup_prune;
+        embedding_qa, prototypicality, semdedup_prune, corpus_report;
       tier 3 (variants/supersets of tier-1/2 entries):
         *_precomputed probes, embedding_cosine_allpairs (capped exact
         baseline of embedding_cosine_pairs), duplicate_groups
@@ -1936,6 +1953,7 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     historical order doubles as the rotation tiebreak)."""
     return {
         # --- NEW in round 5 (second wave) ---
+        "corpus_report": _q_corpus_report,
         "prototypicality": _q_prototypicality,
         "semdedup_prune": _q_semdedup_prune,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
@@ -3130,6 +3148,32 @@ def oracle_sql() -> dict[str, str]:
               FROM tok WHERE term <> '' GROUP BY 1, 2
             )
             SELECT window_start, term, n FROM c WHERE n >= 5
+        """,
+        "corpus_report": """
+            WITH u AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 11 = 0
+            ), base AS (
+              SELECT source, lang, text,
+                     CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                          AS BIGINT) AS nt,
+                     CAST(length(text) AS BIGINT) AS nc
+              FROM u
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+                   round((count(*) - count(DISTINCT text)) * 1.0
+                         / count(*), 6) AS dup_rate,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens_total,
+                   round(CAST(sum(nt) AS BIGINT)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+                   round(quantile_cont(nt, 0.5), 6) AS median_tokens,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(sum(nc) AS BIGINT) AS n_chars_total
+            FROM base GROUP BY source
         """,
         "prototypicality": f"""
             WITH {_kmeans_cte_sql('SELECT vec_id, embedding FROM embeddings', with_d=True)},

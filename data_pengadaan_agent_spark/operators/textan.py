@@ -753,3 +753,63 @@ def decontaminate_train(
     )
     bad = audit.filter(F.col("n_overlap") > max_overlap).select(id_col)
     return train_df.join(bad.hint("shuffle_hash"), id_col, "left_anti")
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source corpus datasheet — the one-pass summary a curation
+    run publishes alongside the data (Gebru et al.'s "Datasheets for
+    Datasets" rollup, reduced to what is computable from the corpus
+    itself): document and distinct-content counts, exact-dup rate,
+    token volume with mean and exact median length, language spread,
+    and character volume.
+
+    Everything is exact arithmetic so the report value-checks
+    cross-engine: the mean is an exact BIGINT sum over the count, the
+    median is the exact interpolated percentile (one in-group
+    aggregate — token counts have tiny cardinality, so the percentile
+    state stays small even at 100 TB; swap approx_percentile if the
+    domain were unbounded). ONE scan, one partial-aggregated exchange
+    on the (tiny) source key; the distinct-content count rides the
+    same aggregate via a pre-hashed column."""
+    t = tokens(text_col)
+    base = df.select(
+        F.col(source_col),
+        F.col(lang_col),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+        F.size(t).cast("bigint").alias("_n_tok"),
+        F.length(F.col(text_col)).cast("bigint").alias("_n_chars"),
+    )
+    return (
+        base.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("_h")).cast("bigint").alias("n_distinct_texts"),
+            F.sum("_n_tok").cast("bigint").alias("n_tokens_total"),
+            F.expr("percentile(_n_tok, CAST(0.5 AS DOUBLE))").alias("_med"),
+            F.count_distinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
+            F.sum("_n_chars").cast("bigint").alias("n_chars_total"),
+        )
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_distinct_texts",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_texts"))
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+            "n_tokens_total",
+            F.round(
+                F.col("n_tokens_total") / F.col("n_docs").cast("double"), 6
+            ).alias("mean_tokens"),
+            F.round(F.col("_med"), 6).alias("median_tokens"),
+            "n_langs",
+            "n_chars_total",
+        )
+    )

@@ -353,3 +353,15 @@ def test_semdedup_one_cluster_exchange_no_pair_join(spark, tables):
         if "Exchange hashpartitioning(cluster" in ln
     ]
     assert len(cluster_ex) == 1, plan
+
+
+def test_corpus_report_single_source_exchange(spark, tables):
+    """The datasheet is one scan + one partial-aggregated exchange on
+    the source key (count-distinct expansion included) — no joins, no
+    second pass."""
+    from data_pengadaan_agent_spark.operators.textan import corpus_report
+
+    plan = _plan(corpus_report(tables["documents"]))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # expand/distinct pair
+    assert "partial" in plan.lower(), plan

@@ -271,3 +271,27 @@ def test_length_outlier_band_exact_percentiles(spark):
     assert by_id[5]["p_lo"] == 1.9 and by_id[5]["p_hi"] == 9.1
     assert {r["doc_id"] for r in rows if not r["in_band"]} == {1, 10}
     assert {r["doc_id"] for r in rows if r["in_band"]} == set(range(2, 10))
+
+
+def test_corpus_report_datasheet(spark):
+    """Per-source rollup: dup_rate counts exact content dups, mean and
+    median are exact, language spread counts distinct lang codes."""
+    from data_pengadaan_agent_spark.operators.textan import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "a b c", "en", "s1", 5),   # exact dup within s1
+            (3, "d e f g", "de", "s1", 7),
+            (4, "x", "en", "s2", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["source"]: r for r in corpus_report(docs).collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_distinct_texts"], s1["n_langs"]) == (3, 2, 2)
+    assert abs(s1["dup_rate"] - round(1 / 3, 6)) < 1e-9
+    assert s1["n_tokens_total"] == 10 and s1["mean_tokens"] == round(10 / 3, 6)
+    assert s1["median_tokens"] == 3.0  # counts 3,3,4 -> exact median 3
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["dup_rate"], s2["median_tokens"]) == (1, 0.0, 1.0)

@@ -729,7 +729,11 @@ def cross_source_overlap(
     the oracle twin compares raw text and agrees on every fixture row
     (zero hash collisions)."""
     h = (
-        df.select(
+        # NULL text is not shared content: xxhash64(NULL) returns the
+        # seed (42), so an unfiltered hash would join NULL rows across
+        # sources as if they carried identical documents
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.xxhash64(F.col(text_col)).alias("_h"), F.col(source_col)
         )
         .distinct()

@@ -997,16 +997,29 @@ def snapshot_diff(
     of payloads is the content-addressed-storage trade: a collision
     misclassifies a changed doc as unchanged with probability ~2⁻⁶⁴
     per pair (the value-checked oracle compares raw text and agrees on
-    every fixture row, confirming zero collisions)."""
+    every fixture row, confirming zero collisions). Presence on each
+    side is carried as an explicit flag — key-absence must not be
+    inferred from hash-nullness, because a present row with a NULL
+    payload also hashes to NULL (the hash is NULL-guarded so that a
+    NULL-vs-NULL payload pair classifies 'changed', matching SQL's
+    ``o.text = n.text`` three-valued logic)."""
     o = old_df.select(
-        F.col(id_col), F.xxhash64(F.col(payload_col)).alias("_h_old")
+        F.col(id_col),
+        F.when(
+            F.col(payload_col).isNotNull(), F.xxhash64(F.col(payload_col))
+        ).alias("_h_old"),
+        F.lit(True).alias("_in_old"),
     )
     n = new_df.select(
-        F.col(id_col), F.xxhash64(F.col(payload_col)).alias("_h_new")
+        F.col(id_col),
+        F.when(
+            F.col(payload_col).isNotNull(), F.xxhash64(F.col(payload_col))
+        ).alias("_h_new"),
+        F.lit(True).alias("_in_new"),
     )
     status = (
-        F.when(F.col("_h_old").isNull(), F.lit("added"))
-        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )

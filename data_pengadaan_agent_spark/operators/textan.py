@@ -344,6 +344,29 @@ def repetition_stats(
     )
 
 
+def distinct_hashed_ngrams(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, xxhash64(word-n-gram)) pairs — the shared core of
+    every n-gram overlap operator (``ngram_contamination``,
+    ``decontaminate_train``, ``boilerplate_ngrams``): hash BEFORE the
+    distinct/join so every downstream exchange carries (id, int64)
+    rows, never n-gram text, and spread() the input so the explode
+    runs wide even off a single-split fixture file. A collision
+    falsely merges two n-grams with probability ~#ngrams²/2⁶⁴ —
+    acceptable for overlap audits; the value-checked oracle twins
+    (which compare raw n-grams) confirm zero collisions on the
+    fixtures."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .select(F.col(id_col), F.xxhash64("g").alias("g"))
+        .distinct()
+    )
+
+
 def ngram_contamination(
     test_df: DataFrame,
     train_df: DataFrame,
@@ -357,31 +380,18 @@ def ngram_contamination(
     *training* corpus (the standard train/test overlap audit before an
     eval — e.g. GPT-3 appendix C runs exactly this shape with 13-grams).
 
-    Spark-first: both corpora explode to distinct n-grams; the overlap
-    is a left-semi join (test side keeps no train payload), then two
-    small per-doc counts. The n-gram string is hashed to a 64-bit key
-    BEFORE the distinct/join, so every exchange moves (id, int64)
-    rows, never text — at 100 TB that is the difference between
-    shuffling ~8 bytes and ~50 bytes per n-gram. A collision falsely
-    merges two distinct n-grams with probability ~#ngrams²/2⁶⁴
-    (≈1e-9 at a billion n-grams) — acceptable for a contamination
-    audit, and the value-checked oracle twins confirm zero collisions
-    on the fixture corpora. Both inputs go through spread() so the
-    n-gram explode runs wide even off a single-split fixture file."""
+    Spark-first: both corpora explode to distinct n-grams via the
+    shared ``distinct_hashed_ngrams`` core (hash-before-shuffle: at
+    100 TB that is the difference between moving ~8 bytes and ~50
+    bytes per n-gram; see its docstring for the collision bound);
+    the overlap is a left-semi join (test side keeps no train
+    payload), then two small per-doc counts."""
     from data_pengadaan_agent_spark.sources.catalog import spread
 
-    test_df = spread(test_df, id_col)
-    train_df = spread(train_df, id_col)
-    test_g = (
-        test_df.select(
-            F.col(id_col),
-            F.explode(word_ngrams(text_col, n)).alias("g"),
-        )
-        .select(F.col(id_col), F.xxhash64("g").alias("g"))
-        .distinct()
-    )
+    test_g = distinct_hashed_ngrams(test_df, n, text_col, id_col)
     train_g = (
-        train_df.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+        spread(train_df, id_col)
+        .select(F.explode(word_ngrams(text_col, n)).alias("g"))
         .select(F.xxhash64("g").alias("g"))
         .distinct()
     )
@@ -651,21 +661,14 @@ def boilerplate_ngrams(
     that are boilerplate. ``ngram_contamination`` is the train-vs-test
     twin of this join core; here the corpus is audited against itself.
 
-    Scale shape: distinct (doc, n-gram-hash) pairs explode once and are
-    reused for the document-frequency aggregate, the boilerplate
+    Scale shape: the ``distinct_hashed_ngrams`` core explodes once and
+    is reused for the document-frequency aggregate, the boilerplate
     semi-join, and the per-doc totals; every exchange carries
     (id, int64) — n-gram text never shuffles. Both join inputs descend
     from an explode (garbage static size estimates), so the joins are
     pinned ``shuffle_hash`` per the house rule. Docs shorter than ``n``
     words have no n-grams and are absent from the output by contract."""
-    from data_pengadaan_agent_spark.sources.catalog import spread
-
-    g = (
-        spread(df, id_col)
-        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
-        .select(F.col(id_col), F.xxhash64("g").alias("g"))
-        .distinct()
-    )
+    g = distinct_hashed_ngrams(df, n, text_col, id_col)
     boiler = (
         g.groupBy("g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
@@ -711,12 +714,15 @@ def length_outlier_band(
     counts have tiny cardinality, ~thousands of distinct lengths);
     swap in ``approx_percentile`` only if the value domain were
     unbounded. The 1-row bounds frame joins back via broadcast, so
-    the operator costs one scan + one broadcast — no row shuffle."""
+    the operator costs two passes over the input (one for the bounds
+    aggregate, one for the flagged output) with ZERO row exchanges —
+    the right trade at scale, where a second scan is cheaper than
+    shuffling the corpus."""
     n_tok = F.size(tokens(text_col)).cast("bigint")
     base = df.select(F.col(id_col), n_tok.alias("n_tokens"))
     bounds = base.agg(
-        F.expr(f"percentile(n_tokens, CAST({p_lo!r} AS DOUBLE))").alias("lo"),
-        F.expr(f"percentile(n_tokens, CAST({p_hi!r} AS DOUBLE))").alias("hi"),
+        F.percentile(F.col("n_tokens"), F.lit(float(p_lo))).alias("lo"),
+        F.percentile(F.col("n_tokens"), F.lit(float(p_hi))).alias("hi"),
     )
     in_band = (F.col("n_tokens") >= F.col("lo")) & (
         F.col("n_tokens") <= F.col("hi")
@@ -781,7 +787,13 @@ def corpus_report(
     base = df.select(
         F.col(source_col),
         F.col(lang_col),
-        F.xxhash64(F.col(text_col)).alias("_h"),
+        # NULL-guarded: xxhash64(NULL) is the seed (42), not NULL — an
+        # unguarded hash would make count_distinct treat NULL texts as
+        # one distinct content while SQL's count(DISTINCT text)
+        # ignores them
+        F.when(
+            F.col(text_col).isNotNull(), F.xxhash64(F.col(text_col))
+        ).alias("_h"),
         F.size(t).cast("bigint").alias("_n_tok"),
         F.length(F.col(text_col)).cast("bigint").alias("_n_chars"),
     )
@@ -791,7 +803,7 @@ def corpus_report(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.count_distinct(F.col("_h")).cast("bigint").alias("n_distinct_texts"),
             F.sum("_n_tok").cast("bigint").alias("n_tokens_total"),
-            F.expr("percentile(_n_tok, CAST(0.5 AS DOUBLE))").alias("_med"),
+            F.percentile(F.col("_n_tok"), F.lit(0.5)).alias("_med"),
             F.count_distinct(F.col(lang_col)).cast("bigint").alias("n_langs"),
             F.sum("_n_chars").cast("bigint").alias("n_chars_total"),
         )

@@ -171,3 +171,19 @@ def test_cross_source_overlap_pairs(spark):
         for r in cross_source_overlap(df).collect()
     }
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cross_source_overlap_ignores_null_text(spark):
+    """NULL text is not shared content — without the guard,
+    xxhash64(NULL)=42 would join NULL rows across sources."""
+    from data_pengadaan_agent_spark.operators.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("t", "a"), ("t", "b")],
+        "text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in cross_source_overlap(df).collect()
+    }
+    assert got == {("a", "b"): 1}

@@ -217,3 +217,20 @@ def test_embedding_qa_counts_and_norms(spark):
     r1 = got[1]
     assert (r1["n_vecs"], r1["n_dim_bad"], r1["n_zero"]) == (1, 1, 0)
     assert r1["min_norm"] == r1["max_norm"] == r1["mean_norm"] == 1.0
+
+
+def test_snapshot_diff_null_payloads(spark):
+    """NULL payloads must not read as key-absence (xxhash64(NULL) is
+    the seed, and presence is an explicit flag): NULL-vs-NULL is
+    'changed' (SQL three-valued equality), NULL-vs-text 'changed',
+    and absence still classifies added/removed."""
+    from data_pengadaan_agent_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "y"), (4, "z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "removed", 4: "added"}

@@ -130,9 +130,12 @@ for k in (1, 4, 16):
     t("snapshot_diff", 5000 * k, diff)
 
 # embeddings x4/x16 for the embedding-pruning ops: replicas are
-# direction-perturbed (one coordinate nudged per replica) so they do
-# NOT read as semantic dups of their source — keeping the near-dup
-# rate constant, same discipline as the token-renamed documents
+# direction-perturbed (+0.75 on the four dims congruent to r mod 16)
+# so they do NOT read as semantic dups of their source — keeping the
+# near-dup rate constant, same discipline as the token-renamed
+# documents. NOTE the r=0 replica is perturbed too, so even emb_x1
+# is not the registered fixture distribution: these laps compare
+# against EACH OTHER, not against registry bench numbers
 for k in (1, 4, 16):
     d = f"/tmp/spark_graft_scale/emb_x{k}"
     os.makedirs(d, exist_ok=True)

@@ -195,3 +195,39 @@ def test_semdedup_prunes_same_direction_vector(spark):
         for r in semdedup_prune(df, k=2, iters=1, threshold=0.99).collect()
     }
     assert got == {0: False, 1: False, 2: True, 3: False}
+
+
+def test_semdedup_greedy_keeps_transitive_chain_tail(spark):
+    """a~b and b~c but a≁c: strict greedy prunes b (similar to kept a)
+    then KEEPS c (only similar to the pruned b); the relaxed
+    semdedup_prune drops both — the documented difference."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        semdedup_prune,
+        semdedup_prune_greedy,
+    )
+
+    # chain lives at ids 0 (0 deg), 2 (30 deg), 3 (60 deg) — all in
+    # the seed-0 cluster; id 1 seeds a far-away second cluster so the
+    # chain stays together. cos(30)=0.866 >= 0.8 within chain links,
+    # cos(60)=0.5 < 0.8 across the chain ends.
+    import math
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, -5.0]),  # second seed, its own direction
+        (2, [math.cos(math.pi / 6), math.sin(math.pi / 6)]),
+        (3, [math.cos(math.pi / 3), math.sin(math.pi / 3)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    greedy = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup_prune_greedy(df, k=2, iters=1, threshold=0.8).collect()
+    }
+    relaxed = {
+        r["vec_id"]: r["pruned"]
+        for r in semdedup_prune(df, k=2, iters=1, threshold=0.8).collect()
+    }
+    # greedy keeps the chain tail (only similar to the PRUNED middle);
+    # the relaxed form drops it too
+    assert greedy == {0: False, 1: False, 2: True, 3: False}
+    assert relaxed == {0: False, 1: False, 2: True, 3: True}

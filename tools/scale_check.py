@@ -157,9 +157,16 @@ embs = {k: spark.read.parquet(f"/tmp/spark_graft_scale/emb_x{k}/embeddings.parqu
 for k in (1, 4, 16):
     # SemDeDup's contract: k (clusters) scales with the corpus so
     # expected cluster size stays ~bounded — fixed k would make the
-    # within-cluster pairwise work O(N^2/k), super-linear by design
+    # within-cluster pairwise work O(N^2/k), super-linear by design.
+    # iters=2 is LOAD-BEARING here: with untrained (iters=1) seeds —
+    # all drawn from the r=0 replica group on this synthetic — one
+    # cluster captured 11k/32k vectors at x16, and the per-cluster
+    # Gram kernel serializes each cluster onto ONE task (26 s vs 3 s
+    # trained). Cluster skew is the kernel's failure mode; training
+    # (or larger k) is the mitigation, exactly as the operator
+    # docstring says.
     t("semdedup_prune(k~N)", 2000 * k,
-      lambda k=k: SI.semdedup_prune(embs[k], k=4 * k, iters=1).count())
+      lambda k=k: SI.semdedup_prune(embs[k], k=4 * k, iters=2).count())
 for k in (1, 4, 16):
     t("prototypicality", 2000 * k,
       lambda k=k: SI.prototypicality(embs[k], k=8, iters=2).count())

@@ -1934,8 +1934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (superset of dedup_exact), session_window_native (twin of
         sessionize), limit_preview, histogram_month_of_year,
         length_outliers (continuous-percentile twin of quantile_band).
+
+    Round 6 retired six tier-3 entries from the driver gate
+    (``_RETIRED_TIER3`` — VERDICT r5 ask #2, the 148/150 capacity
+    crunch); they remain implemented, exported via
+    ``retired_queries()``/``retired_oracle_sql()``, and value-checked
+    on every pytest run with the driver's own comparison.
     """
-    impls = _query_impls()
+    impls = {
+        k: v for k, v in _query_impls().items() if k not in _RETIRED_TIER3
+    }
     try:
         import json as _json
         import os as _os
@@ -2761,7 +2769,56 @@ FROM sid GROUP BY user_id, session_id
 """
 
 
+# Tier-3 variants RETIRED from the driver registry (round 6, VERDICT
+# r5 ask #2): the 50-entry gate × 3-round freshness window caps the
+# registry at 150 and round 5 closed at 148 — two entries of headroom.
+# Each retiree is a variant/superset of a still-registered entry (the
+# tier list in the queries() docstring), keeps its implementation,
+# entry callable and oracle twin, and stays VALUE-CHECKED locally:
+# tests/test_driver_contract.py::test_retired_entries_match_oracle runs
+# the same Arrow-normalized comparison the driver gate uses, every
+# pytest run. Retirement frees driver-gate slots; it does not drop
+# coverage.
+_RETIRED_TIER3 = frozenset(
+    {
+        # keep sim_topk_lsh / sim_topk_ivf (same oracle SQL twins)
+        "sim_topk_lsh_precomputed",
+        "sim_topk_ivf_precomputed",
+        # capped exact baseline of embedding_cosine_pairs
+        "embedding_cosine_allpairs",
+        # superset of dedup_exact
+        "duplicate_groups",
+        # batch twin of sessionize (same session semantics family)
+        "session_window_native",
+        # complete-mode twin: the APPEND-mode (state-bounded) form is
+        # the registered one from round 6 (VERDICT r5 ask #5)
+        "trending_terms_stream",
+    }
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    """Driver-checked oracle twins: the full impl map minus retired
+    tier-3 variants (kept value-checked locally via
+    retired_oracle_sql)."""
+    return {
+        k: v for k, v in _oracle_sql_impls().items() if k not in _RETIRED_TIER3
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Tier-3 entries retired from the driver gate but still executed
+    and value-checked by pytest against their DuckDB twins."""
+    return {k: v for k, v in _query_impls().items() if k in _RETIRED_TIER3}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {
+        k: v for k, v in _oracle_sql_impls().items() if k in _RETIRED_TIER3
+    }
+
+
+def _oracle_sql_impls() -> dict[str, str]:
     return {
         "passage_dedup": r"""
             WITH t AS (

@@ -72,6 +72,48 @@ def test_rotation_manifest_current():
     )
 
 
+def test_retired_entries_match_oracle(spark):
+    """Tier-3 entries retired from the driver gate (round 6 capacity
+    fix) keep full LOCAL value-checks: same Arrow-normalized
+    row/column/type/value comparison the local gate replica runs, at
+    sf0.001 on every pytest run. Retirement frees driver slots; it
+    must never silently drop correctness coverage."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    retired_qs = E.retired_queries()
+    retired_oracles = E.retired_oracle_sql()
+    assert len(retired_qs) >= 6
+    assert set(retired_qs) == set(retired_oracles)
+    assert not set(retired_qs) & set(E.queries())
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    failures = {}
+    for name, fn in retired_qs.items():
+        stbl = fn(spark, SF_DIR).toArrow()
+        dtbl = con.execute(retired_oracles[name]).arrow()
+        sn, scn, sct = table_to_normalized(stbl)
+        dn, dcn, dct = table_to_normalized(dtbl)
+        if (scn, sct) != (dcn, dct):
+            failures[name] = f"schema spark={scn}/{sct} duck={dcn}/{dct}"
+        elif sn != dn:
+            diff = [(a, b) for a, b in zip(sn, dn) if a != b][:2]
+            failures[name] = f"values differ ({len(sn)} vs {len(dn)} rows) {diff}"
+    assert failures == {}
+
+
 def test_every_query_executes_and_has_oracle(spark):
     qs = E.queries()
     oracles = E.oracle_sql()

@@ -845,6 +845,39 @@ def _q_trending_terms_stream(spark, sf):
     )
 
 
+def _q_trending_terms_append(spark, sf):
+    """The PRODUCTION (state-bounded) trending-terms form, registered
+    in round 6 (VERDICT r5 ask #5): same windowed term-count frame as
+    `trending_terms_stream` but APPEND output mode with a 30-minute
+    watermark — closed windows are emitted exactly once and their
+    state evicted, so state is O(|terms per window| × |open windows|)
+    on an infinite stream (the complete-mode twin, which retains
+    every window forever, is retired to the locally-checked set).
+    Value-checkable because the emitted set is deterministic: windows
+    whose end ≤ final watermark = max(ingest_ts) − 30 min; the oracle
+    computes the batch aggregation with that same cutoff (no window
+    end ever ties the watermark on these fixtures — max_off mod 600
+    is 592–596 at every SF, checked round 6)."""
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus_stream
+
+    corpus = read_text_corpus_stream(spark, _ensure_text_corpus(sf)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.pmod(F.col("n_chars") * F.lit(2654435761), F.lit(3600))
+        ),
+    )
+    out = SW.trending_terms_stream(corpus, min_count=5, watermark="30 minutes")
+    res = SW.run_stream_to_memory(
+        spark, out, "trending_terms_append", output_mode="append"
+    )
+    return res.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "term",
+        "n",
+    )
+
+
 def _q_token_rarity(spark, sf):
     """Unigram-rarity quality gate (operators/textan.token_rarity):
     per-doc mean token rarity under the integer idf-proxy — the
@@ -983,6 +1016,54 @@ def _q_semdedup_prune(spark, sf):
     )
     return S.semdedup_prune(
         emb.unionByName(copies), k=4, iters=2, threshold=0.9
+    )
+
+
+# 21° in radians: consecutive chain directions are 0.9336-similar
+# (above the 0.9 threshold), two apart are 0.7431 (below) — the
+# transitive-chain construction that separates strict greedy from the
+# relaxed lower-id rule.
+_CHAIN_THETA = 0.36651914291880922
+
+
+def _q_semdedup_greedy(spark, sf):
+    """STRICT greedy keep-first SemDeDup (operators/similarity.
+    semdedup_prune_greedy) — registered in round 6 so the sequential
+    walk semantics carry a driver hash check (VERDICT r5 ask #4).
+    Fixture plants BOTH dup regimes on top of the embeddings corpus:
+    ×1.01-scaled copies of every vec_id%25==0 vector (plain colinear
+    dups, where greedy == relaxed) AND a rotation chain — unit
+    vectors in the e0–e1 plane at angle 21°·((vec_id/25) mod 8), ids
+    +2000000 — where consecutive directions are 0.9336-similar but
+    two-apart only 0.7431: greedy keeps the first vector of every
+    EVEN chain step (its only similar predecessors were themselves
+    pruned) while the relaxed rule would drop it, so a kernel
+    regression to relaxed semantics hash-mismatches. The DuckDB twin
+    replays the walk as a recursive CTE over the sparse
+    threshold-pair graph."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    ang = (
+        ((F.col("vec_id") / 25).cast("long") % 8).cast("double")
+        * F.lit(_CHAIN_THETA)
+    )
+    chain = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.concat(
+            F.array(F.cos(ang).cast("float"), F.sin(ang).cast("float")),
+            F.array_repeat(F.lit(0.0).cast("float"), 62),
+        ).alias("embedding"),
+    )
+    return S.semdedup_prune_greedy(
+        emb.unionByName(copies).unionByName(chain),
+        k=4,
+        iters=2,
+        threshold=0.9,
     )
 
 
@@ -1962,6 +2043,9 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries in REGISTRATION order (append-only; the
     historical order doubles as the rotation tiebreak)."""
     return {
+        # --- NEW in round 6 ---
+        "semdedup_greedy": _q_semdedup_greedy,
+        "trending_terms_append": _q_trending_terms_append,
         # --- NEW in round 5 (second wave) ---
         "corpus_report": _q_corpus_report,
         "prototypicality": _q_prototypicality,
@@ -2255,6 +2339,81 @@ def _kmeans_cte_sql(src: str, with_d: bool = False) -> str:
                 FROM e, c1 c
               ) GROUP BY 1
             )"""
+
+
+def _semdedup_greedy_sql() -> str:
+    """DuckDB twin of the strict greedy keep-first SemDeDup walk.
+
+    The sequential dependence ("pruned only by an already-KEPT
+    member") is not join-expressible, but it IS expressible as a
+    RECURSIVE CTE over the SPARSE threshold-pair graph: materialize
+    all within-cluster pairs (i < j, cos ≥ thr) exactly like the
+    relaxed twin — near-dup pairs are rare, so this set is small —
+    then walk the distinct prune-TARGETS in ascending id carrying the
+    pruned-id list; a target is pruned iff some pair source below it
+    is not itself pruned (sources outside the walk's domain are kept
+    by construction). Nodes untouched by any pair never enter the
+    recursion. Recursion depth = |distinct targets|, not corpus
+    size."""
+    return f"""
+        WITH RECURSIVE src AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0
+          UNION ALL
+          SELECT vec_id + 2000000,
+                 list_concat(
+                   [CAST(cos({_CHAIN_THETA!r} * ((vec_id // 25) % 8)) AS FLOAT),
+                    CAST(sin({_CHAIN_THETA!r} * ((vec_id // 25) % 8)) AS FLOAT)],
+                   list_transform(range(62), z -> CAST(0.0 AS FLOAT)))
+          FROM embeddings WHERE vec_id % 25 = 0
+        ), {_kmeans_cte_sql('SELECT * FROM src')},
+        -- MATERIALIZED is load-bearing: without it DuckDB re-inlines
+        -- these CTEs into the recursive term and recomputes the full
+        -- within-cluster pair join on EVERY walk iteration (measured
+        -- 339 s -> ~20 s at sf0.1)
+        a2m AS MATERIALIZED (
+          SELECT * FROM a2
+        ), n AS (
+          SELECT a2m.vec_id, a2m.cluster, e.v,
+                 sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+          FROM a2m JOIN e USING (vec_id)
+        ), p AS MATERIALIZED (
+          SELECT a.vec_id AS i, b.vec_id AS j
+          FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                         ii -> a.v[ii] * b.v[ii]))
+                / (CASE WHEN a.nrm = 0 THEN 1 ELSE a.nrm END
+                   * CASE WHEN b.nrm = 0 THEN 1 ELSE b.nrm END) >= 0.9
+        ), nodes AS MATERIALIZED (
+          SELECT j AS vec_id, row_number() OVER (ORDER BY j) AS pos
+          FROM (SELECT DISTINCT j FROM p)
+        ), walk(pos, pruned) AS (
+          SELECT 0, CAST([] AS BIGINT[])
+          UNION ALL
+          SELECT w.pos + 1,
+                 CASE WHEN EXISTS (
+                        SELECT 1 FROM p
+                        WHERE p.j = (SELECT vec_id FROM nodes
+                                     WHERE pos = w.pos + 1)
+                          AND NOT list_contains(w.pruned, p.i))
+                      THEN list_append(w.pruned,
+                           (SELECT CAST(vec_id AS BIGINT) FROM nodes
+                            WHERE pos = w.pos + 1))
+                      ELSE w.pruned END
+          FROM walk w
+          WHERE w.pos < (SELECT count(*) FROM nodes)
+        ), final AS (
+          SELECT pruned FROM walk ORDER BY pos DESC LIMIT 1
+        )
+        SELECT a2m.vec_id, a2m.cluster,
+               coalesce(list_contains((SELECT pruned FROM final),
+                                      a2m.vec_id), FALSE) AS pruned
+        FROM a2m
+    """
 
 
 _COSINE_PAIRS_SQL = """
@@ -3184,6 +3343,37 @@ def _oracle_sql_impls() -> dict[str, str]:
                    COALESCE(n_overlap, 0) >= 1 AS contaminated
             FROM tot LEFT JOIN hit USING (doc_id)
         """,
+        # Relational model of the APPEND-mode streaming aggregation:
+        # the complete-mode shape restricted to windows the final
+        # watermark (max ingest time − 30 min) closed. No window end
+        # ever ties the watermark on these fixtures, so the ≤ cutoff
+        # is unambiguous cross-engine.
+        "trending_terms_append": """
+            WITH lines AS (
+              SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
+              FROM documents WHERE length(trim(text)) > 0
+            ), w AS (
+              SELECT text,
+                     (length(text) * 2654435761) % 3600 AS off
+              FROM lines
+            ), mx AS (
+              SELECT max(off) AS mxoff FROM w
+            ), tok AS (
+              SELECT off,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+              FROM w
+            ), c AS (
+              SELECT (off // 600) * 600 AS wstart,
+                     term, CAST(count(*) AS BIGINT) AS n
+              FROM tok WHERE term <> '' GROUP BY 1, 2
+            )
+            SELECT strftime(make_timestamp(
+                     (1704067200 + wstart) * 1000000),
+                     '%Y-%m-%d %H:%M') AS window_start,
+                   term, n
+            FROM c, mx
+            WHERE n >= 5 AND wstart + 600 <= mxoff - 1800
+        """,
         # Relational model of the complete-mode streaming aggregation:
         # same newline-collapse + empty-line filter as the shard
         # writer, ingest time from line length, epoch-aligned windows.
@@ -3248,6 +3438,7 @@ def _oracle_sql_impls() -> dict[str, str]:
                    rank_far <= CAST(ceil(n * 0.1) AS BIGINT) AS is_hard
             FROM r
         """,
+        "semdedup_greedy": _semdedup_greedy_sql(),
         "semdedup_prune": f"""
             WITH src AS (
               SELECT vec_id, embedding FROM embeddings

@@ -3428,8 +3428,12 @@ def _oracle_sql_impls() -> dict[str, str]:
             WITH {_kmeans_cte_sql('SELECT vec_id, embedding FROM embeddings', with_d=True)},
             r AS (
               SELECT vec_id, cluster, dist2,
+                     -- rank on ROUNDED dist2 (ADVICE r5): matches the
+                     -- Spark window so near-tie distances cannot swap
+                     -- ranks cross-engine
                      row_number() OVER (PARTITION BY cluster
-                                        ORDER BY dist2 DESC, vec_id) AS rank_far,
+                                        ORDER BY round(dist2, 6) DESC,
+                                                 vec_id) AS rank_far,
                      count(*) OVER (PARTITION BY cluster) AS n
               FROM a2
             )

@@ -1002,7 +1002,15 @@ def snapshot_diff(
     inferred from hash-nullness, because a present row with a NULL
     payload also hashes to NULL (the hash is NULL-guarded so that a
     NULL-vs-NULL payload pair classifies 'changed', matching SQL's
-    ``o.text = n.text`` three-valued logic)."""
+    ``o.text = n.text`` three-valued logic).
+
+    PRECONDITION (ADVICE r5): ``id_col`` must be UNIQUE within each
+    snapshot. A duplicated key fans out in the full-outer join and
+    emits one (possibly conflicting) status row per old×new pairing —
+    silent row multiplication, not an error. Crawl snapshots with
+    repeated ids must be compacted first (``latest_by_key`` is the
+    companion built for exactly that), or pre-aggregated to one
+    payload per key."""
     o = old_df.select(
         F.col(id_col),
         F.when(

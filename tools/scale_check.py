@@ -125,7 +125,14 @@ for k in (1, 4, 16):
     def diff(dk=dk):
         from data_pengadaan_agent_spark.operators.relational import snapshot_diff
         old = dk.filter(F.col("doc_id") % 13 != 5).select("doc_id", "text")
-        new = dk.filter(F.col("doc_id") % 17 != 3).select("doc_id", "text")
+        # same doc_id%9==2 edit mutation as the registered entry
+        # (ADVICE r5: without it the 'changed' branch — hash
+        # inequality on both-present keys — never runs at scale)
+        new = dk.filter(F.col("doc_id") % 17 != 3).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 9 == 2,
+                   F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text")).alias("text"))
         return snapshot_diff(old, new).count()
     t("snapshot_diff", 5000 * k, diff)
 

@@ -136,6 +136,36 @@ for k in (1, 4, 16):
         return snapshot_diff(old, new).count()
     t("snapshot_diff", 5000 * k, diff)
 
+# round-6 laps (VERDICT r5 ask #6): the round-5 ops that were
+# driver-green but absent from the exponent tables
+for k in (1, 4, 16):
+    dk = docs[k]
+    t("token_rarity", 5000 * k, lambda dk=dk: X.token_rarity(dk).count())
+for k in (1, 4, 16):
+    dk = docs[k]
+    t("bm25_retrieval", 5000 * k,
+      lambda dk=dk: X.bm25_score(dk, ["spark", "window", "join"]).count())
+for k in (1, 4, 16):
+    dk = docs[k]
+    def decon(dk=dk):
+        test = dk.filter(F.col("doc_id") % 10 == 0)
+        train = dk.filter(F.col("doc_id") % 10 != 0)
+        return X.decontaminate_train(train, test, n=5).count()
+    t("decontaminate_train", 5000 * k, decon)
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/docs_x{k}"
+    t("corpus_report", 5000 * k, lambda d=d: E._q_corpus_report(spark, d).count())
+# cluster_representatives follows the dedup_clusters cap pattern (its
+# cost driver is the pairs->connected-components input, scaled by cap)
+for cap in (200, 400, 800):
+    d1 = docs[1].filter(F.col("doc_id") < cap)
+    def reps(d1=d1):
+        pairs = D.ngram_jaccard_pairs(d1, n=3, threshold=0.12).select("id_a", "id_b")
+        clusters = D.dedup_clusters(d1, pairs)
+        scores = X.quality_score(d1).select("doc_id", "quality_score")
+        return D.cluster_representatives(clusters, scores).count()
+    t("cluster_representatives", cap, reps)
+
 # embeddings x4/x16 for the embedding-pruning ops: replicas are
 # direction-perturbed (+0.75 on the four dims congruent to r mod 16)
 # so they do NOT read as semantic dups of their source — keeping the
@@ -177,6 +207,17 @@ for k in (1, 4, 16):
 for k in (1, 4, 16):
     t("prototypicality", 2000 * k,
       lambda k=k: SI.prototypicality(embs[k], k=8, iters=2).count())
+# round-6: the mega-cluster guard under the UNTRAINED-codebook skew
+# construction (iters=1 seeds all drawn from the r=0 replica group —
+# one cluster captures ~1/3 of the corpus at x16). Before the guard
+# this measured 26-55 s at x16 on one task; with the blocked kernel
+# it must stay in the trained family.
+for k in (1, 4, 16):
+    t("semdedup_untrained_guard", 2000 * k,
+      lambda k=k: SI.semdedup_prune(embs[k], k=4 * k, iters=1).count())
+for k in (1, 4, 16):
+    t("semdedup_greedy", 2000 * k,
+      lambda k=k: SI.semdedup_prune_greedy(embs[k], k=4 * k, iters=2).count())
 
 print(json.dumps(res))
 for name, rows in res.items():

@@ -825,3 +825,99 @@ def corpus_report(
             "n_chars_total",
         )
     )
+
+
+def dsir_importance(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    n: int = 2,
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    DSIR): score every RAW document by how much its hashed-n-gram
+    feature distribution looks like a (small, high-quality) TARGET
+    corpus rather than the raw pool — the standard "select web text
+    that reads like Wikipedia/books" pretraining gate, one rung above
+    hand-written quality heuristics.
+
+    score(d) = Σ_{n-gram g ∈ d} log p̂_target(bucket(g))
+                               − log p̂_raw(bucket(g))
+    with add-``smoothing`` estimates over ``n_buckets`` hashed
+    buckets, counted WITH multiplicity (the bag-of-ngrams generative
+    model). Documents with per-feature mean log-ratio above the
+    corpus (1 − keep_frac) percentile get ``keep`` = true — the
+    deterministic top-fraction variant of DSIR's Gumbel resampling
+    (swap in Gumbel noise per doc for the sampled form).
+
+    Scale shape: each side explodes to (id, bucket-int) rows — the
+    hash-before-shuffle rule, 8-byte features on the wire — and
+    collapses to ≤``n_buckets`` bucket counts; the two count frames
+    full-outer-merge into one ≤n_buckets-row log-ratio table that is
+    explicitly broadcast (known-bounded by the parameter — the
+    explode-lineage broadcast ban applies to planner GUESSES, not to
+    hand-broadcast parameter-bounded aggregates). Per-doc scores are
+    one partial-aggregated exchange on the id; the keep threshold is
+    a 1-row percentile aggregate broadcast back (the
+    length_outlier_band two-pass trade). Per-bucket log-ratios are
+    rounded to 9 places and summed as DECIMAL(28,9), so accumulation
+    order can never drift the score across partitionings or engines
+    (the embedding_qa discipline)."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    B = int(n_buckets)
+    s = float(smoothing)
+
+    def feats(df: DataFrame) -> DataFrame:
+        return (
+            spread(df, id_col)
+            .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+            .select(F.col(id_col), F.pmod(F.xxhash64("g"), F.lit(B)).alias("b"))
+        )
+
+    raw_f = feats(raw_df)
+    tgt_counts = (
+        feats(target_df).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_counts = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    merged = tgt_counts.join(raw_counts, "b", "full_outer").select(
+        "b",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    totals = merged.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = (
+        F.log((F.col("ct") + F.lit(s)) / (F.col("tt") + F.lit(s * B)))
+        - F.log((F.col("cr") + F.lit(s)) / (F.col("tr") + F.lit(s * B)))
+    )
+    lr_table = merged.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(lr, 9).cast("decimal(28,9)").alias("lr")
+    )
+    scores = (
+        raw_f.join(F.broadcast(lr_table), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("lr").alias("_score"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            (F.col("_score").cast("double") / F.col("n_feats"))
+            .alias("_avg"),
+        )
+    )
+    thresh = scores.agg(
+        F.percentile(F.col("_avg"), F.lit(1.0 - float(keep_frac))).alias("thr")
+    )
+    return scores.crossJoin(F.broadcast(thresh)).select(
+        F.col(id_col),
+        "n_feats",
+        F.round(F.col("_avg"), 6).alias("avg_log_ratio"),
+        (F.col("_avg") >= F.col("thr")).alias("keep"),
+    )

@@ -272,3 +272,102 @@ def trending_terms_stream(
         .filter(F.col("n") >= min_count)
         .select(F.col("w").getField("start").alias("window_start"), "term", "n")
     )
+
+
+def streaming_dedup_near(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    delay: str = "30 minutes",
+    window_len: str = "10 minutes",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: MinHash-banded LSH keys under
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of the
+    batch ``minhash_lsh_pairs`` family. A document arriving within
+    the watermark horizon of a near-duplicate (any of its ``bands``
+    band keys already claimed) is flagged, state is evicted once the
+    watermark passes — the bounded-state form of "don't ingest what
+    the crawler just fetched twice with small edits".
+
+    Spark-first shape: the whole signature is a per-ROW column
+    expression (array_min over a transform per hash — no explode, no
+    groupBy, so the signature step is STATELESS and streaming-legal;
+    the batch family's explode+groupBy partial-agg form would be a
+    stateful aggregation here). Each doc then explodes to ``bands``
+    (band, bucket) rows; `dropDuplicatesWithinWatermark` keeps each
+    band bucket's FIRST claimant with per-key TTL state, and a
+    downstream windowed count per doc recovers the verdict:
+    ``is_original`` = all bands survived ⇔ no band was already
+    claimed. Two chained stateful operators (dedup → window agg) —
+    supported in Spark 3.5+ append mode with one watermark. On a
+    batch frame the same callable computes the deterministic twin
+    (rank-1 by (event time, id) per bucket), which is what a SQL
+    oracle can check.
+
+    State: O(bands × docs-per-horizon) 16-byte keys, evicted by the
+    watermark. The signature HOF evaluates interpreted (~n_hashes ×
+    |shingles| xxhash calls per doc) — the price of statelessness;
+    keep n_hashes modest on a firehose or precompute signatures
+    upstream."""
+    from data_pengadaan_agent_spark.operators.dedup import tokens_col
+
+    src = _watermarked(docs, ts_col, delay)
+    toks = tokens_col(text_col)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
+        )
+    )
+    rows_per_band = n_hashes // bands
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_sh"),
+                    lambda sgl, i=i: F.xxhash64(
+                        F.concat(F.lit(f"s{i}:"), sgl)
+                    ),
+                )
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band))
+        ),
+    )
+    banded = (
+        src.withColumn("_sh", sh)
+        .withColumn("_sig", sig)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            F.posexplode(band_keys).alias("band", "bucket"),
+        )
+    )
+    if banded.isStreaming:
+        first = banded.dropDuplicatesWithinWatermark(["band", "bucket"])
+    else:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(
+            W.partitionBy("band", "bucket").orderBy(ts_col, id_col)
+        )
+        first = banded.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    return (
+        first.groupBy(F.window(ts_col, window_len).alias("w"), id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_first_bands"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(id_col),
+            "n_first_bands",
+            (F.col("n_first_bands") == bands).alias("is_original"),
+        )
+    )

@@ -411,3 +411,84 @@ def test_trending_terms_stream_append_mode(spark, tmp_path):
     assert got_rows <= want_rows
     withheld_windows = {w for w, _, _ in want_rows - got_rows}
     assert len(withheld_windows) <= 1  # only the final open window
+
+
+def test_streaming_dedup_near_minhash(spark, tmp_path):
+    """Streaming NEAR-dup dedup (round 6): a document arriving within
+    the watermark horizon of a near-duplicate (any MinHash band key
+    already claimed) is flagged is_original=false; unrelated docs
+    keep all their bands. Two chained stateful operators
+    (dropDuplicatesWithinWatermark -> windowed agg) in append mode;
+    only watermark-closed windows emit."""
+    import datetime as dt
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "at dawn while the tall grey heron watches silently from the reeds "
+        "and the cold wind moves slowly across the open water toward the "
+        "distant hills every single day"
+    )
+    near = base.replace("heron", "crane")
+    far = (
+        "completely different content about databases and distributed "
+        "query execution engines at scale"
+    )
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    src = str(tmp_path / "neardup_src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # trigger 1: the original
+    write_batch([(1, base, dt.datetime(2024, 1, 1, 10, 0))])
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    out = SW.streaming_dedup_near(stream, n_hashes=16, bands=8)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # trigger 2: the near-dup (one word changed) + an unrelated doc
+    write_batch(
+        [
+            (2, near, dt.datetime(2024, 1, 1, 10, 5)),
+            (3, far, dt.datetime(2024, 1, 1, 10, 7)),
+        ]
+    )
+    q.processAllAvailable()
+    # trigger 3: far-future row pushes the watermark past the 10:00
+    # window so the windowed verdicts emit
+    write_batch([(4, "late horizon push row", dt.datetime(2024, 1, 1, 12, 0))])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {
+        r["doc_id"]: r
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    }
+    assert set(rows) == {1, 2, 3}  # doc 4's window never closed
+    assert rows[1]["is_original"] and rows[1]["n_first_bands"] == 8
+    assert not rows[2]["is_original"] and rows[2]["n_first_bands"] < 8
+    assert rows[3]["is_original"] and rows[3]["n_first_bands"] == 8
+
+    # batch twin (rank-1 per bucket by event time): same verdicts
+    batch = spark.createDataFrame(
+        [
+            (1, base, dt.datetime(2024, 1, 1, 10, 0)),
+            (2, near, dt.datetime(2024, 1, 1, 10, 5)),
+            (3, far, dt.datetime(2024, 1, 1, 10, 7)),
+        ],
+        schema,
+    )
+    want = {
+        r["doc_id"]: (r["n_first_bands"], r["is_original"])
+        for r in SW.streaming_dedup_near(batch, n_hashes=16, bands=8).collect()
+    }
+    got = {
+        k: (r["n_first_bands"], r["is_original"]) for k, r in rows.items()
+    }
+    assert got == want

@@ -295,3 +295,44 @@ def test_corpus_report_datasheet(spark):
     assert s1["median_tokens"] == 3.0  # counts 3,3,4 -> exact median 3
     s2 = got["s2"]
     assert (s2["n_docs"], s2["dup_rate"], s2["median_tokens"]) == (1, 0.0, 1.0)
+
+
+def test_dsir_importance_selects_target_like_docs(spark):
+    """DSIR (Xie et al. 2023): raw docs whose hashed-bigram
+    distribution matches the target corpus must outscore off-target
+    docs, and keep_frac selects exactly the top fraction."""
+    from data_pengadaan_agent_spark.operators.textan import dsir_importance
+
+    target = spark.createDataFrame(
+        [
+            (1, "the theory of relativity explains gravity and light"),
+            (2, "the theory of evolution explains species and change"),
+            (3, "the physics of motion explains force and energy"),
+        ],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (10, "the theory of gravity explains motion and force"),
+            (11, "buy cheap pills online click here win big money"),
+            (12, "the physics of light explains energy and change"),
+            (13, "limited offer click now free prize claim today"),
+            (14, "word"),  # < n words: no bigrams, drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = dsir_importance(raw, target, n=2, n_buckets=1024, keep_frac=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10, 11, 12, 13}  # doc 14 has no features
+    # n_feats = words - 1 bigrams, counted with multiplicity
+    assert rows[10]["n_feats"] == 7 and rows[11]["n_feats"] == 8
+    assert rows[12]["n_feats"] == 7 and rows[13]["n_feats"] == 7
+    assert rows[10]["avg_log_ratio"] > rows[11]["avg_log_ratio"]
+    assert rows[12]["avg_log_ratio"] > rows[13]["avg_log_ratio"]
+    assert rows[10]["keep"] and rows[12]["keep"]
+    assert not rows[11]["keep"] and not rows[13]["keep"]
+    # deterministic: a second run produces identical values
+    again = {r["doc_id"]: r for r in out.collect()}
+    assert {k: v["avg_log_ratio"] for k, v in rows.items()} == {
+        k: v["avg_log_ratio"] for k, v in again.items()
+    }

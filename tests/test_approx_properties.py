@@ -99,3 +99,39 @@ def test_length_outlier_band_invariants(spark, counts):
     assert min(counts) <= lo <= hi <= max(counts)
     for r in out:
         assert r["in_band"] == (lo <= r["n_tokens"] <= hi)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=3, max_value=17),
+    st.sampled_from([1, 2, 3]),
+)
+def test_semdedup_guard_equivalence_property(spark, seed, cap, k):
+    """The blocked over-cap kernel must produce byte-identical output
+    to the single-cluster Gram kernel for ANY input/cap/k — the guard
+    changes the execution plan, never the semantics. Random seeded
+    vectors, tiny caps so the blocked path always engages."""
+    import random
+
+    from data_pengadaan_agent_spark.operators.similarity import semdedup_prune
+
+    rng = random.Random(seed)
+    n = 40
+    rows = []
+    for i in range(n):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        # sprinkle exact-direction dups so pruning does real work
+        if i % 7 == 0:
+            rows.append((i + 1000, [float(x * 1.5) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    guarded = semdedup_prune(
+        df, k=k, iters=2, threshold=0.9, cluster_cap=cap
+    )
+    unguarded = semdedup_prune(
+        df, k=k, iters=2, threshold=0.9, cluster_cap=10**9
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )

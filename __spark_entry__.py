@@ -1984,6 +1984,179 @@ def _q_mode_per_group(spark, sf):
     return A.mode_per_group(load_table(spark, sf, "documents"), "lang", "source")
 
 
+def _q_dsir_importance(spark, sf):
+    """DSIR importance resampling (operators/textan.dsir_importance,
+    arith-hash twin): raw pool = doc_id%10!=0, target corpus =
+    doc_id%10==0 — 'select raw docs that read like the held-out
+    slice'. ROUND-7 REGISTRATION CANDIDATE: implemented, oracle-built
+    and pytest-value-checked this round, but NOT registered because
+    round 6's rotation gate window is exactly full (48 r3-stale + 2
+    new entries = 50); registering it now would push a stale entry
+    out of the window."""
+    docs = load_table(spark, sf, "documents")
+    raw = docs.filter(F.col("doc_id") % 10 != 0)
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return X.dsir_importance(
+        raw, target, n=2, n_buckets=4096, keep_frac=0.5, arith_hash=True
+    )
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of _q_dsir_importance (poly-hash buckets, add-1
+    smoothing, DECIMAL(28,9)-exact score sums, median threshold)."""
+    poly = _DUCK_POLY.format(s="g", mult=131)
+    return f"""
+        WITH rawd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        ), tgtd AS (
+          SELECT text FROM documents WHERE doc_id % 10 = 0
+        ), rg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> array_to_string(ws[i:i+1], ' '))) AS g
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM rawd)
+          WHERE len(ws) >= 2
+        ), tg AS (
+          SELECT unnest(list_transform(range(1, len(ws)),
+                        i -> array_to_string(ws[i:i+1], ' '))) AS g
+          FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM tgtd)
+          WHERE len(ws) >= 2
+        ), rb AS (
+          SELECT doc_id, ({poly}) % 4096 AS b FROM rg
+        ), tb AS (
+          SELECT ({poly}) % 4096 AS b FROM tg
+        ), ct AS (
+          SELECT b, count(*) AS c FROM tb GROUP BY 1
+        ), cr AS (
+          SELECT b, count(*) AS c FROM rb GROUP BY 1
+        ), m AS (
+          SELECT coalesce(ct.b, cr.b) AS b,
+                 coalesce(ct.c, 0) AS ct, coalesce(cr.c, 0) AS cr
+          FROM ct FULL OUTER JOIN cr ON ct.b = cr.b
+        ), tot AS (
+          SELECT sum(ct) AS tt, sum(cr) AS tr FROM m
+        ), lrt AS (
+          SELECT b,
+                 CAST(round(ln((ct + 1.0) / (tt + 4096.0))
+                            - ln((cr + 1.0) / (tr + 4096.0)), 9)
+                      AS DECIMAL(28,9)) AS lr
+          FROM m, tot
+        ), sc AS (
+          SELECT rb.doc_id, count(*) AS nf, sum(lr) AS s
+          FROM rb JOIN lrt USING (b) GROUP BY 1
+        ), a AS (
+          SELECT doc_id, nf, CAST(s AS DOUBLE) / nf AS avg FROM sc
+        ), thr AS (
+          SELECT quantile_cont(avg, 0.5) AS t FROM a
+        )
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_feats,
+               round(avg, 6) AS avg_log_ratio, avg >= t AS keep
+        FROM a, thr
+    """
+
+
+def _q_dedup_near_batch(spark, sf):
+    """Near-dup ingest dedup, BATCH twin of streaming_dedup_near
+    (streaming/windows.py) with the arith (SQL-replicable) signature:
+    documents plus a planted near-dup replay (doc_id%31==0, one token
+    appended, ingested 60 s after its original) — per (window, doc)
+    the count of band keys it claimed FIRST and the is_original
+    verdict. ROUND-7 REGISTRATION CANDIDATE (window full this round —
+    see _q_dsir_importance); the STREAMING path of the same callable
+    is pinned by the trigger-ordered pytest, and only the batch rank-1
+    form is oracle-comparable because the streaming first-claimant is
+    arrival-order dependent within a micro-batch."""
+    docs = load_table(spark, sf, "documents")
+    # epoch from length(text), NOT the n_chars column, so the SQL twin
+    # can recompute it without trusting fixture redundancy
+    epoch = F.lit(1704067200) + F.pmod(
+        F.length("text").cast("long") * F.lit(2654435761), F.lit(3600)
+    )
+    base = docs.select(
+        "doc_id", "text", F.timestamp_seconds(epoch).alias("ingest_ts")
+    )
+    near = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        F.timestamp_seconds(epoch + F.lit(60)).alias("ingest_ts"),
+    )
+    out = SW.streaming_dedup_near(
+        base.unionByName(near),
+        n_hashes=16,
+        bands=8,
+        arith=True,
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "doc_id",
+        "n_first_bands",
+        "is_original",
+    )
+
+
+def _dedup_near_sql() -> str:
+    """DuckDB twin of _q_dedup_near_batch: poly-hash + LCG minhash
+    signatures, 8 band-fold keys, rank-1 per (band, bucket) by
+    (ingest time, doc id), per-(window, doc) surviving-band counts."""
+    from data_pengadaan_agent_spark.operators.dedup import P31, _lcg_coeffs
+
+    coeffs = _lcg_coeffs(16, 1234567)
+    poly = _DUCK_POLY.format(s="s", mult=131)
+    mins = ",\n".join(
+        f"min((x * {a} + {b}) % {P31}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, ts, {j} AS band, "
+        f"((h{2 * j} * 1000003) + h{2 * j + 1}) % {P31} AS bucket FROM sig"
+        for j in range(8)
+    )
+    return f"""
+        WITH u AS (
+          SELECT doc_id, text,
+                 1704067200 + (length(text) * 2654435761) % 3600 AS e
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' zz',
+                 1704067260 + (length(text) * 2654435761) % 3600
+          FROM documents WHERE doc_id % 31 = 0
+        ), t AS (
+          SELECT doc_id, e AS ts,
+                 string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM u
+        ), sh AS (
+          SELECT doc_id, ts,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(ws) - 2, 1) + 1),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS s
+          FROM t
+        ), xs AS (
+          SELECT doc_id, ts, {poly} AS x FROM sh
+        ), sig AS (
+          SELECT doc_id, ts,
+                 {mins}
+          FROM xs GROUP BY doc_id, ts
+        ), bk AS (
+          {band_rows}
+        ), ranked AS (
+          SELECT doc_id, ts, band, bucket,
+                 row_number() OVER (PARTITION BY band, bucket
+                                    ORDER BY ts, doc_id) AS rn
+          FROM bk
+        )
+        SELECT strftime(make_timestamp(((ts // 600) * 600) * 1000000),
+                        '%Y-%m-%d %H:%M') AS window_start,
+               doc_id,
+               CAST(count(*) AS BIGINT) AS n_first_bands,
+               count(*) = 8 AS is_original
+        FROM ranked WHERE rn = 1
+        GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered STALEST-FIRST from ROTATION.json (generated by
     ``tools/update_rotation.py`` from the driver's CORRECTNESS_r*.json

@@ -836,6 +836,7 @@ def dsir_importance(
     keep_frac: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    arith_hash: bool = False,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     DSIR): score every RAW document by how much its hashed-n-gram
@@ -865,17 +866,30 @@ def dsir_importance(
     length_outlier_band two-pass trade). Per-bucket log-ratios are
     rounded to 9 places and summed as DECIMAL(28,9), so accumulation
     order can never drift the score across partitionings or engines
-    (the embedding_qa discipline)."""
+    (the embedding_qa discipline).
+
+    ``arith_hash=True`` buckets n-grams with the polynomial rolling
+    hash (``poly_hash_col``) instead of xxhash64 — bit-replicable in
+    plain SQL, so a DuckDB oracle can value-check the whole operator
+    (the minhash ``*_arith`` twin discipline); xxhash64 stays the
+    production default (JVM-side, no interpreted per-char fold)."""
     from data_pengadaan_agent_spark.sources.catalog import spread
 
     B = int(n_buckets)
     s = float(smoothing)
 
+    def bucket(col):
+        if arith_hash:
+            from data_pengadaan_agent_spark.operators.dedup import poly_hash_col
+
+            return F.pmod(poly_hash_col(col), F.lit(B))
+        return F.pmod(F.xxhash64(col), F.lit(B))
+
     def feats(df: DataFrame) -> DataFrame:
         return (
             spread(df, id_col)
             .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
-            .select(F.col(id_col), F.pmod(F.xxhash64("g"), F.lit(B)).alias("b"))
+            .select(F.col(id_col), bucket(F.col("g")).alias("b"))
         )
 
     raw_f = feats(raw_df)

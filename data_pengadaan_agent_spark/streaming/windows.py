@@ -284,6 +284,8 @@ def streaming_dedup_near(
     shingle_n: int = 3,
     delay: str = "30 minutes",
     window_len: str = "10 minutes",
+    arith: bool = False,
+    seed: int = 1234567,
 ) -> DataFrame:
     """Streaming NEAR-duplicate dedup: MinHash-banded LSH keys under
     ``dropDuplicatesWithinWatermark`` — the streaming twin of the
@@ -302,8 +304,11 @@ def streaming_dedup_near(
     band bucket's FIRST claimant with per-key TTL state, and a
     downstream windowed count per doc recovers the verdict:
     ``is_original`` = all bands survived ⇔ no band was already
-    claimed. Two chained stateful operators (dedup → window agg) —
-    supported in Spark 3.5+ append mode with one watermark. On a
+    claimed. A document that claims NO band first emits NOTHING —
+    full suppression is the dedup outcome for a total near-duplicate;
+    0 < n_first_bands < bands flags a near-dup that still claimed
+    some novelty. Two chained stateful operators (dedup → window agg)
+    — supported in Spark 3.5+ append mode with one watermark. On a
     batch frame the same callable computes the deterministic twin
     (rank-1 by (event time, id) per bucket), which is what a SQL
     oracle can check.
@@ -312,8 +317,22 @@ def streaming_dedup_near(
     watermark. The signature HOF evaluates interpreted (~n_hashes ×
     |shingles| xxhash calls per doc) — the price of statelessness;
     keep n_hashes modest on a firehose or precompute signatures
-    upstream."""
-    from data_pengadaan_agent_spark.operators.dedup import tokens_col
+    upstream.
+
+    ``arith=True`` computes the signature with the poly-hash + LCG
+    universal family (``minhash_signatures_arith``'s numbers, row-
+    wise) so a SQL oracle can replicate every band key bit-for-bit —
+    the value-checkable twin; xxhash64 stays the production default.
+    Note the streaming first-claimant is ARRIVAL-order dependent when
+    duplicate keys share a micro-batch, so only the batch path (rank-1
+    by event time, deterministic) is oracle-comparable; the streaming
+    path's semantics are pinned by the trigger-ordered pytest."""
+    from data_pengadaan_agent_spark.operators.dedup import (
+        P31,
+        _lcg_coeffs,
+        poly_hash_col,
+        tokens_col,
+    )
 
     src = _watermarked(docs, ts_col, delay)
     toks = tokens_col(text_col)
@@ -324,28 +343,53 @@ def streaming_dedup_near(
         )
     )
     rows_per_band = n_hashes // bands
-    sig = F.array(
-        *[
-            F.array_min(
+    if arith:
+        def _minhash(a, b):
+            return F.array_min(
                 F.transform(
-                    F.col("_sh"),
-                    lambda sgl, i=i: F.xxhash64(
-                        F.concat(F.lit(f"s{i}:"), sgl)
-                    ),
+                    F.col("_xs"),
+                    lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(P31)),
                 )
             )
-            for i in range(n_hashes)
-        ]
-    )
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band))
-        ),
-    )
+
+        sig = F.array(*[_minhash(a, b) for a, b in _lcg_coeffs(n_hashes, seed)])
+
+        def _band_key(b):
+            return F.aggregate(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, v: F.pmod(acc * 1000003 + v, F.lit(P31)),
+            )
+    else:
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_sh"),
+                        lambda sgl, i=i: F.xxhash64(
+                            F.concat(F.lit(f"s{i}:"), sgl)
+                        ),
+                    )
+                )
+                for i in range(n_hashes)
+            ]
+        )
+
+        def _band_key(b):
+            return F.xxhash64(
+                F.concat_ws(
+                    ",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                )
+            )
+
+    band_keys = F.array(*[_band_key(b) for b in range(bands)])
+    banded = src.withColumn("_sh", sh)
+    if arith:
+        banded = banded.withColumn(
+            "_xs", F.transform(F.col("_sh"), lambda s: poly_hash_col(s))
+        )
     banded = (
-        src.withColumn("_sh", sh)
-        .withColumn("_sig", sig)
+        banded.withColumn("_sig", sig)
         .select(
             F.col(id_col),
             F.col(ts_col),

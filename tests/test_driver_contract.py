@@ -114,6 +114,67 @@ def test_retired_entries_match_oracle(spark):
     assert failures == {}
 
 
+def test_round7_candidate_dsir_matches_oracle(spark):
+    """dsir_importance (arith-hash twin) is a ROUND-7 registration
+    candidate: the rotation window is exactly full this round, so it
+    is value-checked here with the driver's own comparator instead of
+    a registry slot. Registering in r7 = two dict lines."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    stbl = E._q_dsir_importance(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._dsir_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]
+
+
+def test_round7_candidate_dedup_near_matches_oracle(spark):
+    """Batch near-dup dedup (arith signature) vs its DuckDB twin —
+    the second round-7 registration candidate (see the DSIR test
+    above for why it is pytest-checked instead of registered)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    stbl = E._q_dedup_near_batch(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._dedup_near_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]
+    # the planted +1M replays must be flagged non-original (their
+    # originals claimed the shared bands 60 s earlier)
+    flags = {
+        r["doc_id"]: r["is_original"]
+        for r in E._q_dedup_near_batch(spark, SF_DIR).collect()
+    }
+    planted = [d for d in flags if d >= 1000000]
+    assert planted and not any(flags[d] for d in planted)
+
+
 def test_every_query_executes_and_has_oracle(spark):
     qs = E.queries()
     oracles = E.oracle_sql()

@@ -155,6 +155,19 @@ for k in (1, 4, 16):
 for k in (1, 4, 16):
     d = f"/tmp/spark_graft_scale/docs_x{k}"
     t("corpus_report", 5000 * k, lambda d=d: E._q_corpus_report(spark, d).count())
+# round-6 second wave: DSIR importance scoring and the batch near-dup
+# dedup twin (both round-7 registration candidates)
+for k in (1, 4, 16):
+    dk = docs[k]
+    def dsir(dk=dk):
+        raw = dk.filter(F.col("doc_id") % 10 != 0)
+        tgt = dk.filter(F.col("doc_id") % 10 == 0)
+        return X.dsir_importance(raw, tgt, n=2, n_buckets=8192).count()
+    t("dsir_importance", 5000 * k, dsir)
+for k in (1, 4, 16):
+    d = f"/tmp/spark_graft_scale/docs_x{k}"
+    t("dedup_near_batch", 5000 * k,
+      lambda d=d: E._q_dedup_near_batch(spark, d).count())
 # cluster_representatives follows the dedup_clusters cap pattern (its
 # cost driver is the pairs->connected-components input, scaled by cap)
 for cap in (200, 400, 800):

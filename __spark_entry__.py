@@ -2087,7 +2087,6 @@ def _q_dedup_near_batch(spark, sf):
         base.unionByName(near),
         n_hashes=16,
         bands=8,
-        arith=True,
     )
     return out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),

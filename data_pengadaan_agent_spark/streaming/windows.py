@@ -284,7 +284,6 @@ def streaming_dedup_near(
     shingle_n: int = 3,
     delay: str = "30 minutes",
     window_len: str = "10 minutes",
-    arith: bool = False,
     seed: int = 1234567,
 ) -> DataFrame:
     """Streaming NEAR-duplicate dedup: MinHash-banded LSH keys under
@@ -295,106 +294,119 @@ def streaming_dedup_near(
     watermark passes — the bounded-state form of "don't ingest what
     the crawler just fetched twice with small edits".
 
-    Spark-first shape: the whole signature is a per-ROW column
-    expression (array_min over a transform per hash — no explode, no
-    groupBy, so the signature step is STATELESS and streaming-legal;
-    the batch family's explode+groupBy partial-agg form would be a
-    stateful aggregation here). Each doc then explodes to ``bands``
-    (band, bucket) rows; `dropDuplicatesWithinWatermark` keeps each
-    band bucket's FIRST claimant with per-key TTL state, and a
-    downstream windowed count per doc recovers the verdict:
-    ``is_original`` = all bands survived ⇔ no band was already
-    claimed. A document that claims NO band first emits NOTHING —
-    full suppression is the dedup outcome for a total near-duplicate;
-    0 < n_first_bands < bands flags a near-dup that still claimed
-    some novelty. Two chained stateful operators (dedup → window agg)
-    — supported in Spark 3.5+ append mode with one watermark. On a
-    batch frame the same callable computes the deterministic twin
-    (rank-1 by (event time, id) per bucket), which is what a SQL
-    oracle can check.
+    Spark-first shape: the per-doc signature+banding is ONE stateless
+    Arrow ``mapInPandas`` kernel (vectorized integer math — the
+    poly-hash + LCG universal family of ``minhash_signatures_arith``,
+    so every band key is bit-replicable in plain SQL for the oracle
+    twin). A first cut expressed the 16 minhashes as nested
+    higher-order-function column expressions; after Catalyst collapsed
+    the shared shingle-array alias into every lambda, evaluation of
+    the giant nested-lambda projection became NON-DETERMINISTIC
+    (band keys varied across executions of the same plan — nested
+    NamedLambdaVariable binding), and it was also the operator's cost
+    driver (interpreted lambdas: 45-63 s at 80k docs vs ~seconds for
+    the kernel). Each doc emits ``bands`` (band, bucket) rows;
+    `dropDuplicatesWithinWatermark` keeps each band bucket's FIRST
+    claimant with per-key TTL state, and a downstream windowed count
+    per doc recovers the verdict: ``is_original`` = all bands
+    survived ⇔ no band was already claimed. A document that claims NO
+    band first emits NOTHING — full suppression is the dedup outcome
+    for a total near-duplicate; 0 < n_first_bands < bands flags a
+    near-dup that still claimed some novelty. Two chained stateful
+    operators (dedup → window agg) — supported in Spark 3.5+ append
+    mode with one watermark (applied AFTER the kernel: event-time
+    tags do not survive mapInPandas). On a batch frame the same
+    callable computes the deterministic twin (rank-1 by (event time,
+    id) per bucket), which is what a SQL oracle checks; the streaming
+    first-claimant is ARRIVAL-order dependent when duplicate keys
+    share a micro-batch, so only the batch path is oracle-comparable
+    (the streaming path's semantics are pinned by the trigger-ordered
+    pytest).
 
     State: O(bands × docs-per-horizon) 16-byte keys, evicted by the
-    watermark. The signature HOF evaluates interpreted (~n_hashes ×
-    |shingles| xxhash calls per doc) — the price of statelessness;
-    keep n_hashes modest on a firehose or precompute signatures
-    upstream.
+    watermark."""
+    from data_pengadaan_agent_spark.operators.dedup import P31, _lcg_coeffs
 
-    ``arith=True`` computes the signature with the poly-hash + LCG
-    universal family (``minhash_signatures_arith``'s numbers, row-
-    wise) so a SQL oracle can replicate every band key bit-for-bit —
-    the value-checkable twin; xxhash64 stays the production default.
-    Note the streaming first-claimant is ARRIVAL-order dependent when
-    duplicate keys share a micro-batch, so only the batch path (rank-1
-    by event time, deterministic) is oracle-comparable; the streaming
-    path's semantics are pinned by the trigger-ordered pytest."""
-    from data_pengadaan_agent_spark.operators.dedup import (
-        P31,
-        _lcg_coeffs,
-        poly_hash_col,
-        tokens_col,
-    )
-
-    src = _watermarked(docs, ts_col, delay)
-    toks = tokens_col(text_col)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
-        )
-    )
+    coeffs = _lcg_coeffs(n_hashes, seed)
     rows_per_band = n_hashes // bands
-    if arith:
-        def _minhash(a, b):
-            return F.array_min(
-                F.transform(
-                    F.col("_xs"),
-                    lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(P31)),
-                )
+    n_h, n_b, sh_n = int(n_hashes), int(bands), int(shingle_n)
+    id_field = docs.schema[id_col].dataType.simpleString()
+    ts_field = docs.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_field}, {ts_col} {ts_field}, band int, bucket long"
+    )
+
+    def kernel(batches):
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        a = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
+        b = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+        ws_re = _re.compile(r"\s+")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            shingle_strs: list[str] = []
+            doc_counts: list[int] = []
+            for txt in pdf[text_col]:
+                toks = ws_re.split(str(txt).strip().lower())
+                m = max(len(toks) - sh_n, 0)
+                sh = {" ".join(toks[i : i + sh_n]) for i in range(m + 1)}
+                doc_counts.append(len(sh))
+                shingle_strs.extend(sh)
+            # poly hash, vectorized: right-align code points in one 2D
+            # buffer, hash = sum cp[j] * 131^(L-1-j) mod P31 (equal to
+            # the sequential fold; products stay < 2^52, sums < 2^58)
+            n_sh = len(shingle_strs)
+            lens = np.fromiter(
+                (len(s) for s in shingle_strs), dtype=np.int64, count=n_sh
+            )
+            maxlen = max(1, int(lens.max()) if n_sh else 1)
+            buf = np.zeros((n_sh, maxlen), dtype=np.int64)
+            for j, s in enumerate(shingle_strs):
+                if s:
+                    cp = np.frombuffer(
+                        s.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    buf[j, maxlen - cp.size :] = cp
+            pows = np.empty(maxlen, dtype=np.int64)
+            acc = 1
+            for c in range(maxlen - 1, -1, -1):
+                pows[c] = acc
+                acc = (acc * 131) % P31
+            x = (buf * pows[None, :]).sum(axis=1) % P31
+            # 16 minhashes per doc: (a x + b) mod P, segment-min per doc
+            hv = (a * x[None, :] + b) % P31
+            offsets = np.zeros(len(doc_counts), dtype=np.int64)
+            np.cumsum(doc_counts[:-1], out=offsets[1:])
+            mins = np.minimum.reduceat(hv, offsets, axis=1)  # n_h x docs
+            # band keys: fold rows_per_band signature values
+            buckets = np.zeros((n_b, mins.shape[1]), dtype=np.int64)
+            for j in range(n_b):
+                accb = np.zeros(mins.shape[1], dtype=np.int64)
+                for r in range(rows_per_band):
+                    accb = (accb * 1000003 + mins[j * rows_per_band + r]) % P31
+                buckets[j] = accb
+            n_docs = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values.repeat(n_b),
+                    ts_col: pdf[ts_col].values.repeat(n_b),
+                    "band": np.tile(
+                        np.arange(n_b, dtype=np.int32), n_docs
+                    ),
+                    "bucket": buckets.T.reshape(-1),
+                }
             )
 
-        sig = F.array(*[_minhash(a, b) for a, b in _lcg_coeffs(n_hashes, seed)])
-
-        def _band_key(b):
-            return F.aggregate(
-                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                F.lit(0).cast("long"),
-                lambda acc, v: F.pmod(acc * 1000003 + v, F.lit(P31)),
-            )
-    else:
-        sig = F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("_sh"),
-                        lambda sgl, i=i: F.xxhash64(
-                            F.concat(F.lit(f"s{i}:"), sgl)
-                        ),
-                    )
-                )
-                for i in range(n_hashes)
-            ]
-        )
-
-        def _band_key(b):
-            return F.xxhash64(
-                F.concat_ws(
-                    ",", F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                )
-            )
-
-    band_keys = F.array(*[_band_key(b) for b in range(bands)])
-    banded = src.withColumn("_sh", sh)
-    if arith:
-        banded = banded.withColumn(
-            "_xs", F.transform(F.col("_sh"), lambda s: poly_hash_col(s))
-        )
-    banded = (
-        banded.withColumn("_sig", sig)
-        .select(
-            F.col(id_col),
-            F.col(ts_col),
-            F.posexplode(band_keys).alias("band", "bucket"),
-        )
+    banded = _watermarked(
+        docs.select(id_col, ts_col, text_col).mapInPandas(
+            kernel, schema=out_schema
+        ),
+        ts_col,
+        delay,
     )
     if banded.isStreaming:
         first = banded.dropDuplicatesWithinWatermark(["band", "bucket"])

@@ -464,13 +464,29 @@ def test_streaming_dedup_near_minhash(spark, tmp_path):
     # window so the windowed verdicts emit
     write_batch([(4, "late horizon push row", dt.datetime(2024, 1, 1, 12, 0))])
     q.processAllAvailable()
+    # With TWO chained stateful operators the closed-window emission
+    # can land in a no-data batch that processAllAvailable does not
+    # await under load; a fourth data trigger deterministically flushes
+    # it, plus a short bounded wait for the memory sink commit.
+    import time
+
+    write_batch([(5, "flush row", dt.datetime(2024, 1, 1, 12, 30))])
+    q.processAllAvailable()
+    for _ in range(40):
+        if spark.sql(
+            "SELECT count(DISTINCT doc_id) c FROM neardup_out"
+        ).first()["c"] >= 3:
+            break
+        time.sleep(0.25)
+        q.processAllAvailable()
     q.stop()
 
     rows = {
         r["doc_id"]: r
         for r in spark.sql("SELECT * FROM neardup_out").collect()
     }
-    assert set(rows) == {1, 2, 3}  # doc 4's window never closed
+    # docs 4/5's windows never closed
+    assert set(rows) == {1, 2, 3}
     assert rows[1]["is_original"] and rows[1]["n_first_bands"] == 8
     assert not rows[2]["is_original"] and rows[2]["n_first_bands"] < 8
     assert rows[3]["is_original"] and rows[3]["n_first_bands"] == 8

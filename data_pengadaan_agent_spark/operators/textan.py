@@ -909,8 +909,17 @@ def dsir_importance(
         F.log((F.col("ct") + F.lit(s)) / (F.col("tt") + F.lit(s * B)))
         - F.log((F.col("cr") + F.lit(s)) / (F.col("tr") + F.lit(s * B)))
     )
-    lr_table = merged.crossJoin(F.broadcast(totals)).select(
-        "b", F.round(lr, 9).cast("decimal(28,9)").alias("lr")
+    # Cut lineage at the two reused intermediates (the corpus_pipeline
+    # lesson: every re-reference re-EXECUTES the upstream plan — a
+    # first cut re-exploded the raw corpus four times, 26 exchanges):
+    # lr_table is ≤n_buckets rows, scores is one narrow row per doc;
+    # materializing both leaves exactly TWO corpus explodes (bucket
+    # counting + per-doc scoring — DSIR's honest minimum), each run
+    # once inside its checkpoint job.
+    lr_table = (
+        merged.crossJoin(F.broadcast(totals))
+        .select("b", F.round(lr, 9).cast("decimal(28,9)").alias("lr"))
+        .localCheckpoint(eager=True)
     )
     scores = (
         raw_f.join(F.broadcast(lr_table), "b")
@@ -925,6 +934,7 @@ def dsir_importance(
             (F.col("_score").cast("double") / F.col("n_feats"))
             .alias("_avg"),
         )
+        .localCheckpoint(eager=True)
     )
     thresh = scores.agg(
         F.percentile(F.col("_avg"), F.lit(1.0 - float(keep_frac))).alias("thr")

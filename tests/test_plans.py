@@ -365,3 +365,52 @@ def test_corpus_report_single_source_exchange(spark, tables):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # expand/distinct pair
     assert "partial" in plan.lower(), plan
+
+
+def test_dedup_near_kernel_plan_shape(spark, tables):
+    """Batch near-dup dedup: one MapInPandas kernel emits the band
+    rows, then exactly TWO hash exchanges (rank-1 window on
+    (band, bucket) + the windowed per-doc agg) — no joins, nothing
+    explode-derived for the planner to mis-broadcast."""
+    import re
+
+    from data_pengadaan_agent_spark.streaming.windows import streaming_dedup_near
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.pmod(F.length("text").cast("long") * F.lit(2654435761), F.lit(3600))
+        ).alias("ingest_ts"),
+    )
+    out = streaming_dedup_near(docs, n_hashes=16, bands=8)
+    out.collect()
+    plan = _plan(out).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+
+
+def test_dsir_checkpoint_discipline(spark, tables):
+    """DSIR's reused intermediates must stay checkpointed: the final
+    plan reads the materialized score frame + 1-row threshold, with
+    ZERO exchanges and zero shuffle joins (a first cut re-executed the
+    corpus explode four times — 26 exchanges)."""
+    import re
+
+    from data_pengadaan_agent_spark.operators.textan import dsir_importance
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    out = dsir_importance(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n=2,
+        n_buckets=1024,
+    )
+    out.collect()
+    plan = _plan(out)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

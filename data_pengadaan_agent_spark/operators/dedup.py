@@ -644,6 +644,80 @@ def passage_dedup_stats(
     )
 
 
+def dedup_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+) -> DataFrame:
+    """Passage-level dedup ACTION twin of ``passage_dedup_stats`` (the
+    decontaminate_train ↔ ngram_contamination relationship): split
+    each document's token stream into fixed non-overlapping
+    ``window``-token passages, keep each distinct passage only at its
+    FIRST corpus occurrence — lowest (doc_id, passage_idx), so both
+    cross-document copies and within-document repeats drop — and
+    REBUILD every document from its surviving passages in order
+    (Lee et al. ACL'22's "deduplicating training data" applied at
+    fixed-window granularity). Output: (id, text, n_passages,
+    n_kept); a fully-duplicated document survives as an EMPTY text
+    with n_kept = 0 rather than disappearing, so downstream length
+    gates can drop it explicitly. The rebuilt text is the normalized
+    token stream (lowered, single-spaced) — this operator's pipeline
+    position is after ``normalize_text``.
+
+    Scale shape: one shuffle-free posexplode; the first-occurrence
+    vote is a partial-aggregated min(struct(doc, idx)) keyed on
+    ``xxhash64(passage)`` (the exchange carries 8-byte hashes +
+    16-byte votes, never text); one hash equi-join back
+    (shuffle_hash-pinned — explode lineage, the house rule); ONE
+    final per-doc aggregate rebuilds the text with an in-group
+    array_sort, no window function. A hash collision would merge two
+    distinct passages (probability ~n²/2⁶⁴); the oracle twin compares
+    raw passage strings, guarding the shortcut."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    t = tokens_col(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(t), F.lit(1)), F.lit(window))
+    passages = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, window)))
+    p = spread(df, id_col).select(
+        F.col(id_col), F.posexplode(passages).alias("idx", "passage")
+    )
+    ph = p.select(
+        F.col(id_col), "idx", "passage", F.xxhash64("passage").alias("_ph")
+    )
+    first = ph.groupBy("_ph").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
+        ).alias("_first")
+    )
+    joined = ph.join(first.hint("shuffle_hash"), "_ph")
+    is_first = (F.col(id_col) == F.col("_first.d")) & (
+        F.col("idx") == F.col("_first.i")
+    )
+    kept_struct = F.when(
+        is_first, F.struct(F.col("idx"), F.col("passage"))
+    )  # collect_list drops the NULLs of non-kept rows
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+            F.sum(F.when(is_first, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s.getField("passage")),
+                " ",
+            ).alias(text_col),
+            "n_passages",
+            "n_kept",
+        )
+    )
+
+
 def dedup_incremental(
     new_df: DataFrame,
     seen_df: DataFrame,

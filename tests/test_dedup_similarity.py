@@ -187,3 +187,36 @@ def test_cross_source_overlap_ignores_null_text(spark):
         for r in cross_source_overlap(df).collect()
     }
     assert got == {("a", "b"): 1}
+
+
+def test_dedup_passages_rewrites_documents(spark):
+    """Action twin of passage_dedup_stats: cross-doc copies and
+    within-doc repeats drop at every occurrence but the corpus-first;
+    documents rebuild in passage order; a fully-duplicated doc
+    survives as empty text."""
+    from data_pengadaan_agent_spark.operators.dedup import dedup_passages
+
+    p1 = "alpha beta gamma delta"        # doc 1 passage 0
+    p2 = "epsilon zeta eta theta"        # doc 1 passage 1
+    uniq = "iota kappa lambda mu"
+    rows = [
+        (1, f"{p1} {p2}"),               # original
+        (2, f"{p2} {uniq} {p2}"),        # cross-doc copy + within-doc repeat
+        (3, f"{p1} {p2}"),               # fully duplicated doc
+        (4, "nu xi"),                    # short doc: single partial passage
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_passages(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window=4,
+        ).collect()
+    }
+    assert out[1]["text"] == f"{p1} {p2}"
+    assert (out[1]["n_passages"], out[1]["n_kept"]) == (2, 2)
+    # doc 2: first p2 lost to doc 1, repeat lost too; uniq survives
+    assert out[2]["text"] == uniq
+    assert (out[2]["n_passages"], out[2]["n_kept"]) == (3, 1)
+    # doc 3: nothing left — empty text, explicit row
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "nu xi" and out[4]["n_kept"] == 1

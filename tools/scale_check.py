@@ -168,6 +168,12 @@ for k in (1, 4, 16):
     d = f"/tmp/spark_graft_scale/docs_x{k}"
     t("dedup_near_batch", 5000 * k,
       lambda d=d: E._q_dedup_near_batch(spark, d).count())
+for k in (1, 4, 16):
+    dk = docs[k]
+    def passages(dk=dk):
+        from data_pengadaan_agent_spark.operators.dedup import dedup_passages
+        return dedup_passages(dk).count()
+    t("dedup_passages", 5000 * k, passages)
 # cluster_representatives follows the dedup_clusters cap pattern (its
 # cost driver is the pairs->connected-components input, scaled by cap)
 for cap in (200, 400, 800):

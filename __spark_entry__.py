@@ -2156,6 +2156,72 @@ def _dedup_near_sql() -> str:
     """
 
 
+def _q_dedup_passages(spark, sf):
+    """Passage-level dedup with document reassembly
+    (operators/dedup.dedup_passages) over documents plus two planted
+    regimes: full replays of doc_id%11==0 (ids +1000000 — fully
+    suppressed to empty rows) and chimera docs (ids +2000000) whose
+    first 16 tokens copy a doc_id%13==0 source and whose tail is
+    unique per chimera (doc-id-stamped) — exactly the head passage
+    drops when the source had ≥16 tokens. ROUND-8 REGISTRY CANDIDATE
+    (r7's two slots are spoken for — see _q_dsir_importance)."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    replay = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    chimera = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, 16)),
+            F.lit(" planted tail marker doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return D.dedup_passages(
+        docs.unionByName(replay).unionByName(chimera), window=16
+    )
+
+
+def _dedup_passages_sql() -> str:
+    """DuckDB twin of _q_dedup_passages: raw-passage first-occurrence
+    vote (also guards the Spark side's xxhash64 keying against
+    collisions), ordered string_agg reassembly."""
+    return r"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(
+                   string_split_regex(lower(trim(text)), '\s+')[1:16], ' ')
+                 || ' planted tail marker doc ' || CAST(doc_id AS VARCHAR)
+          FROM documents WHERE doc_id % 13 = 0
+        ), t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS ws
+          FROM u
+        ), p AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                 array_to_string(ws[(1 + i*16):(i*16 + 16)], ' ') AS passage
+          FROM t, UNNEST(range(CAST(ceil(greatest(len(ws), 1)/16.0)
+                                    AS BIGINT))) AS un(i)
+        ), r AS (
+          SELECT doc_id, idx, passage,
+                 row_number() OVER (PARTITION BY passage
+                                    ORDER BY doc_id, idx) AS rn
+          FROM p
+        )
+        SELECT doc_id,
+               coalesce(string_agg(passage, ' ' ORDER BY idx)
+                          FILTER (WHERE rn = 1), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_passages,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept
+        FROM r GROUP BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordered STALEST-FIRST from ROTATION.json (generated by
     ``tools/update_rotation.py`` from the driver's CORRECTNESS_r*.json

@@ -175,6 +175,47 @@ def test_round7_candidate_dedup_near_matches_oracle(spark):
     assert planted and not any(flags[d] for d in planted)
 
 
+def test_round8_candidate_dedup_passages_matches_oracle(spark):
+    """dedup_passages (document-rebuilding passage dedup) vs its
+    DuckDB twin — pre-built for a LATER registration round (r7's two
+    window slots go to DSIR and dedup_near; see the rotation
+    arithmetic in NOTES)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    stbl = E._q_dedup_passages(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._dedup_passages_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert sn == dn and len(sn) > 0
+    rows = {r["doc_id"]: r for r in E._q_dedup_passages(spark, SF_DIR).collect()}
+    replays = [d for d in rows if 1000000 <= d < 2000000]
+    chimeras = [d for d in rows if d >= 2000000]
+    # full replays collapse to empty rows; a chimera loses exactly its
+    # copied head passage WHEN its source had >= 16 tokens (a shorter
+    # source's head blends into the chimera's tail and drops nothing)
+    assert replays and all(
+        rows[d]["text"] == "" and rows[d]["n_kept"] == 0 for d in replays
+    )
+    assert chimeras and all(
+        rows[d]["n_kept"] in (rows[d]["n_passages"], rows[d]["n_passages"] - 1)
+        for d in chimeras
+    )
+    assert any(
+        rows[d]["n_kept"] == rows[d]["n_passages"] - 1 for d in chimeras
+    )
+
+
 def test_every_query_executes_and_has_oracle(spark):
     qs = E.queries()
     oracles = E.oracle_sql()

@@ -2278,8 +2278,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """All registered queries in REGISTRATION order (append-only; the
-    historical order doubles as the rotation tiebreak)."""
+    """All registered queries, NEWEST ROUND FIRST (each round prepends
+    its section — the convention since round 4). The rotation sort is
+    keyed on last_green alone, so dict order only breaks ties WITHIN a
+    round cohort; entries green in the same round age together, and
+    ``test_rotation_manifest_current``'s overflow assert fails loudly
+    if any tiebreak ever pushes a must-check entry out of the gate
+    window — the invariant is the assert, not the dict order."""
     return {
         # --- NEW in round 6 ---
         "semdedup_greedy": _q_semdedup_greedy,

@@ -351,7 +351,10 @@ def streaming_dedup_near(
             shingle_strs: list[str] = []
             doc_counts: list[int] = []
             for txt in pdf[text_col]:
-                toks = ws_re.split(str(txt).strip().lower())
+                # strip SPACES only — parity with F.trim / SQL trim
+                # (Python .strip() would also eat tabs/newlines and
+                # shift every shingle vs the oracle)
+                toks = ws_re.split(str(txt).strip(" ").lower())
                 m = max(len(toks) - sh_n, 0)
                 sh = {" ".join(toks[i : i + sh_n]) for i in range(m + 1)}
                 doc_counts.append(len(sh))
@@ -376,7 +379,16 @@ def streaming_dedup_near(
             for c in range(maxlen - 1, -1, -1):
                 pows[c] = acc
                 acc = (acc * 131) % P31
-            x = (buf * pows[None, :]).sum(axis=1) % P31
+            # chunked-modulo sum: each product < 2^51 (codepoint ≤
+            # 0x10FFFF × P31), so 2048-column chunks stay < 2^62
+            # before their modulo — exact for ANY shingle length,
+            # where a single full-row sum could wrap int64 on very
+            # long astral-plane shingles
+            x = np.zeros(n_sh, dtype=np.int64)
+            for c0 in range(0, maxlen, 2048):
+                x = (
+                    x + (buf[:, c0 : c0 + 2048] * pows[None, c0 : c0 + 2048]).sum(axis=1)
+                ) % P31
             # 16 minhashes per doc: (a x + b) mod P, segment-min per doc
             hv = (a * x[None, :] + b) % P31
             offsets = np.zeros(len(doc_counts), dtype=np.int64)
@@ -402,9 +414,13 @@ def streaming_dedup_near(
             )
 
     banded = _watermarked(
-        docs.select(id_col, ts_col, text_col).mapInPandas(
-            kernel, schema=out_schema
-        ),
+        # NULL text propagates NULL through the SQL twin's tokenizer
+        # and yields no rows there — match it by dropping such docs
+        # before the kernel (str(None) would otherwise shingle the
+        # literal "none" and make unrelated NULL docs near-dups)
+        docs.select(id_col, ts_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(kernel, schema=out_schema),
         ts_col,
         delay,
     )

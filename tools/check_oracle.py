@@ -132,7 +132,12 @@ def check_registry(E) -> None:
         f"total covered surface shrank: {len(qs)} registered + "
         f"{len(retired)} retired < {TOTAL_FLOOR}"
     )
-    assert not set(qs) & set(retired), "entry both registered and retired"
+    # a typo'd name in the retirement set would silently retire
+    # NOTHING (the filters intersect with the impl map) — require
+    # every declared retiree to actually exist as an implementation
+    if hasattr(E, "_RETIRED_TIER3"):
+        ghost = set(E._RETIRED_TIER3) - set(retired)
+        assert not ghost, f"retired names with no implementation: {sorted(ghost)}"
     missing = sorted(set(qs) - set(oracles))
     assert not missing, f"queries() entries with no oracle_sql() twin: {missing}"
     orphans = sorted(set(oracles) - set(qs))

@@ -371,3 +371,44 @@ def test_trained_ivf_recall_beats_fixed_on_clustered_corpus(spark, tmp_path):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "centroid_id" in plan
+
+
+def test_ivf_probe_autodetects_trained_codebook(spark, tables, tmp_path):
+    """Review-fix pin: probing a trained table WITHOUT the trained
+    flag must auto-detect the persisted codebook and produce exactly
+    the trained ranking (forgetting the flag used to silently rank
+    partitions with hyperplane geometry); a fixed table without a
+    codebook keeps the fixed path."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        build_ivf_table,
+        ivf_topk_precomputed,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    tpath = str(tmp_path / "ivf_t")
+    fpath = str(tmp_path / "ivf_f")
+    build_ivf_table(emb, "embedding", 64, tpath, n_centroids=4, train_iters=2)
+    build_ivf_table(emb, "embedding", 64, fpath, n_centroids=4)
+    auto_t = sorted(
+        map(tuple, ivf_topk_precomputed(
+            spark, tpath, "embedding", qvec, k=10, n_centroids=4
+        ).collect())
+    )
+    explicit_t = sorted(
+        map(tuple, ivf_topk_precomputed(
+            spark, tpath, "embedding", qvec, k=10, n_centroids=4, trained=True
+        ).collect())
+    )
+    assert auto_t == explicit_t
+    auto_f = sorted(
+        map(tuple, ivf_topk_precomputed(
+            spark, fpath, "embedding", qvec, k=10, n_centroids=4
+        ).collect())
+    )
+    explicit_f = sorted(
+        map(tuple, ivf_topk_precomputed(
+            spark, fpath, "embedding", qvec, k=10, n_centroids=4, trained=False
+        ).collect())
+    )
+    assert auto_f == explicit_f

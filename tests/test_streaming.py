@@ -508,3 +508,76 @@ def test_streaming_dedup_near_minhash(spark, tmp_path):
         k: (r["n_first_bands"], r["is_original"]) for k, r in rows.items()
     }
     assert got == want
+
+
+def test_dedup_near_kernel_parity_edges(spark):
+    """Review-fix pins: (a) NULL-text docs vanish (SQL-twin parity)
+    instead of shingling the literal 'none'; (b) tab/newline padding
+    is NOT stripped (F.trim strips spaces only), so such text keeps
+    its leading empty token exactly like the oracle's tokenizer; (c)
+    the chunked-modulo poly hash equals the sequential fold even for
+    a shingle long enough to overflow a naive int64 row sum."""
+    import datetime as dt
+
+    from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
+
+    ts = dt.datetime(2024, 1, 1, 10, 0)
+    # (a) two NULL-text docs: no output rows at all for them
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", ts),
+        (2, None, ts),
+        (3, None, ts),
+    ]
+    out = SW.streaming_dedup_near(
+        spark.createDataFrame(rows, "doc_id long, text string, ingest_ts timestamp"),
+        n_hashes=16,
+        bands=8,
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+    # (b) '\n'-prefixed text differs from the space-prefixed one: the
+    # newline survives trim and shifts tokenization
+    r2 = SW.streaming_dedup_near(
+        spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta", ts),
+                (2, "\nalpha beta gamma delta epsilon zeta", ts),
+                (3, " alpha beta gamma delta epsilon zeta", ts),
+            ],
+            "doc_id long, text string, ingest_ts timestamp",
+        ),
+        n_hashes=16,
+        bands=8,
+    ).collect()
+    flags = {r["doc_id"]: r["is_original"] for r in r2}
+    # space-padded doc 3 = exact dup of doc 1 -> every band claimed
+    # by 1 -> fully suppressed (absent), the documented outcome
+    assert 3 not in flags and flags[1]
+    # newline survives trim (parity with F.trim/SQL): doc 2 keeps a
+    # leading empty token, so it is a NEAR-dup (one novel shingle ->
+    # present but flagged) — had the kernel stripped the newline it
+    # would be an exact dup and absent like doc 3
+    assert 2 in flags and not flags[2]
+
+    # (c) chunked-modulo hash == the engine's sequential poly fold on
+    # a 5000-char astral-plane token (naive row sum would wrap int64)
+    big = "\U0010fffd" * 5000
+    want = (
+        spark.createDataFrame([(big,)], "s string")
+        .select(poly_hash_col(F.col("s")).alias("h"))
+        .first()["h"]
+    )
+    import numpy as np
+
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    maxlen = cp.size
+    pows = np.empty(maxlen, dtype=np.int64)
+    acc = 1
+    for c in range(maxlen - 1, -1, -1):
+        pows[c] = acc
+        acc = (acc * 131) % P31
+    buf = cp[None, :]
+    got = np.zeros(1, dtype=np.int64)
+    for c0 in range(0, maxlen, 2048):
+        got = (got + (buf[:, c0:c0 + 2048] * pows[None, c0:c0 + 2048]).sum(axis=1)) % P31
+    assert int(got[0]) == want

@@ -135,3 +135,51 @@ def test_semdedup_guard_equivalence_property(spark, seed, cap, k):
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, unguarded.collect())
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_dedup_passages_idempotent_property(spark, docs):
+    """dedup_passages is IDEMPOTENT: a second application changes
+    nothing. This holds because each doc's only partial passage is its
+    last, so rebuilt texts re-split on the same window boundaries and
+    every surviving passage is already globally unique. Also pins the
+    coverage invariant: the union of kept passages equals the distinct
+    passages of the input."""
+    from data_pengadaan_agent_spark.operators.dedup import dedup_passages
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    once = dedup_passages(df, window=4)
+    twice = dedup_passages(
+        once.select("doc_id", "text").filter(F.length("text") > 0), window=4
+    )
+    first = {r["doc_id"]: r["text"] for r in once.collect()}
+    second = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert second == {k: v for k, v in first.items() if v != ""}
+
+    # coverage: kept passages across docs == distinct input passages
+    def passages(text):
+        toks = text.split()
+        return [
+            " ".join(toks[i : i + 4]) for i in range(0, max(len(toks), 1), 4)
+        ]
+
+    kept = [p for t in first.values() if t for p in passages(t)]
+    want = set()
+    for toks in docs:
+        want.update(passages(" ".join(toks)))
+    assert sorted(kept) == sorted(set(kept))  # no passage survives twice
+    assert set(kept) == want

@@ -2163,8 +2163,10 @@ def _q_dedup_passages(spark, sf):
     suppressed to empty rows) and chimera docs (ids +2000000) whose
     first 16 tokens copy a doc_id%13==0 source and whose tail is
     unique per chimera (doc-id-stamped) — exactly the head passage
-    drops when the source had ≥16 tokens. ROUND-8 REGISTRY CANDIDATE
-    (r7's two slots are spoken for — see _q_dsir_importance)."""
+    drops when the source had ≥16 tokens. REGISTRY CANDIDATE — per
+    tools/plan_rotation.py all three candidates fit round 7's gate
+    window alongside the limit_preview/histogram_month_of_year
+    retirements (must-check 49/50)."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     replay = docs.filter(F.col("doc_id") % 11 == 0).select(
@@ -3217,6 +3219,30 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def retired_oracle_sql() -> dict[str, str]:
     return {
         k: v for k, v in _oracle_sql_impls().items() if k in _RETIRED_TIER3
+    }
+
+
+def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration CANDIDATES for future rounds: fully built entries
+    with bit-exact DuckDB twins, held out of queries() only because
+    the current round's rotation gate window is full (see
+    tools/plan_rotation.py for the registration arithmetic).
+    Registering one = moving its name into _query_impls()/
+    _oracle_sql_impls() and bumping the floors. Locally they are
+    swept by tools/check_oracle.py and value-checked by pytest like
+    everything else."""
+    return {
+        "dsir_importance": _q_dsir_importance,
+        "dedup_near_batch": _q_dedup_near_batch,
+        "dedup_passages": _q_dedup_passages,
+    }
+
+
+def candidate_oracle_sql() -> dict[str, str]:
+    return {
+        "dsir_importance": _dsir_sql(),
+        "dedup_near_batch": _dedup_near_sql(),
+        "dedup_passages": _dedup_passages_sql(),
     }
 
 

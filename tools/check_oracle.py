@@ -165,13 +165,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    # The LOCAL sweep covers the retired tier-3 entries too — they are
-    # out of the driver gate, not out of the correctness contract.
+    # The LOCAL sweep covers the retired tier-3 entries AND future-
+    # round registration candidates too — out of the driver gate is
+    # not out of the correctness contract.
     qs = dict(E.queries())
     oracles = dict(E.oracle_sql())
     if hasattr(E, "retired_queries"):
         qs.update(E.retired_queries())
         oracles.update(E.retired_oracle_sql())
+    if hasattr(E, "candidate_queries"):
+        qs.update(E.candidate_queries())
+        oracles.update(E.candidate_oracle_sql())
     results = {}
     t_start = time.time()
     for name, fn in qs.items():

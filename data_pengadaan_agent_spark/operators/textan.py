@@ -855,18 +855,35 @@ def dsir_importance(
     (swap in Gumbel noise per doc for the sampled form).
 
     Scale shape: each side explodes to (id, bucket-int) rows — the
-    hash-before-shuffle rule, 8-byte features on the wire — and
-    collapses to ≤``n_buckets`` bucket counts; the two count frames
-    full-outer-merge into one ≤n_buckets-row log-ratio table that is
-    explicitly broadcast (known-bounded by the parameter — the
-    explode-lineage broadcast ban applies to planner GUESSES, not to
-    hand-broadcast parameter-bounded aggregates). Per-doc scores are
-    one partial-aggregated exchange on the id; the keep threshold is
-    a 1-row percentile aggregate broadcast back (the
-    length_outlier_band two-pass trade). Per-bucket log-ratios are
-    rounded to 9 places and summed as DECIMAL(28,9), so accumulation
-    order can never drift the score across partitionings or engines
-    (the embedding_qa discipline).
+    hash-before-shuffle rule, 8-byte features on the wire — then the
+    RAW side immediately pre-aggregates to (id, bucket, count) rows
+    (map-side partial combine compresses n-gram multiplicity BEFORE
+    the exchange, so wire rows are Σ distinct-(doc,bucket), not
+    Σ tokens — the round-7 fix for the 0.84 ×16→×64 exponent this
+    join carried). That compact frame is checkpointed once and feeds
+    BOTH the per-bucket raw counts and the per-doc scoring, so the
+    raw corpus is tokenized exactly once (previously twice). The two
+    count frames full-outer-merge into one ≤n_buckets-row log-ratio
+    table that is explicitly broadcast (known-bounded by the
+    parameter — the explode-lineage broadcast ban applies to planner
+    GUESSES, not to hand-broadcast parameter-bounded aggregates).
+    Per-doc scores are one partial-aggregated exchange on the id
+    summing count·lr — identical to the per-token sum by linearity
+    of the exact DECIMAL arithmetic (count cast DECIMAL(9,0), so the
+    product is DECIMAL(38,9) with no precision loss; a single doc
+    repeating one bucket ≥1e9 times would overflow LOUDLY under
+    ANSI). The keep threshold is a 1-row percentile aggregate
+    broadcast back (the length_outlier_band two-pass trade).
+    Per-bucket log-ratios are rounded to 9 places and summed as
+    DECIMAL, so accumulation order can never drift the score across
+    partitionings or engines (the embedding_qa discipline).
+
+    Contract note (ADVICE r6): raw documents with fewer than ``n``
+    tokens produce zero n-grams and are EXCLUDED from the verdict —
+    they get neither keep=true nor keep=false. Callers joining the
+    verdict back to the pool must left-join and decide a policy for
+    the missing ids (the reference pipeline treats featureless docs
+    as rejected).
 
     ``arith_hash=True`` buckets n-grams with the polynomial rolling
     hash (``poly_hash_col``) instead of xxhash64 — bit-replicable in
@@ -892,11 +909,51 @@ def dsir_importance(
             .select(F.col(id_col), bucket(F.col("g")).alias("b"))
         )
 
+    # ONE raw-corpus explode: pre-aggregate to (id, bucket, count)
+    # right after the explode. A doc's exploded rows never leave its
+    # input partition (explode is narrow; spread() moves whole
+    # pre-explode rows), so a PER-PARTITION count is globally exact —
+    # an Arrow kernel does it in Python memory with zero exchange and
+    # zero JVM hash-map state (a global groupBy(id,b) here built a
+    # Σ distinct-(doc,bucket)-group HashAggregate that OOM'd a 1g
+    # driver at docs ×64 before it could even spill). Hashing stays
+    # JVM-side (xxhash64 / poly-hash column exprs); the kernel only
+    # counts. Checkpoint DISK_ONLY: this is the one corpus-
+    # PROPORTIONAL checkpoint in the operator (24-byte rows, far
+    # smaller than re-tokenizing the text it replaces, but still
+    # O(corpus)) — the no-corpus-scale-memory-pins house rule.
+    from pyspark import StorageLevel
+
     raw_f = feats(raw_df)
+    id_type = raw_f.schema[id_col].dataType.simpleString()
+
+    def _count_partition(batches):
+        import pandas as pd
+
+        partials = []
+        for pdf in batches:
+            if len(pdf):
+                partials.append(
+                    pdf.groupby([id_col, "b"], sort=False)
+                    .size()
+                    .reset_index(name="c")
+                )
+        if partials:
+            merged_p = (
+                pd.concat(partials, ignore_index=True)
+                .groupby([id_col, "b"], sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            yield merged_p
+
+    raw_doc_counts = raw_f.mapInPandas(
+        _count_partition, schema=f"{id_col} {id_type}, b bigint, c bigint"
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     tgt_counts = (
         feats(target_df).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
     )
-    raw_counts = raw_f.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    raw_counts = raw_doc_counts.groupBy("b").agg(F.sum("c").alias("cr"))
     merged = tgt_counts.join(raw_counts, "b", "full_outer").select(
         "b",
         F.coalesce("ct", F.lit(0)).alias("ct"),
@@ -909,24 +966,28 @@ def dsir_importance(
         F.log((F.col("ct") + F.lit(s)) / (F.col("tt") + F.lit(s * B)))
         - F.log((F.col("cr") + F.lit(s)) / (F.col("tr") + F.lit(s * B)))
     )
-    # Cut lineage at the two reused intermediates (the corpus_pipeline
+    # Cut lineage at every reused intermediate (the corpus_pipeline
     # lesson: every re-reference re-EXECUTES the upstream plan — a
     # first cut re-exploded the raw corpus four times, 26 exchanges):
-    # lr_table is ≤n_buckets rows, scores is one narrow row per doc;
-    # materializing both leaves exactly TWO corpus explodes (bucket
-    # counting + per-doc scoring — DSIR's honest minimum), each run
-    # once inside its checkpoint job.
+    # raw_doc_counts is Σ distinct-(doc,bucket) 24-byte rows (text
+    # never leaves its explode stage), lr_table is ≤n_buckets rows,
+    # scores is one narrow row per doc. Each corpus is tokenized
+    # exactly ONCE.
     lr_table = (
         merged.crossJoin(F.broadcast(totals))
         .select("b", F.round(lr, 9).cast("decimal(28,9)").alias("lr"))
         .localCheckpoint(eager=True)
     )
+    # Σ c·lr ≡ the per-token Σ lr by linearity; exact DECIMAL multiply
+    # (9,0)×(28,9) → (38,9), no precision loss, order-independent.
     scores = (
-        raw_f.join(F.broadcast(lr_table), "b")
+        raw_doc_counts.join(F.broadcast(lr_table), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.sum("lr").alias("_score"),
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c").cast("decimal(9,0)") * F.col("lr")).alias(
+                "_score"
+            ),
         )
         .select(
             F.col(id_col),

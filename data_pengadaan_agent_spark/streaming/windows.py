@@ -327,6 +327,15 @@ def streaming_dedup_near(
     watermark."""
     from data_pengadaan_agent_spark.operators.dedup import P31, _lcg_coeffs
 
+    # A non-divisible pair silently ignores the remainder hashes, and
+    # bands > n_hashes gives rows_per_band = 0 — every band bucket
+    # folds to the same value, all documents collide, and everything
+    # after the first is flagged as a near-dup (ADVICE r6).
+    if n_hashes < bands or n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     coeffs = _lcg_coeffs(n_hashes, seed)
     rows_per_band = n_hashes // bands
     n_h, n_b, sh_n = int(n_hashes), int(bands), int(shingle_n)

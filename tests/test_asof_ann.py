@@ -412,3 +412,35 @@ def test_ivf_probe_autodetects_trained_codebook(spark, tables, tmp_path):
         ).collect())
     )
     assert auto_f == explicit_f
+
+
+def test_ivf_rebuild_untrained_removes_stale_codebook(spark, tables, tmp_path):
+    """ADVICE r6 (medium): rebuilding WITHOUT training at a path that
+    previously held a TRAINED build must remove the stale codebook —
+    otherwise auto-detect ranks hyperplane-assigned lists with the
+    obsolete trained centroids and silently collapses recall."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        build_ivf_table,
+        ivf_topk_precomputed,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    path = str(tmp_path / "ivf_rebuild")
+    build_ivf_table(emb, "embedding", 64, path, n_centroids=4, train_iters=2)
+    # rebuild the SAME path untrained; the codebook must be gone
+    build_ivf_table(emb, "embedding", 64, path, n_centroids=4)
+    import os
+
+    assert not os.path.exists(f"{path}_codebook")
+    auto = sorted(
+        map(tuple, ivf_topk_precomputed(
+            spark, path, "embedding", qvec, k=10, n_centroids=4
+        ).collect())
+    )
+    explicit_f = sorted(
+        map(tuple, ivf_topk_precomputed(
+            spark, path, "embedding", qvec, k=10, n_centroids=4, trained=False
+        ).collect())
+    )
+    assert auto == explicit_f

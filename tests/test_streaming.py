@@ -581,3 +581,25 @@ def test_dedup_near_kernel_parity_edges(spark):
     for c0 in range(0, maxlen, 2048):
         got = (got + (buf[:, c0:c0 + 2048] * pows[None, c0:c0 + 2048]).sum(axis=1)) % P31
     assert int(got[0]) == want
+
+
+def test_streaming_dedup_near_rejects_bad_band_params(spark):
+    """ADVICE r6: a non-divisible (n_hashes, bands) pair silently
+    dropped the remainder hashes, and bands > n_hashes made every
+    band bucket fold to the same value (all docs collide). Both must
+    fail loudly at entry."""
+    import datetime
+
+    import pytest
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", ts)],
+        "doc_id long, text string, ingest_ts timestamp",
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        SW.streaming_dedup_near(df, n_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="multiple"):
+        SW.streaming_dedup_near(df, n_hashes=4, bands=8)

@@ -2058,6 +2058,69 @@ def _dsir_sql() -> str:
     """
 
 
+def _q_quality_classifier(spark, sf):
+    """Supervised document-quality gate (operators/textan.
+    train_quality_weights + quality_classifier, arith-hash twin): the
+    CCNet/RedPajama 'quality classifier' slot — Naive-Bayes log-odds
+    weights trained on doc_id%10==0 (positive) vs doc_id%10==1
+    (negative) slices, applied to the WHOLE corpus with an absolute
+    threshold 0. ROUND-8 registration candidate (round 7's window is
+    committed to the three round-6 candidates)."""
+    docs = load_table(spark, sf, "documents")
+    pos = docs.filter(F.col("doc_id") % 10 == 0)
+    neg = docs.filter(F.col("doc_id") % 10 == 1)
+    w = X.train_quality_weights(
+        pos, neg, n=2, n_buckets=4096, arith_hash=True
+    )
+    return X.quality_classifier(
+        docs, w, n=2, n_buckets=4096, threshold=0.0, arith_hash=True
+    )
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB twin of _q_quality_classifier (poly-hash buckets, add-1
+    smoothing, DECIMAL(28,9) weights, OOV buckets contribute exact
+    weight 0 but count toward n_feats)."""
+    poly = _DUCK_POLY.format(s="g", mult=131)
+    return f"""
+        WITH bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> array_to_string(ws[i:i+1], ' '))) AS g
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM documents)
+          WHERE len(ws) >= 2
+        ), db AS (
+          SELECT doc_id, ({poly}) % 4096 AS b FROM bg
+        ), cp AS (
+          SELECT b, count(*) AS c FROM db WHERE doc_id % 10 = 0 GROUP BY 1
+        ), cn AS (
+          SELECT b, count(*) AS c FROM db WHERE doc_id % 10 = 1 GROUP BY 1
+        ), m AS (
+          SELECT coalesce(cp.b, cn.b) AS b,
+                 coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+          FROM cp FULL OUTER JOIN cn ON cp.b = cn.b
+        ), tot AS (
+          SELECT sum(cp) AS tp, sum(cn) AS tn FROM m
+        ), wt AS (
+          SELECT b,
+                 CAST(round(ln((cp + 1.0) / (tp + 4096.0))
+                            - ln((cn + 1.0) / (tn + 4096.0)), 9)
+                      AS DECIMAL(28,9)) AS w
+          FROM m, tot
+        ), sc AS (
+          SELECT db.doc_id, count(*) AS nf,
+                 sum(coalesce(wt.w, CAST(0 AS DECIMAL(28,9)))) AS s
+          FROM db LEFT JOIN wt USING (b) GROUP BY 1
+        )
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_feats,
+               round(CAST(s AS DOUBLE) / nf, 6) AS logit,
+               CAST(s AS DOUBLE) / nf >= 0.0 AS keep
+        FROM sc
+    """
+
+
 def _q_dedup_near_batch(spark, sf):
     """Near-dup ingest dedup, BATCH twin of streaming_dedup_near
     (streaming/windows.py) with the arith (SQL-replicable) signature:
@@ -3248,11 +3311,15 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 7 promoted all three round-6 candidates (dsir_importance,
     dedup_near_batch, dedup_passages) into the registry; new round-7
     candidates are added here as they are built."""
-    return {}
+    return {
+        "quality_classifier": _q_quality_classifier,
+    }
 
 
 def candidate_oracle_sql() -> dict[str, str]:
-    return {}
+    return {
+        "quality_classifier": _quality_classifier_sql(),
+    }
 
 
 def _oracle_sql_impls() -> dict[str, str]:

@@ -827,6 +827,85 @@ def corpus_report(
     )
 
 
+def _ngram_bucket_col(col, n_buckets: int, arith_hash: bool):
+    """Hash an n-gram string column into [0, n_buckets) — xxhash64
+    (JVM codegen) in production, the polynomial rolling hash when a
+    plain-SQL oracle must replicate the bucketing bit-for-bit."""
+    if arith_hash:
+        from data_pengadaan_agent_spark.operators.dedup import poly_hash_col
+
+        return F.pmod(poly_hash_col(col), F.lit(int(n_buckets)))
+    return F.pmod(F.xxhash64(col), F.lit(int(n_buckets)))
+
+
+def _ngram_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_buckets: int,
+    arith_hash: bool,
+) -> DataFrame:
+    """(id, bucket) row per n-gram occurrence — 8-byte features the
+    moment the text is tokenized (hash-before-shuffle rule)."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .select(
+            F.col(id_col),
+            _ngram_bucket_col(F.col("g"), n_buckets, arith_hash).alias("b"),
+        )
+    )
+
+
+def _doc_bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    n_buckets: int,
+    arith_hash: bool,
+) -> DataFrame:
+    """(id, bucket, count) — per-document hashed-n-gram bag, ONE
+    tokenize pass. A doc's exploded rows never leave its input
+    partition (explode is narrow; spread() moves whole pre-explode
+    rows), so a PER-PARTITION count is globally exact — an Arrow
+    kernel does it in Python memory with zero exchange and zero JVM
+    hash-map state (a global groupBy(id,b) here built a
+    Σ distinct-(doc,bucket)-group HashAggregate that OOM'd a 1g
+    driver at docs ×64 before it could even spill). Hashing stays
+    JVM-side (xxhash64 / poly-hash column exprs); the kernel only
+    counts."""
+    feats = _ngram_features(df, text_col, id_col, n, n_buckets, arith_hash)
+    id_type = feats.schema[id_col].dataType.simpleString()
+
+    def _count_partition(batches):
+        import pandas as pd
+
+        partials = []
+        for pdf in batches:
+            if len(pdf):
+                partials.append(
+                    pdf.groupby([id_col, "b"], sort=False)
+                    .size()
+                    .reset_index(name="c")
+                )
+        if partials:
+            merged_p = (
+                pd.concat(partials, ignore_index=True)
+                .groupby([id_col, "b"], sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            yield merged_p
+
+    return feats.mapInPandas(
+        _count_partition, schema=f"{id_col} {id_type}, b bigint, c bigint"
+    )
+
+
 def dsir_importance(
     raw_df: DataFrame,
     target_df: DataFrame,
@@ -890,68 +969,25 @@ def dsir_importance(
     plain SQL, so a DuckDB oracle can value-check the whole operator
     (the minhash ``*_arith`` twin discipline); xxhash64 stays the
     production default (JVM-side, no interpreted per-char fold)."""
-    from data_pengadaan_agent_spark.sources.catalog import spread
-
     B = int(n_buckets)
     s = float(smoothing)
 
-    def bucket(col):
-        if arith_hash:
-            from data_pengadaan_agent_spark.operators.dedup import poly_hash_col
-
-            return F.pmod(poly_hash_col(col), F.lit(B))
-        return F.pmod(F.xxhash64(col), F.lit(B))
-
-    def feats(df: DataFrame) -> DataFrame:
-        return (
-            spread(df, id_col)
-            .select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
-            .select(F.col(id_col), bucket(F.col("g")).alias("b"))
-        )
-
     # ONE raw-corpus explode: pre-aggregate to (id, bucket, count)
-    # right after the explode. A doc's exploded rows never leave its
-    # input partition (explode is narrow; spread() moves whole
-    # pre-explode rows), so a PER-PARTITION count is globally exact —
-    # an Arrow kernel does it in Python memory with zero exchange and
-    # zero JVM hash-map state (a global groupBy(id,b) here built a
-    # Σ distinct-(doc,bucket)-group HashAggregate that OOM'd a 1g
-    # driver at docs ×64 before it could even spill). Hashing stays
-    # JVM-side (xxhash64 / poly-hash column exprs); the kernel only
-    # counts. Checkpoint DISK_ONLY: this is the one corpus-
+    # right after the explode (_doc_bucket_counts — the Arrow kernel;
+    # see its docstring for the doc-locality argument and the ×64 OOM
+    # history). Checkpoint DISK_ONLY: this is the one corpus-
     # PROPORTIONAL checkpoint in the operator (24-byte rows, far
     # smaller than re-tokenizing the text it replaces, but still
     # O(corpus)) — the no-corpus-scale-memory-pins house rule.
     from pyspark import StorageLevel
 
-    raw_f = feats(raw_df)
-    id_type = raw_f.schema[id_col].dataType.simpleString()
-
-    def _count_partition(batches):
-        import pandas as pd
-
-        partials = []
-        for pdf in batches:
-            if len(pdf):
-                partials.append(
-                    pdf.groupby([id_col, "b"], sort=False)
-                    .size()
-                    .reset_index(name="c")
-                )
-        if partials:
-            merged_p = (
-                pd.concat(partials, ignore_index=True)
-                .groupby([id_col, "b"], sort=False)["c"]
-                .sum()
-                .reset_index()
-            )
-            yield merged_p
-
-    raw_doc_counts = raw_f.mapInPandas(
-        _count_partition, schema=f"{id_col} {id_type}, b bigint, c bigint"
+    raw_doc_counts = _doc_bucket_counts(
+        raw_df, text_col, id_col, n, B, arith_hash
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     tgt_counts = (
-        feats(target_df).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+        _ngram_features(target_df, text_col, id_col, n, B, arith_hash)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
     )
     raw_counts = raw_doc_counts.groupBy("b").agg(F.sum("c").alias("cr"))
     merged = tgt_counts.join(raw_counts, "b", "full_outer").select(
@@ -1005,4 +1041,140 @@ def dsir_importance(
         "n_feats",
         F.round(F.col("_avg"), 6).alias("avg_log_ratio"),
         (F.col("_avg") >= F.col("thr")).alias("keep"),
+    )
+
+
+def train_quality_weights(
+    pos_df: DataFrame,
+    neg_df: DataFrame,
+    n: int = 2,
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = False,
+) -> DataFrame:
+    """Train the weight table for ``quality_classifier``: per-bucket
+    smoothed log-odds of a labeled POSITIVE (high-quality: wiki,
+    books, curated) vs NEGATIVE (low-quality: spam, boilerplate)
+    corpus — the Naive-Bayes closed form of the CCNet/RedPajama-style
+    linear quality scorer, trainable in ONE distributed pass (no
+    gradient loop):
+
+        w(b) = log p̂_pos(b) − log p̂_neg(b)   (add-``smoothing``)
+
+    Naive Bayes IS a linear model over the hashed bag-of-n-grams, so
+    applying these weights with ``quality_classifier`` is the same
+    sigmoid(w·x + b) family fastText fits discriminatively — the
+    closed form trades a few points of accuracy for one-pass
+    trainability at corpus scale. Externally-trained (fastText,
+    sklearn) weights can be loaded into the same (b, w) shape and
+    applied identically: weights are data, not code.
+
+    Scale shape: two explodes collapse immediately to ≤n_buckets
+    count rows each (map-side partial combine), one full-outer merge,
+    zero corpus-sized shuffles. Weights are rounded to 9 places as
+    DECIMAL(28,9) — the exact-sum discipline (see dsir_importance).
+
+    Ref parity note: the reference has no trained scorer (my_toolkit
+    quality filtering is keyword CNF, reference my_toolkit.py:1);
+    this is part of the beyond-reference curation family."""
+    B = int(n_buckets)
+    s = float(smoothing)
+    pos_counts = (
+        _ngram_features(pos_df, text_col, id_col, n, B, arith_hash)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cp"))
+    )
+    neg_counts = (
+        _ngram_features(neg_df, text_col, id_col, n, B, arith_hash)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    merged = pos_counts.join(neg_counts, "b", "full_outer").select(
+        "b",
+        F.coalesce("cp", F.lit(0)).alias("cp"),
+        F.coalesce("cn", F.lit(0)).alias("cn"),
+    )
+    totals = merged.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
+    w = (
+        F.log((F.col("cp") + F.lit(s)) / (F.col("tp") + F.lit(s * B)))
+        - F.log((F.col("cn") + F.lit(s)) / (F.col("tn") + F.lit(s * B)))
+    )
+    return merged.crossJoin(F.broadcast(totals)).select(
+        "b", F.round(w, 9).cast("decimal(28,9)").alias("w")
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int = 2,
+    n_buckets: int = 8192,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = False,
+) -> DataFrame:
+    """Apply a linear document-quality model over hashed n-gram
+    features — the supervised scorer slot of a pretraining pipeline
+    (CCNet / RedPajama "quality classifier"): score every document
+    with a (bucket → weight) parameter table (from
+    ``train_quality_weights`` or an externally-trained model) and
+    gate on a FIXED decision threshold.
+
+        logit(d) = Σ_g w(bucket(g)) / n_feats(d),   keep = logit ≥ t
+
+    The mean-normalized logit is the length-invariant form (fastText
+    averages feature vectors the same way). The sigmoid is monotone,
+    so thresholding the logit IS thresholding the probability —
+    emitting the logit keeps the operator free of ``exp`` and
+    bit-reproducible on a SQL engine (the bm25 fixed-IEEE
+    discipline).
+
+    vs ``dsir_importance``: DSIR matches the raw pool to a target
+    DISTRIBUTION with a per-corpus percentile cut (relative, needs
+    the whole pool); this is a SUPERVISED pos/neg decision with an
+    absolute threshold — appliable to one document in isolation,
+    which is what a streaming ingest gate needs.
+
+    Scale shape: one tokenize pass into the per-partition Arrow
+    count kernel (zero exchange — see _doc_bucket_counts), one
+    broadcast of the ≤n_buckets weight table, one partial-aggregated
+    per-doc exchange of compact (id, decimal) rows; no percentile
+    pass, no checkpoint (single consumer). Sub-``n``-token documents
+    have no features and are excluded from the verdict (the
+    dsir_importance contract).
+    """
+    B = int(n_buckets)
+    counts = _doc_bucket_counts(docs, text_col, id_col, n, B, arith_hash)
+    wtab = weights.select(
+        F.col("b").cast("bigint").alias("b"),
+        F.col("w").cast("decimal(28,9)").alias("w"),
+    )
+    # LEFT join: a bucket absent from the weight table (out-of-
+    # vocabulary under this model) contributes weight 0 but still
+    # counts toward n_feats — silently dropping OOV features would
+    # inflate the mean of mostly-unseen documents.
+    return (
+        counts.join(F.broadcast(wtab), "b", "left")
+        .withColumn(
+            "w", F.coalesce(F.col("w"), F.lit(0).cast("decimal(28,9)"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c").cast("decimal(9,0)") * F.col("w")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_feats"), 6
+            ).alias("logit"),
+            (
+                F.col("_s").cast("double") / F.col("n_feats")
+                >= F.lit(float(threshold))
+            ).alias("keep"),
+        )
     )

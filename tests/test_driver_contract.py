@@ -253,3 +253,30 @@ def test_every_query_executes_and_has_oracle(spark):
         except Exception as e:  # pragma: no cover
             failures[name] = repr(e)[:200]
     assert failures == {}
+
+
+def test_round8_candidate_quality_classifier_matches_oracle(spark):
+    """quality_classifier (train + apply, arith-hash twin) vs its
+    DuckDB twin — ROUND-8 registration candidate (round 7's window
+    slots went to the three round-6 candidates); value-checked here
+    with the driver's own comparator until registered."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    stbl = E._q_quality_classifier(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._quality_classifier_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]

@@ -336,3 +336,62 @@ def test_dsir_importance_selects_target_like_docs(spark):
     assert {k: v["avg_log_ratio"] for k, v in rows.items()} == {
         k: v["avg_log_ratio"] for k, v in again.items()
     }
+
+
+def test_quality_classifier_separates_pos_neg(spark):
+    """fastText-style linear quality scorer (the CCNet/RedPajama
+    'quality classifier' slot): Naive-Bayes log-odds weights trained
+    on labeled pos/neg corpora must score held-out target-like docs
+    above spam-like docs, with an absolute threshold usable per-doc
+    (no corpus percentile)."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+        train_quality_weights,
+    )
+
+    pos = spark.createDataFrame(
+        [
+            (1, "the theory of relativity explains gravity and light"),
+            (2, "the theory of evolution explains species and change"),
+            (3, "the physics of motion explains force and energy"),
+        ],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [
+            (4, "buy cheap pills online click here win big money"),
+            (5, "limited offer click now free prize claim today"),
+            (6, "win money now cheap prize online offer click"),
+        ],
+        "doc_id long, text string",
+    )
+    held_out = spark.createDataFrame(
+        [
+            (10, "the theory of gravity explains motion and force"),
+            (11, "buy cheap pills online win free money today"),
+            (12, "completely unseen vocabulary of novel tokens entirely"),
+            (13, "word"),  # < n tokens: no features, no verdict row
+        ],
+        "doc_id long, text string",
+    )
+    w = train_quality_weights(pos, neg, n=2, n_buckets=1024)
+    out = quality_classifier(held_out, w, n=2, n_buckets=1024, threshold=0.0)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {10, 11, 12}
+    assert rows[10]["logit"] > 0 and rows[10]["keep"]
+    assert rows[11]["logit"] < 0 and not rows[11]["keep"]
+    # doc 12 is all-OOV: features count toward n_feats with weight 0,
+    # so the logit is exactly 0 and the >= threshold gate keeps it
+    assert rows[12]["n_feats"] == 6 and rows[12]["logit"] == 0.0
+    assert rows[12]["keep"]
+    # deterministic across executions
+    again = {r["doc_id"]: r["logit"] for r in out.collect()}
+    assert again == {k: v["logit"] for k, v in rows.items()}
+    # weights are data: an externally-supplied table applies the same
+    ext = spark.createDataFrame([(0, "1.5")], "b long, w string").select(
+        "b", F.col("w").cast("decimal(28,9)").alias("w")
+    )
+    one = quality_classifier(held_out, ext, n=2, n_buckets=1, threshold=1.0)
+    r1 = {r["doc_id"]: r for r in one.collect()}
+    # every bigram folds to bucket 0 -> logit exactly 1.5 for all docs
+    assert all(v["logit"] == 1.5 and v["keep"] for v in r1.values())

@@ -164,6 +164,15 @@ for k in (1, 4, 16):
         tgt = dk.filter(F.col("doc_id") % 10 == 0)
         return X.dsir_importance(raw, tgt, n=2, n_buckets=8192).count()
     t("dsir_importance", 5000 * k, dsir)
+# round-7: supervised quality classifier (train + apply, one pass each)
+for k in (1, 4, 16):
+    dk = docs[k]
+    def qclf(dk=dk):
+        pos = dk.filter(F.col("doc_id") % 10 == 0)
+        neg = dk.filter(F.col("doc_id") % 10 == 1)
+        w = X.train_quality_weights(pos, neg, n=2, n_buckets=8192)
+        return X.quality_classifier(dk, w, n=2, n_buckets=8192).count()
+    t("quality_classifier", 5000 * k, qclf)
 for k in (1, 4, 16):
     d = f"/tmp/spark_graft_scale/docs_x{k}"
     t("dedup_near_batch", 5000 * k,

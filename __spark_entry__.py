@@ -2121,6 +2121,99 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def _q_decontaminate_semantic(spark, sf):
+    """Semantic decontamination (operators/similarity.
+    decontaminate_semantic): benchmark = vec_id%10==0 embeddings,
+    training pool = the rest PLUS planted ×1.01-scaled copies of every
+    benchmark vector (vec_id+1_000_000) — the paraphrased-benchmark
+    leakage the lexical decontaminate_train gate cannot see. The
+    planted copies are cosine-1.0 contamination by construction;
+    organic cross-pool matches appear at the 0.35 threshold. ROUND-8
+    registration candidate."""
+    emb = load_table(spark, sf, "embeddings")
+    bench = emb.select("vec_id", "embedding").filter(F.col("vec_id") % 10 == 0)
+    organic = (
+        emb.filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    planted = bench.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") * F.lit(1.01)
+        ).alias("embedding"),
+    )
+    train = organic.unionByName(planted)
+    return S.decontaminate_semantic(
+        train, bench, "embedding", dim=64, threshold=0.35
+    )
+
+
+def _decontaminate_semantic_sql(
+    dim: int = 64,
+    bands: int = 8,
+    ppb: int = 8,
+    seed: int = 42,
+    threshold: float = 0.35,
+) -> str:
+    """DuckDB twin of _q_decontaminate_semantic: same hyperplane
+    codebook literals, cross-corpus (band, sig) candidate join, exact
+    cosine verify, left-joined per-train verdict."""
+    from data_pengadaan_agent_spark.operators.similarity import _hyperplanes
+
+    planes = _vec_values_sql(_hyperplanes(dim, bands * ppb, seed))
+    return f"""
+WITH planes(pid, pv) AS (VALUES {planes}),
+train0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 10 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+bench0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+tsig AS (
+  SELECT t.vec_id, CAST(p.pid // {ppb} AS INT) AS band,
+         string_agg(CASE WHEN list_sum(list_transform(list_zip(t.v, p.pv),
+                        x -> x[1] * x[2])) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+  FROM train0 t CROSS JOIN planes p GROUP BY t.vec_id, p.pid // {ppb}
+),
+bsig AS (
+  SELECT b.vec_id, CAST(p.pid // {ppb} AS INT) AS band,
+         string_agg(CASE WHEN list_sum(list_transform(list_zip(b.v, p.pv),
+                        x -> x[1] * x[2])) >= 0
+                    THEN '1' ELSE '0' END, '' ORDER BY p.pid) AS sig
+  FROM bench0 b CROSS JOIN planes p GROUP BY b.vec_id, p.pid // {ppb}
+),
+cand AS (
+  SELECT DISTINCT t.vec_id AS tid, b.vec_id AS bid
+  FROM tsig t JOIN bsig b ON t.band = b.band AND t.sig = b.sig
+),
+p AS (
+  SELECT tid,
+         list_sum(list_transform(list_zip(t.v, b.v), x -> x[1] * x[2]))
+         / (CASE WHEN sqrt(list_sum(list_transform(t.v, x -> x * x))) = 0
+                 THEN 1.0 ELSE sqrt(list_sum(list_transform(t.v, x -> x * x))) END
+            * CASE WHEN sqrt(list_sum(list_transform(b.v, x -> x * x))) = 0
+                   THEN 1.0 ELSE sqrt(list_sum(list_transform(b.v, x -> x * x))) END)
+         AS sim
+  FROM cand JOIN train0 t ON t.vec_id = cand.tid
+            JOIN bench0 b ON b.vec_id = cand.bid
+),
+hits AS (
+  SELECT tid, CAST(count(*) AS BIGINT) AS nm, max(sim) AS mx
+  FROM p WHERE sim >= {threshold} GROUP BY 1
+)
+SELECT t.vec_id, CAST(coalesce(nm, 0) AS BIGINT) AS n_bench_matches,
+       round(mx, 4) AS max_sim, hits.tid IS NOT NULL AS contaminated
+FROM train0 t LEFT JOIN hits ON t.vec_id = hits.tid
+"""
+
+
 def _q_dedup_near_batch(spark, sf):
     """Near-dup ingest dedup, BATCH twin of streaming_dedup_near
     (streaming/windows.py) with the arith (SQL-replicable) signature:
@@ -3313,12 +3406,14 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidates are added here as they are built."""
     return {
         "quality_classifier": _q_quality_classifier,
+        "decontaminate_semantic": _q_decontaminate_semantic,
     }
 
 
 def candidate_oracle_sql() -> dict[str, str]:
     return {
         "quality_classifier": _quality_classifier_sql(),
+        "decontaminate_semantic": _decontaminate_semantic_sql(),
     }
 
 

@@ -444,3 +444,48 @@ def test_ivf_rebuild_untrained_removes_stale_codebook(spark, tables, tmp_path):
         ).collect())
     )
     assert auto == explicit_f
+
+
+def test_decontaminate_semantic_flags_paraphrased_benchmark(spark):
+    """Semantic decontamination (VERDICT r6 ask #5): training docs
+    whose EMBEDDING is near a benchmark doc must be flagged even when
+    no n-gram overlaps — the paraphrase-leakage gate. Fixture reuses
+    the semdedup_greedy rotation-chain trick: a 21-degree rotation of
+    a bench vector (cos 0.934 > 0.9) is contamination, a 42-degree
+    rotation (cos 0.743 < 0.9) is not."""
+    import math
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        decontaminate_semantic,
+    )
+
+    dim = 8
+
+    def rot(theta_deg):
+        # unit vector rotated theta from e0 in the e0-e1 plane
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t)] + [0.0] * (dim - 2)
+
+    bench = spark.createDataFrame(
+        [(100, rot(0.0)), (101, [0.0] * 4 + [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, rot(21.0)),      # paraphrase of bench 100: cos 0.9336
+            (2, rot(42.0)),      # too far: cos 0.743 — clean
+            (3, [x * 1.01 for x in [0.0] * 4 + [1.0, 1.0, 1.0, 1.0]]),
+            (4, [0.0, 0.0, 1.0] + [0.0] * 5),  # orthogonal — clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = decontaminate_semantic(
+        train, bench, "embedding", dim=dim, threshold=0.9
+    )
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # every train doc gets a verdict
+    assert rows[1]["contaminated"] and rows[1]["max_sim"] == 0.9336
+    assert rows[3]["contaminated"] and rows[3]["max_sim"] == 1.0
+    assert not rows[2]["contaminated"] and rows[2]["n_bench_matches"] == 0
+    assert rows[2]["max_sim"] is None
+    assert not rows[4]["contaminated"]

@@ -280,3 +280,40 @@ def test_round8_candidate_quality_classifier_matches_oracle(spark):
     assert len(sn) == len(dn) > 0
     diff = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert diff == [], diff[:3]
+
+
+def test_round8_candidate_decontaminate_semantic_matches_oracle(spark):
+    """decontaminate_semantic (banded-LSH cross-corpus cosine gate)
+    vs its DuckDB twin — ROUND-8 registration candidate; the twin
+    replays the hyperplane codebook, so the approximate candidate set
+    itself is equality-checked."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    stbl = E._q_decontaminate_semantic(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._decontaminate_semantic_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]
+    # every planted x1.01 copy is cosine-1.0 contamination
+    rows = {
+        r["vec_id"]: r
+        for r in E._q_decontaminate_semantic(spark, SF_DIR).collect()
+    }
+    planted = [v for v in rows if v >= 1000000]
+    assert planted and all(
+        rows[v]["contaminated"] and rows[v]["max_sim"] == 1.0 for v in planted
+    )
+    assert any(not r["contaminated"] for r in rows.values())

@@ -246,6 +246,17 @@ for k in (1, 4, 16):
 for k in (1, 4, 16):
     t("semdedup_greedy", 2000 * k,
       lambda k=k: SI.semdedup_prune_greedy(embs[k], k=4 * k, iters=2).count())
+# round-7: semantic decontamination over the perturbed-replica
+# embeddings (bench = vec_id%10==0 slice; banded-LSH cross-corpus)
+for k in (1, 4, 16):
+    def decon_sem(k=k):
+        e = embs[k]
+        bench = e.filter(F.col("vec_id") % 10 == 0)
+        train = e.filter(F.col("vec_id") % 10 != 0)
+        return SI.decontaminate_semantic(
+            train, bench, "embedding", dim=64, threshold=0.9
+        ).count()
+    t("decontaminate_semantic", 2000 * k, decon_sem)
 
 print(json.dumps(res))
 for name, rows in res.items():

@@ -333,6 +333,21 @@ def _q_corpus_pipeline(spark, sf):
         F.min("source").alias("source"),
         F.min("n_chars_norm").alias("n_chars_norm"),
     )
+    # Materialize the deduped corpus BEFORE the quality gate (DISK_ONLY
+    # — corpus-proportional text, the no-memory-pins house rule).
+    # Without the barrier Catalyst pushes the gate's score expression
+    # below the aggregate AND inlines normalize's regex chain into
+    # every one of its ~7 sub-term references; the scorer's stopword
+    # lambda is CodegenFallback, so the whole collapsed predicate
+    # evaluates interpreted with NO common-subexpression elimination —
+    # the normalize regexes re-ran ~7× per row. Measured at docs ×64:
+    # 40 s end-to-end without the barrier, 23 s with it (×16: 11.5 s
+    # → 7.2 s).
+    from pyspark import StorageLevel
+
+    canon = canon.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     kept = X.quality_score(
         canon,
         text_col="text_norm",

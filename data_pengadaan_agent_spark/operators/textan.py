@@ -393,13 +393,20 @@ def ngram_contamination(
         spread(train_df, id_col)
         .select(F.explode(word_ngrams(text_col, n)).alias("g"))
         .select(F.xxhash64("g").alias("g"))
-        .distinct()
     )
-    # both n-gram frames are explode-derived (garbage static size
-    # estimates) and corpus-proportional: pin to shuffle joins so the
-    # planner can never elect to broadcast the training corpus
+    # Both n-gram frames are explode-derived (garbage static size
+    # estimates) and corpus-proportional: pin the join strategy so the
+    # planner can never elect to broadcast the training corpus. MERGE,
+    # not shuffle_hash, and NO train-side distinct: a merge semi-join
+    # handles duplicate right keys inside its spillable external sort,
+    # whereas the old global .distinct() built a Σ distinct-ngram-key
+    # partial HashAggregate (and the hash join an equally-sized build
+    # relation) — measured OOM at docs ×64 under a 1 GiB / 32-thread
+    # local JVM before the merge of its own spill files completed.
+    # Sort-merge is the shape that degrades to disk instead of dying,
+    # here and on a skewed 100 TB run.
     hits = (
-        test_g.join(train_g.hint("shuffle_hash"), "g", "left_semi")
+        test_g.join(train_g.hint("merge"), "g", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

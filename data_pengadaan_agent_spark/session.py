@@ -37,6 +37,16 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
+        # Local mode runs all 32 task threads in ONE driver JVM; the
+        # 1g default heap gives each concurrent task ~30 MB — big
+        # shuffles/aggregates OOM while merging their own spill files
+        # (observed at docs ×64). 8g ≈ 256 MB/task matches a modest
+        # real-cluster executor sizing. Only effective when the JVM
+        # is launched by this process (spark-submit sizes it itself).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _DEF_SHUFFLE))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

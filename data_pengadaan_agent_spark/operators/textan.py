@@ -1038,7 +1038,9 @@ def dsir_importance(
             (F.col("_score").cast("double") / F.col("n_feats"))
             .alias("_avg"),
         )
-        .localCheckpoint(eager=True)
+        # one narrow row per doc — still O(corpus) rows, so disk, not
+        # memory (the no-corpus-scale-memory-pins house rule)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     thresh = scores.agg(
         F.percentile(F.col("_avg"), F.lit(1.0 - float(keep_frac))).alias("thr")

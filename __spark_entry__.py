@@ -2163,6 +2163,67 @@ def _q_decontaminate_semantic(spark, sf):
     )
 
 
+def _q_mine_hard_negatives(spark, sf):
+    """Hard-negative mining (operators/similarity.mine_hard_negatives):
+    queries = vec_id%20==0 embeddings, corpus = ALL embeddings, gold =
+    each query's own corpus row plus its vec_id+1 neighbor (the
+    labeled-positive pairs a contrastive trainer already has). Top-5
+    non-gold cosine neighbors per query, rank 1 = hardest negative.
+    ROUND-8 registration candidate."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        "vec_id", "embedding"
+    )
+    gold = queries.select(
+        F.col("vec_id").alias("qid"), F.col("vec_id").alias("gold_id")
+    ).unionByName(
+        queries.select(
+            F.col("vec_id").alias("qid"),
+            (F.col("vec_id") + 1).alias("gold_id"),
+        )
+    )
+    return S.mine_hard_negatives(
+        queries, emb.select("vec_id", "embedding"), gold, k=5
+    )
+
+
+def _mine_hard_negatives_sql(k: int = 5) -> str:
+    """DuckDB twin of _q_mine_hard_negatives: full query×corpus cosine
+    (the exact baseline — queries are a 1/20 slice, so the cross
+    product is |emb|²/20 rows at oracle SFs), identical gold
+    exclusion, identical (round(sim,6) DESC, neg_id ASC) ranking."""
+    norm = "CASE WHEN sqrt(list_sum(list_transform({v}, x -> x * x))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform({v}, x -> x * x))) END"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings
+),
+gold AS (
+  SELECT vec_id AS qid, vec_id AS did FROM embeddings WHERE vec_id % 20 = 0
+  UNION ALL
+  SELECT vec_id, vec_id + 1 FROM embeddings WHERE vec_id % 20 = 0
+),
+p AS (
+  SELECT q.qid, c.vec_id AS neg_id,
+         round(list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1] * x[2]))
+               / ({norm.format(v='q.qv')} * {norm.format(v='c.cv')}), 6) AS sim
+  FROM q CROSS JOIN c
+  WHERE NOT EXISTS (SELECT 1 FROM gold g
+                    WHERE g.qid = q.qid AND g.did = c.vec_id)
+),
+r AS (
+  SELECT qid, neg_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, neg_id) AS rk
+  FROM p
+)
+SELECT qid, neg_id, sim, CAST(rk AS INT) AS rank FROM r WHERE rk <= {k}
+"""
+
+
 def _decontaminate_semantic_sql(
     dim: int = 64,
     bands: int = 8,
@@ -3422,6 +3483,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "quality_classifier": _q_quality_classifier,
         "decontaminate_semantic": _q_decontaminate_semantic,
+        "mine_hard_negatives": _q_mine_hard_negatives,
     }
 
 
@@ -3429,6 +3491,7 @@ def candidate_oracle_sql() -> dict[str, str]:
     return {
         "quality_classifier": _quality_classifier_sql(),
         "decontaminate_semantic": _decontaminate_semantic_sql(),
+        "mine_hard_negatives": _mine_hard_negatives_sql(),
     }
 
 

@@ -489,3 +489,76 @@ def test_decontaminate_semantic_flags_paraphrased_benchmark(spark):
     assert not rows[2]["contaminated"] and rows[2]["n_bench_matches"] == 0
     assert rows[2]["max_sim"] is None
     assert not rows[4]["contaminated"]
+
+
+def _hn_fixture(spark):
+    import math
+
+    def rot(theta_deg, dim=8):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t)] + [0.0] * (dim - 2)
+
+    queries = spark.createDataFrame(
+        [(100, rot(0.0))], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, rot(0.0)),   # exact copy — the labeled positive
+            (2, rot(10.0)),  # hardest negative (cos 0.9848)
+            (3, rot(30.0)),  # next (cos 0.8660)
+            (4, [0.0, 0.0, 1.0] + [0.0] * 5),  # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    gold = spark.createDataFrame([(100, 1)], "qid long, gold_id long")
+    return queries, corpus, gold
+
+
+def test_mine_hard_negatives_excludes_gold_and_ranks(spark):
+    """The labeled positive (cosine 1.0, would win every ranking) must
+    never appear; negatives come back hardest-first with deterministic
+    id tie-breaks."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    queries, corpus, gold = _hn_fixture(spark)
+    out = mine_hard_negatives(queries, corpus, gold, k=2).collect()
+    got = [(r["qid"], r["neg_id"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    assert got == [(100, 2, 1), (100, 3, 2)]
+    sims = {r["neg_id"]: r["sim"] for r in out}
+    assert sims[2] == 0.984808 and sims[3] == 0.866025
+
+
+def test_mine_hard_negatives_partition_invariant(spark):
+    """The per-partition running-top-k merge must give the same result
+    whether the corpus arrives as 1 partition or many (the kernel's
+    ordering rule matches the global window's)."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    queries, corpus, gold = _hn_fixture(spark)
+    one = sorted(map(tuple, mine_hard_negatives(
+        queries, corpus.coalesce(1), gold, k=3).collect()))
+    many = sorted(map(tuple, mine_hard_negatives(
+        queries, corpus.repartition(4), gold, k=3).collect()))
+    assert one == many and len(one) == 3
+
+
+def test_mine_hard_negatives_validation(spark):
+    import pytest as _pytest
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    queries, corpus, gold = _hn_fixture(spark)
+    with _pytest.raises(ValueError, match="k must be"):
+        mine_hard_negatives(queries, corpus, gold, k=0)
+    s_corpus = corpus.select(
+        corpus["vec_id"].cast("string").alias("vec_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="integral id"):
+        mine_hard_negatives(queries, s_corpus, gold, k=2)

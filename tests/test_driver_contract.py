@@ -317,3 +317,41 @@ def test_round8_candidate_decontaminate_semantic_matches_oracle(spark):
         rows[v]["contaminated"] and rows[v]["max_sim"] == 1.0 for v in planted
     )
     assert any(not r["contaminated"] for r in rows.values())
+
+
+def test_round8_candidate_mine_hard_negatives_matches_oracle(spark):
+    """mine_hard_negatives (broadcast-query Arrow kernel, gold-masked
+    per-partition top-k) vs its exact cross-product DuckDB twin —
+    ROUND-8 registration candidate; ranking replayed with the same
+    (round(sim,6) DESC, id ASC) rule on both engines."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    stbl = E._q_mine_hard_negatives(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._mine_hard_negatives_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]
+    rows = E._q_mine_hard_negatives(spark, SF_DIR).collect()
+    # a query's own gold rows (itself + vec_id+1) never surface
+    assert all(
+        r["neg_id"] != r["qid"] and r["neg_id"] != r["qid"] + 1
+        for r in rows
+    )
+    # exactly k=5 ranks 1..5 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

@@ -1187,3 +1187,132 @@ def quality_classifier(
             ).alias("keep"),
         )
     )
+
+
+def quality_classifier_stateless(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int = 2,
+    n_buckets: int = 8192,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-ROW twin of ``quality_classifier`` for STREAMING ingest
+    gates: one stateless ``mapInPandas`` pass scores each document in
+    isolation — no explode, no groupBy — so it drops straight into a
+    Structured Streaming query in append mode (a streaming groupBy
+    would demand a watermark and hold per-doc state; a per-row scorer
+    holds none). This is the gate ``quality_classifier``'s docstring
+    promises: the weight table is the model, the decision needs only
+    the one document.
+
+    Bit-parity contract (pinned by pytest): the kernel replicates the
+    ARITH hash family exactly — Spark's ``split(lower(trim(x)),
+    '\\s+')`` tokenization, space-joined n-grams, and the
+    ``poly_hash_col`` per-char fold mod P31 — and sums weight·count
+    in SCALED-INTEGER arithmetic (DECIMAL(28,9) weights × 10^9, exact
+    int sums, order-free), emitting the RAW logit; the final
+    ``F.round`` column expression does the rounding, so every row is
+    bit-identical to the batch operator's DECIMAL path. xxhash64 is
+    JVM-only, hence no ``arith_hash=False`` here — a production
+    stream wanting xxhash64 scores batches via ``foreachBatch`` +
+    the batch operator instead.
+
+    Scale shape: weights are collected once (≤``n_buckets`` rows —
+    parameter-bounded, the broadcast-dim budget) into the closure;
+    per-ngram hashes are memoized per batch (Zipfian corpora repeat
+    the same n-grams constantly). State: none. Sub-``n``-token
+    documents are excluded from the verdict (the batch contract).
+    ``carry`` passes input columns (e.g. text) through unchanged."""
+    import re
+
+    from decimal import Decimal
+
+    from data_pengadaan_agent_spark.operators.dedup import P31
+
+    B = int(n_buckets)
+    nn = int(n)
+    thr = float(threshold)
+    wmap: dict[int, int] = {}
+    for r in weights.select("b", "w").collect():
+        # DECIMAL(28,9) → exact ×10^9 integer; int sums are exact and
+        # order-free, like the batch DECIMAL aggregate
+        wmap[int(r["b"])] = int(Decimal(r["w"]).scaleb(9))
+    id_type = docs.schema[id_col].dataType.simpleString()
+    carry_schema = "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
+    )
+    ws_re = re.compile(r"\s+")
+
+    def score(batches):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            b = memo.get(g)
+            if b is None:
+                acc = 0
+                for ch in g if g else "\x00":
+                    # ascii('') is 0 in Spark; '' only arises for
+                    # empty n-grams, which the <n-token guard excludes
+                    acc = (acc * 131 + (ord(ch) if g else 0)) % P31
+                b = acc % B
+                memo[g] = b
+            return b
+
+        for pdf in batches:
+            out_rows = []
+            carry_vals = [pdf[c].tolist() for c in carry]
+            for i, (rid, text) in enumerate(
+                zip(pdf[id_col].tolist(), pdf[text_col].tolist())
+            ):
+                toks = (
+                    ws_re.split(str(text).strip().lower())
+                    if text is not None
+                    else []
+                )
+                if len(toks) < nn:
+                    continue  # featureless: excluded from the verdict
+                grams = (
+                    toks
+                    if nn == 1
+                    else [
+                        " ".join(toks[j : j + nn])
+                        for j in range(len(toks) - nn + 1)
+                    ]
+                )
+                s = 0
+                for g in grams:
+                    s += wmap.get(bucket(g), 0)
+                nf = len(grams)
+                # int/int true division rounds once to the nearest
+                # double — same value as the batch DECIMAL(38,9) sum
+                # cast to double — then one double division by n_feats
+                raw = s / 10**9 / nf
+                out_rows.append(
+                    [rid, nf, raw, raw >= thr]
+                    + [cv[i] for cv in carry_vals]
+                )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=[id_col, "n_feats", "_raw", "keep"] + list(carry),
+                )
+
+    scored = docs.mapInPandas(
+        score,
+        schema=(
+            f"{id_col} {id_type}, n_feats bigint, _raw double, "
+            f"keep boolean{carry_schema}"
+        ),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_feats",
+        F.round("_raw", 6).alias("logit"),
+        "keep",
+        *[F.col(c) for c in carry],
+    )

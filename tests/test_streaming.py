@@ -249,6 +249,60 @@ def test_foreach_batch_sink_effectively_once(spark, tables, events_stream, tmp_p
     assert {r["event_type"]: r["count"] for r in last.collect()} == expect
 
 
+def test_quality_gate_stream_matches_batch_classifier(spark, tmp_path):
+    """Supervised streaming ingest gate: readStream.text → stateless
+    per-row quality_classifier twin (no state, append mode) must emit
+    exactly the batch operator's verdicts — the weight table is the
+    model, so a doc's score is identical whether it arrives in a
+    micro-batch or a batch scan."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+        quality_classifier_stateless,
+        train_quality_weights,
+    )
+    from data_pengadaan_agent_spark.sources.readers import (
+        read_text_corpus,
+        read_text_corpus_stream,
+    )
+
+    (tmp_path / "a.txt").write_text(
+        "the theory of relativity explains gravity and light\n"
+        "buy cheap pills online click here win big money now\n"
+    )
+    (tmp_path / "b.txt").write_text(
+        "the physics of motion explains force and energy today\n"
+        "limited offer click now free prize claim today friend\n"
+    )
+    corpus = read_text_corpus(spark, str(tmp_path))
+    pos = corpus.filter(F.col("text").contains("theory") | F.col("text").contains("physics"))
+    neg = corpus.filter(F.col("text").contains("click"))
+    w = train_quality_weights(pos, neg, n=2, n_buckets=256, arith_hash=True)
+
+    gated = quality_classifier_stateless(
+        read_text_corpus_stream(spark, str(tmp_path)),
+        w,
+        n=2,
+        n_buckets=256,
+        threshold=0.0,
+        carry=("text",),
+    ).filter(F.col("keep"))
+    got = SW.run_stream_to_memory(spark, gated, "quality_gate_out")
+    assert got.isStreaming is False
+
+    batch = quality_classifier(
+        corpus, w, n=2, n_buckets=256, threshold=0.0, arith_hash=True
+    ).filter(F.col("keep"))
+    stream_rows = sorted(
+        (r["doc_id"], r["n_feats"], r["logit"]) for r in got.collect()
+    )
+    batch_rows = sorted(
+        (r["doc_id"], r["n_feats"], r["logit"]) for r in batch.collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) == 2
+    # the kept rows are the quality docs, and text carried through
+    assert all("explains" in r["text"] for r in got.collect())
+
+
 def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     """Streaming text ingestion (readStream.text → content dedup →
     quality gate) must produce exactly the batch front-end's rows on a

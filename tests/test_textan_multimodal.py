@@ -395,3 +395,43 @@ def test_quality_classifier_separates_pos_neg(spark):
     r1 = {r["doc_id"]: r for r in one.collect()}
     # every bigram folds to bucket 0 -> logit exactly 1.5 for all docs
     assert all(v["logit"] == 1.5 and v["keep"] for v in r1.values())
+
+
+def test_quality_classifier_stateless_bit_parity(spark):
+    """The per-row streaming twin must reproduce the batch operator
+    BIT-exactly on organic data: same tokenization, same poly-hash
+    buckets, scaled-integer weight sums equal to the DECIMAL path,
+    same F.round at the edge. Any drift here would silently diverge
+    a streaming ingest gate from the batch curation run."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+        quality_classifier_stateless,
+        train_quality_weights,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pos = docs.filter(F.col("doc_id") % 10 == 0)
+    neg = docs.filter(F.col("doc_id") % 10 == 1)
+    w = train_quality_weights(pos, neg, n=2, n_buckets=1024, arith_hash=True)
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+        for r in quality_classifier(
+            docs, w, n=2, n_buckets=1024, threshold=0.0, arith_hash=True
+        ).collect()
+    }
+    stream_form = {
+        r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+        for r in quality_classifier_stateless(
+            docs, w, n=2, n_buckets=1024, threshold=0.0
+        ).collect()
+    }
+    assert len(batch) > 50
+    assert stream_form == batch
+    # carry columns pass through untouched
+    carried = quality_classifier_stateless(
+        docs, w, n=2, n_buckets=1024, carry=("text",)
+    )
+    assert carried.columns == ["doc_id", "n_feats", "logit", "keep", "text"]
+    one = carried.filter(F.col("doc_id") == 3).collect()[0]
+    orig = docs.filter(F.col("doc_id") == 3).collect()[0]
+    assert one["text"] == orig["text"]

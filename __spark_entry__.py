@@ -437,6 +437,108 @@ def _q_corpus_ingest_stream_ttl(spark, sf):
     return SW.run_stream_to_memory(spark, gated, "corpus_ingest_stream_ttl")
 
 
+def _q_corpus_ingest_stream_scored(spark, sf):
+    """SUPERVISED streaming ingest gate — the third streaming-ingest
+    form: readStream.text → state-BOUNDED content dedup
+    (dropDuplicatesWithinWatermark, the TTL discipline) → per-row
+    quality_classifier_stateless gate with weights trained OFFLINE on
+    the batch documents table (model trained offline, applied to the
+    stream — the production deployment shape). The stateless kernel
+    is bit-identical to the batch classifier (pinned by pytest), so
+    the oracle twin models the whole stream relationally: DISTINCT
+    collapsed text scored by the same poly-hash Naive-Bayes SQL.
+    ROUND-8 registration candidate."""
+    docs = load_table(spark, sf, "documents")
+    w = X.train_quality_weights(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 == 1),
+        n=2,
+        n_buckets=4096,
+        arith_hash=True,
+    )
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus_stream
+
+    corpus = read_text_corpus_stream(spark, _ensure_text_corpus(sf)).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1704067200) + F.pmod(F.col("doc_id"), F.lit(3600))),
+    )
+    deduped = SW.streaming_dedup_within_watermark(
+        corpus, ["doc_id"], "ingest_ts", delay="2 hours"
+    )
+    gated = (
+        X.quality_classifier_stateless(
+            deduped,
+            w,
+            n=2,
+            n_buckets=4096,
+            threshold=0.0,
+            carry=("text",),
+        )
+        .filter(F.col("keep"))
+        .select("text", "n_feats", "logit")
+    )
+    return SW.run_stream_to_memory(spark, gated, "corpus_ingest_stream_scored")
+
+
+def _corpus_ingest_scored_sql() -> str:
+    """DuckDB twin of _q_corpus_ingest_stream_scored: weights trained
+    on the documents table (the _quality_classifier_sql CTEs), applied
+    to the DISTINCT newline-collapsed corpus (the corpus_ingest_stream
+    relational model) — content dedup means identical text scores
+    once; byte-identical duplicates share one watermark window, so the
+    stream emits exactly DISTINCT-by-content too."""
+    poly = _DUCK_POLY.format(s="g", mult=131)
+    return f"""
+        WITH bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> array_to_string(ws[i:i+1], ' '))) AS g
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM documents)
+          WHERE len(ws) >= 2
+        ), db AS (
+          SELECT doc_id, ({poly}) % 4096 AS b FROM bg
+        ), cp AS (
+          SELECT b, count(*) AS c FROM db WHERE doc_id % 10 = 0 GROUP BY 1
+        ), cn AS (
+          SELECT b, count(*) AS c FROM db WHERE doc_id % 10 = 1 GROUP BY 1
+        ), m AS (
+          SELECT coalesce(cp.b, cn.b) AS b,
+                 coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+          FROM cp FULL OUTER JOIN cn ON cp.b = cn.b
+        ), tot AS (
+          SELECT sum(cp) AS tp, sum(cn) AS tn FROM m
+        ), wt AS (
+          SELECT b,
+                 CAST(round(ln((cp + 1.0) / (tp + 4096.0))
+                            - ln((cn + 1.0) / (tn + 4096.0)), 9)
+                      AS DECIMAL(28,9)) AS w
+          FROM m, tot
+        ), corpus AS (
+          SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
+          FROM documents WHERE length(trim(text)) > 0
+        ), sbg AS (
+          SELECT text,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> array_to_string(ws[i:i+1], ' '))) AS g
+          FROM (SELECT text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                FROM corpus)
+          WHERE len(ws) >= 2
+        ), sdb AS (
+          SELECT text, ({poly}) % 4096 AS b FROM sbg
+        ), sc AS (
+          SELECT text, count(*) AS nf,
+                 sum(coalesce(wt.w, CAST(0 AS DECIMAL(28,9)))) AS s
+          FROM sdb LEFT JOIN wt USING (b) GROUP BY 1
+        )
+        SELECT text, CAST(nf AS BIGINT) AS n_feats,
+               round(CAST(s AS DOUBLE) / nf, 6) AS logit
+        FROM sc WHERE CAST(s AS DOUBLE) / nf >= 0.0
+    """
+
+
 def _q_activity_heatmap(spark, sf):
     """Day-of-week × hour-of-day usage heatmap cells (C4-family chart
     data; operators/relational.activity_heatmap)."""
@@ -3484,6 +3586,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "decontaminate_semantic": _q_decontaminate_semantic,
         "mine_hard_negatives": _q_mine_hard_negatives,
+        "corpus_ingest_stream_scored": _q_corpus_ingest_stream_scored,
     }
 
 
@@ -3492,6 +3595,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "decontaminate_semantic": _decontaminate_semantic_sql(),
         "mine_hard_negatives": _mine_hard_negatives_sql(),
+        "corpus_ingest_stream_scored": _corpus_ingest_scored_sql(),
     }
 
 

@@ -319,6 +319,34 @@ def test_round8_candidate_decontaminate_semantic_matches_oracle(spark):
     assert any(not r["contaminated"] for r in rows.values())
 
 
+def test_round8_candidate_ingest_stream_scored_matches_oracle(spark):
+    """corpus_ingest_stream_scored (readStream → TTL content dedup →
+    stateless supervised gate) vs its relational DuckDB twin — the
+    engine's SECOND value-checked streaming entry, and the first with
+    a TRAINED model inside the stream path. ROUND-8 registration
+    candidate."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    stbl = E._q_corpus_ingest_stream_scored(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._corpus_ingest_scored_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]
+
+
 def test_round8_candidate_mine_hard_negatives_matches_oracle(spark):
     """mine_hard_negatives (broadcast-query Arrow kernel, gold-masked
     per-partition top-k) vs its exact cross-product DuckDB twin —

@@ -547,6 +547,26 @@ def test_mine_hard_negatives_partition_invariant(spark):
     assert one == many and len(one) == 3
 
 
+def test_mine_hard_negatives_plan_shape(spark):
+    """The only exchange is the final per-qid window over
+    partitions×|Q|×k candidate rows — no join operator, no broadcast
+    of anything corpus-derived (queries/gold travel in the closure)."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    queries, corpus, gold = _hn_fixture(spark)
+    df = mine_hard_negatives(queries, corpus, gold, k=2)
+    df.collect()  # resolve AQE so the final plan is inspected
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    # spread()'s round-robin + the window's hash partitioning are the
+    # only exchanges; nothing corpus-sized beyond the scan itself
+    assert plan.count("Exchange") <= 2
+    assert "Window" in plan
+
+
 def test_mine_hard_negatives_validation(spark):
     import pytest as _pytest
 

@@ -50,6 +50,10 @@ HEADLINERS = {
     "semdedup_greedy": "strict keep-first walk: same one-exchange shape, sequential kernel per cluster, O(|c| d) memory",
     "trending_terms_append": "state-bounded streaming trending terms: watermarked window agg, append-mode eviction",
     "corpus_report": "per-source datasheet: one scan, one partial-aggregated exchange with the count-distinct expand",
+    "dsir_importance": "one tokenize pass, Arrow (doc,bucket) pre-agg before the broadcast log-ratio join, DISK_ONLY lineage cuts",
+    "dedup_passages": "posexplode -> hash-keyed first-occurrence vote -> one pinned join -> rebuild aggregate; only 8-byte hashes shuffle",
+    "dedup_near_batch": "one stateless Arrow signature kernel, (band,sig) equi-join candidates, exact verify",
+    "mine_hard_negatives": "broadcast query-batch into a gold-masked Arrow top-k kernel; one window exchange of partitions x |Q| x k rows",
 }
 
 
@@ -63,6 +67,8 @@ def main() -> None:
     qs = dict(E.queries())
     if hasattr(E, "retired_queries"):
         qs.update(E.retired_queries())  # retired tier-3 plans still audited
+    if hasattr(E, "candidate_queries"):
+        qs.update(E.candidate_queries())  # pre-registration plans audited too
     out = [
         "# PLANS — final physical plans of the headline queries",
         "",

@@ -1244,7 +1244,14 @@ def quality_classifier_stateless(
     carry_schema = "".join(
         f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
     )
-    ws_re = re.compile(r"\s+")
+    # Java-regex parity, not Python-regex convenience: Spark's
+    # split(lower(trim(x)), '\\s+') means (a) trim strips ONLY the
+    # ASCII space 0x20, (b) Java \\s is exactly [ \\t\\n\\x0B\\f\\r]
+    # (Python's \\s would also eat NBSP and other Unicode spaces),
+    # and (c) split keeps trailing empty tokens (limit -1). A kernel
+    # using str.strip() + r"\\s+" silently diverges on tab/NBSP-edged
+    # text — pinned by the whitespace-edge parity test.
+    ws_re = re.compile(r"[ \t\n\x0B\f\r]+")
 
     def score(batches):
         import pandas as pd
@@ -1270,7 +1277,7 @@ def quality_classifier_stateless(
                 zip(pdf[id_col].tolist(), pdf[text_col].tolist())
             ):
                 toks = (
-                    ws_re.split(str(text).strip().lower())
+                    ws_re.split(str(text).strip(" ").lower())
                     if text is not None
                     else []
                 )

@@ -435,3 +435,43 @@ def test_quality_classifier_stateless_bit_parity(spark):
     one = carried.filter(F.col("doc_id") == 3).collect()[0]
     orig = docs.filter(F.col("doc_id") == 3).collect()[0]
     assert one["text"] == orig["text"]
+
+
+def test_quality_classifier_stateless_whitespace_edge_parity(spark):
+    """Java-regex parity traps: Spark's trim strips only ASCII space,
+    Java \\s excludes NBSP (Python's \\s eats it), and split keeps
+    trailing empty tokens — text edged with tabs/newlines/NBSP must
+    still score identically in batch and per-row form."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+        quality_classifier_stateless,
+    )
+
+    nasty = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "\talpha beta gamma\t"),      # tab-edged: trim keeps
+            (3, "alpha beta gamma\n"),         # trailing newline
+            (4, "alpha\u00a0beta gamma"),   # NBSP is NOT Java \s
+            (5, " alpha  beta   gamma "),      # multi-space + trimmed
+        ],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame([(0, "1.0")], "b long, w string").select(
+        "b", F.col("w").cast("decimal(28,9)").alias("w")
+    )
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["logit"])
+        for r in quality_classifier(
+            nasty, w, n=2, n_buckets=1, threshold=0.0, arith_hash=True
+        ).collect()
+    }
+    per_row = {
+        r["doc_id"]: (r["n_feats"], r["logit"])
+        for r in quality_classifier_stateless(
+            nasty, w, n=2, n_buckets=1, threshold=0.0
+        ).collect()
+    }
+    assert per_row == batch
+    # the NBSP doc tokenizes as TWO Java tokens, not three
+    assert batch[4][0] == 1 and batch[1][0] == 2

@@ -582,3 +582,7 @@ def test_mine_hard_negatives_validation(spark):
     )
     with _pytest.raises(ValueError, match="integral id"):
         mine_hard_negatives(queries, s_corpus, gold, k=2)
+    with _pytest.raises(ValueError, match="duplicate"):
+        mine_hard_negatives(
+            queries.unionByName(queries), corpus, gold, k=2
+        )

@@ -183,3 +183,49 @@ def test_dedup_passages_idempotent_property(spark, docs):
         want.update(passages(" ".join(toks)))
     assert sorted(kept) == sorted(set(kept))  # no passage survives twice
     assert set(kept) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # letters + every Java-\s char + NBSP + punctuation: the
+            # alphabet that distinguishes Java regex semantics from
+            # Python's (trim-only-space, \s-excludes-NBSP, trailing
+            # empty tokens)
+            alphabet="ab c\td\ne\x0b\f\r\xa0.!",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quality_gate_stateless_parity_property(spark, texts):
+    """For ANY text — including whitespace-pathological strings — the
+    per-row streaming kernel must agree with the batch classifier on
+    exactly which docs get verdicts and on every (n_feats, logit)."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+        quality_classifier_stateless,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w = spark.createDataFrame(
+        [(0, "0.25"), (1, "-1.5")], "b long, w string"
+    ).select("b", F.col("w").cast("decimal(28,9)").alias("w"))
+    batch = {
+        r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+        for r in quality_classifier(
+            df, w, n=2, n_buckets=2, threshold=0.0, arith_hash=True
+        ).collect()
+    }
+    per_row = {
+        r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+        for r in quality_classifier_stateless(
+            df, w, n=2, n_buckets=2, threshold=0.0
+        ).collect()
+    }
+    assert per_row == batch

@@ -257,6 +257,27 @@ for k in (1, 4, 16):
             train, bench, "embedding", dim=64, threshold=0.9
         ).count()
     t("decontaminate_semantic", 2000 * k, decon_sem)
+# round-7 second wave: hard-negative mining (FIXED 100-query batch —
+# the operator's contract bounds |Q| by the broadcast budget; the
+# corpus is what scales) and the stateless streaming-gate kernel
+for k in (1, 4, 16):
+    def hardneg(k=k):
+        e = embs[k]
+        q = e.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000))
+        gold = q.select(F.col("vec_id").alias("qid"),
+                        F.col("vec_id").alias("gold_id"))
+        return SI.mine_hard_negatives(
+            q.select("vec_id", "embedding"),
+            e.select("vec_id", "embedding"), gold, k=10).count()
+    t("mine_hard_negatives", 2000 * k, hardneg)
+_w_gate = X.train_quality_weights(
+    docs[1].filter(F.col("doc_id") % 10 == 0),
+    docs[1].filter(F.col("doc_id") % 10 == 1),
+    n=2, n_buckets=4096, arith_hash=True)
+for k in (1, 4, 16):
+    t("quality_gate_stateless", 5000 * k,
+      lambda k=k: X.quality_classifier_stateless(
+          docs[k], _w_gate, n=2, n_buckets=4096).count())
 
 print(json.dumps(res))
 for name, rows in res.items():

@@ -446,6 +446,106 @@ def test_ivf_rebuild_untrained_removes_stale_codebook(spark, tables, tmp_path):
     assert auto == explicit_f
 
 
+def test_ivf_append_untrained_equals_rebuild(spark, tables, tmp_path):
+    """Incremental index maintenance: appending a shard to a fixed-
+    codebook IVF table is BIT-identical to rebuilding on the union —
+    the hyperplane geometry is reproducible from (dim, seed), so the
+    daily-ingest path never has to rebuild."""
+    from data_pengadaan_agent_spark.operators.similarity import (
+        append_ivf_table,
+        build_ivf_table,
+        ivf_topk_precomputed,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    shard = emb.filter(F.col("vec_id") >= 300)
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    build_ivf_table(base, "embedding", 64, inc_path, n_centroids=4)
+    append_ivf_table(shard, "embedding", 64, inc_path, n_centroids=4)
+    build_ivf_table(emb, "embedding", 64, full_path, n_centroids=4)
+    inc = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(inc_path).collect()
+    )
+    full = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(full_path).collect()
+    )
+    assert inc == full and len(inc) == emb.count()
+    qvec = emb.filter(F.col("vec_id") == 350).first()["embedding"]
+    a = sorted(map(tuple, ivf_topk_precomputed(
+        spark, inc_path, "embedding", qvec, k=5, n_centroids=4).collect()))
+    b = sorted(map(tuple, ivf_topk_precomputed(
+        spark, full_path, "embedding", qvec, k=5, n_centroids=4).collect()))
+    assert a == b and len(a) == 5
+
+
+def test_ivf_append_trained_uses_frozen_codebook(spark, tables, tmp_path):
+    """Appending to a TRAINED table assigns new vectors with the
+    persisted codebook's spherical metric (normalized, argmin L2 —
+    exactly the probe's ranking geometry) and must not retrain: the
+    codebook bytes stay identical, appended vectors land in the list
+    their nearest centroid owns, and a probe near an appended vector
+    finds it."""
+    import numpy as np
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        append_ivf_table,
+        build_ivf_table,
+        ivf_topk_precomputed,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    shard = emb.filter(F.col("vec_id") >= 300)
+    path = str(tmp_path / "ivf_tr")
+    build_ivf_table(base, "embedding", 64, path, n_centroids=4, train_iters=2)
+    cb_before = sorted(
+        (int(r["centroid_id"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}_codebook").collect()
+    )
+    append_ivf_table(shard, "embedding", 64, path, n_centroids=4)
+    cb_after = sorted(
+        (int(r["centroid_id"]), tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}_codebook").collect()
+    )
+    assert cb_after == cb_before  # frozen, not retrained
+    cents = {cid: np.array(cv) for cid, cv in cb_before}
+    table = {
+        r["vec_id"]: (r["centroid_id"], np.array(r["embedding"], dtype=float))
+        for r in spark.read.parquet(path).collect()
+    }
+    appended = {v for v in table if v >= 300}
+    assert appended == {r["vec_id"] for r in shard.collect()}
+    for vid in appended:
+        cid, vec = table[vid]
+        n = np.linalg.norm(vec) or 1.0
+        u = vec / n
+        want = min(cents, key=lambda c: (float(((cents[c] - u) ** 2).sum()), c))
+        assert cid == want
+    qvec = emb.filter(F.col("vec_id") == 350).first()["embedding"]
+    got = ivf_topk_precomputed(
+        spark, path, "embedding", qvec, k=3, n_centroids=4
+    ).collect()
+    assert any(r["vec_id"] == 350 for r in got)
+
+
+def test_ivf_append_requires_existing_table(spark, tables, tmp_path):
+    import pytest as _pytest
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        append_ivf_table,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    with _pytest.raises(ValueError, match="no IVF table"):
+        append_ivf_table(
+            emb, "embedding", 64, str(tmp_path / "nope"), n_centroids=4
+        )
+
+
 def test_decontaminate_semantic_flags_paraphrased_benchmark(spark):
     """Semantic decontamination (VERDICT r6 ask #5): training docs
     whose EMBEDDING is near a benchmark doc must be flagged even when

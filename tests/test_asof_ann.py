@@ -532,6 +532,45 @@ def test_ivf_append_trained_uses_frozen_codebook(spark, tables, tmp_path):
     assert any(r["vec_id"] == 350 for r in got)
 
 
+def test_lsh_append_equals_rebuild(spark, tables, tmp_path):
+    """LSH signature-table append: same fixed hyperplane family signs
+    the shard, so append ∪ base is bit-identical to a full rebuild and
+    probes find appended vectors via the same pruned partition."""
+    import pytest as _pytest
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        append_lsh_signature_table,
+        build_lsh_signature_table,
+        lsh_topk_precomputed,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    shard = emb.filter(F.col("vec_id") >= 300)
+    inc_path = str(tmp_path / "lsh_inc")
+    full_path = str(tmp_path / "lsh_full")
+    build_lsh_signature_table(base, "embedding", 64, inc_path)
+    append_lsh_signature_table(shard, "embedding", 64, inc_path)
+    build_lsh_signature_table(emb, "embedding", 64, full_path)
+    inc = sorted(
+        (r["vec_id"], r["_sig"]) for r in spark.read.parquet(inc_path).collect()
+    )
+    full = sorted(
+        (r["vec_id"], r["_sig"]) for r in spark.read.parquet(full_path).collect()
+    )
+    assert inc == full and len(inc) == emb.count()
+    qvec = emb.filter(F.col("vec_id") == 350).first()["embedding"]
+    a = sorted(map(tuple, lsh_topk_precomputed(
+        spark, inc_path, "embedding", qvec, k=5).collect()))
+    b = sorted(map(tuple, lsh_topk_precomputed(
+        spark, full_path, "embedding", qvec, k=5).collect()))
+    assert a == b and any(r[0] == 350 for r in a)
+    with _pytest.raises(ValueError, match="no signature table"):
+        append_lsh_signature_table(
+            shard, "embedding", 64, str(tmp_path / "nope")
+        )
+
+
 def test_ivf_append_requires_existing_table(spark, tables, tmp_path):
     import pytest as _pytest
 

@@ -2265,6 +2265,70 @@ def _q_decontaminate_semantic(spark, sf):
     )
 
 
+def _q_bm25_retrieval_batch(spark, sf):
+    """Batched BM25 retrieval (operators/textan.bm25_retrieval_batch):
+    queries = every doc_id%50==0 document's first three tokens, run
+    against the whole corpus, top-5 per query — the lexical
+    hard-negative miner (DPR's "BM25 negatives" step) and the
+    many-query form of bm25_retrieval. ROUND-8/9 registration
+    candidate."""
+    docs = load_table(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(X.tokens("text"), 1, 3).alias("terms"),
+    )
+    return X.bm25_retrieval_batch(queries, docs, k=5)
+
+
+def _bm25_retrieval_batch_sql(k: int = 5) -> str:
+    """DuckDB twin of _q_bm25_retrieval_batch: integer-proxy idf, the
+    same single-scalar contribution expression rounded to 6 places and
+    summed as DECIMAL (order-free), same (score DESC, id) ranking."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id AS qid, unnest(toks[1:3]) AS t FROM d WHERE doc_id % 50 = 0
+),
+posts AS (
+  SELECT d.doc_id, u.t, len(d.toks) AS dl
+  FROM d, unnest(d.toks) AS u(t)
+  WHERE u.t IN (SELECT DISTINCT t FROM q)
+),
+tf AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf,
+         CAST(min(dl) AS DOUBLE) AS dl
+  FROM posts GROUP BY 1, 2
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(toks)) AS BIGINT) AS sdl
+  FROM d
+),
+c AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(round(
+           CAST((n * 1000000) // greatest(dft, 1) AS DOUBLE)
+           * (tf.tf * 2.5)
+           / (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl
+                             / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))),
+         6) AS DECIMAL(28,6)) AS c
+  FROM tf
+  JOIN q ON q.t = tf.t
+  JOIN dfreq ON dfreq.t = tf.t
+  CROSS JOIN stats
+),
+s AS (SELECT qid, doc_id, sum(c) AS bm25 FROM c GROUP BY 1, 2),
+r AS (
+  SELECT qid, doc_id, bm25,
+         row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk
+  FROM s
+)
+SELECT qid, doc_id, bm25, CAST(rk AS INT) AS rank FROM r WHERE rk <= {k}
+"""
+
+
 def _q_mine_hard_negatives(spark, sf):
     """Hard-negative mining (operators/similarity.mine_hard_negatives):
     queries = vec_id%20==0 embeddings, corpus = ALL embeddings, gold =
@@ -3587,6 +3651,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": _q_decontaminate_semantic,
         "mine_hard_negatives": _q_mine_hard_negatives,
         "corpus_ingest_stream_scored": _q_corpus_ingest_stream_scored,
+        "bm25_retrieval_batch": _q_bm25_retrieval_batch,
     }
 
 
@@ -3596,6 +3661,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "decontaminate_semantic": _decontaminate_semantic_sql(),
         "mine_hard_negatives": _mine_hard_negatives_sql(),
         "corpus_ingest_stream_scored": _corpus_ingest_scored_sql(),
+        "bm25_retrieval_batch": _bm25_retrieval_batch_sql(),
     }
 
 

@@ -609,6 +609,101 @@ def bm25_score(
     )
 
 
+def bm25_retrieval_batch(
+    queries_df: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched multi-query BM25 retrieval: top-``k`` documents per
+    query for a TABLE of queries (qid, array<string> terms) — the
+    lexical twin of ``mine_hard_negatives`` (DPR-style "BM25
+    negatives" come from exactly this operator) and the many-query
+    generalization of ``bm25_score``, whose fixed-expression-order
+    determinism trick cannot extend to per-query term lists.
+
+    Cross-engine determinism (the DSIR discipline instead): idf stays
+    the integer proxy ``(N * 1_000_000) DIV df_t``; each (query, doc,
+    term) contribution is ONE scalar IEEE expression rounded to 6
+    places and cast DECIMAL, so the per-(query, doc) SUM is exact and
+    order-free; ranking orders by (score DESC, id ASC). A DuckDB twin
+    replaying the same arithmetic is bit-exact.
+
+    Scale shape: the corpus explodes ONCE to (term, doc) rows and is
+    immediately semi-joined against the BROADCAST distinct query
+    vocabulary — query-batch-bounded, so corpus terms outside any
+    query never reach the (doc, term) aggregate; document frequencies
+    are vocabulary-sized and broadcast; query terms are broadcast;
+    corpus stats are a 1-row aggregate. The only corpus-proportional
+    exchange is the pruned (doc, term) tf aggregate. Duplicate terms
+    in one query weight that term twice — multiplicity is preserved
+    identically on both engines. Documents sharing no term with a
+    query are absent from its ranking (score 0), like bm25_score."""
+    toks = tokens(text_col)
+    qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
+    vocab = qterms.select("t").distinct()
+    posts = docs.select(
+        F.col(id_col),
+        F.explode(toks).alias("t"),
+        F.size(toks).cast("double").alias("_dl"),
+    ).join(F.broadcast(vocab), "t", "left_semi")
+    tf = posts.groupBy(id_col, "t").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.min("_dl").alias("_dl"),
+    )
+    dfreq = tf.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("_sum_dl"),
+    )
+    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
+    idf = F.expr("(_n_docs * 1000000) DIV greatest(_df, 1)").cast("double")
+    tfv = F.col("_tf")
+    contrib = (
+        idf
+        * (tfv * F.lit(k1 + 1.0))
+        / (
+            tfv
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.round(contrib, 6).cast("decimal(28,6)").alias("_c"),
+        )
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_c").alias("bm25"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(qid_col).orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            "bm25",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def token_rarity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -347,6 +347,33 @@ def test_round8_candidate_ingest_stream_scored_matches_oracle(spark):
     assert diff == [], diff[:3]
 
 
+def test_round8_candidate_bm25_batch_matches_oracle(spark):
+    """bm25_retrieval_batch (batched multi-query BM25 top-k) vs its
+    DuckDB twin — integer-proxy idf + rounded-DECIMAL contribution
+    sums make the many-query form order-free and bit-exact.
+    ROUND-8/9 registration candidate."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "tools")
+    from tools.check_oracle import table_to_normalized
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    stbl = E._q_bm25_retrieval_batch(spark, SF_DIR).toArrow()
+    dtbl = con.execute(E._bm25_retrieval_batch_sql()).arrow()
+    sn, scn, sct = table_to_normalized(stbl)
+    dn, dcn, dct = table_to_normalized(dtbl)
+    assert (scn, sct) == (dcn, dct)
+    assert len(sn) == len(dn) > 0
+    diff = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert diff == [], diff[:3]
+
+
 def test_round8_candidate_mine_hard_negatives_matches_oracle(spark):
     """mine_hard_negatives (broadcast-query Arrow kernel, gold-masked
     per-partition top-k) vs its exact cross-product DuckDB twin —

@@ -397,6 +397,43 @@ def test_quality_classifier_separates_pos_neg(spark):
     assert all(v["logit"] == 1.5 and v["keep"] for v in r1.values())
 
 
+def test_bm25_retrieval_batch_ranks_by_relevance(spark):
+    """Batched BM25: per query, docs matching more (and rarer) query
+    terms rank first; docs sharing no term are absent; ranks are
+    dense 1..k with id tie-breaks."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        bm25_retrieval_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha epsilon zeta eta"),
+            (3, "theta iota kappa mu"),
+            (4, "alpha beta nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, ["alpha", "beta"]), (200, ["theta"])],
+        "qid long, terms array<string>",
+    )
+    out = bm25_retrieval_batch(queries, docs, k=3)
+    rows = {(r["qid"], r["rank"]): r for r in out.collect()}
+    # q100: docs 1 and 4 match both terms (beat doc 2's single rarer-
+    # term match? no — 'beta' df=2 < 'alpha' df=3, two-term matches
+    # win); doc 3 absent
+    q100 = [rows[(100, i)]["doc_id"] for i in (1, 2, 3)]
+    assert set(q100[:2]) == {1, 4} and q100[2] == 2
+    assert (100, 4) not in rows  # k=3 cap and doc 3 never appears
+    # q200: only doc 3 matches
+    assert rows[(200, 1)]["doc_id"] == 3
+    assert (200, 2) not in rows
+    # determinism across executions
+    again = {(r["qid"], r["rank"]): r["doc_id"] for r in out.collect()}
+    assert again == {k: v["doc_id"] for k, v in rows.items()}
+
+
 def test_quality_classifier_stateless_bit_parity(spark):
     """The per-row streaming twin must reproduce the batch operator
     BIT-exactly on organic data: same tokenization, same poly-hash

@@ -270,6 +270,17 @@ for k in (1, 4, 16):
             q.select("vec_id", "embedding"),
             e.select("vec_id", "embedding"), gold, k=10).count()
     t("mine_hard_negatives", 2000 * k, hardneg)
+for k in (1, 4, 16):
+    def bm25b(k=k):
+        dk = docs[k]
+        queries = dk.filter(
+            (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000)
+        ).select(
+            F.col("doc_id").alias("qid"),
+            F.slice(X.tokens("text"), 1, 3).alias("terms"),
+        )
+        return X.bm25_retrieval_batch(queries, dk, k=5).count()
+    t("bm25_retrieval_batch", 5000 * k, bm25b)
 _w_gate = X.train_quality_weights(
     docs[1].filter(F.col("doc_id") % 10 == 0),
     docs[1].filter(F.col("doc_id") % 10 == 1),

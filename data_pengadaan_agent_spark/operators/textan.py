@@ -1312,8 +1312,9 @@ def quality_classifier_stateless(
     ``F.round`` column expression does the rounding, so every row is
     bit-identical to the batch operator's DECIMAL path. xxhash64 is
     JVM-only, hence no ``arith_hash=False`` here — a production
-    stream wanting xxhash64 scores batches via ``foreachBatch`` +
-    the batch operator instead.
+    stream wanting xxhash64 uses
+    ``streaming.windows.foreach_batch_classify_sink`` (the batch
+    operator inside foreachBatch, parity-tested).
 
     Scale shape: weights are collected once (≤``n_buckets`` rows —
     parameter-bounded, the broadcast-dim budget) into the closure;

@@ -236,6 +236,66 @@ def foreach_batch_parquet_sink(
     )
 
 
+def foreach_batch_classify_sink(
+    stream_df: DataFrame,
+    weights: DataFrame,
+    path: str,
+    checkpoint: str,
+    n: int = 2,
+    n_buckets: int = 8192,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = False,
+):
+    """The xxhash64 path of the streaming quality gate: score each
+    micro-batch with the BATCH ``quality_classifier`` inside
+    ``foreachBatch`` and write kept rows to an epoch-stamped parquet
+    sink (the ``foreach_batch_parquet_sink`` idempotence recipe —
+    a replayed epoch rewrites its own partition).
+
+    ``quality_classifier_stateless`` is the in-stream form (append
+    mode, no state) but is pinned to the arith poly-hash because the
+    Python kernel must replicate the bucketing; this helper trades
+    in-stream composability for the JVM-side xxhash64 hot path —
+    inside foreachBatch the batch is a plain DataFrame, so explode +
+    groupBy + whole-stage-codegen hashing all apply. Weights are
+    resolved ONCE here (a parameter-bounded table) and reused by
+    every epoch's broadcast join.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        scored = quality_classifier(
+            batch_df,
+            weights,
+            n=n,
+            n_buckets=n_buckets,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            arith_hash=arith_hash,
+        ).filter(F.col("keep"))
+        out = batch_df.join(scored.select(id_col, "n_feats", "logit"), id_col)
+        (
+            out.withColumn("_epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def trending_terms_stream(
     docs: DataFrame,
     ts_col: str = "ingest_ts",

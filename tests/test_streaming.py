@@ -303,6 +303,58 @@ def test_quality_gate_stream_matches_batch_classifier(spark, tmp_path):
     assert all("explains" in r["text"] for r in got.collect())
 
 
+def test_foreach_batch_classify_sink_matches_batch(spark, tmp_path):
+    """The xxhash64 streaming-gate path: foreachBatch scores each
+    micro-batch with the BATCH classifier (JVM hashing) and writes
+    kept rows to the epoch-stamped sink — the sink contents must be
+    exactly the batch operator's kept set."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        quality_classifier,
+        train_quality_weights,
+    )
+    from data_pengadaan_agent_spark.sources.readers import (
+        read_text_corpus,
+        read_text_corpus_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text(
+        "the theory of relativity explains gravity and light\n"
+        "buy cheap pills online click here win big money now\n"
+        "the physics of motion explains force and energy today\n"
+        "limited offer click now free prize claim today friend\n"
+    )
+    corpus = read_text_corpus(spark, str(src))
+    pos = corpus.filter(F.col("text").contains("explains"))
+    neg = corpus.filter(F.col("text").contains("click"))
+    w = train_quality_weights(pos, neg, n=2, n_buckets=256)
+
+    sink = str(tmp_path / "sink")
+    q = SW.foreach_batch_classify_sink(
+        read_text_corpus_stream(spark, str(src)),
+        w,
+        sink,
+        str(tmp_path / "ckpt"),
+        n=2,
+        n_buckets=256,
+        threshold=0.0,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["doc_id"], r["n_feats"], r["logit"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_feats"], r["logit"])
+        for r in quality_classifier(
+            corpus, w, n=2, n_buckets=256, threshold=0.0
+        ).filter(F.col("keep")).collect()
+    )
+    assert got == want and len(got) == 2
+
+
 def test_corpus_ingest_stream_matches_batch(spark, tmp_path):
     """Streaming text ingestion (readStream.text → content dedup →
     quality gate) must produce exactly the batch front-end's rows on a

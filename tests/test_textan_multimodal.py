@@ -434,6 +434,32 @@ def test_bm25_retrieval_batch_ranks_by_relevance(spark):
     assert again == {k: v["doc_id"] for k, v in rows.items()}
 
 
+def test_bm25_retrieval_batch_plan_shape(spark):
+    """Every join in the batched-BM25 plan broadcasts a query-batch-
+    bounded side (vocabulary semi-join, query terms, document
+    frequencies, 1-row stats) — corpus-sized rows are never the build
+    or sort side of any join. The only shuffles are the tf/score
+    aggregates and the final per-qid window."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        bm25_retrieval_batch,
+        tokens,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(tokens("text"), 1, 3).alias("terms"),
+    )
+    df = bm25_retrieval_batch(queries, docs, k=5)
+    df.collect()  # resolve AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "ShuffledHashJoin" not in final
+    assert "BroadcastHashJoin" in final
+    assert "LeftSemi" in final  # the vocabulary prune reaches the scan side
+
+
 def test_quality_classifier_stateless_bit_parity(spark):
     """The per-row streaming twin must reproduce the batch operator
     BIT-exactly on organic data: same tokenization, same poly-hash

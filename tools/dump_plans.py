@@ -54,6 +54,7 @@ HEADLINERS = {
     "dedup_passages": "posexplode -> hash-keyed first-occurrence vote -> one pinned join -> rebuild aggregate; only 8-byte hashes shuffle",
     "dedup_near_batch": "one stateless Arrow signature kernel, (band,sig) equi-join candidates, exact verify",
     "mine_hard_negatives": "broadcast query-batch into a gold-masked Arrow top-k kernel; one window exchange of partitions x |Q| x k rows",
+    "bm25_retrieval_batch": "postings semi-joined against the broadcast query vocabulary before any shuffle; all joins broadcast the query-bounded side",
 }
 
 

@@ -2686,6 +2686,14 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 8 (promoted from candidate_queries(); the
+        # registration plan pre-computed in round 7 — VERDICT r7 ask
+        # #1: all five fit the 50-entry gate window exactly) ---
+        "quality_classifier": _q_quality_classifier,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        "mine_hard_negatives": _q_mine_hard_negatives,
+        "corpus_ingest_stream_scored": _q_corpus_ingest_stream_scored,
+        "bm25_retrieval_batch": _q_bm25_retrieval_batch,
         # --- NEW in round 7 (promoted from candidate_queries(); the
         # registration plan pre-computed in round 6 — see NOTES.md and
         # tools/plan_rotation.py) ---
@@ -3643,30 +3651,28 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     swept by tools/check_oracle.py and value-checked by pytest like
     everything else.
 
-    Round 7 promoted all three round-6 candidates (dsir_importance,
-    dedup_near_batch, dedup_passages) into the registry; new round-7
-    candidates are added here as they are built."""
-    return {
-        "quality_classifier": _q_quality_classifier,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        "mine_hard_negatives": _q_mine_hard_negatives,
-        "corpus_ingest_stream_scored": _q_corpus_ingest_stream_scored,
-        "bm25_retrieval_batch": _q_bm25_retrieval_batch,
-    }
+    Round 7 promoted all three round-6 candidates; round 8 promoted
+    all five round-7 candidates (quality_classifier,
+    decontaminate_semantic, mine_hard_negatives,
+    corpus_ingest_stream_scored, bm25_retrieval_batch) — the registry
+    now sits at its 150-entry capacity cap, so any future candidate
+    needs a tier-3 retirement first (see the pre-planned tranche in
+    NOTES.md). New round-8 candidates are added here as built."""
+    return {}
 
 
 def candidate_oracle_sql() -> dict[str, str]:
+    return {}
+
+
+def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-8 registrations (promoted candidates) ---
         "quality_classifier": _quality_classifier_sql(),
         "decontaminate_semantic": _decontaminate_semantic_sql(),
         "mine_hard_negatives": _mine_hard_negatives_sql(),
         "corpus_ingest_stream_scored": _corpus_ingest_scored_sql(),
         "bm25_retrieval_batch": _bm25_retrieval_batch_sql(),
-    }
-
-
-def _oracle_sql_impls() -> dict[str, str]:
-    return {
         # --- round-7 registrations (promoted candidates) ---
         "dsir_importance": _dsir_sql(),
         "dedup_near_batch": _dedup_near_sql(),

@@ -27,9 +27,14 @@ from data_pengadaan_agent_spark.streaming import windows as SW
 
 SF0001 = "/root/testdata/sf0.001"
 
-# Tokenizer shared by the text/dedup oracles (DuckDB spelling of
-# split(lower(trim(text)), '\\s+')).
-_DUCK_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+# Tokenizer shared by the text/dedup oracles. The whitespace class is
+# spelled EXPLICITLY on both engines because Java's \s (Spark) is
+# exactly [ \t\n\x0B\f\r] while RE2's \s (DuckDB) excludes \x0B —
+# organic text containing a vertical tab would silently diverge
+# (VERDICT r7 ask #5). Line 4812's '\s+' is the one deliberate
+# exception: it splits AFTER a replace that maps \x0B to ' ' on both
+# engines, so only spaces remain and the engines agree by construction.
+_DUCK_TOKS = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +176,16 @@ def _q_semi_join(spark, sf):
 
 
 def _q_anti_join(spark, sf):
-    return R.customers_without_orders(load_table(spark, sf, "customer"), load_table(spark, sf, "orders"))
+    # VERDICT r7 ask #4: the unfiltered form was vacuous (every
+    # customer has orders at every SF, so both engines returned 0
+    # rows). Restricting the right side to urgent orders makes the
+    # anti-join semantically load-bearing — "customers with no
+    # 1-URGENT order" is non-empty at sf0.001/0.01/0.1 (18/203/1986
+    # rows) — while keeping the pushed-filter + left_anti plan shape.
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return R.customers_without_orders(load_table(spark, sf, "customer"), orders)
 
 
 def _q_pricing_summary(spark, sf):
@@ -494,7 +508,7 @@ def _corpus_ingest_scored_sql() -> str:
                  unnest(list_transform(range(1, len(ws)),
                         i -> array_to_string(ws[i:i+1], ' '))) AS g
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                       string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                 FROM documents)
           WHERE len(ws) >= 2
         ), db AS (
@@ -523,7 +537,7 @@ def _corpus_ingest_scored_sql() -> str:
                  unnest(list_transform(range(1, len(ws)),
                         i -> array_to_string(ws[i:i+1], ' '))) AS g
           FROM (SELECT text,
-                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                       string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                 FROM corpus)
           WHERE len(ws) >= 2
         ), sdb AS (
@@ -2132,13 +2146,13 @@ def _dsir_sql() -> str:
                  unnest(list_transform(range(1, len(ws)),
                         i -> array_to_string(ws[i:i+1], ' '))) AS g
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                       string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                 FROM rawd)
           WHERE len(ws) >= 2
         ), tg AS (
           SELECT unnest(list_transform(range(1, len(ws)),
                         i -> array_to_string(ws[i:i+1], ' '))) AS g
-          FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+          FROM (SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                 FROM tgtd)
           WHERE len(ws) >= 2
         ), rb AS (
@@ -2205,7 +2219,7 @@ def _quality_classifier_sql() -> str:
                  unnest(list_transform(range(1, len(ws)),
                         i -> array_to_string(ws[i:i+1], ' '))) AS g
           FROM (SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS ws
+                       string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
                 FROM documents)
           WHERE len(ws) >= 2
         ), db AS (
@@ -2522,7 +2536,7 @@ def _dedup_near_sql() -> str:
           FROM documents WHERE doc_id % 31 = 0
         ), t AS (
           SELECT doc_id, e AS ts,
-                 string_split_regex(lower(trim(text)), '\\s+') AS ws
+                 string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
           FROM u
         ), sh AS (
           SELECT doc_id, ts,
@@ -2566,7 +2580,7 @@ def _q_dedup_passages(spark, sf):
     window alongside the limit_preview/histogram_month_of_year
     retirements (must-check 49/50)."""
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+")
     replay = docs.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -2595,12 +2609,12 @@ def _dedup_passages_sql() -> str:
           UNION ALL
           SELECT doc_id + 2000000,
                  array_to_string(
-                   string_split_regex(lower(trim(text)), '\s+')[1:16], ' ')
+                   string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')[1:16], ' ')
                  || ' planted tail marker doc ' || CAST(doc_id AS VARCHAR)
           FROM documents WHERE doc_id % 13 = 0
         ), t AS (
           SELECT doc_id,
-                 string_split_regex(lower(trim(text)), '\s+') AS ws
+                 string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS ws
           FROM u
         ), p AS (
           SELECT doc_id, CAST(i AS BIGINT) AS idx,
@@ -2876,7 +2890,7 @@ FROM orders GROUP BY 1 ORDER BY 1
 _QUALITY_SQL = """
 WITH t AS (
   SELECT doc_id, text,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
          length(text) AS n_chars
   FROM documents
 ), m AS (
@@ -2900,7 +2914,7 @@ FROM m
 
 _LANGID_SQL = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents
 ), s AS (
   SELECT doc_id,
     len(list_filter(toks, x -> x IN ('the','and','of')))  AS score_en,
@@ -2929,7 +2943,7 @@ FROM s
 
 _JACCARD_SQL = """
 WITH d AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents WHERE doc_id < 200
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -3295,7 +3309,7 @@ def _minhash_lsh_sql(n_hashes: int = 32, bands: int = 16, seed: int = 1234567) -
     poly = _DUCK_POLY.format(s="shingle", mult=131)
     return f"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents WHERE doc_id < 200
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -3326,7 +3340,7 @@ def _simhash_pairs_sql(max_hamming: int = 16) -> str:
     return f"""
 WITH d AS (
   SELECT doc_id, list_distinct(list_filter(
-           string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')) AS toks
+           string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS toks
   FROM documents WHERE doc_id < 200
 ), hx AS (
   SELECT doc_id,
@@ -3357,7 +3371,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 def _fingerprint_sql() -> str:
     """DuckDB twin of X.fingerprint_arith (two 31-bit channels)."""
     ch = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      list_transform(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+      list_transform(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
                                  t -> t <> ''),
                      t -> {tok})),
       (acc, x) -> (acc * 1000003 + x) % 2147483647)"""
@@ -3377,7 +3391,7 @@ def _corpus_pipeline_sql() -> str:
     read_text_corpus file round-trip (line splitting, source
     attribution, empty-line filter) end to end."""
     ch = """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      list_transform(list_filter(string_split_regex(lower(trim(tn)), '\\s+'),
+      list_transform(list_filter(string_split_regex(lower(trim(tn)), '[ \\t\\n\\x0B\\f\\r]+'),
                                  t -> t <> ''),
                      t -> {tok})),
       (acc, x) -> (acc * 1000003 + x) % 2147483647)"""
@@ -3394,12 +3408,12 @@ WITH corpus AS (
   -- dedup_exact_content + normalize + canonical dedup collapse to one
   -- GROUP BY normalized text (min-of-mins == global min(source))
   SELECT trim(regexp_replace(regexp_replace(lower(rawtext),
-           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS tn,
+           '[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS tn,
          min(source) AS source
   FROM corpus GROUP BY 1
 ), feat AS (
   SELECT tn, source, length(tn) AS nc,
-         string_split_regex(lower(trim(tn)), '\\s+') AS toks
+         string_split_regex(lower(trim(tn)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM canon
 ), q AS (
   SELECT tn, source, nc,
@@ -3679,7 +3693,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "dedup_passages": _dedup_passages_sql(),
         "passage_dedup": r"""
             WITH t AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+              SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS tk
               FROM documents
             ), p AS (
               SELECT doc_id,
@@ -3715,7 +3729,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "tfidf_top_terms": r"""
             WITH tk AS (
               SELECT doc_id,
-                     unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+                     unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS term
               FROM documents
             ), tf AS (
               SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -3964,7 +3978,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "pack_sequences": """
             WITH base AS (
               SELECT doc_id,
-                     CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                     CAST(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
                        AS n_tokens,
                      CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard
               FROM documents
@@ -3982,7 +3996,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "repetition_stats": """
             WITH w AS (
               SELECT doc_id,
-                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                     unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
               FROM documents
             ), pw AS (
               SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
@@ -3993,7 +4007,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM pw GROUP BY 1
             ), wl AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
               FROM documents
             ), g AS (
               SELECT doc_id,
@@ -4018,7 +4032,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "ngram_contamination": """
             WITH wl AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
               FROM documents
             ), g AS (
               SELECT doc_id,
@@ -4058,7 +4072,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT max(off) AS mxoff FROM w
             ), tok AS (
               SELECT off,
-                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                     unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
               FROM w
             ), c AS (
               SELECT (off // 600) * 600 AS wstart,
@@ -4085,7 +4099,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM lines
             ), tok AS (
               SELECT off,
-                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                     unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
               FROM w
             ), c AS (
               SELECT strftime(make_timestamp(
@@ -4104,7 +4118,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM documents WHERE doc_id % 11 = 0
             ), base AS (
               SELECT source, lang, text,
-                     CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                     CAST(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
                           AS BIGINT) AS nt,
                      CAST(length(text) AS BIGINT) AS nc
               FROM u
@@ -4169,7 +4183,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "boilerplate_ngrams": """
             WITH wl AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
               FROM documents
             ), gg AS (
               SELECT doc_id,
@@ -4200,7 +4214,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "length_outliers": """
             WITH base AS (
               SELECT doc_id,
-                     CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                     CAST(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'))
                           AS BIGINT) AS n_tokens
               FROM documents
             ), b AS (
@@ -4285,7 +4299,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "token_rarity": """
             WITH occ AS (
               SELECT doc_id,
-                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                     unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
               FROM documents
             ), occ2 AS (
               SELECT * FROM occ WHERE term <> ''
@@ -4307,7 +4321,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "decontaminate_train": """
             WITH wl AS (
               SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS ws
               FROM documents
             ), g AS (
               SELECT doc_id,
@@ -4332,7 +4346,7 @@ def _oracle_sql_impls() -> dict[str, str]:
             ), n AS (
               SELECT doc_id,
                      trim(regexp_replace(regexp_replace(lower(text),
-                          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS text_norm
+                          '[^a-z0-9 \\t\\n\\x0B\\f\\r]', ' ', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_norm
               FROM dirty
             )
             SELECT doc_id, text_norm,
@@ -4483,7 +4497,9 @@ def _oracle_sql_impls() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -4547,7 +4563,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "corpus_curation": """
             WITH t AS (
               SELECT doc_id, text,
-                     string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
                      length(text) AS n_chars
               FROM documents
             ), q AS (
@@ -4592,7 +4608,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         # bit-for-bit with Spark before the round.
         "bm25_retrieval": """
             WITH d AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
               FROM documents
             ), base AS (
               SELECT doc_id,
@@ -4636,7 +4652,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         "corpus_mix_tokens": """
             WITH d AS (
               SELECT doc_id, lang,
-                     CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                     CAST(len(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
                        AS n_tokens
               FROM documents
             ), b AS (
@@ -4654,7 +4670,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         # collapsed to each cluster's best-quality member.
         "cluster_representatives": """
             WITH RECURSIVE d AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
               FROM documents WHERE doc_id < 200
             ), sh AS (
               SELECT doc_id, unnest(list_distinct(
@@ -4688,7 +4704,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               GROUP BY dd.doc_id
             ), qt AS (
               SELECT doc_id, text,
-                     string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
                      length(text) AS n_chars
               FROM documents WHERE doc_id < 200
             ), qm AS (
@@ -4720,7 +4736,7 @@ def _oracle_sql_impls() -> dict[str, str]:
         """,
         "dedup_clusters": """
             WITH RECURSIVE d AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+              SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
               FROM documents WHERE doc_id < 200
             ), sh AS (
               SELECT doc_id, unnest(list_distinct(
@@ -5122,7 +5138,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
               FROM documents WHERE length(trim(text)) > 0
             ), t AS (
-              SELECT text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+              SELECT text, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
                      length(text) AS nc
               FROM corpus
             ), q AS (
@@ -5147,7 +5163,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
               FROM documents WHERE length(trim(text)) > 0
             ), t AS (
-              SELECT text, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+              SELECT text, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
                      length(text) AS nc
               FROM corpus
             ), q AS (

@@ -80,6 +80,12 @@ def main() -> None:
             out.append(round(time.time() - t0, 4))
         return out
 
+    # Warm the anchor itself: in single-lap (cold) mode the after_n=0
+    # sample otherwise measures the anchor's own first-touch codegen
+    # (~4× its warm time) and falsely trips the noisy-lap detector on
+    # a perfectly quiet machine.
+    anchor_time()
+
     def lap(anchored: bool = False) -> tuple[dict[str, float], list[dict]]:
         """One pass over the registry. When ``anchored``, sample the
         frozen anchor query before the lap, after every ANCHOR_EVERY
@@ -133,6 +139,31 @@ def main() -> None:
         }
         for k in range(len(anchor_points) - 1)
     ]
+    # Noisy-lap self-defense (VERDICT r7 ask #3): the r7 driver lap's
+    # anchor samples swung 3.3× mid-lap and the headline 196.5 s was
+    # adjudicated (by hand, expensively) as machine load, not code.
+    # The harness has all the data to say so itself: when the in-lap
+    # anchor spread exceeds 2×, flag the lap as noisy and immediately
+    # re-run the worst segment's queries once — both numbers are
+    # recorded, so a per-query outlier carries its own exculpatory
+    # (or confirming) evidence.
+    # spread = max/MEDIAN, not max/min: one unusually fast sample is
+    # not load, one slow burst against the lap's own typical pace is.
+    # (r7 driver lap reads 2.25 by this measure; a quiet lap ~1.3.)
+    anchor_spread = round(max(anchor_samples) / max(anchor_sec, 1e-9), 3)
+    noisy_lap = anchor_spread > 2.0
+    rerun_times: dict[str, float] = {}
+    if noisy_lap and segment_factors:
+        worst = max(segment_factors, key=lambda s: s["factor"])
+        names = list(E.queries())
+        for name in names[worst["from_n"] : worst["to_n"]]:
+            t0 = time.time()
+            try:
+                len(E.queries()[name](spark, sf_dir).collect())
+                rerun_times[name] = round(time.time() - t0, 3)
+            except Exception as e:  # pragma: no cover
+                rerun_times[name] = -1.0
+                print(f"# rerun {name} FAILED: {e}", file=sys.stderr)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
@@ -152,6 +183,9 @@ def main() -> None:
         "segment_factors": segment_factors,
         "anchor_ref_sec": ANCHOR_REF_SEC,
         "lap_factor": lap_factor,
+        "anchor_spread": anchor_spread,
+        "noisy_lap": noisy_lap,
+        "worst_segment_rerun": rerun_times,
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     try:
@@ -171,6 +205,8 @@ def main() -> None:
         "n_queries": len(times),
         "anchor_sec": anchor_sec,
         "lap_factor": lap_factor,
+        "anchor_spread": anchor_spread,
+        "noisy_lap": noisy_lap,
         "segment_factors": [s["factor"] for s in segment_factors],
         "queries": {},
         "sf": sf,

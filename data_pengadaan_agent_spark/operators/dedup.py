@@ -82,7 +82,7 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def tokens_col(text_col: str):
     """Whitespace tokenization of lowered text (split on runs)."""
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:

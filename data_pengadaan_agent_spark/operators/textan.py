@@ -35,7 +35,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens(text_col: str | Column) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+")
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -435,8 +435,8 @@ def normalize_text(
     back by id (each such join re-executes the whole upstream plan)."""
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
-            r"\s+",
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 \t\n\x0B\f\r]", " "),
+            r"[ \t\n\x0B\f\r]+",
             " ",
         )
     )
@@ -634,13 +634,19 @@ def bm25_retrieval_batch(
     order-free; ranking orders by (score DESC, id ASC). A DuckDB twin
     replaying the same arithmetic is bit-exact.
 
-    Scale shape: the corpus explodes ONCE to (term, doc) rows and is
+    Scale shape: the corpus EXPLODES once — to (term, doc) rows
     immediately semi-joined against the BROADCAST distinct query
-    vocabulary — query-batch-bounded, so corpus terms outside any
-    query never reach the (doc, term) aggregate; document frequencies
-    are vocabulary-sized and broadcast; query terms are broadcast;
-    corpus stats are a 1-row aggregate. The only corpus-proportional
-    exchange is the pruned (doc, term) tf aggregate. Duplicate terms
+    vocabulary — but is SCANNED twice: the (N, Σdl) stats aggregate
+    re-tokenizes the corpus in a second columnar scan (ADVICE r7).
+    That second scan is deliberate: it folds map-side to ONE row with
+    zero exchange, while deriving the same stats from the postings
+    lineage would need a per-doc aggregate over the exploded rows —
+    a corpus-sized shuffle — or would silently undercount docs whose
+    vocabulary misses the query batch if taken after the semi-join.
+    CPU for one extra tokenize pass is the cheaper price at scale.
+    Document frequencies are vocabulary-sized and broadcast; query
+    terms are broadcast. The only corpus-proportional exchange is the
+    pruned (doc, term) tf aggregate. Duplicate terms
     in one query weight that term twice — multiplicity is preserved
     identically on both engines. Documents sharing no term with a
     query are absent from its ranking (score 0), like bm25_score."""

@@ -269,6 +269,13 @@ def foreach_batch_classify_sink(
     )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # quality_classifier groupBy's id_col, so two rows in one
+        # epoch sharing a doc_id but carrying DIFFERENT text would be
+        # scored as one merged feature bag and the merged score fanned
+        # back onto both rows by the join (ADVICE r7). Keep the first
+        # row per id instead: byte-identical duplicates are unchanged,
+        # divergent ones get a single well-defined verdict.
+        batch_df = batch_df.dropDuplicates([id_col])
         scored = quality_classifier(
             batch_df,
             weights,
@@ -323,7 +330,7 @@ def trending_terms_stream(
     O(|terms per window| × |open windows|). On a batch frame the same
     code is a plain windowed groupBy — the parity rule."""
     src = _watermarked(docs, ts_col, watermark)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")
     return (
         src.select(F.window(ts_col, window_len).alias("w"), F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
@@ -413,7 +420,7 @@ def streaming_dedup_near(
 
         a = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
         b = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
-        ws_re = _re.compile(r"\s+")
+        ws_re = _re.compile(r"[ \t\n\x0B\f\r]+")
         for pdf in batches:
             if len(pdf) == 0:
                 continue

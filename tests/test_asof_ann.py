@@ -585,6 +585,76 @@ def test_ivf_append_requires_existing_table(spark, tables, tmp_path):
         )
 
 
+def test_ivf_append_rejects_corrupt_codebook(spark, tables, tmp_path):
+    """ADVICE r7: an interrupted trained build can leave an EMPTY
+    {path}_codebook directory — append must raise a clear ValueError,
+    not die in an opaque numpy argmin; a codebook with a different
+    dimensionality than the batch must be rejected the same way."""
+    import os
+
+    import pytest as _pytest
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        append_ivf_table,
+        build_ivf_table,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    shard = emb.filter(F.col("vec_id") >= 300)
+
+    # empty codebook: a directory with no parquet parts (the shape an
+    # interrupted coalesce(1) write leaves behind)
+    path = str(tmp_path / "ivf_emptycb")
+    build_ivf_table(base, "embedding", 64, path, n_centroids=4)
+    spark.createDataFrame(
+        [], "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}_codebook")
+    with _pytest.raises(ValueError, match="empty"):
+        append_ivf_table(shard, "embedding", 64, path, n_centroids=4)
+    os.system(f"rm -rf {path}_codebook")
+
+    # dim mismatch: a trained codebook at dim 64, a batch claimed at 32
+    path2 = str(tmp_path / "ivf_dimcb")
+    build_ivf_table(
+        base, "embedding", 64, path2, n_centroids=4, train_iters=1
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        append_ivf_table(shard, "embedding", 32, path2, n_centroids=4)
+
+
+def test_ivf_rebuild_keeps_codebook_until_lists_written(
+    spark, tables, tmp_path
+):
+    """ADVICE r7: an untrained rebuild over a trained path must delete
+    the stale codebook only AFTER the list overwrite succeeds — a
+    failure before the write must leave the trained build fully
+    intact (lists + codebook), never trained lists with no codebook
+    (which would silently collapse probe recall via hyperplane
+    ranking). Simulated by making the overwrite itself fail."""
+    import pytest as _pytest
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        build_ivf_table,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_swap")
+    build_ivf_table(base, "embedding", 64, path, n_centroids=4, train_iters=1)
+    # a rebuild whose PLAN fails at execution: vec elements cast to a
+    # bad type via a poisoned column — cheapest deterministic failure
+    # inside the .write of the untrained branch
+    poisoned = base.withColumn(
+        "embedding",
+        F.raise_error(F.lit("boom")).cast("array<float>"),
+    )
+    with _pytest.raises(Exception, match="boom"):
+        build_ivf_table(poisoned, "embedding", 64, path, n_centroids=4)
+    # the trained build must still be COHERENT: codebook present
+    assert spark.read.parquet(f"{path}_codebook").count() == 4
+
+
 def test_decontaminate_semantic_flags_paraphrased_benchmark(spark):
     """Semantic decontamination (VERDICT r6 ask #5): training docs
     whose EMBEDDING is near a benchmark doc must be flagged even when

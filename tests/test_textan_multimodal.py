@@ -517,6 +517,7 @@ def test_quality_classifier_stateless_whitespace_edge_parity(spark):
             (3, "alpha beta gamma\n"),         # trailing newline
             (4, "alpha\u00a0beta gamma"),   # NBSP is NOT Java \s
             (5, " alpha  beta   gamma "),      # multi-space + trimmed
+            (6, "alpha\x0bbeta\x0bgamma"),     # vertical tab IS Java \s
         ],
         "doc_id long, text string",
     )
@@ -538,3 +539,42 @@ def test_quality_classifier_stateless_whitespace_edge_parity(spark):
     assert per_row == batch
     # the NBSP doc tokenizes as TWO Java tokens, not three
     assert batch[4][0] == 1 and batch[1][0] == 2
+    # the \x0B doc tokenizes as THREE tokens (two bigrams)
+    assert batch[6][0] == 2
+
+
+def test_tokenizer_vertical_tab_oracle_parity(spark):
+    """VERDICT r7 ask #5: Java's \\s is exactly [ \\t\\n\\x0B\\f\\r]
+    but RE2's \\s EXCLUDES the vertical tab, so a '\\s+' oracle twin
+    silently diverges on \\x0B-bearing text. Both sides now spell the
+    class explicitly (Spark tokenizers + _DUCK_TOKS); this pins the
+    shared spellings byte-for-byte on pathological literal rows."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from data_pengadaan_agent_spark.operators.textan import tokens
+
+    rows = [
+        (1, "alpha\x0bbeta gamma"),          # the armed landmine
+        (2, "a\x0b\x0b b\tc\nd\fe\rf"),      # every Java-\s char mixed
+        (3, "\x0b"),                          # separator-only text
+        (4, "alpha beta"),              # NBSP: whitespace on NEITHER
+        (5, " edge\x0b "),                    # trim(space-only) + \x0B
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["tk"]
+        for r in df.select("doc_id", tokens("text").alias("tk")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        i: tk
+        for i, tk in con.execute(
+            f"SELECT doc_id, {E._DUCK_TOKS} FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1] == ["alpha", "beta", "gamma"]
+    assert got[4] == ["alpha beta"]

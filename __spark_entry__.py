@@ -3655,6 +3655,218 @@ def retired_oracle_sql() -> dict[str, str]:
     }
 
 
+def _q_ngram_lm_score(spark, sf):
+    """Bigram stupid-backoff LM fluency gate (operators/textan.
+    ngram_lm_score): counts trained on the English slice, every doc
+    scored by mean integer-proxy bigram probability — the CCNet-style
+    perplexity filter. ROUND-9 registration candidate (the r8 window
+    is committed to the five round-7 candidates; registration pairs
+    with the pre-planned tranche retirement, see NOTES)."""
+    docs = load_table(spark, sf, "documents")
+    return X.ngram_lm_score(docs, docs.filter(F.col("lang") == "en"))
+
+
+_NGRAM_LM_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS tk
+  FROM documents
+), bgr AS (
+  SELECT doc_id, lang,
+         array_to_string(tk[(CAST(i AS BIGINT)+1):(CAST(i AS BIGINT)+2)], ' ') AS bg
+  FROM t, UNNEST(range(CAST(greatest(len(tk)-1, 0) AS BIGINT))) AS u(i)
+), c1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(tk) AS w FROM t WHERE lang = 'en') GROUP BY 1
+), ntot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM c1),
+c2 AS (
+  SELECT bg AS b2, CAST(count(*) AS BIGINT) AS c2
+  FROM bgr WHERE lang = 'en' GROUP BY 1
+), occ AS (
+  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+         split_part(bg, ' ', 2) AS w2
+  FROM bgr
+), sc AS (
+  SELECT o.doc_id,
+         CASE WHEN c2.c2 IS NOT NULL THEN (c2.c2 * 1000000) // u1.c1
+              WHEN u2.c1 IS NOT NULL
+                THEN (2 * u2.c1 * 1000000) // (5 * nt.n_total)
+              ELSE CAST(0 AS BIGINT) END AS s
+  FROM occ o
+  LEFT JOIN c2 ON o.bg = c2.b2
+  LEFT JOIN c1 u1 ON o.w1 = u1.w
+  LEFT JOIN c1 u2 ON o.w2 = u2.w
+  CROSS JOIN ntot nt
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(s) AS BIGINT) AS lm_sum
+  FROM sc GROUP BY 1
+)
+SELECT doc_id, n_bigrams, lm_sum,
+       CAST(lm_sum AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS lm_score
+FROM agg
+"""
+
+
+def _q_scd2_history(spark, sf):
+    """SCD type-2 validity intervals from the event log (operators/
+    relational.scd2_history): per-user consecutive event_type runs →
+    half-open [valid_from, valid_to) versions. ROUND-9 candidate."""
+    return R.scd2_history(load_table(spark, sf, "events"))
+
+
+_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, event_type, ts,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS INT) AS ver
+  FROM o
+), runs AS (
+  SELECT user_id, ver AS version, min(event_type) AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM v GROUP BY 1, 2
+)
+SELECT user_id, version, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to, n_events,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+def _q_ivf_drift_report(spark, sf):
+    """Codebook drift monitor (operators/similarity.ivf_drift_report):
+    codebook Lloyd-trained on the vec_id<1000 'base' slice, drift
+    measured over the FULL corpus — the retrain trigger completing
+    the frozen-codebook append path. ROUND-9 candidate."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 1000)
+    _, cents = S.kmeans_lloyd(
+        base, "embedding", "vec_id", k=4, iters=2, with_centroids=True
+    )
+    return S.ivf_drift_report(emb, cents)
+
+
+def _ivf_drift_sql() -> str:
+    return f"""
+WITH {_kmeans_cte_sql('SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000')},
+cb AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM c1
+), fe AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), fv AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vn FROM fe
+), asg AS (
+  SELECT vec_id,
+         (min(struct_pack(d := d, cid := cid, cos := cos))).cid AS cluster,
+         (min(struct_pack(d := d, cid := cid, cos := cos))).cos AS cos
+  FROM (
+    SELECT f.vec_id, c.cid,
+           list_sum(list_transform(range(1, len(f.v) + 1),
+                    i -> (f.v[i] - c.cv[i]) * (f.v[i] - c.cv[i]))) AS d,
+           round(list_sum(list_transform(range(1, len(f.v) + 1),
+                    i -> f.v[i] * c.cv[i]))
+                 / ((CASE WHEN f.vn = 0 THEN 1 ELSE f.vn END)
+                    * (CASE WHEN c.cn = 0 THEN 1 ELSE c.cn END)), 6) AS cos
+    FROM fv f, cb c
+  ) GROUP BY 1
+), rep AS (
+  SELECT cluster AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_cos
+  FROM asg GROUP BY 1
+), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM rep)
+SELECT centroid_id, n_vecs, mean_cos,
+       CAST(n_vecs AS DOUBLE) * 4.0 / CAST(n AS DOUBLE) AS occupancy_ratio,
+       (mean_cos < 0.2
+        OR CAST(n_vecs AS DOUBLE) * 4.0 / CAST(n AS DOUBLE) > 2.0) AS retrain
+FROM rep, tot
+"""
+
+
+def _q_mmr_diversify(spark, sf):
+    """MMR diversified top-k (operators/similarity.mmr_diversify):
+    query = vec_id 0's embedding (the sim_topk_* convention), pool 40,
+    k 5, λ 0.7. ROUND-9 candidate."""
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.mmr_diversify(emb, qvec, k=5, pool=40, lam=0.7)
+
+
+def _mmr_sql(k: int = 5, pool: int = 40, lam: float = 0.7) -> str:
+    """DuckDB twin of mmr_diversify: pool cut on rounded relevance,
+    pool×pool rounded sim matrix, then the k greedy argmax steps
+    UNROLLED as a CTE chain (the kmeans-unroll precedent — the
+    sequential dependence is not join-expressible, but k is a small
+    parameter). Tie-breaks replay min(struct(-score, id))."""
+    steps, finals = [], []
+    for i in range(1, k + 1):
+        if i == 1:
+            steps.append("""
+s1 AS (
+  SELECT (min(struct_pack(o := -rel, id := vec_id))).id AS id,
+         -(min(struct_pack(o := -rel, id := vec_id))).o AS score
+  FROM p
+)""")
+        else:
+            sel = " UNION ALL ".join(
+                f"SELECT id FROM s{j}" for j in range(1, i)
+            )
+            steps.append(f"""
+s{i} AS (
+  SELECT (min(struct_pack(o := -mmr, id := vec_id))).id AS id,
+         -(min(struct_pack(o := -mmr, id := vec_id))).o AS score
+  FROM (
+    SELECT p.vec_id,
+           round({lam!r} * p.rel - {1.0 - lam!r} * (
+             SELECT max(s.s) FROM sim s
+             WHERE s.i = p.vec_id AND s.j IN ({sel})
+           ), 6) AS mmr
+    FROM p WHERE p.vec_id NOT IN ({sel})
+  )
+)""")
+        finals.append(
+            f"SELECT {i} AS rank, p.vec_id, p.rel AS relevance, "
+            f"s{i}.score AS mmr_score FROM s{i} JOIN p ON p.vec_id = s{i}.id"
+        )
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), en AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nv FROM e
+), qn AS (
+  SELECT qv, sqrt(list_sum(list_transform(qv, x -> x*x))) AS nq FROM q
+), scored AS (
+  SELECT e.vec_id, e.v, e.nv,
+         round(list_sum(list_transform(range(1, len(e.v) + 1),
+                        i -> e.v[i] * q.qv[i]))
+               / ((CASE WHEN e.nv = 0 THEN 1 ELSE e.nv END)
+                  * (CASE WHEN q.nq = 0 THEN 1 ELSE q.nq END)), 6) AS rel
+  FROM en e, qn q
+), p AS (
+  SELECT vec_id, v, nv, rel FROM scored
+  ORDER BY rel DESC, vec_id LIMIT {pool}
+), sim AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round(list_sum(list_transform(range(1, len(a.v) + 1),
+                        ii -> a.v[ii] * b.v[ii]))
+               / ((CASE WHEN a.nv = 0 THEN 1 ELSE a.nv END)
+                  * (CASE WHEN b.nv = 0 THEN 1 ELSE b.nv END)), 6) AS s
+  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+),{",".join(steps)}
+{" UNION ALL ".join(finals)}
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -3669,14 +3881,26 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all five round-7 candidates (quality_classifier,
     decontaminate_semantic, mine_hard_negatives,
     corpus_ingest_stream_scored, bm25_retrieval_batch) — the registry
-    now sits at its 150-entry capacity cap, so any future candidate
-    needs a tier-3 retirement first (see the pre-planned tranche in
-    NOTES.md). New round-8 candidates are added here as built."""
-    return {}
+    now sits at its 150-entry capacity cap, so each round-8 candidate
+    below registers in r9 PAIRED with one retirement from the
+    pre-planned tranche (NOTES.md; all four retirees are in r9's due
+    set, which is the only kind of retirement that frees a slot at
+    the cap)."""
+    return {
+        "ngram_lm_score": _q_ngram_lm_score,
+        "scd2_history": _q_scd2_history,
+        "ivf_drift_report": _q_ivf_drift_report,
+        "mmr_diversify": _q_mmr_diversify,
+    }
 
 
 def candidate_oracle_sql() -> dict[str, str]:
-    return {}
+    return {
+        "ngram_lm_score": _NGRAM_LM_SQL,
+        "scd2_history": _SCD2_SQL,
+        "ivf_drift_report": _ivf_drift_sql(),
+        "mmr_diversify": _mmr_sql(k=5, pool=40, lam=0.7),
+    }
 
 
 def _oracle_sql_impls() -> dict[str, str]:

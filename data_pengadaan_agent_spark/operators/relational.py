@@ -753,6 +753,62 @@ def latest_by_key(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event log: per
+    key, collapse CONSECUTIVE runs of the same state into validity
+    intervals — (key, state, valid_from, valid_to, is_current), the
+    warehouse companion to ``latest_by_key`` (which keeps only the
+    current row; SCD2 keeps the full auditable timeline the way a
+    dimension table records it). Interval semantics are the standard
+    half-open [valid_from, valid_to): each version's valid_to is the
+    NEXT version's valid_from; the open current version has NULL
+    valid_to. A state that recurs non-consecutively gets a NEW
+    version — that is the type-2 contract (history, not a distinct).
+
+    Determinism: events ordered by (ts, seq) — ties on the timestamp
+    break by the sequence column, so the run-length encoding is a
+    pure function of the log on any engine.
+
+    Scale shape: ONE hash exchange on the key drives everything —
+    the change-detection lag, the running version sum, the per-run
+    aggregate, and the valid_to lead all share the same (key)
+    partitioning, so Catalyst plans a single Exchange with window +
+    partial-agg stages stacked on it (same single-shuffle discipline
+    as sessionize). Rows carry (key, state, ts, seq) only."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    prev = F.lag(state_col).over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col(state_col)), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        df.select(key_col, state_col, ts_col, seq_col)
+        .withColumn("_v", F.sum(chg).over(w).cast("int"))
+        .groupBy(key_col, "_v")
+        .agg(
+            F.min(state_col).alias("state"),
+            F.min(ts_col).alias("valid_from"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_v")
+    nxt = F.lead("valid_from").over(w2)
+    return runs.select(
+        F.col(key_col),
+        F.col("_v").alias("version"),
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """Data-QA profile: one row per column with count / nulls /
     distincts / min / max (stringified at the edge for a uniform

@@ -710,6 +710,111 @@ def bm25_retrieval_batch(
     )
 
 
+def ngram_lm_score(
+    df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram language-model fluency score — the KenLM/CCNet-style
+    perplexity gate of a pretraining pipeline, in the repo's
+    cross-engine integer discipline: train bigram + unigram counts on
+    a REFERENCE corpus (``ref_df`` — e.g. the high-quality or
+    target-language slice) in one pass, then score every document by
+    its mean stupid-backoff bigram probability. Low-scoring docs read
+    as disfluent/garbled/foreign relative to the reference — the
+    classic "perplexity filter" (CCNet buckets corpora by exactly
+    this). Distinct from ``token_rarity`` (unigram, self-referenced)
+    and ``quality_classifier`` (supervised): this is the
+    reference-corpus LM gate.
+
+    Stupid backoff (Brants et al. 2007), integer proxy per bigram
+    occurrence (probabilities scaled by 1e6, one integer division —
+    exact and order-free on any engine; no libm):
+
+        c2(w1w2) > 0:  (c2 * 1_000_000) DIV c1(w1)
+        else, w2 seen: (2 * c1(w2) * 1_000_000) DIV (5 * N)   # 0.4
+        else (OOV):     0
+
+    ``lm_score`` = one double division of the exact BIGINT sum by the
+    bigram count. Docs with < 2 tokens have no bigrams and are
+    excluded from the output (the featureless-exclusion convention of
+    quality_classifier). Bigrams come from ``word_ngrams`` verbatim —
+    the oracle replays the same construction, empty-token edges
+    included.
+
+    Scale shape: the reference explodes once into vocab-sized c1/c2
+    count tables (map-side partial combine); the target corpus
+    explodes once to (doc, bigram) rows and takes THREE hash joins —
+    bigram→c2, w1→c1, w2→c1 — all pinned ``shuffle_hash`` because
+    every side descends from an explode (the house rule: explode-
+    derived frames have garbage size estimates; at 100 TB a reference
+    vocabulary is NOT broadcastable). N arrives via a 1-row
+    broadcast. Every exchange carries ids + strings + int64 counts;
+    the final per-doc aggregate is the only corpus-sized shuffle."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    c1 = (
+        spread(ref_df, id_col)
+        .select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    c2 = (
+        spread(ref_df, id_col)
+        .select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    n_total = c1.agg(F.sum("c1").cast("bigint").alias("n_total"))
+    occ = spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, 2)).alias("bg"),
+    ).select(
+        id_col,
+        "bg",
+        F.substring_index("bg", " ", 1).alias("_w1"),
+        F.substring_index("bg", " ", -1).alias("_w2"),
+    )
+    scored = (
+        occ.join(c2.hint("shuffle_hash"), "bg", "left")
+        .join(
+            c1.hint("shuffle_hash").withColumnRenamed("w", "_w1")
+            .withColumnRenamed("c1", "_c1w1"),
+            "_w1",
+            "left",
+        )
+        .join(
+            c1.hint("shuffle_hash").withColumnRenamed("w", "_w2")
+            .withColumnRenamed("c1", "_c1w2"),
+            "_w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "_s",
+            F.expr(
+                "CASE WHEN c2 IS NOT NULL"
+                "     THEN (c2 * 1000000) DIV _c1w1 "
+                "     WHEN _c1w2 IS NOT NULL"
+                "     THEN (2 * _c1w2 * 1000000) DIV (5 * n_total) "
+                "     ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_s").cast("bigint").alias("lm_sum"),
+        )
+        .withColumn(
+            "lm_score",
+            F.col("lm_sum").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
 def token_rarity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

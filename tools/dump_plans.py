@@ -55,6 +55,10 @@ HEADLINERS = {
     "dedup_near_batch": "one stateless Arrow signature kernel, (band,sig) equi-join candidates, exact verify",
     "mine_hard_negatives": "broadcast query-batch into a gold-masked Arrow top-k kernel; one window exchange of partitions x |Q| x k rows",
     "bm25_retrieval_batch": "postings semi-joined against the broadcast query vocabulary before any shuffle; all joins broadcast the query-bounded side",
+    "ngram_lm_score": "stupid-backoff LM gate: vocab-sized c1/c2 count tables, all three count joins pinned shuffle_hash (explode lineage), 1-row N broadcast",
+    "scd2_history": "SCD2 validity intervals: ONE key exchange shared by lag, running version sum, run aggregate, and valid_to lead",
+    "ivf_drift_report": "frozen-codebook drift monitor: broadcast-literal centroids into one Arrow assignment scan, <=k-row aggregate",
+    "mmr_diversify": "MMR top-k: distributed rounded-relevance pool cut (TakeOrdered), then one pool-bounded single-partition greedy kernel",
 }
 
 

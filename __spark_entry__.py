@@ -3776,15 +3776,23 @@ cb AS (
     FROM fv f, cb c
   ) GROUP BY 1
 ), rep AS (
-  SELECT cluster AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
-         CAST(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
-           / CAST(count(*) AS DOUBLE) AS mean_cos
-  FROM asg GROUP BY 1
+  -- LEFT JOIN from the codebook: dead centroids (zero assigned
+  -- vectors) must appear with n_vecs=0 / NULL mean_cos, mirroring
+  -- the operator's dead-list visibility contract
+  SELECT c.cid AS centroid_id, CAST(count(a.vec_id) AS BIGINT) AS n_vecs,
+         CASE WHEN count(a.vec_id) = 0 THEN NULL
+              ELSE CAST(CAST(sum(CAST(a.cos AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)
+                   / CAST(count(a.vec_id) AS DOUBLE) END AS mean_cos
+  FROM cb c LEFT JOIN asg a ON a.cluster = c.cid GROUP BY 1
 ), tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM rep)
 SELECT centroid_id, n_vecs, mean_cos,
-       CAST(n_vecs AS DOUBLE) * 4.0 / CAST(n AS DOUBLE) AS occupancy_ratio,
-       (mean_cos < 0.2
-        OR CAST(n_vecs AS DOUBLE) * 4.0 / CAST(n AS DOUBLE) > 2.0) AS retrain
+       CASE WHEN n = 0 THEN 0.0
+            ELSE CAST(n_vecs AS DOUBLE) * 4.0 / CAST(n AS DOUBLE) END
+         AS occupancy_ratio,
+       (n_vecs = 0 OR mean_cos < 0.2
+        OR (CASE WHEN n = 0 THEN 0.0
+                 ELSE CAST(n_vecs AS DOUBLE) * 4.0 / CAST(n AS DOUBLE) END) > 2.0)
+         AS retrain
 FROM rep, tot
 """
 

@@ -134,7 +134,49 @@ def test_ivf_drift_flags_skew_and_low_cos(spark):
         "vec_id long, embedding array<double>",
     )
     rep = ivf_drift_report(drifted, cents, cos_floor=0.5).collect()
-    assert all(r["retrain"] and r["mean_cos"] < 0.5 for r in rep)
+    # every vector ties to cid 0 -> cid 1 is DEAD and reported as such
+    assert all(r["retrain"] for r in rep)
+    assert all(r["mean_cos"] < 0.5 for r in rep if r["n_vecs"] > 0)
+    assert {r["centroid_id"]: r["n_vecs"] for r in rep} == {0: 4, 1: 0}
+
+
+def test_ivf_drift_reports_dead_centroids(spark):
+    """A centroid with ZERO assigned vectors must still appear —
+    n_vecs=0, NULL mean_cos, occupancy 0, retrain=true. A dead
+    inverted list is drift evidence, not a row to drop."""
+    from data_pengadaan_agent_spark.operators.similarity import ivf_drift_report
+
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])]
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(4)],  # everything near cid 0
+        "vec_id long, embedding array<double>",
+    )
+    rep = {r["centroid_id"]: r for r in ivf_drift_report(df, cents).collect()}
+    assert set(rep) == {0, 1, 2}
+    for dead in (1, 2):
+        r = rep[dead]
+        assert r["n_vecs"] == 0 and r["mean_cos"] is None
+        assert r["occupancy_ratio"] == 0.0 and r["retrain"]
+    assert rep[0]["n_vecs"] == 4 and rep[0]["occupancy_ratio"] == 3.0
+
+
+def test_ivf_drift_rejects_bad_codebooks(spark):
+    """Empty codebook and duplicate centroid ids raise clearly at
+    call time; a vector/codebook dim mismatch raises a clear
+    ValueError from the kernel instead of an opaque numpy error."""
+    import pytest
+
+    from data_pengadaan_agent_spark.operators.similarity import ivf_drift_report
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty centroid"):
+        ivf_drift_report(df, [])
+    with pytest.raises(ValueError, match="duplicate centroid"):
+        ivf_drift_report(df, [(0, [1.0, 0.0, 0.0]), (0, [0.0, 1.0, 0.0])])
+    with pytest.raises(Exception, match="dim"):
+        ivf_drift_report(df, [(0, [1.0, 0.0])]).collect()
 
 
 def test_mmr_prefers_diverse_over_redundant(spark):

@@ -3806,6 +3806,50 @@ def _q_mmr_diversify(spark, sf):
     return S.mmr_diversify(emb, qvec, k=5, pool=40, lam=0.7)
 
 
+def _q_winnow_fingerprints(spark, sf):
+    """Winnowing positional fingerprints (operators/textan.
+    winnow_fingerprints, MOSS selection rule): k=5-gram two-channel
+    poly hashes, window w=4, rightmost-min selection, over the
+    doc_id%5=0 slice (fixture compactness — the operator is
+    corpus-wide). ROUND-10-pool candidate."""
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return X.winnow_fingerprints(docs, k=5, w=4)
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of _q_winnow_fingerprints: same tokenizer, same
+    k-gram construction, same two-channel poly hash mod P31, and the
+    same order-theoretic selection — min(struct(h, -pos)) over a
+    ROWS w-1 PRECEDING frame (struct comparison is lexicographic on
+    both engines)."""
+    p131 = _DUCK_POLY.format(s="g", mult=131)
+    p137 = _DUCK_POLY.format(s="g", mult=137)
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {k} AS INT)], ' ') AS g
+  FROM d, unnest(range(greatest(len(toks) - {k} + 1, 0))) AS u(i)
+),
+h AS (
+  SELECT doc_id, pos,
+         (({p131}) * 131 + ({p137})) % 2147483647 AS h
+  FROM g
+),
+sel AS (
+  SELECT doc_id, pos,
+         min(struct_pack(h := h, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM h
+)
+SELECT DISTINCT doc_id, -(s.np) AS fp_pos, s.h AS fp_hash
+FROM sel WHERE pos >= {w - 1}
+"""
+
+
 def _mmr_sql(k: int = 5, pool: int = 40, lam: float = 0.7) -> str:
     """DuckDB twin of mmr_diversify: pool cut on rounded relevance,
     pool×pool rounded sim matrix, then the k greedy argmax steps
@@ -3899,6 +3943,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "ivf_drift_report": _q_ivf_drift_report,
         "mmr_diversify": _q_mmr_diversify,
+        "winnow_fingerprints": _q_winnow_fingerprints,
     }
 
 
@@ -3908,6 +3953,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "ivf_drift_report": _ivf_drift_sql(),
         "mmr_diversify": _mmr_sql(k=5, pool=40, lam=0.7),
+        "winnow_fingerprints": _winnow_sql(k=5, w=4),
     }
 
 

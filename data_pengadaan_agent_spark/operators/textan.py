@@ -367,6 +367,87 @@ def distinct_hashed_ngrams(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): POSITIONAL fingerprint
+    selection, the span-level complement of the whole-document
+    ``fingerprint`` and the set-level MinHash family. Hash every
+    word ``k``-gram, slide a window of ``w`` consecutive k-gram
+    hashes, and per window select the minimum hash, rightmost on
+    ties; output the distinct selected (position, hash) pairs per
+    document. Guarantees: any shared substring of at least
+    ``w + k - 1`` tokens between two documents yields at least one
+    IDENTICAL selected fingerprint in both (detection threshold),
+    and expected selected density is 2/(w+1) — a tunable sketch
+    whose matches carry positions, so overlap hits can be mapped
+    back to spans (plagiarism/citation localization, license-text
+    spotting) rather than just flagging the pair. Documents with
+    fewer than ``w + k - 1`` tokens have no full window and emit no
+    fingerprints — too short to clear the detection threshold by
+    definition.
+
+    The rightmost-min-per-window rule is order-theoretic, not
+    procedural: selecting ``min(struct(hash, -pos))`` over a
+    ``ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW`` frame (struct
+    comparison is lexicographic on both engines) reproduces it
+    exactly, so the whole operator is ONE window pass — no UDF, no
+    per-window loop. ``arith_hash=True`` hashes k-grams with the
+    two-channel 31-bit polynomial (integer arithmetic an external
+    SQL oracle replays bit-exactly); ``False`` uses JVM xxhash64 —
+    the production path (same selection law, engine-private hash).
+
+    Scale shape: one posexplode to (doc, pos, hash64) rows, ONE
+    doc-partitioned exchange serving both the window and the final
+    distinct's partial aggregate; exchanges carry (id, int, int64)
+    only, never text. spread() fans the explode out so a single
+    narrow input split cannot serialize the scan."""
+    from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    if w < 1 or k < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    grams = spread(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, k)).alias("pos", "g"),
+    )
+    if arith_hash:
+        h = F.pmod(
+            poly_hash_col(F.col("g"), 131) * F.lit(131)
+            + poly_hash_col(F.col("g"), 137),
+            F.lit(P31),
+        )
+    else:
+        h = F.xxhash64("g")
+    hashed = grams.select(
+        F.col(id_col), F.col("pos").cast("bigint").alias("pos"), h.alias("h")
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = F.min(F.struct(F.col("h").alias("h"), (-F.col("pos")).alias("np"))).over(
+        win
+    )
+    return (
+        hashed.withColumn("_s", sel)
+        .filter(F.col("pos") >= F.lit(w - 1))
+        .select(
+            F.col(id_col),
+            (-F.col("_s.np")).alias("fp_pos"),
+            F.col("_s.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
 def ngram_contamination(
     test_df: DataFrame,
     train_df: DataFrame,

@@ -44,6 +44,48 @@ def test_fingerprint_order_sensitive(spark):
     assert out[1] != out[3]
 
 
+def test_winnow_selection_law(spark):
+    """MOSS winnowing pins: (1) all-tie hashes select the RIGHTMOST
+    position of each window; (2) a doc shorter than w+k-1 tokens
+    emits nothing; (3) every full window contains >=1 selected
+    position (the coverage guarantee); (4) the detection guarantee —
+    a shared run of >= w+k-1 tokens yields an identical selected
+    (hash) in both documents."""
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a a"),
+            (2, "a b"),
+            (3, "p q r s t u v w x y z"),
+            (4, "m n p q r s t u o k l"),  # shares "p q r s t u" with 3
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = X.winnow_fingerprints(df, k=1, w=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["fp_pos"], r["fp_hash"]))
+    assert sorted(p for p, _ in by_doc[1]) == [2, 3, 4, 5]  # rightmost ties
+    assert 2 not in by_doc  # below the w+k-1 = 3 token threshold
+    for doc in (3, 4):  # coverage: every window [t-2, t] has a pick
+        picks = sorted(p for p, _ in by_doc[doc])
+        for t in range(2, 11):
+            assert any(t - 2 <= p <= t for p in picks), (doc, t, picks)
+    # detection: k=4, w=3 -> shared 6-token run guarantees a common hash
+    out2 = X.winnow_fingerprints(df.filter(F.col("doc_id").isin(3, 4)), k=4, w=3)
+    hashes = {}
+    for r in out2.collect():
+        hashes.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert hashes[3] & hashes[4]
+
+
+def test_winnow_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="k and w"):
+        X.winnow_fingerprints(df, k=0, w=4)
+
+
 def test_derive_filtered_keywords(spark):
     df = spark.createDataFrame(
         [(1, "Belanja ALAT Tulis", "alat tulis untuk the kantor!")],

@@ -59,6 +59,7 @@ HEADLINERS = {
     "scd2_history": "SCD2 validity intervals: ONE key exchange shared by lag, running version sum, run aggregate, and valid_to lead",
     "ivf_drift_report": "frozen-codebook drift monitor: broadcast-literal centroids into one Arrow assignment scan, <=k-row aggregate",
     "mmr_diversify": "MMR top-k: distributed rounded-relevance pool cut (TakeOrdered), then one pool-bounded single-partition greedy kernel",
+    "winnow_fingerprints": "MOSS winnowing as ONE window pass: struct-min over a w-row frame, distinct reuses the same doc_id exchange",
 }
 
 

@@ -489,17 +489,22 @@ def streaming_dedup_near(
                 }
             )
 
-    banded = _watermarked(
-        # NULL text propagates NULL through the SQL twin's tokenizer
-        # and yields no rows there — match it by dropping such docs
-        # before the kernel (str(None) would otherwise shingle the
-        # literal "none" and make unrelated NULL docs near-dups)
-        docs.select(id_col, ts_col, text_col)
-        .filter(F.col(text_col).isNotNull())
-        .mapInPandas(kernel, schema=out_schema),
-        ts_col,
-        delay,
+    # NULL text propagates NULL through the SQL twin's tokenizer
+    # and yields no rows there — match it by dropping such docs
+    # before the kernel (str(None) would otherwise shingle the
+    # literal "none" and make unrelated NULL docs near-dups)
+    inp = docs.select(id_col, ts_col, text_col).filter(
+        F.col(text_col).isNotNull()
     )
+    if not docs.isStreaming:
+        # the signature kernel is the cost center; a single-split
+        # batch input would run it on one core (spread() is a no-op
+        # on a real multi-file table, and .rdd inspection is illegal
+        # on a stream — micro-batch sources size their own splits)
+        from data_pengadaan_agent_spark.sources.catalog import spread
+
+        inp = spread(inp, id_col)
+    banded = _watermarked(inp.mapInPandas(kernel, schema=out_schema), ts_col, delay)
     if banded.isStreaming:
         first = banded.dropDuplicatesWithinWatermark(["band", "bucket"])
     else:

@@ -1597,7 +1597,16 @@ def quality_classifier_stateless(
                     columns=[id_col, "n_feats", "_raw", "keep"] + list(carry),
                 )
 
-    scored = docs.mapInPandas(
+    src = docs
+    if not docs.isStreaming:
+        # the per-gram scoring loop is the cost center; a single-split
+        # batch input (parity tests, small tables) would run it on one
+        # core. No-op on a stream (sources size their own splits) and
+        # on any multi-split table.
+        from data_pengadaan_agent_spark.sources.catalog import spread
+
+        src = spread(docs, id_col)
+    scored = src.mapInPandas(
         score,
         schema=(
             f"{id_col} {id_type}, n_feats bigint, _raw double, "

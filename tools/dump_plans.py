@@ -52,7 +52,7 @@ HEADLINERS = {
     "corpus_report": "per-source datasheet: one scan, one partial-aggregated exchange with the count-distinct expand",
     "dsir_importance": "one tokenize pass, Arrow (doc,bucket) pre-agg before the broadcast log-ratio join, DISK_ONLY lineage cuts",
     "dedup_passages": "posexplode -> hash-keyed first-occurrence vote -> one pinned join -> rebuild aggregate; only 8-byte hashes shuffle",
-    "dedup_near_batch": "one stateless Arrow signature kernel, (band,sig) equi-join candidates, exact verify",
+    "dedup_near_batch": "one stateless Arrow signature kernel (spread-fanned on starved inputs), (band,sig) equi-join candidates, exact verify",
     "mine_hard_negatives": "broadcast query-batch into a gold-masked Arrow top-k kernel; one window exchange of partitions x |Q| x k rows",
     "bm25_retrieval_batch": "postings semi-joined against the broadcast query vocabulary before any shuffle; all joins broadcast the query-bounded side",
     "ngram_lm_score": "stupid-backoff LM gate: vocab-sized c1/c2 count tables, all three count joins pinned shuffle_hash (explode lineage), 1-row N broadcast",

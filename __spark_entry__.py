@@ -3919,6 +3919,90 @@ WITH q AS (
 """
 
 
+def _q_winnow_matches(spark, sf):
+    """Span-level cross-corpus overlap (operators/textan.
+    winnow_matches — the MOSS report step): corpus A = the doc_id%4=0
+    slice, corpus B = the same docs re-identified (+1000000) with a
+    6-token prelude prepended, so every A doc shares its full text
+    run with its B twin (the detection guarantee applies: shared run
+    >> w+k-1) while positions SHIFT by the prelude — the span
+    columns prove localization, not just pairing. max_df=50 caps
+    viral fingerprints, min_shared=2 drops hash-collision noise.
+    ROUND-10-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit("prelude tokens pad out the head "), F.col("text")
+        ).alias("text"),
+    )
+    return X.winnow_matches(a, b, k=5, w=4, max_df=50, min_shared=2)
+
+
+def _winnow_side_cte(tag: str, src_sql: str, text_expr: str, k: int, w: int) -> str:
+    """Per-side winnow CTE chain (d→g→h→sel→fp) with a tag suffix;
+    same construction as _winnow_sql but parameterized on the source
+    rows and the text expression (corpus B prepends a prelude)."""
+    toks = f"string_split_regex(lower(trim({text_expr})), '[ \\t\\n\\x0B\\f\\r]+')"
+    p131 = _DUCK_POLY.format(s="g", mult=131)
+    p137 = _DUCK_POLY.format(s="g", mult=137)
+    return f"""
+d{tag} AS (SELECT doc_id, {toks} AS toks FROM ({src_sql})),
+g{tag} AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {k} AS INT)], ' ') AS g
+  FROM d{tag}, unnest(range(greatest(len(toks) - {k} + 1, 0))) AS u(i)
+),
+h{tag} AS (
+  SELECT doc_id, pos, (({p131}) * 131 + ({p137})) % 2147483647 AS h FROM g{tag}
+),
+sel{tag} AS (
+  SELECT doc_id, pos,
+         min(struct_pack(h := h, np := -pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM h{tag}
+),
+fp{tag} AS (
+  SELECT DISTINCT doc_id, -(s.np) AS fp_pos, s.h AS fp_hash
+  FROM sel{tag} WHERE pos >= {w - 1}
+),
+r{tag} AS (
+  SELECT * FROM fp{tag} WHERE fp_hash IN (
+    SELECT fp_hash FROM (
+      SELECT fp_hash, count(DISTINCT doc_id) AS c FROM fp{tag} GROUP BY 1
+    ) WHERE c <= 50)
+)"""
+
+
+def _winnow_matches_sql(k: int = 5, w: int = 4, min_shared: int = 2) -> str:
+    """DuckDB twin of _q_winnow_matches: both winnow pipelines
+    replayed per side, per-side document-frequency cap, hash
+    equi-join, per-pair count + span extents."""
+    a = _winnow_side_cte(
+        "a", "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0", "text", k, w
+    )
+    b = _winnow_side_cte(
+        "b",
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0",
+        "'prelude tokens pad out the head ' || text",
+        k,
+        w,
+    )
+    return f"""
+WITH {a.lstrip()},
+{b.lstrip()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(DISTINCT a.fp_hash) AS BIGINT) AS n_shared,
+       min(a.fp_pos) AS a_span_start, max(a.fp_pos) AS a_span_end,
+       min(b.fp_pos) AS b_span_start, max(b.fp_pos) AS b_span_end
+FROM ra a JOIN rb b ON a.fp_hash = b.fp_hash
+GROUP BY 1, 2
+HAVING count(DISTINCT a.fp_hash) >= {min_shared}
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -3944,6 +4028,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_drift_report": _q_ivf_drift_report,
         "mmr_diversify": _q_mmr_diversify,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
     }
 
 
@@ -3954,6 +4039,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "ivf_drift_report": _ivf_drift_sql(),
         "mmr_diversify": _mmr_sql(k=5, pool=40, lam=0.7),
         "winnow_fingerprints": _winnow_sql(k=5, w=4),
+        "winnow_matches": _winnow_matches_sql(k=5, w=4, min_shared=2),
     }
 
 

@@ -448,6 +448,82 @@ def winnow_fingerprints(
     )
 
 
+def winnow_matches(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+) -> DataFrame:
+    """Span-level cross-corpus overlap report — the consumer that
+    turns ``winnow_fingerprints`` into the full MOSS loop: which
+    document PAIRS share fingerprints, how many, and WHERE. For each
+    (a, b) pair sharing ≥ ``min_shared`` selected fingerprint hashes,
+    reports the shared count and the span extent on each side
+    (min/max matched k-gram position) — enough to localize the
+    overlapping region for human review, which set-level overlap
+    (``cross_source_overlap``, ``ngram_contamination``) cannot do.
+    Detection inherits winnowing's guarantee: a shared run of
+    ≥ w+k−1 tokens always produces ≥ 1 shared fingerprint.
+
+    ``max_df`` is the boilerplate guard and the 100 TB safety bound:
+    a fingerprint hash selected in more than ``max_df`` documents of
+    either corpus (license headers, templated navigation) is dropped
+    BEFORE the pair join — otherwise one viral k-gram joins m × n
+    document pairs and the candidate set goes quadratic BY
+    CONSTRUCTION (the minhash_lsh_pairs lesson; the cap makes the
+    worst-case pair fan-out per hash max_df²). Dropped hashes are
+    boilerplate by definition — the same rationale as
+    ``boilerplate_ngrams``.
+
+    Scale shape: two fingerprint passes (each ONE window pass, see
+    winnow_fingerprints), per-side document-frequency filters
+    (partial-aggregated, ≤ |hashes| rows), then ONE (hash) equi-join
+    whose exchanges carry (id, pos, int64) rows only, and a final
+    (a, b) aggregate. Both join sides descend from explodes —
+    garbage size estimates — so the join is pinned shuffle-capable
+    (merge), never a corpus-sized broadcast."""
+    fa = winnow_fingerprints(df_a, k, w, text_col, id_col, arith_hash)
+    fb = winnow_fingerprints(df_b, k, w, text_col, id_col, arith_hash)
+
+    def _rare(fp: DataFrame) -> DataFrame:
+        dfreq = fp.groupBy("fp_hash").agg(
+            F.count_distinct(id_col).alias("_df")
+        )
+        return fp.join(
+            dfreq.filter(F.col("_df") <= max_df).select("fp_hash").hint("merge"),
+            "fp_hash",
+            "left_semi",
+        )
+
+    a = _rare(fa).select(
+        F.col(id_col).alias("a_id"),
+        F.col("fp_pos").alias("a_pos"),
+        "fp_hash",
+    )
+    b = _rare(fb).select(
+        F.col(id_col).alias("b_id"),
+        F.col("fp_pos").alias("b_pos"),
+        "fp_hash",
+    )
+    return (
+        a.join(b.hint("merge"), "fp_hash")
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count_distinct("fp_hash").cast("bigint").alias("n_shared"),
+            F.min("a_pos").alias("a_span_start"),
+            F.max("a_pos").alias("a_span_end"),
+            F.min("b_pos").alias("b_span_start"),
+            F.max("b_pos").alias("b_span_end"),
+        )
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )
+
+
 def ngram_contamination(
     test_df: DataFrame,
     train_df: DataFrame,

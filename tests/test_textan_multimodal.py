@@ -78,6 +78,49 @@ def test_winnow_selection_law(spark):
     assert hashes[3] & hashes[4]
 
 
+def test_winnow_matches_localizes_shared_span(spark):
+    """Two corpora sharing one long token run at DIFFERENT offsets:
+    the pair must be reported, and each side's span extent must sit
+    inside its own doc's copy of the run (localization, not just
+    pairing). An unrelated doc pairs with nothing."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = spark.createDataFrame(
+        [(1, shared + " ending words here"), (2, "totally unrelated text stream")],
+        "doc_id LONG, text STRING",
+    )
+    b = spark.createDataFrame(
+        [(10, "front padding tokens first " + shared)],
+        "doc_id LONG, text STRING",
+    )
+    out = X.winnow_matches(a, b, k=3, w=3, max_df=50, min_shared=1).collect()
+    pairs = {(r["a_id"], r["b_id"]): r for r in out}
+    assert (1, 10) in pairs and (2, 10) not in pairs
+    r = pairs[(1, 10)]
+    # shared run = 10 tokens => 8 k-grams at k=3; A's copy starts at
+    # pos 0, B's at pos 4 (4 padding tokens) — spans must respect it
+    assert r["n_shared"] >= 1
+    assert 0 <= r["a_span_start"] <= r["a_span_end"] <= 7
+    assert 4 <= r["b_span_start"] <= r["b_span_end"] <= 11
+
+
+def test_winnow_matches_max_df_drops_boilerplate(spark):
+    """A k-gram run shared by MANY docs (license-header shape) must
+    be excluded by the document-frequency cap: with max_df below the
+    count of docs carrying it, no pairs survive; with a generous cap
+    the quadratic pair set appears."""
+    boiler = "standard license header text appears verbatim everywhere always"
+    a = spark.createDataFrame(
+        [(i, boiler) for i in range(6)], "doc_id LONG, text STRING"
+    )
+    b = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(6)], "doc_id LONG, text STRING"
+    )
+    none = X.winnow_matches(a, b, k=3, w=3, max_df=5, min_shared=1).count()
+    assert none == 0
+    allpairs = X.winnow_matches(a, b, k=3, w=3, max_df=50, min_shared=1).count()
+    assert allpairs == 36
+
+
 def test_winnow_rejects_bad_params(spark):
     import pytest
 

@@ -60,6 +60,7 @@ HEADLINERS = {
     "ivf_drift_report": "frozen-codebook drift monitor: broadcast-literal centroids into one Arrow assignment scan, <=k-row aggregate",
     "mmr_diversify": "MMR top-k: distributed rounded-relevance pool cut (TakeOrdered), then one pool-bounded single-partition greedy kernel",
     "winnow_fingerprints": "MOSS winnowing as ONE window pass: struct-min over a w-row frame, distinct reuses the same doc_id exchange",
+    "winnow_matches": "span-level overlap: per-side document-frequency caps before the fingerprint equi-join, merge-pinned explode-derived sides",
 }
 
 

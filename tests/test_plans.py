@@ -369,9 +369,13 @@ def test_corpus_report_single_source_exchange(spark, tables):
 
 def test_dedup_near_kernel_plan_shape(spark, tables):
     """Batch near-dup dedup: one MapInPandas kernel emits the band
-    rows, then exactly TWO hash exchanges (rank-1 window on
-    (band, bucket) + the windowed per-doc agg) — no joins, nothing
-    explode-derived for the planner to mis-broadcast."""
+    rows, then exactly TWO required-distribution hash exchanges
+    (rank-1 window on (band, bucket) + the windowed per-doc agg) —
+    no joins, nothing explode-derived for the planner to
+    mis-broadcast. A starved input may additionally carry ONE
+    spread() fan-out repartition BEFORE the kernel
+    (REPARTITION_BY_NUM — the round-8 kernel fan-out rule), which is
+    load distribution, not a semantic shuffle."""
     import re
 
     from data_pengadaan_agent_spark.streaming.windows import streaming_dedup_near
@@ -390,7 +394,13 @@ def test_dedup_near_kernel_plan_shape(spark, tables):
     plan = _plan(out).split("== Initial Plan ==")[0]
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    required = [
+        m
+        for m in re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+        if "REPARTITION_BY_NUM" not in m
+    ]
+    assert len(required) == 2, plan
+    assert len(re.findall(r"REPARTITION_BY_NUM", plan)) <= 1, plan
 
 
 def test_dsir_checkpoint_discipline(spark, tables):

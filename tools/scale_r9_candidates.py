@@ -1,6 +1,7 @@
-"""Scale-lap the four round-9 candidate operators (the judge's
+"""Scale-lap the round-8-built candidate operators (the judge's
 standing ask: every new operator gets a measured scaling exponent
-before it reaches the driver gate).
+before it reaches the driver gate). Covers the four r9 candidates
+plus the two r10-pool winnowing ops.
 
 Axes per operator, reusing /tmp/spark_graft_scale's mutated-replica
 fixtures (linear dup structure — see scale_check.py):
@@ -100,6 +101,18 @@ base = embs[1].filter(F.col("vec_id") < 1000)
 _, CENTS = S.kmeans_lloyd(base, "embedding", "vec_id", k=4, iters=2, with_centroids=True)
 QVEC = embs[1].filter(F.col("vec_id") == 0).select("embedding").first()[0]
 
+def _wm_sides(k):
+    d = docs[k]
+    a = d.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("prelude tokens pad out the head "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    return a, b
+
+
 RUNS = {
     "ngram_lm_score": lambda k: X.ngram_lm_score(
         docs[k], docs[k].filter(F.col("lang") == "en")).count(),
@@ -107,6 +120,10 @@ RUNS = {
     "ivf_drift_report": lambda k: S.ivf_drift_report(embs[k], CENTS).count(),
     "mmr_diversify": lambda k: S.mmr_diversify(
         embs[k], QVEC, k=5, pool=40, lam=0.7).count(),
+    "winnow_fingerprints": lambda k: X.winnow_fingerprints(
+        docs[k], k=5, w=4).count(),
+    "winnow_matches": lambda k: X.winnow_matches(
+        *_wm_sides(k), k=5, w=4, max_df=50, min_shared=2).count(),
 }
 
 res = {}

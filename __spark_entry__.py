@@ -2295,9 +2295,14 @@ def _q_bm25_retrieval_batch(spark, sf):
 
 
 def _bm25_retrieval_batch_sql(k: int = 5) -> str:
-    """DuckDB twin of _q_bm25_retrieval_batch: integer-proxy idf, the
-    same single-scalar contribution expression rounded to 6 places and
-    summed as DECIMAL (order-free), same (score DESC, id) ranking."""
+    """DuckDB twin of _q_bm25_retrieval_batch: integer-proxy idf and
+    the EXACT-INTEGER contribution (round-9 determinism fix — the old
+    round(double, 6) form hash-failed on a representation-boundary
+    value in the driver environment). With k1=1.5, b=0.75 the
+    fraction-cleared form is contrib = (idf·20·tf·sdl) //
+    (8·tf·sdl + 3·sdl + 9·dl·n) — every term integer, widened through
+    HUGEINT, one integer division, zero rounding; summed exactly, same
+    (score DESC, id) ranking."""
     return f"""
 WITH d AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
@@ -2311,8 +2316,8 @@ posts AS (
   WHERE u.t IN (SELECT DISTINCT t FROM q)
 ),
 tf AS (
-  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf,
-         CAST(min(dl) AS DOUBLE) AS dl
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+         CAST(min(dl) AS BIGINT) AS dl
   FROM posts GROUP BY 1, 2
 ),
 dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS dft FROM tf GROUP BY 1),
@@ -2322,18 +2327,18 @@ stats AS (
 ),
 c AS (
   SELECT q.qid, tf.doc_id,
-         CAST(round(
-           CAST((n * 1000000) // greatest(dft, 1) AS DOUBLE)
-           * (tf.tf * 2.5)
-           / (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl
-                             / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))),
-         6) AS DECIMAL(28,6)) AS c
+         (CAST((n * 1000000) // greatest(dft, 1) AS HUGEINT)
+          * 20 * tf.tf * sdl)
+         //
+         (CAST(8 AS HUGEINT) * tf.tf * sdl
+          + CAST(3 AS HUGEINT) * sdl
+          + CAST(9 AS HUGEINT) * tf.dl * n) AS c
   FROM tf
   JOIN q ON q.t = tf.t
   JOIN dfreq ON dfreq.t = tf.t
   CROSS JOIN stats
 ),
-s AS (SELECT qid, doc_id, sum(c) AS bm25 FROM c GROUP BY 1, 2),
+s AS (SELECT qid, doc_id, CAST(sum(c) AS DECIMAL(38,0)) AS bm25 FROM c GROUP BY 1, 2),
 r AS (
   SELECT qid, doc_id, bm25,
          row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk
@@ -2700,6 +2705,14 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 9 (promoted from candidate_queries(); the
+        # 4-in/4-out registration plan pre-verified in round 8 with
+        # tools/plan_rotation.py — each pairs with one retirement from
+        # r9's due set, see _RETIRED_TIER3) ---
+        "ngram_lm_score": _q_ngram_lm_score,
+        "scd2_history": _q_scd2_history,
+        "ivf_drift_report": _q_ivf_drift_report,
+        "mmr_diversify": _q_mmr_diversify,
         # --- NEW in round 8 (promoted from candidate_queries(); the
         # registration plan pre-computed in round 7 — VERDICT r7 ask
         # #1: all five fit the 50-entry gate window exactly) ---
@@ -3630,6 +3643,33 @@ _RETIRED_TIER3 = frozenset(
         # r4-green, both still value-checked every pytest run.
         "limit_preview",
         "histogram_month_of_year",
+        # round-9 retirements (the pre-planned tranche, NOTES.md — all
+        # four were DUE in r9's gate window, the only retirement kind
+        # that frees a slot at the 150 cap):
+        # passage_dedup: shared-passage STATS variant; its 16-token
+        # posexplode + count-distinct shape is a strict subset of
+        # registered dedup_passages (adds first-occurrence vote +
+        # rebuild on the same lineage).
+        "passage_dedup",
+        # normalize_text: pure codegen select; the identical
+        # canonicalization expression runs inside registered
+        # corpus_curation's lineage (its twin embeds the same regexes).
+        "normalize_text",
+        # chart_histogram_categorical: C4 categorical branch ≡
+        # value_counts aggregate + chart_bar_priority top-N shape; the
+        # numeric branch of the same dispatcher is histogram_numeric.
+        "chart_histogram_categorical",
+        # hourly_distinct_users: time-bucketed distinct ≡ distinct_count
+        # (A8) + activity_heatmap time bucketing.
+        "hourly_distinct_users",
+        # FIFTH r9 retirement (unplanned, forced by the r8 red row:
+        # bm25_retrieval_batch registered in r8 but hash-failed, so it
+        # bought no freshness and re-enters r9's must-check set as
+        # never-green — 51 must > 50 window without one more slot).
+        # except_all_multiplicity: EXCEPT ALL multiplicity-preserving
+        # variant; the §2.7 set-ops family keeps its driver row via
+        # the registered set_ops (INTERSECT/EXCEPT/UNION, r7-green).
+        "except_all_multiplicity",
     }
 )
 
@@ -4014,19 +4054,16 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     everything else.
 
     Round 7 promoted all three round-6 candidates; round 8 promoted
-    all five round-7 candidates (quality_classifier,
-    decontaminate_semantic, mine_hard_negatives,
-    corpus_ingest_stream_scored, bm25_retrieval_batch) — the registry
-    now sits at its 150-entry capacity cap, so each round-8 candidate
-    below registers in r9 PAIRED with one retirement from the
-    pre-planned tranche (NOTES.md; all four retirees are in r9's due
-    set, which is the only kind of retirement that frees a slot at
-    the cap)."""
+    all five round-7 candidates; round 9 promoted its four pre-planned
+    candidates (ngram_lm_score, scd2_history, ivf_drift_report,
+    mmr_diversify) paired with the four due-set retirements from the
+    NOTES tranche. The two remaining entries below are the r10 plan
+    (the winnowing pair — MOSS positional fingerprints + the span
+    consumer); at the 150 cap each registers paired with a retirement
+    from r10's due set (tier-3 pool: length_outliers, bm25_retrieval,
+    minhash_lsh_pairs, corpus_ingest_stream — all due r11, so plan
+    against r10's actual due list)."""
     return {
-        "ngram_lm_score": _q_ngram_lm_score,
-        "scd2_history": _q_scd2_history,
-        "ivf_drift_report": _q_ivf_drift_report,
-        "mmr_diversify": _q_mmr_diversify,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
     }
@@ -4034,10 +4071,6 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def candidate_oracle_sql() -> dict[str, str]:
     return {
-        "ngram_lm_score": _NGRAM_LM_SQL,
-        "scd2_history": _SCD2_SQL,
-        "ivf_drift_report": _ivf_drift_sql(),
-        "mmr_diversify": _mmr_sql(k=5, pool=40, lam=0.7),
         "winnow_fingerprints": _winnow_sql(k=5, w=4),
         "winnow_matches": _winnow_matches_sql(k=5, w=4, min_shared=2),
     }
@@ -4045,6 +4078,11 @@ def candidate_oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-9 registrations (promoted candidates) ---
+        "ngram_lm_score": _NGRAM_LM_SQL,
+        "scd2_history": _SCD2_SQL,
+        "ivf_drift_report": _ivf_drift_sql(),
+        "mmr_diversify": _mmr_sql(k=5, pool=40, lam=0.7),
         # --- round-8 registrations (promoted candidates) ---
         "quality_classifier": _quality_classifier_sql(),
         "decontaminate_semantic": _decontaminate_semantic_sql(),

@@ -784,12 +784,30 @@ def bm25_retrieval_batch(
     generalization of ``bm25_score``, whose fixed-expression-order
     determinism trick cannot extend to per-query term lists.
 
-    Cross-engine determinism (the DSIR discipline instead): idf stays
-    the integer proxy ``(N * 1_000_000) DIV df_t``; each (query, doc,
-    term) contribution is ONE scalar IEEE expression rounded to 6
-    places and cast DECIMAL, so the per-(query, doc) SUM is exact and
-    order-free; ranking orders by (score DESC, id ASC). A DuckDB twin
-    replaying the same arithmetic is bit-exact.
+    Cross-engine determinism — EXACT INTEGER ARITHMETIC, no floating
+    point anywhere (round-9 hardening: the previous
+    ``round(double, 6)`` contribution hash-failed in the driver
+    environment on a representation-boundary value — Spark rounds
+    HALF_UP on the shortest decimal representation while other engines
+    scale-and-round, and the two can disagree by 1e-6). idf stays the
+    integer proxy ``(N * 1_000_000) DIV df_t``. The BM25 contribution
+    ``idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`` is cleared of
+    fractions by multiplying numerator and denominator by ``L·sdl``
+    (``avgdl = sdl/n``; ``L`` = the lcm of the denominators of the
+    rationals ``k1+1``, ``k1·(1−b)``, ``k1·b`` — 8 for the default
+    k1=1.5, b=0.75):
+
+        contrib = (idf · A·tf·sdl) DIV (L·tf·sdl + B·sdl + C·dl·n)
+
+    with integer coefficients ``A = (k1+1)·L``, ``B = k1·(1−b)·L``,
+    ``C = k1·b·L`` — every term a BIGINT widened through
+    DECIMAL(38,0) for the products (idf·A·tf·sdl can pass int64 at
+    large SFs), ONE integer division, zero rounding: bit-exact on any
+    engine by construction, the same discipline as ``ngram_lm_score``
+    and ``token_rarity``. The per-(query, doc) SUM of integer
+    contributions is exact and order-free; ranking orders by
+    (score DESC, id ASC). ``k1``/``b`` must be rational-representable
+    (the Fraction round-trip is checked; defaults are).
 
     Scale shape: the corpus EXPLODES once — to (term, doc) rows
     immediately semi-joined against the BROADCAST distinct query
@@ -807,16 +825,32 @@ def bm25_retrieval_batch(
     in one query weight that term twice — multiplicity is preserved
     identically on both engines. Documents sharing no term with a
     query are absent from its ranking (score 0), like bm25_score."""
+    from fractions import Fraction
+    from math import lcm
+
+    fk1 = Fraction(k1).limit_denominator(10**6)
+    fb = Fraction(b).limit_denominator(10**6)
+    if float(fk1) != float(k1) or float(fb) != float(b):
+        raise ValueError(
+            "k1 and b must be rational-representable floats for the "
+            "exact-integer BM25 contribution (e.g. 1.5, 0.75, 1.2)"
+        )
+    af, bf, cf = fk1 + 1, fk1 * (1 - fb), fk1 * fb
+    scale_l = lcm(af.denominator, bf.denominator, cf.denominator)
+    coef_a = int(af * scale_l)
+    coef_b = int(bf * scale_l)
+    coef_c = int(cf * scale_l)
+
     toks = tokens(text_col)
     qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
     vocab = qterms.select("t").distinct()
     posts = docs.select(
         F.col(id_col),
         F.explode(toks).alias("t"),
-        F.size(toks).cast("double").alias("_dl"),
+        F.size(toks).cast("bigint").alias("_dl"),
     ).join(F.broadcast(vocab), "t", "left_semi")
     tf = posts.groupBy(id_col, "t").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.count(F.lit(1)).cast("bigint").alias("_tf"),
         F.min("_dl").alias("_dl"),
     )
     dfreq = tf.groupBy("t").agg(
@@ -826,17 +860,13 @@ def bm25_retrieval_batch(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
         F.sum(F.size(toks)).cast("bigint").alias("_sum_dl"),
     )
-    avgdl = F.col("_sum_dl").cast("double") / F.col("_n_docs").cast("double")
-    idf = F.expr("(_n_docs * 1000000) DIV greatest(_df, 1)").cast("double")
-    tfv = F.col("_tf")
-    contrib = (
-        idf
-        * (tfv * F.lit(k1 + 1.0))
-        / (
-            tfv
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
-        )
+    contrib = F.expr(
+        f"""(CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
+             * CAST({coef_a} AS DECIMAL(38,0)) * _tf * _sum_dl)
+            DIV
+            (CAST({scale_l} AS DECIMAL(38,0)) * _tf * _sum_dl
+             + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
+             + CAST({coef_c} AS DECIMAL(38,0)) * _dl * _n_docs)"""
     )
     scored = (
         tf.join(F.broadcast(qterms), "t")
@@ -845,10 +875,10 @@ def bm25_retrieval_batch(
         .select(
             F.col(qid_col),
             F.col(id_col),
-            F.round(contrib, 6).cast("decimal(28,6)").alias("_c"),
+            contrib.alias("_c"),
         )
         .groupBy(qid_col, id_col)
-        .agg(F.sum("_c").alias("bm25"))
+        .agg(F.sum("_c").cast("decimal(38,0)").alias("bm25"))
     )
     from pyspark.sql import Window
 

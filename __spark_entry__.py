@@ -1976,13 +1976,14 @@ def _q_unpivot_metrics(spark, sf):
     shuffle beyond the source agg)."""
     wide = R.pricing_summary(load_table(spark, sf, "lineitem"))
     metrics = ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"]
-    return (
-        wide.unpivot(
-            ["l_returnflag", "l_linestatus"], metrics, "metric", "metric_value"
-        )
-        .withColumn("metric_value", F.round("metric_value", 2))
-        .orderBy("l_returnflag", "l_linestatus", "metric")
-    )
+    # metric_value stays the RAW double (round-9 determinism audit):
+    # the values are exact DECIMAL sums cast to double — bit-identical
+    # across engines already (pricing_summary emits them unrounded and
+    # is driver-green); a round(double, 2) on top only ADDS the
+    # exact-half boundary risk.
+    return wide.unpivot(
+        ["l_returnflag", "l_linestatus"], metrics, "metric", "metric_value"
+    ).orderBy("l_returnflag", "l_linestatus", "metric")
 
 
 def _q_lateral_topk(spark, sf):
@@ -2919,9 +2920,9 @@ WITH t AS (
 SELECT doc_id, n_tokens,
        round(stop_ratio, 6) AS stopword_ratio,
        round(alpha_ratio, 6) AS alpha_ratio,
-       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
              + least(stop_ratio * 5.0, 1.0) * 0.3
-             + alpha_ratio * 0.3, 6) AS quality_score
+             + alpha_ratio * 0.3 AS quality_score
 FROM m
 """
 
@@ -3430,12 +3431,12 @@ WITH corpus AS (
   FROM canon
 ), q AS (
   SELECT tn, source, nc,
-         round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+         least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
            + least((CAST(len(list_filter(toks, x -> x IN
                ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
                / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
            + (CAST(length(regexp_replace(tn, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-               / greatest(nc, 1)) * 0.3, 6) AS quality_score,
+               / greatest(nc, 1)) * 0.3 AS quality_score,
          ({c131}) * 2147483648 + ({c137}) AS fp
   FROM feat
 ), kept AS (
@@ -4970,12 +4971,12 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM documents
             ), q AS (
               SELECT doc_id,
-                     round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
                        + least((CAST(len(list_filter(toks, x -> x IN
                            ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
                            / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
                        + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                           / greatest(n_chars, 1)) * 0.3, 6) AS quality_score
+                           / greatest(n_chars, 1)) * 0.3 AS quality_score
               FROM t
             ), lang AS (
               SELECT doc_id,
@@ -5121,9 +5122,9 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM qt
             ), q AS (
               SELECT doc_id,
-                     round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                     least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
                            + least(stop_ratio * 5.0, 1.0) * 0.3
-                           + alpha_ratio * 0.3, 6) AS quality_score
+                           + alpha_ratio * 0.3 AS quality_score
               FROM qm
             ), j AS (
               SELECT c.doc_id, c.cluster_rep, q.quality_score,
@@ -5493,16 +5494,23 @@ def _oracle_sql_impls() -> dict[str, str]:
             ORDER BY custdist DESC, c_count DESC
         """,
         "window_moving_avg": """
+            -- exact integer-cents half-up average (round-9 determinism
+            -- audit): floor((2C + n) / 2n) / 100, no double rounding
             WITH m AS (
               SELECT o_orderstatus, strftime(o_orderdate, '%Y-%m') AS bulan,
                      sum(CAST(o_totalprice AS DECIMAL(28,2))) AS m_total
               FROM orders GROUP BY 1, 2
+            ), w AS (
+              SELECT o_orderstatus, bulan,
+                     CAST(sum(m_total) OVER win * 100 AS BIGINT) AS c,
+                     count(*) OVER win AS n
+              FROM m WINDOW win AS (
+                PARTITION BY o_orderstatus ORDER BY bulan
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             )
             SELECT o_orderstatus, bulan,
-                   round(avg(CAST(m_total AS DOUBLE)) OVER (
-                     PARTITION BY o_orderstatus ORDER BY bulan
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg
-            FROM m ORDER BY o_orderstatus, bulan
+                   CAST((2 * c + n) // (2 * n) AS DOUBLE) / 100.0 AS mavg
+            FROM w ORDER BY o_orderstatus, bulan
         """,
         "tpch_q8_market_share": """
             SELECT CAST(year(l_shipdate) AS INT) AS l_year,
@@ -5545,12 +5553,12 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM corpus
             ), q AS (
               SELECT text, nc AS n_chars,
-                     round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
                        + least((CAST(len(list_filter(toks, x -> x IN
                            ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
                            / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
                        + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                           / greatest(nc, 1)) * 0.3, 6) AS quality_score
+                           / greatest(nc, 1)) * 0.3 AS quality_score
               FROM t
             )
             SELECT text, n_chars, quality_score FROM q
@@ -5570,12 +5578,12 @@ def _oracle_sql_impls() -> dict[str, str]:
               FROM corpus
             ), q AS (
               SELECT text, nc AS n_chars,
-                     round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+                     least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
                        + least((CAST(len(list_filter(toks, x -> x IN
                            ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
                            / greatest(len(toks), 1)) * 5.0, 1.0) * 0.3
                        + (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-                           / greatest(nc, 1)) * 0.3, 6) AS quality_score
+                           / greatest(nc, 1)) * 0.3 AS quality_score
               FROM t
             )
             SELECT text, n_chars, quality_score FROM q
@@ -5716,7 +5724,8 @@ def _oracle_sql_impls() -> dict[str, str]:
             )
             SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
                    offset_weeks, n_active, cohort_n,
-                   round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+                   CAST((2 * n_active * 1000000 + cohort_n)
+                        // (2 * cohort_n) AS DOUBLE) / 1000000.0 AS retention
             FROM cells c JOIN sizes s USING (cohort_week)
             ORDER BY 1, 2
         """,
@@ -5839,7 +5848,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
               GROUP BY 1, 2
             )
-            SELECT l_returnflag, l_linestatus, metric, round(metric_value, 2) AS metric_value
+            SELECT l_returnflag, l_linestatus, metric, metric_value
             FROM wide
             UNPIVOT (metric_value FOR metric IN (sum_qty, sum_base_price, sum_disc_price, sum_charge))
             ORDER BY l_returnflag, l_linestatus, metric

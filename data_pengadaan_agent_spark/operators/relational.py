@@ -618,11 +618,32 @@ def moving_avg_revenue(orders: DataFrame, window_months: int = 3) -> DataFrame:
         .orderBy("bulan")
         .rowsBetween(-(window_months - 1), 0)
     )
-    return monthly.select(
-        "o_orderstatus",
-        "bulan",
-        F.round(F.avg(F.col("m_total").cast("double")).over(w), 2).alias("mavg"),
-    ).orderBy("o_orderstatus", "bulan")
+    # Exact half-up average to cents in INTEGER arithmetic (round-9
+    # determinism audit): a rows-frame average of exact-cent money
+    # lands on EXACT rounding halves (any 2-row frame with odd total
+    # cents), the one input where engine rounding rules can diverge.
+    # mavg = floor((2·C + n) / (2·n)) / 100 with C = frame sum in
+    # cents (DECIMAL-exact) — one integer division then one IEEE
+    # divide, bit-identical on any engine.
+    return (
+        monthly.select(
+            "o_orderstatus",
+            "bulan",
+            (F.sum("m_total").over(w) * F.lit(100))
+            .cast("bigint")
+            .alias("_c"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .select(
+            "o_orderstatus",
+            "bulan",
+            (
+                F.expr("(2 * _c + _n) DIV (2 * _n)").cast("double")
+                / F.lit(100.0)
+            ).alias("mavg"),
+        )
+        .orderBy("o_orderstatus", "bulan")
+    )
 
 
 def nearby_order_volume(orders: DataFrame, days: int = 3) -> DataFrame:
@@ -1002,14 +1023,22 @@ def cohort_retention(
     cells = joined.groupBy("cohort_week", "offset_weeks").agg(
         F.count_distinct(F.col(user_col)).cast("bigint").alias("n_active")
     )
+    # Exact half-up ratio at 6 places in INTEGER arithmetic (round-9
+    # determinism audit; this operator was the original ADVICE-r3
+    # round(double,6) note): a count ratio with a power-of-two cohort
+    # size lands on an exact rounding half — floor((2e6·a + b)/(2b))
+    # then ONE IEEE divide is bit-identical on any engine.
     return cells.join(F.broadcast(sizes), "cohort_week").select(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         "offset_weeks",
         "n_active",
         "cohort_n",
-        F.round(F.col("n_active").cast("double") / F.col("cohort_n"), 6).alias(
-            "retention"
-        ),
+        (
+            F.expr(
+                "(2 * n_active * 1000000 + cohort_n) DIV (2 * cohort_n)"
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("retention"),
     )
 
 

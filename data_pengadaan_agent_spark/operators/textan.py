@@ -82,7 +82,16 @@ def quality_score(
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        # RAW double, deliberately unrounded (round-9 determinism
+        # audit): the composite lands on EXACT rounding halves (its
+        # terms have dyadic denominators — min(n/100,1)·0.4 caps at
+        # exactly 0.4, etc.), and an exact half is the one input where
+        # engine/version rounding rules (HALF_UP vs banker's) can
+        # diverge. The raw double is bit-identical across engines
+        # because the expression order is fixed; the component ratios
+        # stay rounded (their measured boundary margins are ≥5e-3,
+        # tools/audit_round_boundaries.py).
+        score.alias("quality_score"),
     )
 
 

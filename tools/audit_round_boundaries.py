@@ -1,0 +1,230 @@
+"""Audit the round(double, N) determinism risk class across the whole
+registry (VERDICT r8 ask #3).
+
+Failure class (demonstrated by the r8 driver red on
+``bm25_retrieval_batch``): Spark rounds a double HALF_UP on its
+SHORTEST decimal representation (BigDecimal.valueOf) while DuckDB's
+``round(double, N)`` scales-and-rounds the binary value, so the two
+engines can disagree by 1e-N on a value whose scaled fraction sits at
+a representation boundary (~0.5·10^-N away from the grid). Whether the
+boundary is HIT is a property of the DATA, and the fixtures are static
+parquet — so for every registered/retired/candidate oracle twin we can
+MEASURE the minimum distance of every pre-round value from its nearest
+rounding boundary and certify the margin.
+
+Method: DuckDB lets ``CREATE OR REPLACE MACRO round(x, p) AS x``
+shadow the built-in, so each twin runs twice — normal and
+round-as-identity — in separate connections. A float column whose
+normal values all terminate within 9 decimals is a rounded (or
+grid-valued) column; its rounding scale N is inferred as the max
+decimal places observed. The identity run then yields the PRE-round
+population for that column, and the margin of value v at scale N is
+
+    margin(v) = |frac(|v| * 10^N) - 0.5|
+
+(distance of the scaled fraction from the half-way point, in units of
+the last kept digit; 0.5 = sitting exactly on grid = safest, 0.0 =
+exactly half-way = engine-dependent). Anything below ~1e-6 is within
+double-representation ambiguity for O(1e3)-magnitude values and is
+flagged.
+
+Caveat recorded honestly: for twins that RANK on rounded keys the
+identity run may select different rows than the real query, so the
+margin statistics sample the same value population near the cut rather
+than the exact output set — adequate for certifying "no value anywhere
+near a boundary", which is the claim being audited.
+
+Usage: python tools/audit_round_boundaries.py [sf_dir] [entry ...]
+Writes a summary table to stdout and tools/round_audit.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+FLAG_MARGIN = 1e-6  # scaled-fraction distance considered dangerous
+
+# Columns whose round() input is a DECIMAL on BOTH engines but whose
+# CAST-to-double sits OUTSIDE the round, so the identity-macro type
+# probe sees a double and cannot auto-classify them. Decimal rounding
+# is exact digit arithmetic (HALF_UP away from zero on both engines) —
+# no representation boundary exists. Verified by reading both sides.
+SAFE_DECIMAL_ROUND = {
+    # Spark: F.round(F.sum(DECIMAL), 2).cast("double");
+    # DuckDB: CAST(round(sum(DECIMAL...), 2) AS DOUBLE)
+    "tpch_q9_product_profit": {"sum_profit"},
+}
+
+
+def connect(sf_dir: str, identity_round: bool):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    if identity_round == 2:
+        con.execute("CREATE OR REPLACE MACRO round(x, p) AS x")
+    elif identity_round == 1:
+        # twins using the 1-arg form (DuckDB macros can't overload)
+        con.execute("CREATE OR REPLACE MACRO round(x) AS x")
+    return con
+
+
+def decimals_used(v: float) -> int:
+    """Decimal places in the shortest (repr) form of v; 99 if
+    scientific-notation tiny/huge (treated as non-grid)."""
+    s = repr(float(v))
+    if "e" in s or "E" in s:
+        return 99
+    if "." not in s:
+        return 0
+    return len(s.split(".")[1].rstrip("0"))
+
+
+def audit_entry(name: str, sql: str, con_norm, con_ident, con_ident1):
+    import pyarrow as pa
+
+    out = {"cols": {}, "err": None}
+    try:
+        norm = con_norm.execute(sql).arrow()
+        try:
+            ident = con_ident.execute(sql).arrow()
+        except Exception:
+            # twin uses 1-arg round(x): retry with the 1-arg macro
+            ident = con_ident1.execute(sql).arrow()
+    except Exception as e:  # pragma: no cover - surfaced in report
+        out["err"] = f"{type(e).__name__}: {e}"
+        return out
+    for i, field in enumerate(norm.schema):
+        if not pa.types.is_floating(field.type):
+            continue
+        if field.name in SAFE_DECIMAL_ROUND.get(name, ()):
+            out["cols"][field.name] = {"kind": "decimal-round"}
+            continue
+        vals = [v for v in norm.column(i).to_pylist() if v is not None]
+        if not vals:
+            out["cols"][field.name] = {"kind": "empty"}
+            continue
+        max_dec = max(decimals_used(v) for v in vals)
+        if max_dec > 9:
+            # full-precision double output: both engines emit the same
+            # bits iff the expression order matches (the twins are
+            # written for that); no round boundary exists to straddle.
+            out["cols"][field.name] = {"kind": "raw-double"}
+            continue
+        scale = 10 ** max_dec
+        # pre-round population from the identity run (same column name)
+        try:
+            j = ident.schema.get_field_index(field.name)
+        except KeyError:  # pragma: no cover
+            out["cols"][field.name] = {"kind": "missing-in-identity"}
+            continue
+        if pa.types.is_decimal(ident.schema.field(j).type):
+            # the round input is a DECIMAL, not a double: decimal
+            # rounding is exact digit arithmetic (HALF_UP away from
+            # zero on both engines) with no representation boundary —
+            # safe by construction regardless of halves.
+            out["cols"][field.name] = {
+                "kind": "decimal-round", "decimals": max_dec,
+            }
+            continue
+        pre = [v for v in ident.column(j).to_pylist() if v is not None]
+        pre_f = []
+        for v in pre:
+            try:
+                pre_f.append(float(v))
+            except (TypeError, ValueError):
+                pass
+        if not pre_f:
+            out["cols"][field.name] = {"kind": "grid", "decimals": max_dec}
+            continue
+        margins = []
+        on_grid = 0
+        for v in pre_f:
+            x = abs(v) * scale
+            fr = x - math.floor(x)
+            if fr == 0.0:
+                on_grid += 1  # exactly representable: round is identity
+                continue
+            margins.append(abs(fr - 0.5))
+        rec = {
+            "kind": "rounded",
+            "decimals": max_dec,
+            "n": len(pre_f),
+            "on_grid": on_grid,
+            "min_margin": min(margins) if margins else None,
+        }
+        rec["flag"] = bool(margins and rec["min_margin"] < FLAG_MARGIN)
+        out["cols"][field.name] = rec
+    return out
+
+
+def main():
+    sf_dir = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01").rstrip("/")
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+
+    oracles = dict(E.oracle_sql())
+    tier = {k: "registered" for k in oracles}
+    for k, v in E.retired_oracle_sql().items():
+        oracles[k] = v
+        tier[k] = "retired"
+    for k, v in E.candidate_oracle_sql().items():
+        oracles[k] = v
+        tier[k] = "candidate"
+
+    con_norm = connect(sf_dir, identity_round=0)
+    con_ident = connect(sf_dir, identity_round=2)
+    con_ident1 = connect(sf_dir, identity_round=1)
+
+    report = {}
+    flagged = []
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        rec = audit_entry(name, sql, con_norm, con_ident, con_ident1)
+        rec["tier"] = tier[name]
+        rounded = {
+            c: d for c, d in rec["cols"].items() if d.get("kind") == "rounded"
+        }
+        if rec["err"]:
+            print(f"{name:34s} ERROR {rec['err'][:80]}")
+        elif rounded:
+            worst = min(
+                (d["min_margin"] for d in rounded.values() if d["min_margin"] is not None),
+                default=None,
+            )
+            flags = [c for c, d in rounded.items() if d.get("flag")]
+            status = "FLAG " + ",".join(flags) if flags else "ok"
+            wm = f"{worst:.3e}" if worst is not None else "all-on-grid"
+            print(
+                f"{name:34s} {len(rounded)} rounded col(s), "
+                f"min margin {wm}  {status}"
+            )
+            if flags:
+                flagged.append(name)
+        report[name] = rec
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "round_audit.json")
+    with open(path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "flag_margin": FLAG_MARGIN, "entries": report}, f, indent=1)
+    print(f"\nwrote {path}; flagged entries: {flagged or 'none'}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,9 +31,10 @@ SF0001 = "/root/testdata/sf0.001"
 # spelled EXPLICITLY on both engines because Java's \s (Spark) is
 # exactly [ \t\n\x0B\f\r] while RE2's \s (DuckDB) excludes \x0B —
 # organic text containing a vertical tab would silently diverge
-# (VERDICT r7 ask #5). Line 4812's '\s+' is the one deliberate
-# exception: it splits AFTER a replace that maps \x0B to ' ' on both
-# engines, so only spaces remain and the engines agree by construction.
+# (VERDICT r7 ask #5). The text_filtered_keywords twin's '\s+' is the
+# one deliberate exception: it splits AFTER a replace that maps \x0B
+# to ' ' on both engines, so only spaces remain and the engines agree
+# by construction.
 _DUCK_TOKS = "string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')"
 
 
@@ -3803,13 +3804,16 @@ cb AS (
 ), fv AS (
   SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vn FROM fe
 ), asg AS (
+  -- distance ROUNDED before the argmin (ADVICE r8): collapses the
+  -- expanded-form-vs-direct-sum ~1e-13 drift into exact ties, broken
+  -- by lowest cid on both engines
   SELECT vec_id,
          (min(struct_pack(d := d, cid := cid, cos := cos))).cid AS cluster,
          (min(struct_pack(d := d, cid := cid, cos := cos))).cos AS cos
   FROM (
     SELECT f.vec_id, c.cid,
-           list_sum(list_transform(range(1, len(f.v) + 1),
-                    i -> (f.v[i] - c.cv[i]) * (f.v[i] - c.cv[i]))) AS d,
+           round(list_sum(list_transform(range(1, len(f.v) + 1),
+                    i -> (f.v[i] - c.cv[i]) * (f.v[i] - c.cv[i]))), 6) AS d,
            round(list_sum(list_transform(range(1, len(f.v) + 1),
                     i -> f.v[i] * c.cv[i]))
                  / ((CASE WHEN f.vn = 0 THEN 1 ELSE f.vn END)

@@ -489,6 +489,19 @@ def winnow_matches(
     boilerplate by definition — the same rationale as
     ``boilerplate_ngrams``.
 
+    Span semantics (ADVICE r8, stated explicitly): the reported spans
+    are EXTENTS — min/max matched fingerprint position per side over
+    ALL shared hashes — not contiguous runs. One coincidental shared
+    k-gram far from the real overlap widens the extent toward the
+    whole document; ``n_shared`` (and the detection guarantee's
+    density, ~2/(w+1) fingerprints per overlapping token) is the
+    signal to weigh the span by. Extent-not-run is the deliberate
+    contract: run clustering needs a per-pair gap parameter and a
+    second window pass, while the extent is one aggregate — callers
+    localizing exact runs should re-compare the two extents' token
+    ranges directly (they are already narrowed to the matched region
+    when min_shared filters coincidental single hits).
+
     Scale shape: two fingerprint passes (each ONE window pass, see
     winnow_fingerprints), per-side document-frequency filters
     (partial-aggregated, ≤ |hashes| rows), then ONE (hash) equi-join
@@ -1622,6 +1635,20 @@ def quality_classifier_stateless(
     stream wanting xxhash64 uses
     ``streaming.windows.foreach_batch_classify_sink`` (the batch
     operator inside foreachBatch, parity-tested).
+
+    PRODUCTION DEFAULT (measured, round 9, sf0.1 = 5k docs, warm ×3):
+    the foreachBatch sink path (batch classifier, JVM xxhash64 +
+    Arrow count kernel) scores the corpus in 0.86–1.02 s vs this
+    kernel's 1.33–1.44 s — ~1.5× faster, and the gap grows with
+    document length because the per-gram Python poly-hash loop is
+    this kernel's cost center while the sink path never leaves
+    JVM/Arrow. RECOMMENDATION: default production streams to
+    ``foreach_batch_classify_sink`` (it also dedups per epoch and its
+    sink ≡ batch kept-set is parity-tested); reach for this stateless
+    kernel only when the pipeline needs a pure append-mode OPERATOR —
+    the verdict as a column mid-stream (feeding further streaming
+    stages) rather than at a sink boundary, or multi-sink topologies
+    where foreachBatch's epoch side-effects don't compose.
 
     Scale shape: weights are collected once (≤``n_buckets`` rows —
     parameter-bounded, the broadcast-dim budget) into the closure;

@@ -585,6 +585,59 @@ def test_quality_classifier_stateless_bit_parity(spark):
     assert one["text"] == orig["text"]
 
 
+def test_quality_classifier_external_weights(spark):
+    """'Weights are data, not code' (the train_quality_weights
+    docstring claim, VERDICT r7 ask #7): a LITERAL (bucket, weight)
+    frame simulating a foreign fastText/sklearn export — plain DOUBLE
+    weights, no train_quality_weights lineage — must drive both the
+    batch classifier and the stateless streaming twin identically,
+    with OOV buckets contributing 0 weight but counting in n_feats."""
+    from data_pengadaan_agent_spark.operators.textan import (
+        _ngram_features,
+        quality_classifier,
+        quality_classifier_stateless,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "astute falcon gliding"),   # bigrams → weight +1.5
+            (2, "rancid sludge heap"),      # bigrams → weight -2.25
+            (3, "qq zz"),                   # one bigram, NOT in the table
+        ],
+        "doc_id long, text string",
+    )
+    feats = _ngram_features(docs, "text", "doc_id", 2, 8192, True).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], set()).add(r["b"])
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2 and len(by_doc[3]) == 1
+    # foreign export: doc-1 buckets positive, doc-2 negative, doc-3 OOV
+    wmap = {b: 1.5 for b in by_doc[1]}
+    wmap.update({b: -2.25 for b in by_doc[2] if b not in wmap})
+    foreign = spark.createDataFrame(
+        [(int(b), float(w)) for b, w in sorted(wmap.items())],
+        "b long, w double",
+    )
+    out = {
+        r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+        for r in quality_classifier(
+            docs, foreign, n=2, n_buckets=8192, threshold=0.0, arith_hash=True
+        ).collect()
+    }
+    assert out[1] == (2, 1.5, True)
+    assert out[2] == (2, -2.25, False)
+    # OOV doc: zero weight, but its feature still counts (mean over 1)
+    assert out[3] == (1, 0.0, True)
+    # the stateless streaming twin ingests the same foreign table
+    stream_form = {
+        r["doc_id"]: (r["n_feats"], r["logit"], r["keep"])
+        for r in quality_classifier_stateless(
+            docs, foreign, n=2, n_buckets=8192, threshold=0.0
+        ).collect()
+    }
+    assert stream_form == out
+
+
 def test_quality_classifier_stateless_whitespace_edge_parity(spark):
     """Java-regex parity traps: Spark's trim strips only ASCII space,
     Java \\s excludes NBSP (Python's \\s eats it), and split keeps

@@ -122,6 +122,12 @@ RUNS = {
         embs[k], QVEC, k=5, pool=40, lam=0.7).count(),
     "winnow_fingerprints": lambda k: X.winnow_fingerprints(
         docs[k], k=5, w=4).count(),
+    # the PRODUCTION hash path (JVM xxhash64, whole-stage codegen) —
+    # the oracle-checkable arith path above runs its polynomial hash
+    # as interpreted HOF lambdas, so its exponent overstates the
+    # production cost (VERDICT r8 ask #4)
+    "winnow_fingerprints_prod": lambda k: X.winnow_fingerprints(
+        docs[k], k=5, w=4, arith_hash=False).count(),
     "winnow_matches": lambda k: X.winnow_matches(
         *_wm_sides(k), k=5, w=4, max_df=50, min_shared=2).count(),
 }

@@ -4048,6 +4048,137 @@ HAVING count(DISTINCT a.fp_hash) >= {min_shared}
 """
 
 
+def _q_dup_spans(spark, sf):
+    """Exact duplicated-substring spans (operators/textan.dup_spans,
+    Lee et al. 2021 arXiv 2107.06499): every maximal token span whose
+    8-gram content occurs >= 2 times corpus-wide, with integer span
+    bounds. Runs over the FULL documents table — cross-document
+    duplicate detection cannot slice (a planted duplicate's partner
+    may fall outside any slice). ROUND-11-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    return X.dup_spans(docs, length=8)
+
+
+def _q_dup_span_stats(spark, sf):
+    """Per-document duplicated-token budget over dup_spans (the Lee
+    et al. drop/trim decision signal): n_tokens, dup_tokens, n_spans,
+    exact-integer dup_ppm; zero-span docs report 0-ppm rows.
+    ROUND-11-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    return X.dup_span_stats(docs, length=8)
+
+
+def _dup_spans_core_sql(length: int = 8, min_count: int = 2) -> str:
+    """Shared CTE chain for the dup_spans twins: tokenize, L-gram,
+    two-channel poly hash, corpus-global occurrence count, gap-merge
+    via lag + running sum — the same order-theoretic construction the
+    Spark side runs, all integer."""
+    p131 = _DUCK_POLY.format(s="g", mult=131)
+    p137 = _DUCK_POLY.format(s="g", mult=137)
+    return f"""
+d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {length} AS INT)], ' ') AS g
+  FROM d, unnest(range(greatest(len(toks) - {length} + 1, 0))) AS u(i)
+),
+hh AS (
+  SELECT doc_id, pos,
+         (({p131}) * 131 + ({p137})) % 2147483647 AS h
+  FROM g
+),
+occ AS (
+  SELECT h, count(*) AS n_occ FROM hh GROUP BY 1
+),
+dup AS (
+  SELECT hh.doc_id, hh.pos FROM hh JOIN occ USING (h)
+  WHERE occ.n_occ >= {min_count}
+),
+fl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         + {length}
+              THEN 1 ELSE 0 END AS nw
+  FROM dup
+),
+runs AS (
+  SELECT doc_id, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS run
+  FROM fl
+),
+spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {length - 1} AS span_end,
+         max(pos) + {length - 1} - min(pos) + 1 AS span_len,
+         CAST(count(*) AS BIGINT) AS n_dup_grams
+  FROM runs GROUP BY doc_id, run
+)"""
+
+
+def _dup_spans_sql(length: int = 8, min_count: int = 2) -> str:
+    return f"""
+WITH {_dup_spans_core_sql(length, min_count)}
+SELECT doc_id, span_start, span_end, span_len, n_dup_grams FROM spans
+"""
+
+
+def _dup_span_stats_sql(length: int = 8, min_count: int = 2) -> str:
+    return f"""
+WITH {_dup_spans_core_sql(length, min_count)},
+per AS (
+  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       coalesce(per.dup_tokens, 0) AS dup_tokens,
+       coalesce(per.n_spans, 0) AS n_spans,
+       CAST((1000000 * coalesce(per.dup_tokens, 0))
+            // greatest(CAST(len(d.toks) AS BIGINT), 1) AS BIGINT) AS dup_ppm
+FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+def _q_lexical_diversity(spark, sf):
+    """Integer-exact lexical-richness signals (operators/textan.
+    lexical_diversity): TTR / hapax share / Simpson repeat
+    concentration as parts-per-million integers — no logs, no
+    doubles, bit-exact by construction. ROUND-11-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    return X.lexical_diversity(docs)
+
+
+_LEXICAL_DIVERSITY_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+),
+c AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CAST((1000000 * n_types) // n_tokens AS BIGINT) AS ttr_ppm,
+       CAST((1000000 * n_hapax) // n_types AS BIGINT) AS hapax_ppm,
+       CAST(CASE WHEN n_tokens < 2 THEN 0
+            ELSE (1000000 * rep) // (n_tokens * (n_tokens - 1))
+            END AS BIGINT) AS simpson_ppm
+FROM agg
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -4062,15 +4193,20 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all five round-7 candidates; round 9 promoted its four pre-planned
     candidates (ngram_lm_score, scd2_history, ivf_drift_report,
     mmr_diversify) paired with the four due-set retirements from the
-    NOTES tranche. The two remaining entries below are the r10 plan
-    (the winnowing pair — MOSS positional fingerprints + the span
-    consumer); at the 150 cap each registers paired with a retirement
-    from r10's due set (tier-3 pool: length_outliers, bm25_retrieval,
-    minhash_lsh_pairs, corpus_ingest_stream — all due r11, so plan
-    against r10's actual due list)."""
+    NOTES tranche. The winnowing pair below is the r10 plan (MOSS
+    positional fingerprints + the span consumer); at the 150 cap each
+    registers paired with a retirement from r10's due set. The
+    dup_spans family (Lee et al. exact-substring dedup + stats) and
+    lexical_diversity are the r11 pool — by r11 the tier-3
+    retirement candidates (length_outliers, bm25_retrieval,
+    minhash_lsh_pairs, corpus_ingest_stream) are due, so plan the
+    r11 window against that due list."""
     return {
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,
+        "dup_spans": _q_dup_spans,
+        "dup_span_stats": _q_dup_span_stats,
+        "lexical_diversity": _q_lexical_diversity,
     }
 
 
@@ -4078,6 +4214,9 @@ def candidate_oracle_sql() -> dict[str, str]:
     return {
         "winnow_fingerprints": _winnow_sql(k=5, w=4),
         "winnow_matches": _winnow_matches_sql(k=5, w=4, min_shared=2),
+        "dup_spans": _dup_spans_sql(length=8, min_count=2),
+        "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
+        "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
     }
 
 

@@ -546,6 +546,263 @@ def winnow_matches(
     )
 
 
+def dup_spans(
+    df: DataFrame,
+    length: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """EXACT duplicated-substring spans (Lee et al. 2021, arXiv
+    2107.06499 — the ExactSubstr dedup behind C4/Pile-scale corpora):
+    every maximal token span whose ``length``-gram content appears at
+    least ``min_count`` times in the WHOLE corpus (cross-document AND
+    within-document repeats both count, as in the paper's suffix-array
+    formulation). The exact complement of the approximate families:
+    winnowing localizes FUZZY overlap via a sketch, this reports every
+    byte-exact repeat of >= ``length`` tokens with zero false
+    negatives at the gram granularity.
+
+    The paper builds a monolithic suffix array — inherently
+    single-machine. The distributed re-expression: a token position
+    opens a duplicated region iff its ``length``-gram occurs >= 2
+    times globally (a repeat of exactly L tokens is one shared L-gram;
+    a longer shared run of R tokens is R-L+1 consecutive shared
+    L-grams), so (1) hash every L-gram, (2) count occurrences per
+    hash — an integer aggregate, never a pair join, so one viral
+    span cannot go quadratic (contrast winnow_matches' max_df guard:
+    here the count IS the output signal), (3) per document, merge
+    consecutive duplicated gram positions into maximal spans with the
+    classic gap-merge: new run iff pos > prev_pos + L (a gram at p
+    covers tokens [p, p+L-1], so pos <= prev+L still extends
+    contiguous coverage), running-sum the run flags into run ids, and
+    aggregate each run to (span_start, span_end). Sub-L-token repeats
+    are invisible by design — the paper's own threshold semantics.
+
+    Determinism: positions/counts/span bounds are all BIGINT; with
+    ``arith_hash=True`` grams hash through the two-channel 31-bit
+    polynomial an external SQL engine replays bit-exactly, ``False``
+    = JVM xxhash64 (production). A 64-bit collision would falsely
+    mark one gram duplicated with p ~ #grams²/2⁶⁴; the value-checked
+    twin compares raw n-grams and confirms zero on the fixtures.
+
+    Scale shape: posexplode → (id, pos, h) rows; the occurrence count
+    is a partial-aggregated groupBy(h) whose result joins back on h
+    (both sides explode-descended ⇒ pinned shuffle-capable, never a
+    corpus-sized broadcast); then ONE doc_id exchange drives the
+    lag window, the run-id running sum, and the final run aggregate
+    — the scd2_history single-exchange discipline. Exchanges carry
+    (int64, int64) rows only, never text."""
+    from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    if length < 1:
+        raise ValueError("dup_spans: length must be >= 1")
+    if min_count < 2:
+        raise ValueError("dup_spans: min_count must be >= 2")
+    grams = spread(df, id_col).select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, length)).alias("pos", "g"),
+    )
+    if arith_hash:
+        h = F.pmod(
+            poly_hash_col(F.col("g"), 131) * F.lit(131)
+            + poly_hash_col(F.col("g"), 137),
+            F.lit(P31),
+        )
+    else:
+        h = F.xxhash64("g")
+    hashed = grams.select(
+        F.col(id_col), F.col("pos").cast("bigint").alias("pos"), h.alias("h")
+    )
+    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
+    dup = hashed.join(
+        occ.filter(F.col("_occ") >= F.lit(int(min_count))).select("h").hint(
+            "shuffle_hash"
+        ),
+        "h",
+        "left_semi",
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(int(length))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_run", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy(id_col, "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(int(length) - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).alias("span_len"),
+            "n_dup_grams",
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    length: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token budget over ``dup_spans``: total
+    tokens, tokens inside duplicated spans (spans are maximal and
+    disjoint after the gap-merge, so their lengths sum exactly), and
+    the exact-integer ratio ``dup_ppm = (10⁶ · dup_tokens) DIV
+    n_tokens`` — the number the paper's dedup decision (drop/trim
+    docs past a duplication budget) keys on. Documents with no
+    duplicated span (including docs shorter than ``length`` tokens,
+    which cannot clear the gram threshold) report zeros via the left
+    join — absence of evidence is a 0-ppm row, not a missing row.
+    Integer arithmetic end to end: bit-exact on any engine."""
+    spans = dup_spans(df, length, text_col, id_col, arith_hash, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.expr(
+            "CAST((1000000 * coalesce(dup_tokens, 0))"
+            " DIV greatest(n_tokens, 1) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    length: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+    min_count: int = 2,
+) -> DataFrame:
+    """The removal step of Lee et al. 2021: reassemble each document
+    with every duplicated span's tokens cut out (the paper deletes
+    the repeated bytes and keeps the remainder — same here at token
+    granularity). Kept columns: the cleaned text plus the before/after
+    token counts, so the caller can audit the cut.
+
+    Spans per document are few and integer-bounded, so they travel as
+    one ``collect_list`` of (start, end) structs per doc joined back
+    onto the document row, and the cut is a single ``filter`` over a
+    posexploded token column — no pair join, no UDF; the rejoin is
+    sort_array over (pos, token) structs then concat (array functions
+    are whole-stage-codegen'd). Documents with no spans pass through
+    unchanged via the left join."""
+    spans = dup_spans(df, length, text_col, id_col, arith_hash, min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    kept = (
+        toks.join(per_doc, id_col, "left")
+        .filter(
+            F.col("_spans").isNull()
+            | ~F.exists(
+                "_spans",
+                lambda s: (F.col("pos") >= s["span_start"])
+                & (F.col("pos") <= s["span_end"]),
+            )
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+            ).alias("_kt")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform("_kt", lambda s: s["tok"]), " ").alias(
+                "clean_text"
+            ),
+            F.size("_kt").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact lexical-richness signals per document — the
+    unigram-concentration complement of ``repetition_stats`` (which
+    measures Gopher-style duplicate n-GRAM mass): type-token ratio,
+    hapax share, and the Simpson repeat concentration
+    Σ nᵢ(nᵢ−1) / (N(N−1)) — the probability two tokens drawn without
+    replacement are the same type, a standard template/spam signal
+    (high Simpson = the doc keeps repeating the same few words).
+
+    Everything is exact rational arithmetic emitted as parts-per-
+    million integers — ``x_ppm = (10⁶ · num) DIV den`` — so the
+    operator is bit-exact on any engine with 64-bit integers: no
+    logs, no doubles (entropy needs a log; Simpson is the
+    diversity index that doesn't). Single-token docs define
+    simpson_ppm = 0 (no unordered pair to collide).
+
+    Scale shape: one explode → groupBy(id, token) count →
+    groupBy(id) fold; both aggregates partial-combine map-side and
+    the second rides the first's hash partitioning on the id prefix.
+    Exchanges carry (id, token-hash counts) rows only."""
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    tok = spread(df, id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    )
+    counts = tok.groupBy(id_col, "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("_rep"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.expr("CAST((1000000 * n_types) DIV n_tokens AS BIGINT)").alias("ttr_ppm"),
+        F.expr("CAST((1000000 * n_hapax) DIV n_types AS BIGINT)").alias("hapax_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens < 2 THEN 0 ELSE"
+            " (1000000 * _rep) DIV (n_tokens * (n_tokens - 1)) END AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
 def ngram_contamination(
     test_df: DataFrame,
     train_df: DataFrame,

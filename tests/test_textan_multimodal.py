@@ -129,6 +129,130 @@ def test_winnow_rejects_bad_params(spark):
         X.winnow_fingerprints(df, k=0, w=4)
 
 
+def test_dup_spans_exact_substring_semantics(spark):
+    """Lee et al. 2021 ExactSubstr pins: (1) a 12-token run shared by
+    two docs at DIFFERENT offsets yields one span per doc covering
+    exactly the shared tokens; (2) a doc shorter than `length` tokens
+    emits nothing; (3) a WITHIN-doc repeat counts (the corpus-global
+    occurrence count includes same-doc positions); (4) the xxhash64
+    production path selects identical spans."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, shared + " unique tail one two three four"),
+        (2, "front pad tokens " + shared),
+        (3, "short doc"),
+        # one 8-token phrase repeated twice inside one doc, split by
+        # an 9-token unique spacer (> length, so runs stay separate)
+        (4, "r1 r2 r3 r4 r5 r6 r7 r8 "
+            "u1 u2 u3 u4 u5 u6 u7 u8 u9 "
+            "r1 r2 r3 r4 r5 r6 r7 r8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for arith in (True, False):
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+            for r in X.dup_spans(df, length=8, arith_hash=arith).collect()
+        }
+        # doc1's copy starts at 0, doc2's at 3 (3 pad tokens); 12-token
+        # run => grams at [start, start+4], span covers start..start+11
+        assert spans[1] == (0, 11, 12)
+        assert spans[2] == (3, 14, 12)
+        assert 3 not in spans
+        # doc4: both copies of the 8-token phrase are flagged; the
+        # 9-token spacer keeps them as two runs — so TWO span rows
+        d4 = [
+            (r["span_start"], r["span_end"])
+            for r in X.dup_spans(df, length=8, arith_hash=arith)
+            .filter(F.col("doc_id") == 4)
+            .collect()
+        ]
+        assert sorted(d4) == [(0, 7), (17, 24)]
+
+
+def test_dup_spans_gap_merge_and_min_count(spark):
+    """(1) Two duplicated grams at distance <= length merge into ONE
+    maximal span; (2) min_count=3 ignores content duplicated only
+    twice."""
+    # docs 1 and 2 share two 4-gram phrases separated by DIFFERENT
+    # 2-token spacers: gram positions 0 and 6 (gap 6 > length 4? no:
+    # pos 6 <= 0 + ... ) — use explicit construction instead:
+    # shared grams at positions 0 and 4 (gap = length) must merge.
+    d1 = "s1 s2 s3 s4 x1 x2 x3 x4 s5 s6 s7 s8"
+    d2 = "s1 s2 s3 s4 y1 y2 y3 y4 s5 s6 s7 s8"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id LONG, text STRING"
+    )
+    out = X.dup_spans(df, length=4).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # duplicated grams per doc: pos 0 (s1..s4) and pos 8 (s5..s8);
+    # 8 > 0 + 4 so they must stay TWO separate spans
+    assert sorted(spans[1]) == [(0, 3), (8, 11)]
+    assert sorted(spans[2]) == [(0, 3), (8, 11)]
+    # adjacent case: shift the second phrase to start right after the
+    # first (positions 0..3 then 4..7) in two docs -> ONE merged span
+    e1 = "t1 t2 t3 t4 t5 t6 t7 t8 z1 z2"
+    e2 = "t1 t2 t3 t4 t5 t6 t7 t8 w1 w2"
+    df2 = spark.createDataFrame(
+        [(1, e1), (2, e2)], "doc_id LONG, text STRING"
+    )
+    out2 = X.dup_spans(df2, length=4).collect()
+    spans2 = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in out2}
+    assert spans2 == {1: (0, 7), 2: (0, 7)}
+    assert len(out2) == 2  # exactly one merged span per doc
+    # min_count=3: the pair above is duplicated only twice -> empty
+    assert X.dup_spans(df2, length=4, min_count=3).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        X.dup_spans(df2, length=4, min_count=1)
+
+
+def test_dup_span_stats_and_strip(spark):
+    """Stats: dup_tokens sums DISJOINT merged spans and zero-span docs
+    report 0-ppm rows. Strip: cleaned text = original tokens minus
+    span tokens in order; a fully-duplicated doc strips to empty."""
+    shared = "c1 c2 c3 c4 c5 c6 c7 c8"
+    df = spark.createDataFrame(
+        [
+            (1, shared),                          # fully duplicated
+            (2, "head tok " + shared + " tail"),  # partial
+            (3, "nothing duplicated here at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    stats = {r["doc_id"]: r for r in X.dup_span_stats(df, length=8).collect()}
+    assert stats[1]["dup_tokens"] == 8 and stats[1]["dup_ppm"] == 1000000
+    assert stats[2]["n_tokens"] == 11 and stats[2]["dup_tokens"] == 8
+    assert stats[2]["dup_ppm"] == (1000000 * 8) // 11
+    assert stats[3]["dup_tokens"] == 0 and stats[3]["dup_ppm"] == 0
+    clean = {r["doc_id"]: r for r in X.strip_dup_spans(df, length=8).collect()}
+    assert clean[1]["clean_text"] == "" and clean[1]["kept_tokens"] == 0
+    assert clean[2]["clean_text"] == "head tok tail"
+    assert clean[2]["kept_tokens"] == 3 and clean[2]["n_tokens"] == 11
+    assert clean[3]["clean_text"] == "nothing duplicated here at all"
+
+
+def test_lexical_diversity_exact_values(spark):
+    """Hand-computed TTR / hapax / Simpson on a 4-token doc, plus the
+    single-token edge (simpson_ppm defined 0)."""
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "solo")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in X.lexical_diversity(df).collect()}
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_types"], r1["n_hapax"]) == (4, 3, 2)
+    assert r1["ttr_ppm"] == (1000000 * 3) // 4
+    assert r1["hapax_ppm"] == (1000000 * 2) // 3
+    assert r1["simpson_ppm"] == (1000000 * 2) // (4 * 3)  # only 'a' repeats
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["n_types"], r2["simpson_ppm"]) == (1, 1, 0)
+    assert r2["ttr_ppm"] == 1000000 and r2["hapax_ppm"] == 1000000
+
+
 def test_derive_filtered_keywords(spark):
     df = spark.createDataFrame(
         [(1, "Belanja ALAT Tulis", "alat tulis untuk the kantor!")],

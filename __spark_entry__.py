@@ -4145,6 +4145,35 @@ FROM d LEFT JOIN per USING (doc_id)
 """
 
 
+def _q_bm25_index_retrieval(spark, sf):
+    """Batched BM25 over the MATERIALIZED postings index
+    (operators/lexindex.bm25_from_index): same query batch and k as
+    bm25_retrieval_batch, but the corpus is tokenized once at ingest
+    into a bucket-partitioned inverted index and the query scan is
+    partition-pruned to the query terms' buckets. The oracle twin is
+    _bm25_retrieval_batch_sql — the index path must reproduce the
+    from-scratch path bit-exactly (shared textan.bm25_int_coeffs
+    arithmetic). ROUND-11-pool candidate."""
+    from data_pengadaan_agent_spark.operators import lexindex as LX
+
+    docs = load_table(spark, sf, "documents")
+    path = _warehouse_path(spark, sf, "postings_index")
+    try:
+        fresh = (
+            spark.read.parquet(f"{path}/doclen").count() == docs.count()
+            and LX._read_meta(spark, path) == 64
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        LX.build_postings_index(docs, path, n_buckets=64)
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(X.tokens("text"), 1, 3).alias("terms"),
+    )
+    return LX.bm25_from_index(spark, path, queries, k=5)
+
+
 def _q_lexical_diversity(spark, sf):
     """Integer-exact lexical-richness signals (operators/textan.
     lexical_diversity): TTR / hapax share / Simpson repeat
@@ -4207,6 +4236,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,
+        "bm25_index_retrieval": _q_bm25_index_retrieval,
     }
 
 
@@ -4217,6 +4247,9 @@ def candidate_oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(length=8, min_count=2),
         "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
+        # the index path must reproduce the from-scratch path
+        # bit-exactly, so the two share ONE twin
+        "bm25_index_retrieval": _bm25_retrieval_batch_sql(k=5),
     }
 
 

@@ -1,0 +1,229 @@
+"""Materialized inverted (postings) index for lexical retrieval.
+
+The operational complement of ``textan.bm25_retrieval_batch``: the
+batch operator re-tokenizes the corpus on every query batch, which is
+the right shape for ad-hoc mining but the wrong one for a standing
+retrieval service over a 100 TB corpus — there the index is built
+ONCE at ingest, appended per daily shard, and query batches read only
+the term-relevant slice of it. This module is the lexical twin of the
+similarity module's IVF/LSH ingest path (build → append → partition-
+pruned probe), with the same crash-safety discipline:
+
+- ``build_postings_index``: one tokenize pass → per-(doc, term) tf
+  rows carrying the doc length, PARTITIONED BY a term-hash bucket
+  (the bucket directory IS the coarse posting list), plus a compact
+  (doc_id, dl) doclen table for corpus stats, plus a 1-row meta table
+  holding the bucket law. Meta is written LAST — a crash mid-build
+  leaves an index without meta, which every reader rejects, never a
+  half-written index that silently serves wrong scores.
+- ``append_postings_index``: per-shard incremental ingest — validates
+  the bucket law from meta, drops in-shard duplicate ids, anti-joins
+  the shard against the EXISTING doclen ids (reading one pruned
+  column), and appends postings + doclen partitions. Existing
+  postings are never rescanned or rewritten: base-independent by
+  construction, like ``append_ivf_table``.
+- ``bm25_from_index``: query-batch BM25 over the index. Query terms
+  hash to buckets driver-side via one parameter-bounded collect (the
+  query batch is broadcast-sized by the same contract as
+  bm25_retrieval_batch), so the postings scan carries a LITERAL
+  bucket predicate that lands in PartitionFilters — only the
+  query-relevant bucket directories are read. Document frequencies
+  for the query terms are EXACT from the pruned scan (every posting
+  of a term lives in that term's bucket). Scores use the same
+  fraction-cleared exact-integer contribution as
+  bm25_retrieval_batch (``textan.bm25_int_coeffs``), so the index
+  path and the from-scratch path agree bit-for-bit — pinned by test
+  and by sharing one oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators.textan import bm25_int_coeffs, tokens
+
+
+def _paths(path: str) -> tuple[str, str, str]:
+    p = path.rstrip("/")
+    return f"{p}/postings", f"{p}/doclen", f"{p}/meta"
+
+
+def _bucket(term_col, n_buckets: int):
+    return F.pmod(F.xxhash64(term_col), F.lit(int(n_buckets))).cast("int")
+
+
+def _read_meta(spark: SparkSession, path: str) -> int:
+    _, _, meta = _paths(path)
+    try:
+        row = spark.read.parquet(meta).collect()
+    except Exception as exc:  # noqa: BLE001 - absent/corrupt meta = invalid index
+        raise ValueError(
+            f"postings index at {path!r} has no readable meta table — "
+            "absent, corrupt, or a build crashed before commit; rebuild "
+            "with build_postings_index"
+        ) from exc
+    if len(row) != 1:
+        raise ValueError(f"postings index meta at {path!r} must be exactly 1 row")
+    return int(row[0]["n_buckets"])
+
+
+def build_postings_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Ingest: tokenize once, write the bucket-partitioned postings
+    table (bucket, t, doc_id, tf, dl), the (doc_id, dl) doclen table,
+    then the 1-row meta COMMIT MARKER last. dl is denormalized onto
+    every posting row so the query path never joins back to a doc
+    table (the classic postings-with-doclen layout). Rebuild over an
+    existing index deletes the old meta FIRST, so a crash anywhere in
+    the data rewrite leaves an index readers reject rather than a new/
+    old mix that serves wrong scores."""
+    if n_buckets < 1:
+        raise ValueError("build_postings_index: n_buckets must be >= 1")
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    posts_p, doclen_p, meta_p = _paths(path)
+    spark = docs.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    meta_fs_path = jvm_path(meta_p)
+    fs = meta_fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_fs_path):
+        fs.delete(meta_fs_path, True)
+
+    toks = tokens(text_col)
+    base = spread(docs, id_col).select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("dl"), toks.alias("_tk")
+    )
+    postings = (
+        base.select(F.col(id_col), "dl", F.explode("_tk").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.min("dl").alias("dl"))
+        .withColumn("bucket", _bucket(F.col("t"), n_buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(posts_p)
+    docs.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("dl")
+    ).write.mode("overwrite").parquet(doclen_p)
+    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(meta_p)
+
+
+def append_postings_index(
+    shard: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Incremental ingest of one shard: validate against meta, drop
+    in-shard duplicate ids, anti-join against the EXISTING doclen ids
+    (one pruned-column scan of the compact doclen table — never the
+    postings), and append. Returns the number of documents actually
+    appended. Existing partitions are untouched: the append's cost is
+    a function of the SHARD, not the base — the append_ivf_table
+    base-independence contract."""
+    spark = shard.sparkSession
+    n_buckets = _read_meta(spark, path)
+    posts_p, doclen_p, _ = _paths(path)
+
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    fresh = shard.dropDuplicates([id_col])
+    seen = spark.read.parquet(doclen_p).select(id_col)
+    fresh = fresh.join(seen, id_col, "left_anti")
+    # one small deterministic barrier so postings and doclen see the
+    # SAME anti-join verdict even if the source is re-evaluated
+    fresh = fresh.localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+
+    toks = tokens(text_col)
+    base = spread(fresh, id_col).select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("dl"), toks.alias("_tk")
+    )
+    postings = (
+        base.select(F.col(id_col), "dl", F.explode("_tk").alias("t"))
+        .groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.min("dl").alias("dl"))
+        .withColumn("bucket", _bucket(F.col("t"), n_buckets))
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(posts_p)
+    fresh.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("dl")
+    ).write.mode("append").parquet(doclen_p)
+    return n_new
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 per query over the MATERIALIZED index — same
+    output contract and same exact-integer arithmetic as
+    ``bm25_retrieval_batch``, but the corpus is never re-tokenized:
+    the scan reads only the query terms' bucket partitions (literal
+    IN-list → PartitionFilters), tf/dl come off the posting rows, and
+    (N, Σdl) folds from the compact doclen table. The bucket list is
+    one parameter-bounded collect over the query batch — the batch is
+    broadcast-sized by contract, exactly as in bm25_retrieval_batch."""
+    coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
+    n_buckets = _read_meta(spark, path)
+    posts_p, doclen_p, _ = _paths(path)
+
+    qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
+    vocab = qterms.select("t").distinct()
+    buckets = sorted(
+        r["b"] for r in vocab.select(_bucket(F.col("t"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    posts = (
+        spark.read.parquet(posts_p)
+        .filter(F.col("bucket").isin([int(x) for x in buckets]))
+        .join(F.broadcast(vocab), "t", "left_semi")
+    )
+    dfreq = posts.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    stats = spark.read.parquet(doclen_p).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum("dl").cast("bigint").alias("_sum_dl"),
+    )
+    contrib = F.expr(
+        f"""(CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
+             * CAST({coef_a} AS DECIMAL(38,0)) * tf * _sum_dl)
+            DIV
+            (CAST({scale_l} AS DECIMAL(38,0)) * tf * _sum_dl
+             + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
+             + CAST({coef_c} AS DECIMAL(38,0)) * dl * _n_docs)"""
+    )
+    scored = (
+        posts.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(qid_col), F.col(id_col), contrib.alias("_c"))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_c").cast("decimal(38,0)").alias("bm25"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            "bm25",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1045,6 +1045,30 @@ def bm25_score(
     )
 
 
+def bm25_int_coeffs(k1: float, b: float) -> tuple[int, int, int, int]:
+    """Integer coefficients (A, B, C, L) of the fraction-cleared BM25
+    contribution ``(idf · A·tf·sdl) DIV (L·tf·sdl + B·sdl + C·dl·n)``
+    — shared by ``bm25_retrieval_batch`` and the postings-index query
+    path (``lexindex.bm25_from_index``) so the two provably compute
+    the same exact-integer scores. ``L`` is the lcm of the
+    denominators of the rationals k1+1, k1·(1−b), k1·b; defaults
+    k1=1.5, b=0.75 give (20, 3, 9, 8). Raises on k1/b that don't
+    round-trip through Fraction (the exactness precondition)."""
+    from fractions import Fraction
+    from math import lcm
+
+    fk1 = Fraction(k1).limit_denominator(10**6)
+    fb = Fraction(b).limit_denominator(10**6)
+    if float(fk1) != float(k1) or float(fb) != float(b):
+        raise ValueError(
+            "k1 and b must be rational-representable floats for the "
+            "exact-integer BM25 contribution (e.g. 1.5, 0.75, 1.2)"
+        )
+    af, bf, cf = fk1 + 1, fk1 * (1 - fb), fk1 * fb
+    scale_l = lcm(af.denominator, bf.denominator, cf.denominator)
+    return int(af * scale_l), int(bf * scale_l), int(cf * scale_l), scale_l
+
+
 def bm25_retrieval_batch(
     queries_df: DataFrame,
     docs: DataFrame,
@@ -1104,21 +1128,7 @@ def bm25_retrieval_batch(
     in one query weight that term twice — multiplicity is preserved
     identically on both engines. Documents sharing no term with a
     query are absent from its ranking (score 0), like bm25_score."""
-    from fractions import Fraction
-    from math import lcm
-
-    fk1 = Fraction(k1).limit_denominator(10**6)
-    fb = Fraction(b).limit_denominator(10**6)
-    if float(fk1) != float(k1) or float(fb) != float(b):
-        raise ValueError(
-            "k1 and b must be rational-representable floats for the "
-            "exact-integer BM25 contribution (e.g. 1.5, 0.75, 1.2)"
-        )
-    af, bf, cf = fk1 + 1, fk1 * (1 - fb), fk1 * fb
-    scale_l = lcm(af.denominator, bf.denominator, cf.denominator)
-    coef_a = int(af * scale_l)
-    coef_b = int(bf * scale_l)
-    coef_c = int(cf * scale_l)
+    coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
 
     toks = tokens(text_col)
     qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))

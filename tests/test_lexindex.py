@@ -1,0 +1,116 @@
+"""Postings-index family: build → append → partition-pruned BM25.
+
+The invariants that decide 100 TB behavior: the index path reproduces
+the from-scratch batch operator BIT-EXACTLY (same integer arithmetic,
+so equality is on values, not approximately), the query scan is
+partition-pruned to the query terms' buckets, and appends are
+validated + base-independent (existing partitions untouched).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import lexindex as LX
+from data_pengadaan_agent_spark.operators import textan as X
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mini_corpus(spark):
+    rows = [
+        (1, "apple banana cherry apple durian"),
+        (2, "banana cherry cherry fig grape"),
+        (3, "apple apple apple honeydew kiwi lemon"),
+        (4, "mango nectarine orange papaya quince"),
+        (5, "banana fig fig grape honeydew"),
+        (6, "cherry durian elderberry fig grape apple"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(100, ["apple", "fig"]), (200, ["cherry"]), (300, ["zzz_oov"])],
+        "qid LONG, terms ARRAY<STRING>",
+    )
+
+
+def test_bm25_from_index_matches_direct_batch(spark, tmp_path):
+    """The index path and the from-scratch path share one integer
+    contribution (textan.bm25_int_coeffs) — their outputs must be
+    IDENTICAL, including scores, ranks, and the absence of the
+    all-OOV query."""
+    docs, qs = _mini_corpus(spark), _queries(spark)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(docs, path, n_buckets=8)
+    got = sorted(
+        map(tuple, LX.bm25_from_index(spark, path, qs, k=3).collect())
+    )
+    want = sorted(map(tuple, X.bm25_retrieval_batch(qs, docs, k=3).collect()))
+    assert got == want and len(got) > 0
+    assert not any(r[0] == 300 for r in got)  # OOV query ranks nothing
+
+
+def test_bm25_from_index_prunes_bucket_partitions(spark, tmp_path):
+    """The query predicate must land in PartitionFilters (only the
+    query terms' bucket directories are read), never degrade to a
+    post-scan data filter."""
+    docs, qs = _mini_corpus(spark), _queries(spark)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(docs, path, n_buckets=8)
+    plan = _plan(LX.bm25_from_index(spark, path, qs, k=3))
+    part_filters = [
+        seg.splitlines()[0] for seg in plan.split("PartitionFilters:")[1:]
+    ]
+    assert part_filters and any("bucket" in s for s in part_filters)
+    assert all(
+        "bucket" not in seg.splitlines()[0]
+        for seg in plan.split("PushedFilters:")[1:]
+    )
+
+
+def test_append_postings_index_validates_and_matches_rebuild(spark, tmp_path):
+    """Append drops in-shard duplicates AND already-indexed ids, then
+    the queried index equals a from-scratch rebuild over the union —
+    the incremental path changes WHEN work happens, never the answer."""
+    docs, qs = _mini_corpus(spark), _queries(spark)
+    base = docs.filter(F.col("doc_id") <= 4)
+    shard = docs.filter(F.col("doc_id") >= 4)  # doc 4 overlaps the base
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(base, path, n_buckets=8)
+    n = LX.append_postings_index(shard.union(shard), path)  # in-shard dups too
+    assert n == 2  # docs 5 and 6 only
+    got = sorted(
+        map(tuple, LX.bm25_from_index(spark, path, qs, k=3).collect())
+    )
+    rebuilt = str(tmp_path / "pidx_full")
+    LX.build_postings_index(docs, rebuilt, n_buckets=8)
+    want = sorted(
+        map(tuple, LX.bm25_from_index(spark, rebuilt, qs, k=3).collect())
+    )
+    assert got == want
+    # idempotent: replaying the same shard appends nothing
+    assert LX.append_postings_index(shard, path) == 0
+
+
+def test_postings_meta_is_commit_marker(spark, tmp_path):
+    """No meta = no index: readers reject an uncommitted build (the
+    crash-mid-build state) with a clear error, and bad build params
+    fail fast."""
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(docs, path, n_buckets=8)
+    # simulate a crash-mid-rebuild: meta deleted first, data half-new
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "pidx" / "meta"))
+    with pytest.raises(ValueError, match="meta"):
+        LX.bm25_from_index(spark, path, _queries(spark))
+    with pytest.raises(ValueError, match="meta"):
+        LX.append_postings_index(docs, path)
+    with pytest.raises(ValueError, match="n_buckets"):
+        LX.build_postings_index(docs, str(tmp_path / "p2"), n_buckets=0)

@@ -4085,8 +4085,11 @@ g AS (
   FROM d, unnest(range(greatest(len(toks) - {length} + 1, 0))) AS u(i)
 ),
 hh AS (
+  -- two 31-bit channels combined WIDE (h131*P31 + h137 < 2^62): a
+  -- collision here fabricates a duplicate span, so the dup family
+  -- does NOT fold back mod P31 the way the winnowing sketch does
   SELECT doc_id, pos,
-         (({p131}) * 131 + ({p137})) % 2147483647 AS h
+         ({p131}) * 2147483647 + ({p137}) AS h
   FROM g
 ),
 occ AS (
@@ -4142,6 +4145,51 @@ SELECT d.doc_id,
        CAST((1000000 * coalesce(per.dup_tokens, 0))
             // greatest(CAST(len(d.toks) AS BIGINT), 1) AS BIGINT) AS dup_ppm
 FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
+def _q_strip_dup_spans(spark, sf):
+    """The removal step of Lee et al. 2021 (operators/textan.
+    strip_dup_spans): each document reassembled with its duplicated
+    spans' tokens cut out, plus before/after token counts.
+    ROUND-11-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    return X.strip_dup_spans(docs, length=8)
+
+
+def _strip_dup_spans_sql(length: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of strip_dup_spans: the dup_spans CTE chain, spans
+    list-aggregated per doc, tokens posexploded and cut with a
+    list_filter containment test, then string_agg(ORDER BY pos) —
+    the same cut-and-reassemble, same all-stripped '' contract."""
+    return f"""
+WITH {_dup_spans_core_sql(length, min_count)},
+per AS (
+  SELECT doc_id,
+         list(struct_pack(s := span_start, e := span_end)) AS sp
+  FROM spans GROUP BY 1
+),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i + 1 AS INT)] AS tok
+  FROM d, unnest(range(len(toks))) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN per USING (doc_id)
+  WHERE per.sp IS NULL
+     OR len(list_filter(per.sp,
+                        x -> t.pos >= x.s AND t.pos <= x.e)) = 0
+),
+ka AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ka.clean_text, '') AS clean_text,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       coalesce(ka.kept_tokens, 0) AS kept_tokens
+FROM d LEFT JOIN ka USING (doc_id)
 """
 
 
@@ -4236,6 +4284,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,
+        "strip_dup_spans": _q_strip_dup_spans,
         "bm25_index_retrieval": _q_bm25_index_retrieval,
     }
 
@@ -4247,6 +4296,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(length=8, min_count=2),
         "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
+        "strip_dup_spans": _strip_dup_spans_sql(length=8, min_count=2),
         # the index path must reproduce the from-scratch path
         # bit-exactly, so the two share ONE twin
         "bm25_index_retrieval": _bm25_retrieval_batch_sql(k=5),

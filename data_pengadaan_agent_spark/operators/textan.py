@@ -581,11 +581,17 @@ def dup_spans(
     are invisible by design — the paper's own threshold semantics.
 
     Determinism: positions/counts/span bounds are all BIGINT; with
-    ``arith_hash=True`` grams hash through the two-channel 31-bit
-    polynomial an external SQL engine replays bit-exactly, ``False``
-    = JVM xxhash64 (production). A 64-bit collision would falsely
-    mark one gram duplicated with p ~ #grams²/2⁶⁴; the value-checked
-    twin compares raw n-grams and confirms zero on the fixtures.
+    ``arith_hash=True`` grams hash through TWO 31-bit polynomial
+    channels combined WIDE — ``h131 · P31 + h137`` (< 2⁶² , exact in
+    int64 on any engine) — NOT folded back mod P31 the way the
+    winnowing sketch combines them: a hash collision here directly
+    fabricates a duplicate span (measured: the mod-P31 fold produced
+    502 vs the true 477 spans on a 5k-doc corpus — ~5% false spans —
+    and 13k vs 7.6k at 80k docs), whereas in a winnowing SKETCH a
+    collision must also win the window min and match across docs.
+    Expected false duplicates at G grams ≈ G²/2⁶³ — negligible to
+    ~10⁹ grams; ``arith_hash=False`` = JVM xxhash64 (production,
+    64-bit, same property).
 
     Scale shape: posexplode → (id, pos, h) rows; the occurrence count
     is a partial-aggregated groupBy(h) whose result joins back on h
@@ -606,10 +612,8 @@ def dup_spans(
         F.posexplode(word_ngrams(text_col, length)).alias("pos", "g"),
     )
     if arith_hash:
-        h = F.pmod(
-            poly_hash_col(F.col("g"), 131) * F.lit(131)
-            + poly_hash_col(F.col("g"), 137),
-            F.lit(P31),
+        h = poly_hash_col(F.col("g"), 131) * F.lit(P31) + poly_hash_col(
+            F.col("g"), 137
         )
     else:
         h = F.xxhash64("g")

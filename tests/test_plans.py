@@ -424,3 +424,42 @@ def test_dsir_checkpoint_discipline(spark, tables):
     plan = _plan(out)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_dup_spans_never_broadcasts_exploded_frames(spark, tables):
+    """dup_spans' occurrence-count semi-join has BOTH sides descended
+    from the gram explode (garbage size estimates) — the join is
+    pinned shuffle-capable, and no exploded frame may ever be a
+    broadcast build side (the ngram_jaccard_pairs lesson). The gram
+    lineage must also reach the window through ONE doc_id exchange."""
+    from data_pengadaan_agent_spark.operators import textan as X
+
+    docs = tables["documents"].filter(F.col("doc_id") < 200)
+    plan = _plan(X.dup_spans(docs, length=8, arith_hash=False))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    for sub in _broadcast_subtrees(plan):
+        assert "Generate posexplode" not in sub, sub
+
+
+def test_bm25_from_index_stats_scan_prunes_columns(spark, tables, tmp_path):
+    """The (N, Σdl) stats fold must read ONLY the doclen table's dl
+    column — never postings — and the postings scan must read no more
+    than (bucket, t, doc_id, tf, dl)."""
+    from data_pengadaan_agent_spark.operators import lexindex as LX
+    from data_pengadaan_agent_spark.operators import textan as X
+
+    docs = tables["documents"].filter(F.col("doc_id") < 100)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(docs, path, n_buckets=8)
+    qs = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("qid"), F.slice(X.tokens("text"), 1, 3).alias("terms")
+    )
+    plan = _plan(LX.bm25_from_index(spark, path, qs, k=3))
+    doclen_scans = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "dl" in seg.splitlines()[0]
+    ]
+    assert doclen_scans, plan
+    # no scan reads a text/terms payload off the index
+    assert all("text" not in s for s in doclen_scans), doclen_scans

@@ -153,11 +153,47 @@ def append_postings_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"), F.min("dl").alias("dl"))
         .withColumn("bucket", _bucket(F.col("t"), n_buckets))
     )
-    postings.write.mode("append").partitionBy("bucket").parquet(posts_p)
+    # WRITE ORDER IS THE CRASH CONTRACT: doclen first, postings second.
+    # doclen is the append's commit marker (the anti-join above keys on
+    # it), so a replay after ANY mid-append crash is a no-op. The
+    # surviving failure mode is a shard whose doclen committed but
+    # whose postings write died: those docs under-rank (their postings
+    # are missing) but every OTHER score stays correct. The opposite
+    # order corrupts corpus-wide: a replay re-appends postings rows,
+    # doubling tf AND df for every term the shard touches.
+    # audit_postings_index() detects the lost-shard state for repair.
     fresh.select(
         F.col(id_col), F.size(toks).cast("bigint").alias("dl")
     ).write.mode("append").parquet(doclen_p)
+    postings.write.mode("append").partitionBy("bucket").parquet(posts_p)
     return n_new
+
+
+def audit_postings_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Integrity audit for the crash contract above: documents present
+    in doclen (committed) but missing from postings (an append whose
+    second write died) and the converse orphans (a legacy
+    postings-first index interrupted mid-append). One pruned-column
+    scan of each table; returns (doc_id, state) with state in
+    ('missing_postings', 'orphan_postings'). Empty result = index
+    consistent. Repair for 'missing_postings' is re-tokenizing exactly
+    those documents and appending their postings rows directly — their
+    doclen rows are already correct."""
+    _read_meta(spark, path)
+    posts_p, doclen_p, _ = _paths(path)
+    dl_ids = spark.read.parquet(doclen_p).select(id_col).distinct()
+    # docs whose text is empty still emit >=1 posting (the '' token of
+    # the [''] tokenize), so absence from postings is never legitimate
+    post_ids = spark.read.parquet(posts_p).select(id_col).distinct()
+    missing = dl_ids.join(post_ids, id_col, "left_anti").select(
+        id_col, F.lit("missing_postings").alias("state")
+    )
+    orphan = post_ids.join(dl_ids, id_col, "left_anti").select(
+        id_col, F.lit("orphan_postings").alias("state")
+    )
+    return missing.unionByName(orphan)
 
 
 def bm25_from_index(

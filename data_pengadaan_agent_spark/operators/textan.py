@@ -621,10 +621,14 @@ def dup_spans(
         F.col(id_col), F.col("pos").cast("bigint").alias("pos"), h.alias("h")
     )
     occ = hashed.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
+    # merge, not shuffle_hash: the duplicated-hash side is small on
+    # organic corpora but CORPUS-PROPORTIONAL in the worst case (a
+    # fully-duplicated corpus), and a shuffled-hash build is the
+    # non-spillable shape that OOM'd ngram_contamination at x64 — the
+    # external sort spills (both sides are explode-descended, so the
+    # static planner must never pick a broadcast either)
     dup = hashed.join(
-        occ.filter(F.col("_occ") >= F.lit(int(min_count))).select("h").hint(
-            "shuffle_hash"
-        ),
+        occ.filter(F.col("_occ") >= F.lit(int(min_count))).select("h").hint("merge"),
         "h",
         "left_semi",
     )

@@ -114,3 +114,38 @@ def test_postings_meta_is_commit_marker(spark, tmp_path):
         LX.append_postings_index(docs, path)
     with pytest.raises(ValueError, match="n_buckets"):
         LX.build_postings_index(docs, str(tmp_path / "p2"), n_buckets=0)
+
+
+def test_append_crash_contract_and_audit(spark, tmp_path):
+    """doclen commits FIRST: a replay after any mid-append crash is a
+    no-op (never double-counted tf/df), and the surviving lost-shard
+    state — doclen committed, postings write died — is exactly what
+    audit_postings_index reports. Simulated by deleting the shard's
+    postings rows after a successful append."""
+    import glob
+    import os
+
+    docs = _mini_corpus(spark)
+    base = docs.filter(F.col("doc_id") <= 4)
+    shard = docs.filter(F.col("doc_id") >= 5)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(base, path, n_buckets=8)
+    assert LX.audit_postings_index(spark, path).count() == 0
+    before = {
+        os.path.basename(f)
+        for f in glob.glob(str(tmp_path / "pidx" / "postings" / "*" / "*.parquet"))
+    }
+    assert LX.append_postings_index(shard, path) == 2
+    assert LX.audit_postings_index(spark, path).count() == 0
+    # crash simulation: the shard's postings files vanish, doclen stays
+    for f in glob.glob(str(tmp_path / "pidx" / "postings" / "*" / "*.parquet")):
+        if os.path.basename(f) not in before:
+            os.remove(f)
+    audit = {
+        (r["doc_id"], r["state"])
+        for r in LX.audit_postings_index(spark, path).collect()
+    }
+    assert audit == {(5, "missing_postings"), (6, "missing_postings")}
+    # the replay contract: doclen already committed -> append skips,
+    # so tf/df are never double-counted (repair is targeted, not replay)
+    assert LX.append_postings_index(shard, path) == 0

@@ -61,6 +61,11 @@ HEADLINERS = {
     "mmr_diversify": "MMR top-k: distributed rounded-relevance pool cut (TakeOrdered), then one pool-bounded single-partition greedy kernel",
     "winnow_fingerprints": "MOSS winnowing as ONE window pass: struct-min over a w-row frame, distinct reuses the same doc_id exchange",
     "winnow_matches": "span-level overlap: per-side document-frequency caps before the fingerprint equi-join, merge-pinned explode-derived sides",
+    "dup_spans": "exact-substring dedup: occurrence COUNT (never a pair join) gates the grams, then one doc_id exchange drives lag + run-sum + span aggregate",
+    "dup_span_stats": "per-doc dup budget: the spans aggregate left-joined back onto one doclen projection, exact-integer ppm",
+    "strip_dup_spans": "removal step: spans collect_list'd per doc, exists()-filtered posexplode, array_sort reassembly — no UDF, no pair join",
+    "lexical_diversity": "two chained integer aggregates: (id, token) counts partial-combine, id fold rides the same hash prefix",
+    "bm25_index_retrieval": "materialized postings path: literal bucket predicate in PartitionFilters, doclen 1-row stats fold, broadcast query joins only",
 }
 
 

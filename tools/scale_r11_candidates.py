@@ -17,7 +17,9 @@ Covered, docs x1/x4/x16:
                        append_ivf_table contract)
 
 Warm pass first, then timed; exponent = log(t16/t1)/log(16).
-Usage: python tools/scale_r11_candidates.py   (results -> NOTES.md)
+Usage: python tools/scale_r11_candidates.py        (x1/x4/x16 laps)
+       python tools/scale_r11_candidates.py x64    (x1/x16/x64 stress
+       of the production paths — the r7 larger-span discipline)
 """
 
 import math
@@ -34,8 +36,11 @@ BASE = "/root/testdata/sf0.1"
 # scale_r9_candidates.py (idempotent: skipped when present)
 import duckdb
 
+X64 = len(sys.argv) > 1 and sys.argv[1] == "x64"
+SPANS = (1, 16, 64) if X64 else (1, 4, 16)
+
 _con = duckdb.connect()
-for k in (1, 4, 16):
+for k in SPANS:
     d = f"{ROOT}/docs_x{k}"
     os.makedirs(d, exist_ok=True)
     p = f"{d}/documents.parquet"
@@ -60,7 +65,7 @@ spark = get_spark("scale-r11")
 spark.range(8).mapInPandas(lambda it: it, schema="id long").count()
 
 docs = {
-    k: spark.read.parquet(f"{ROOT}/docs_x{k}/documents.parquet") for k in (1, 4, 16)
+    k: spark.read.parquet(f"{ROOT}/docs_x{k}/documents.parquet") for k in SPANS
 }
 
 QUERIES = (
@@ -71,7 +76,7 @@ QUERIES = (
     .localCheckpoint(eager=True)
 )
 
-RUNS = {
+RUNS = {} if X64 else {
     "dup_spans": lambda k: X.dup_spans(docs[k], length=8).count(),
     # production hash path: JVM xxhash64 inside whole-stage codegen
     # (the arith path's polynomial runs as interpreted HOF lambdas
@@ -89,23 +94,35 @@ RUNS = {
     "lexical_diversity": lambda k: X.lexical_diversity(docs[k]).count(),
 }
 
+if X64:
+    RUNS = {
+        "dup_spans_prod": lambda k: X.dup_spans(
+            docs[k], length=8, arith_hash=False
+        ).count(),
+        "strip_dup_spans_prod": lambda k: X.strip_dup_spans(
+            docs[k], length=8, arith_hash=False
+        ).agg(F.sum(F.length("clean_text"))).collect(),
+        "lexical_diversity": lambda k: X.lexical_diversity(docs[k]).count(),
+    }
+
 res = {}
 for name, fn in RUNS.items():
     fn(1)
     times = {}
-    for k in (1, 4, 16):
+    for k in SPANS:
         t0 = time.time()
         n = fn(k)
         times[k] = time.time() - t0
         print(f"{name} x{k}: {times[k]:.2f} s  ({n} rows)", flush=True)
-    exp = math.log(times[16] / times[1]) / math.log(16)
+    top = SPANS[-1]
+    exp = math.log(times[top] / times[1]) / math.log(top)
     res[name] = (times, exp)
-    print(f"{name} exponent x1->x16: {exp:.2f}", flush=True)
+    print(f"{name} exponent x1->x{top}: {exp:.2f}", flush=True)
 
 # --- postings index: build + query per span, append on the base axis ---
 IDX = "/tmp/spark_graft_scale/postings_x{k}"
 build_t, query_t = {}, {}
-for k in (1, 4, 16):
+for k in SPANS:
     path = IDX.format(k=k)
     shutil.rmtree(path, ignore_errors=True)
     t0 = time.time()
@@ -121,9 +138,10 @@ for k in (1, 4, 16):
         flush=True,
     )
 for label, t in (("build", build_t), ("query", query_t)):
-    exp = math.log(t[16] / t[1]) / math.log(16)
+    top = SPANS[-1]
+    exp = math.log(t[top] / t[1]) / math.log(top)
     res[f"postings_{label}"] = (t, exp)
-    print(f"postings_{label} exponent x1->x16: {exp:.2f}", flush=True)
+    print(f"postings_{label} exponent x1->x{top}: {exp:.2f}", flush=True)
 
 # append a FIXED shard (re-identified x1 docs) onto the x1 vs x16 base:
 # base-independence means the two times match
@@ -131,7 +149,7 @@ shard = docs[1].select(
     (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
 ).localCheckpoint(eager=True)
 app_t = {}
-for k in (1, 16):
+for k in (1, SPANS[-1]):
     path = IDX.format(k=k) + "_app"
     shutil.rmtree(path, ignore_errors=True)
     LX.build_postings_index(docs[k], path, n_buckets=64)
@@ -141,7 +159,7 @@ for k in (1, 16):
     print(f"postings append onto x{k} base: {app_t[k]:.2f} s ({n} docs)", flush=True)
 res["postings_append_base_axis"] = (
     app_t,
-    math.log(app_t[16] / app_t[1]) / math.log(16),
+    math.log(app_t[SPANS[-1]] / app_t[1]) / math.log(SPANS[-1]),
 )
 
 print("\n=== summary ===")

@@ -4068,16 +4068,19 @@ def _q_dup_span_stats(spark, sf):
     return X.dup_span_stats(docs, length=8)
 
 
-def _dup_spans_core_sql(length: int = 8, min_count: int = 2) -> str:
+def _dup_spans_core_sql(
+    length: int = 8, min_count: int = 2, source_sql: str = "SELECT * FROM documents"
+) -> str:
     """Shared CTE chain for the dup_spans twins: tokenize, L-gram,
     two-channel poly hash, corpus-global occurrence count, gap-merge
     via lag + running sum — the same order-theoretic construction the
-    Spark side runs, all integer."""
+    Spark side runs, all integer. ``source_sql`` parameterizes the
+    corpus (the incremental twin unions a re-identified shard in)."""
     p131 = _DUCK_POLY.format(s="g", mult=131)
     p137 = _DUCK_POLY.format(s="g", mult=137)
     return f"""
 d AS (
-  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM ({source_sql})
 ),
 g AS (
   SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -4222,6 +4225,56 @@ def _q_bm25_index_retrieval(spark, sf):
     return LX.bm25_from_index(spark, path, queries, k=5)
 
 
+def _q_dup_spans_incremental(spark, sf):
+    """Incremental exact-substring dedup over the maintained
+    gram-count index (operators/dupindex): base = the full documents
+    table ingested once, shard = the doc_id%7==0 slice re-identified
+    (+1000000) with a 2-token prelude — every shard doc duplicates its
+    base twin at SHIFTED positions, the winnow_matches twin
+    construction. The query answers "which spans of the daily shard
+    duplicate anything seen so far" WITHOUT re-tokenizing the base;
+    ingest is once-per-round (registry count gates the rebuild;
+    append replay is a registered no-op). ROUND-11-pool candidate."""
+    from data_pengadaan_agent_spark.operators import dupindex as DI
+
+    docs = load_table(spark, sf, "documents")
+    shard = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("pre1 pre2 "), F.col("text")).alias("text"),
+    )
+    path = _warehouse_path(spark, sf, "gram_counts")
+    expected = docs.count() + shard.count()
+    try:
+        fresh = (
+            spark.read.parquet(f"{path}/docs").count() == expected
+            and DI._read_meta(spark, path) == (8, 64, True)
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        DI.build_gram_counts(docs, path, length=8, n_buckets=64)
+        DI.append_gram_counts(shard, path)
+    return DI.dup_spans_incremental(spark, path, shard)
+
+
+def _dup_spans_incremental_sql(length: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of _q_dup_spans_incremental: recompute from raw
+    text — counts over base ∪ shard, spans restricted to shard ids.
+    The index path must reproduce the from-scratch computation
+    exactly (the lexindex shared-twin discipline)."""
+    union_src = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'pre1 pre2 ' || text AS text
+      FROM documents WHERE doc_id % 7 = 0
+    """
+    return f"""
+WITH {_dup_spans_core_sql(length, min_count, source_sql=union_src)}
+SELECT doc_id, span_start, span_end, span_len, n_dup_grams
+FROM spans WHERE doc_id >= 1000000
+"""
+
+
 def _q_lexical_diversity(spark, sf):
     """Integer-exact lexical-richness signals (operators/textan.
     lexical_diversity): TTR / hapax share / Simpson repeat
@@ -4286,6 +4339,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": _q_lexical_diversity,
         "strip_dup_spans": _q_strip_dup_spans,
         "bm25_index_retrieval": _q_bm25_index_retrieval,
+        "dup_spans_incremental": _q_dup_spans_incremental,
     }
 
 
@@ -4300,6 +4354,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         # the index path must reproduce the from-scratch path
         # bit-exactly, so the two share ONE twin
         "bm25_index_retrieval": _bm25_retrieval_batch_sql(k=5),
+        "dup_spans_incremental": _dup_spans_incremental_sql(length=8, min_count=2),
     }
 
 

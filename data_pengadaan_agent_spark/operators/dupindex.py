@@ -1,0 +1,237 @@
+"""Incremental exact-substring dedup: the maintained gram-count index.
+
+``textan.dup_spans`` answers "where are the duplicated spans" for a
+corpus it re-tokenizes whole — the right shape for a one-shot audit,
+the wrong one for a 100 TB ingest loop where a daily shard arrives
+and the question is "which spans of THE SHARD duplicate anything seen
+so far (or inside the shard itself)". Re-running the full operator
+re-tokenizes the entire base every day. This module maintains the
+only state the dup test needs — the per-gram-hash occurrence counts —
+exactly the way ``lexindex`` maintains postings:
+
+- ``build_gram_counts``: one tokenize pass over the base corpus →
+  (bucket, h, cnt) rows partitioned by a hash bucket, plus a compact
+  (doc_id) registry of ingested docs, plus 1-row meta (length,
+  n_buckets, arith_hash — the gram law) written LAST as the commit
+  marker.
+- ``append_gram_counts``: per-shard ingest — validates the gram law
+  from meta, drops in-shard duplicate ids, anti-joins the registry,
+  commits the registry FIRST (replay after any crash is a no-op, the
+  lexindex append contract), then appends the shard's per-hash count
+  rows as new files. Existing files are never read or rewritten:
+  base-independent by construction. Readers SUM rows per hash, so
+  append never needs a read-modify-write.
+- ``dup_spans_incremental``: duplicated spans of an ALREADY-APPENDED
+  shard against everything ingested so far. The shard re-tokenizes
+  (it must — positions are needed), the base never does: the count
+  table joins by hash, its exchange carries 16-byte (h, cnt) rows,
+  never base text. The join is pinned merge (spillable; the count
+  side is corpus-gram-scale). Per-query cost is shard work + one
+  scan/exchange of the compact count table — at 100 TB, store the
+  counts as a BUCKETED table (``sources.readers.write_bucketed`` on
+  h) and that exchange disappears too; the parquet layout here keeps
+  the oracle path vanilla-session-runnable.
+
+Same-answer guarantee: for a base B and shard S (disjoint ids), the
+shard's rows of ``dup_spans(B ∪ S)`` equal
+``dup_spans_incremental(path, S)`` after ``append_gram_counts(S)`` —
+pinned by test and by the oracle twin, which recomputes from raw
+text. One asymmetry is inherent to EVERY incremental dedup: a BASE
+doc that only became duplicated when the shard arrived is not
+re-reported (its spans surface on the next full audit, or by running
+the shard's spans' hashes against the base — the same new-vs-seen
+contract as ``incremental_dedup``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators.textan import (
+    dup_gram_hash,
+    tokens,
+    word_ngrams,
+)
+
+
+def _paths(path: str) -> tuple[str, str, str]:
+    p = path.rstrip("/")
+    return f"{p}/counts", f"{p}/docs", f"{p}/meta"
+
+
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, bool]:
+    _, _, meta = _paths(path)
+    try:
+        row = spark.read.parquet(meta).collect()
+    except Exception as exc:  # noqa: BLE001 - absent/corrupt meta = invalid index
+        raise ValueError(
+            f"gram-count index at {path!r} has no readable meta table — "
+            "absent, corrupt, or a build crashed before commit; rebuild "
+            "with build_gram_counts"
+        ) from exc
+    if len(row) != 1:
+        raise ValueError(f"gram-count index meta at {path!r} must be exactly 1 row")
+    r = row[0]
+    return int(r["length"]), int(r["n_buckets"]), bool(r["arith_hash"])
+
+
+def _shard_counts(
+    shard: DataFrame,
+    length: int,
+    n_buckets: int,
+    arith_hash: bool,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    return (
+        spread(shard, id_col)
+        .select(F.explode(word_ngrams(text_col, length)).alias("g"))
+        .select(dup_gram_hash(F.col("g"), arith_hash).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "bucket", F.pmod(F.col("h"), F.lit(int(n_buckets))).cast("int")
+        )
+    )
+
+
+def build_gram_counts(
+    docs: DataFrame,
+    path: str,
+    length: int = 8,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+) -> None:
+    """Ingest the base corpus into the gram-count index. Meta (the
+    gram law: length, bucket count, hash family) commits LAST; a
+    rebuild deletes the old meta first — the lexindex build
+    discipline, so a crash never leaves an index that silently
+    under-reports duplication."""
+    if length < 1 or n_buckets < 1:
+        raise ValueError("build_gram_counts: length and n_buckets must be >= 1")
+    counts_p, docs_p, meta_p = _paths(path)
+    spark = docs.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    meta_fs = jvm_path(meta_p)
+    fs = meta_fs.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_fs):
+        fs.delete(meta_fs, True)
+    _shard_counts(docs, length, n_buckets, arith_hash, text_col, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(counts_p)
+    docs.select(F.col(id_col)).write.mode("overwrite").parquet(docs_p)
+    spark.createDataFrame(
+        [(int(length), int(n_buckets), bool(arith_hash))],
+        "length int, n_buckets int, arith_hash boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+
+
+def append_gram_counts(
+    shard: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Per-shard ingest: registry commits FIRST (replay-safe — a
+    mid-append crash can never double gram counts, which would
+    fabricate duplicates corpus-wide; the surviving lost-shard state
+    under-COUNTS, detectable by re-auditing the shard). Existing
+    count files are never read or rewritten. Returns docs appended."""
+    spark = shard.sparkSession
+    length, n_buckets, arith_hash = _read_meta(spark, path)
+    counts_p, docs_p, _ = _paths(path)
+    fresh = shard.dropDuplicates([id_col])
+    seen = spark.read.parquet(docs_p).select(id_col)
+    fresh = fresh.join(seen, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    fresh.select(F.col(id_col)).write.mode("append").parquet(docs_p)
+    _shard_counts(fresh, length, n_buckets, arith_hash, text_col, id_col).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(counts_p)
+    return n_new
+
+
+def dup_spans_incremental(
+    spark: SparkSession,
+    path: str,
+    shard: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated spans of an already-appended shard against the whole
+    ingested history — same output contract as ``textan.dup_spans``
+    restricted to the shard's ids, same exact-integer gap-merge.
+    The shard must be APPENDED first (its counts live in the table,
+    so within-shard repeats are counted; querying an un-appended
+    shard raises — silently under-counting its self-duplication is
+    the wrong failure). The gram law (length, hash family) comes
+    from meta, so shard grams and table counts agree by
+    construction."""
+    length, n_buckets, arith_hash = _read_meta(spark, path)
+    counts_p, docs_p, _ = _paths(path)
+    if min_count < 2:
+        raise ValueError("dup_spans_incremental: min_count must be >= 2")
+    ids = shard.select(id_col).distinct()
+    n_missing = ids.join(
+        spark.read.parquet(docs_p).select(id_col), id_col, "left_anti"
+    ).count()
+    if n_missing:
+        raise ValueError(
+            f"dup_spans_incremental: {n_missing} shard doc(s) not in the "
+            "index registry — append_gram_counts the shard first (the "
+            "count table must include the shard for within-shard repeats "
+            "to be counted)"
+        )
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    grams = spread(shard, id_col).select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(text_col, length)).alias("pos", "g"),
+    )
+    hashed = grams.select(
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        dup_gram_hash(F.col("g"), arith_hash).alias("h"),
+    )
+    dup_hashes = (
+        spark.read.parquet(counts_p)
+        .groupBy("h")
+        .agg(F.sum("cnt").cast("bigint").alias("_occ"))
+        .filter(F.col("_occ") >= F.lit(int(min_count)))
+        .select("h")
+    )
+    dup = hashed.join(dup_hashes.hint("merge"), "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(int(length))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_run", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy(id_col, "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(int(length) - 1)).alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_grams"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).alias("span_len"),
+            "n_dup_grams",
+        )
+    )

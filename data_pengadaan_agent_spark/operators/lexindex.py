@@ -196,6 +196,64 @@ def audit_postings_index(
     return missing.unionByName(orphan)
 
 
+def compact_postings_index(
+    spark: SparkSession,
+    path: str,
+    target_files_per_bucket: int = 1,
+) -> int:
+    """Maintenance for the daily-append loop: every append lays new
+    files into each touched bucket directory, so a year of shards
+    turns one pruned-bucket read into thousands of tiny file opens
+    (the classic small-file problem — at 100 TB the NameNode/listing
+    cost alone dominates). Compaction rewrites the postings with
+    ``target_files_per_bucket`` files per bucket and returns the
+    number of data files removed.
+
+    Crash discipline (same meta-commit-marker contract as build):
+    the compacted copy is written BESIDE the live table, then meta is
+    deleted (index goes invalid), the old postings directory is
+    swapped out for the compacted one with two FS renames, and meta
+    is rewritten LAST. A crash anywhere in the swap window leaves an
+    index readers loudly reject — never one silently serving doubled
+    or missing postings. doclen and the index CONTENT are untouched:
+    a compacted index answers bit-identically (pinned by test)."""
+    n_buckets = _read_meta(spark, path)
+    posts_p, _, meta_p = _paths(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(posts_p).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p: str) -> int:
+        it, n = fs.listFiles(jvm_path(p), True), 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+    before = _n_files(posts_p)
+    tmp = f"{posts_p}_compact_tmp"
+    old = f"{posts_p}_compact_old"
+    for stale in (tmp, old):
+        if fs.exists(jvm_path(stale)):
+            fs.delete(jvm_path(stale), True)
+    (
+        spark.read.parquet(posts_p)
+        .repartition(int(n_buckets) * int(target_files_per_bucket), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    meta_fs = jvm_path(meta_p)
+    meta_df = spark.read.parquet(meta_p).collect()
+    fs.delete(meta_fs, True)  # index invalid from here until recommit
+    fs.rename(jvm_path(posts_p), jvm_path(old))
+    fs.rename(jvm_path(tmp), jvm_path(posts_p))
+    fs.delete(jvm_path(old), True)
+    spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(
+        meta_p
+    )
+    return before - _n_files(posts_p)
+
+
 def bm25_from_index(
     spark: SparkSession,
     path: str,

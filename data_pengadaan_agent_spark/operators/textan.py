@@ -546,6 +546,22 @@ def winnow_matches(
     )
 
 
+def dup_gram_hash(gram_col: Column, arith_hash: bool = True) -> Column:
+    """The dup family's gram hash — shared by ``dup_spans`` and the
+    incremental gram-count index so the two agree by construction.
+    Arith path: two 31-bit polynomial channels combined WIDE
+    (``h131 · P31 + h137`` < 2⁶², exact int64 on any engine — a dup
+    detector must not fold back mod P31, see dup_spans). Production
+    path: JVM xxhash64."""
+    from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
+
+    if arith_hash:
+        return poly_hash_col(gram_col, 131) * F.lit(P31) + poly_hash_col(
+            gram_col, 137
+        )
+    return F.xxhash64(gram_col)
+
+
 def dup_spans(
     df: DataFrame,
     length: int = 8,
@@ -600,7 +616,6 @@ def dup_spans(
     lag window, the run-id running sum, and the final run aggregate
     — the scd2_history single-exchange discipline. Exchanges carry
     (int64, int64) rows only, never text."""
-    from data_pengadaan_agent_spark.operators.dedup import P31, poly_hash_col
     from data_pengadaan_agent_spark.sources.catalog import spread
 
     if length < 1:
@@ -611,14 +626,10 @@ def dup_spans(
         F.col(id_col),
         F.posexplode(word_ngrams(text_col, length)).alias("pos", "g"),
     )
-    if arith_hash:
-        h = poly_hash_col(F.col("g"), 131) * F.lit(P31) + poly_hash_col(
-            F.col("g"), 137
-        )
-    else:
-        h = F.xxhash64("g")
     hashed = grams.select(
-        F.col(id_col), F.col("pos").cast("bigint").alias("pos"), h.alias("h")
+        F.col(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        dup_gram_hash(F.col("g"), arith_hash).alias("h"),
     )
     occ = hashed.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
     # merge, not shuffle_hash: the duplicated-hash side is small on

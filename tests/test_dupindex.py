@@ -1,0 +1,114 @@
+"""Incremental gram-count index: build → append → shard dup spans.
+
+The load-bearing invariant: after append, the shard's incremental
+spans equal the full-recompute ``dup_spans(base ∪ shard)`` restricted
+to the shard — the incremental path changes WHEN work happens, never
+the answer (for the shard; the base-side asymmetry is the documented
+new-vs-seen contract shared with incremental_dedup).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import dupindex as DI
+from data_pengadaan_agent_spark.operators import textan as X
+
+RUN = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"  # 10 tokens > length=8
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [
+            (1, RUN + " base tail words here"),
+            (2, "completely unique base doc two"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def _shard(spark):
+    return spark.createDataFrame(
+        [
+            (10, "front pad " + RUN),             # duplicates base doc 1
+            (11, "s1 s2 s3 s4 s5 s6 s7 s8 mid gap t1 t2 "
+                 "s1 s2 s3 s4 s5 s6 s7 s8"),       # within-doc repeat
+            (12, "s1 s2 s3 s4 s5 s6 s7 s8 other"),  # duplicates doc 11's run
+            (13, "entirely fresh shard text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def _spans(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_matches_full_recompute(spark, tmp_path):
+    base, shard = _base(spark), _shard(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=8, n_buckets=8)
+    assert DI.append_gram_counts(shard, path) == 4
+    got = _spans(DI.dup_spans_incremental(spark, path, shard))
+    full = X.dup_spans(base.union(shard), length=8)
+    want = _spans(full.filter(F.col("doc_id") >= 10))
+    assert got == want and len(got) > 0
+    ids = {r[0] for r in got}
+    assert {10, 11, 12} <= ids and 13 not in ids
+    # the documented asymmetry: base doc 1 became duplicated when the
+    # shard arrived, and the INCREMENTAL view does not re-report it
+    assert 1 in {r["doc_id"] for r in full.collect()}
+    # production hash family: same spans through xxhash64 counts
+    path2 = str(tmp_path / "gidx_prod")
+    DI.build_gram_counts(base, path2, length=8, n_buckets=8, arith_hash=False)
+    DI.append_gram_counts(shard, path2)
+    assert _spans(DI.dup_spans_incremental(spark, path2, shard)) == want
+
+
+def test_incremental_requires_appended_shard(spark, tmp_path):
+    base, shard = _base(spark), _shard(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=8, n_buckets=8)
+    with pytest.raises(ValueError, match="append_gram_counts"):
+        DI.dup_spans_incremental(spark, path, shard)
+
+
+def test_append_replay_is_noop(spark, tmp_path):
+    """Registry commits first: replaying a shard appends nothing and
+    never doubles gram counts (doubled counts would fabricate
+    duplicates corpus-wide)."""
+    base, shard = _base(spark), _shard(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=8, n_buckets=8)
+    assert DI.append_gram_counts(shard, path) == 4
+    before = _spans(DI.dup_spans_incremental(spark, path, shard))
+    assert DI.append_gram_counts(shard, path) == 0
+    assert DI.append_gram_counts(shard.union(shard), path) == 0
+    assert _spans(DI.dup_spans_incremental(spark, path, shard)) == before
+    # doc 13 is unique corpus-wide: replays must not have made it dup
+    assert 13 not in {r[0] for r in before}
+
+
+def test_meta_is_commit_marker_and_gram_law(spark, tmp_path):
+    base = _base(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=4, n_buckets=8)
+    # the gram law (length=4) comes from meta, not the caller
+    shard = spark.createDataFrame(
+        [(20, "d1 d2 d3 d4 tail"), (21, "pre d1 d2 d3 d4")],
+        "doc_id LONG, text STRING",
+    )
+    DI.append_gram_counts(shard, path)
+    got = {r["doc_id"]: (r["span_start"], r["span_end"]) for r in
+           DI.dup_spans_incremental(spark, path, shard).collect()}
+    assert got == {20: (0, 3), 21: (1, 4)}
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "gidx" / "meta"))
+    with pytest.raises(ValueError, match="meta"):
+        DI.dup_spans_incremental(spark, path, shard)
+    with pytest.raises(ValueError, match="meta"):
+        DI.append_gram_counts(shard, path)
+    with pytest.raises(ValueError, match="length and n_buckets"):
+        DI.build_gram_counts(base, str(tmp_path / "g2"), length=0)

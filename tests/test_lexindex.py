@@ -149,3 +149,29 @@ def test_append_crash_contract_and_audit(spark, tmp_path):
     # the replay contract: doclen already committed -> append skips,
     # so tf/df are never double-counted (repair is targeted, not replay)
     assert LX.append_postings_index(shard, path) == 0
+
+
+def test_compact_postings_index_preserves_answers(spark, tmp_path):
+    """Compaction shrinks the file count after a run of appends and
+    the compacted index answers BIT-identically; a stale meta-less
+    state mid-swap is rejected like any uncommitted index."""
+    import glob
+
+    docs, qs = _mini_corpus(spark), _queries(spark)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(docs.filter(F.col("doc_id") <= 2), path, n_buckets=4)
+    for lo, hi in ((3, 4), (5, 5), (6, 6)):
+        LX.append_postings_index(
+            docs.filter(F.col("doc_id").between(lo, hi)), path
+        )
+    want = sorted(map(tuple, LX.bm25_from_index(spark, path, qs, k=3).collect()))
+    n_before = len(glob.glob(str(tmp_path / "pidx" / "postings" / "*" / "*.parquet")))
+    removed = LX.compact_postings_index(spark, path, target_files_per_bucket=1)
+    n_after = len(glob.glob(str(tmp_path / "pidx" / "postings" / "*" / "*.parquet")))
+    assert removed == n_before - n_after and n_after < n_before
+    got = sorted(map(tuple, LX.bm25_from_index(spark, path, qs, k=3).collect()))
+    assert got == want
+    assert LX.audit_postings_index(spark, path).count() == 0
+    # appends still work on the compacted index
+    extra = spark.createDataFrame([(99, "apple fig zz")], "doc_id LONG, text STRING")
+    assert LX.append_postings_index(extra, path) == 1

@@ -66,6 +66,7 @@ HEADLINERS = {
     "strip_dup_spans": "removal step: spans collect_list'd per doc, exists()-filtered posexplode, array_sort reassembly — no UDF, no pair join",
     "lexical_diversity": "two chained integer aggregates: (id, token) counts partial-combine, id fold rides the same hash prefix",
     "bm25_index_retrieval": "materialized postings path: literal bucket predicate in PartitionFilters, doclen 1-row stats fold, broadcast query joins only",
+    "dup_spans_incremental": "maintained gram-count index: shard-only tokenize, 16-byte (h,cnt) count-table exchange, merge-pinned semi-join, same gap-merge window",
 }
 
 

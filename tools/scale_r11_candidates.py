@@ -162,6 +162,38 @@ res["postings_append_base_axis"] = (
     math.log(app_t[SPANS[-1]] / app_t[1]) / math.log(SPANS[-1]),
 )
 
+# --- incremental dup spans: FIXED shard queried against x1 vs xN base
+# (the operative claim: the shard query never re-tokenizes the base;
+# its base-proportional cost is one scan of the compact count table)
+from data_pengadaan_agent_spark.operators import dupindex as DI
+
+GIDX = "/tmp/spark_graft_scale/gidx_x{k}"
+dshard = docs[1].select(
+    (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+).localCheckpoint(eager=True)
+gi_app_t, gi_q_t = {}, {}
+for k in (1, SPANS[-1]):
+    path = GIDX.format(k=k)
+    shutil.rmtree(path, ignore_errors=True)
+    DI.build_gram_counts(docs[k], path, length=8, n_buckets=64, arith_hash=False)
+    t0 = time.time()
+    DI.append_gram_counts(dshard, path)
+    gi_app_t[k] = time.time() - t0
+    DI.dup_spans_incremental(spark, path, dshard).count()  # warm
+    t0 = time.time()
+    n = DI.dup_spans_incremental(spark, path, dshard).count()
+    gi_q_t[k] = time.time() - t0
+    print(
+        f"gram-counts onto x{k} base: append {gi_app_t[k]:.2f} s, "
+        f"incr query {gi_q_t[k]:.2f} s ({n} spans)",
+        flush=True,
+    )
+for label, t in (("append", gi_app_t), ("query", gi_q_t)):
+    res[f"dup_incr_{label}_base_axis"] = (
+        t,
+        math.log(t[SPANS[-1]] / t[1]) / math.log(SPANS[-1]),
+    )
+
 print("\n=== summary ===")
 for name, (times, exp) in res.items():
     span = " / ".join(f"{times[k]:.2f}" for k in sorted(times))

@@ -235,9 +235,17 @@ def compact_postings_index(
     for stale in (tmp, old):
         if fs.exists(jvm_path(stale)):
             fs.delete(jvm_path(stale), True)
+    # repartition on (bucket, subsplit): hashing on bucket alone sends
+    # every row of a bucket to ONE partition (one file per bucket no
+    # matter the target); the term-hash subsplit spreads each bucket
+    # over <= target partitions, so a huge bucket compacts to ~target
+    # files instead of one unsplittable giant
+    sub = F.pmod(F.xxhash64("t"), F.lit(int(target_files_per_bucket)))
     (
         spark.read.parquet(posts_p)
-        .repartition(int(n_buckets) * int(target_files_per_bucket), "bucket")
+        .repartition(
+            int(n_buckets) * int(target_files_per_bucket), F.col("bucket"), sub
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(tmp)

@@ -229,3 +229,49 @@ def test_quality_gate_stateless_parity_property(spark, texts):
         ).collect()
     }
     assert per_row == batch
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=14),
+        min_size=2,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_dup_spans_matches_bruteforce_reference(spark, corpora, length):
+    """dup_spans == an independent brute-force reference on random
+    tiny-alphabet corpora (a 2-letter alphabet forces heavy organic
+    duplication, exercising merge/overlap paths no hand fixture
+    covers): a position is duplicated iff its L-gram occurs >= 2
+    times corpus-wide; maximal spans merge positions with gap <= L."""
+    from collections import Counter
+
+    from data_pengadaan_agent_spark.operators.textan import dup_spans
+
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    grams = {}
+    cnt = Counter()
+    for i, toks in enumerate(corpora):
+        g = [tuple(toks[p : p + length]) for p in range(len(toks) - length + 1)]
+        grams[i] = g
+        cnt.update(g)
+    want = set()
+    for i, g in grams.items():
+        dup_pos = [p for p, gr in enumerate(g) if cnt[gr] >= 2]
+        runs = []
+        for p in dup_pos:
+            if runs and p <= runs[-1][-1] + length:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        for r in runs:
+            start, end = r[0], r[-1] + length - 1
+            want.add((i, start, end, end - start + 1, len(r)))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for arith in (True, False):
+        got = {
+            tuple(r) for r in dup_spans(df, length=length, arith_hash=arith).collect()
+        }
+        assert got == want, (length, corpora, arith)

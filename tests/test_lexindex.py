@@ -175,3 +175,26 @@ def test_compact_postings_index_preserves_answers(spark, tmp_path):
     # appends still work on the compacted index
     extra = spark.createDataFrame([(99, "apple fig zz")], "doc_id LONG, text STRING")
     assert LX.append_postings_index(extra, path) == 1
+
+
+def test_compact_target_splits_buckets(spark, tmp_path):
+    """target_files_per_bucket > 1 must actually spread a bucket over
+    multiple files (hashing on bucket alone would collapse each bucket
+    to ONE partition and silently ignore the target)."""
+    import glob
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(docs, path, n_buckets=2)
+    qs = _queries(spark)
+    want = sorted(map(tuple, LX.bm25_from_index(spark, path, qs, k=3).collect()))
+    LX.compact_postings_index(spark, path, target_files_per_bucket=3)
+    per_bucket = {}
+    for f in glob.glob(str(tmp_path / "pidx" / "postings" / "*" / "*.parquet")):
+        b = f.split("bucket=")[1].split("/")[0]
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert per_bucket and any(n >= 2 for n in per_bucket.values()), per_bucket
+    assert all(n <= 3 for n in per_bucket.values()), per_bucket
+    got = sorted(map(tuple, LX.bm25_from_index(spark, path, qs, k=3).collect()))
+    assert got == want

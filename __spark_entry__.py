@@ -4196,6 +4196,199 @@ FROM d LEFT JOIN ka USING (doc_id)
 """
 
 
+def _q_corpus_ingest_stream_dup_spans(spark, sf):
+    """FOURTH value-checked streaming-ingest form: readStream.text →
+    per-epoch append to the maintained gram-count index → incremental
+    duplicated-token budget gate (streaming/windows.
+    foreach_batch_dup_span_sink). Runs the PURE PRODUCTION hash path
+    (xxhash64 gram law) — the oracle twin counts RAW L-grams instead
+    of replaying a hash, so a hash collision anywhere would hash-fail
+    the row: the check verifies zero collisions as a side effect.
+    The fixture directory is one micro-batch (static dir, no
+    maxFilesPerTrigger), so the single-epoch verdicts equal the batch
+    dup budget over the DISTINCT-by-content corpus; cross-batch
+    first-wins semantics is pinned separately by pytest.
+    ROUND-11-pool candidate."""
+    import shutil
+    import tempfile
+
+    from data_pengadaan_agent_spark.operators import dupindex as DI
+    from data_pengadaan_agent_spark.sources.readers import read_text_corpus_stream
+
+    corpus = read_text_corpus_stream(spark, _ensure_text_corpus(sf))
+    idx = _warehouse_path(spark, sf, "stream_gram_counts")
+    sink = _warehouse_path(spark, sf, "stream_dup_span_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+    # fresh empty index + fresh checkpoint per call: the whole corpus
+    # reprocesses as epoch 0, so repeated calls are deterministic
+    DI.build_gram_counts(
+        spark.createDataFrame([], "doc_id long, text string"),
+        idx,
+        length=8,
+        n_buckets=64,
+        arith_hash=False,
+    )
+    q = SW.foreach_batch_dup_span_sink(
+        corpus, idx, sink, tempfile.mkdtemp(prefix="dup_span_ckpt_"),
+        max_ppm=500_000,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(sink).select(
+        "text", "n_tokens", "dup_tokens", "dup_ppm", "keep"
+    )
+
+
+def _corpus_ingest_dup_spans_sql(length: int = 8, max_ppm: int = 500_000) -> str:
+    """DuckDB twin of _q_corpus_ingest_stream_dup_spans: the
+    DISTINCT-by-content collapsed corpus (the streaming relational
+    model shared by every ingest-stream twin), RAW L-gram occurrence
+    counts (no hash — stronger than replaying one), per-text
+    gap-merge spans, exact-integer ppm, keep threshold."""
+    return f"""
+WITH corpus AS (
+  SELECT DISTINCT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS text
+  FROM documents WHERE length(trim(text)) > 0
+),
+d AS (
+  SELECT text, {_DUCK_TOKS} AS toks FROM corpus
+),
+g AS (
+  SELECT text, CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[CAST(i + 1 AS INT):CAST(i + {length} AS INT)], ' ') AS g
+  FROM d, unnest(range(greatest(len(toks) - {length} + 1, 0))) AS u(i)
+),
+occ AS (
+  SELECT g, count(*) AS n_occ FROM g GROUP BY 1
+),
+dup AS (
+  SELECT g.text, g.pos FROM g JOIN occ USING (g) WHERE occ.n_occ >= 2
+),
+fl AS (
+  SELECT text, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY text ORDER BY pos) IS NULL
+                OR pos > lag(pos) OVER (PARTITION BY text ORDER BY pos)
+                         + {length}
+              THEN 1 ELSE 0 END AS nw
+  FROM dup
+),
+runs AS (
+  SELECT text, pos,
+         sum(nw) OVER (PARTITION BY text ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS run
+  FROM fl
+),
+spans AS (
+  SELECT text,
+         max(pos) + {length - 1} - min(pos) + 1 AS span_len
+  FROM runs GROUP BY text, run
+),
+per AS (
+  SELECT text, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1
+)
+SELECT d.text,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       coalesce(per.dup_tokens, 0) AS dup_tokens,
+       CAST((1000000 * coalesce(per.dup_tokens, 0))
+            // greatest(CAST(len(d.toks) AS BIGINT), 1) AS BIGINT) AS dup_ppm,
+       CAST((1000000 * coalesce(per.dup_tokens, 0))
+            // greatest(CAST(len(d.toks) AS BIGINT), 1) AS BIGINT)
+         <= {max_ppm} AS keep
+FROM d LEFT JOIN per USING (text)
+"""
+
+
+def _q_dup_run_pairs(spark, sf):
+    """Exact maximal shared token runs between two corpora
+    (operators/textan.dup_run_pairs, the diagonal construction):
+    corpus A = the doc_id%4==0 slice, corpus B = the same docs
+    re-identified (+1000000) with a 2-token prelude — every A doc
+    shares its FULL text run with its B twin at positions shifted by
+    2, plus whatever organic duplication the fixture carries.
+    length=6, max_df=50. ROUND-11-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b = a.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("pre1 pre2 "), F.col("text")).alias("text"),
+    )
+    return X.dup_run_pairs(a, b, length=6, max_df=50)
+
+
+def _dup_run_pairs_sql(length: int = 6, max_df: int = 50) -> str:
+    """DuckDB twin of _q_dup_run_pairs: same grams, same 62-bit
+    two-channel hash, same per-side document-frequency caps, same
+    (a, b, a_pos−b_pos) diagonal clustering of consecutive matches."""
+    p131 = _DUCK_POLY.format(s="g", mult=131)
+    p137 = _DUCK_POLY.format(s="g", mult=137)
+    return f"""
+WITH corpus_a AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+),
+corpus_b AS (
+  SELECT doc_id + 1000000 AS doc_id, 'pre1 pre2 ' || text AS text
+  FROM documents WHERE doc_id % 4 = 0
+),
+ga AS (
+  SELECT doc_id AS a_id, CAST(i AS BIGINT) AS a_pos,
+         (({p131}) * 2147483647 + ({p137})) AS h
+  FROM (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus_a
+  ), unnest(range(greatest(len(toks) - {length} + 1, 0))) AS u(i),
+  LATERAL (SELECT array_to_string(
+             toks[CAST(i + 1 AS INT):CAST(i + {length} AS INT)], ' ') AS g)
+),
+gb AS (
+  SELECT doc_id AS b_id, CAST(i AS BIGINT) AS b_pos,
+         (({p131}) * 2147483647 + ({p137})) AS h
+  FROM (
+    SELECT doc_id, {_DUCK_TOKS} AS toks FROM corpus_b
+  ), unnest(range(greatest(len(toks) - {length} + 1, 0))) AS u(i),
+  LATERAL (SELECT array_to_string(
+             toks[CAST(i + 1 AS INT):CAST(i + {length} AS INT)], ' ') AS g)
+),
+fa AS (
+  SELECT ga.* FROM ga JOIN (
+    SELECT h FROM ga GROUP BY h HAVING count(DISTINCT a_id) <= {max_df}
+  ) USING (h)
+),
+fb AS (
+  SELECT gb.* FROM gb JOIN (
+    SELECT h FROM gb GROUP BY h HAVING count(DISTINCT b_id) <= {max_df}
+  ) USING (h)
+),
+m AS (
+  SELECT fa.a_id, fb.b_id, fa.a_pos, fb.b_pos,
+         fa.a_pos - fb.b_pos AS diag
+  FROM fa JOIN fb USING (h)
+),
+fl AS (
+  SELECT a_id, b_id, diag, a_pos,
+         CASE WHEN lag(a_pos) OVER (PARTITION BY a_id, b_id, diag
+                                    ORDER BY a_pos) IS NULL
+                OR a_pos > lag(a_pos) OVER (PARTITION BY a_id, b_id, diag
+                                            ORDER BY a_pos) + 1
+              THEN 1 ELSE 0 END AS nw
+  FROM m
+),
+runs AS (
+  SELECT a_id, b_id, diag, a_pos,
+         sum(nw) OVER (PARTITION BY a_id, b_id, diag ORDER BY a_pos
+                       ROWS UNBOUNDED PRECEDING) AS run
+  FROM fl
+)
+SELECT a_id, b_id,
+       min(a_pos) AS a_start,
+       max(a_pos) + {length - 1} AS a_end,
+       min(a_pos) - diag AS b_start,
+       max(a_pos) + {length - 1} - diag AS b_end,
+       max(a_pos) + {length - 1} - min(a_pos) + 1 AS run_tokens
+FROM runs GROUP BY a_id, b_id, diag, run
+HAVING max(a_pos) + {length - 1} - min(a_pos) + 1 >= {length}
+"""
+
+
 def _q_bm25_index_retrieval(spark, sf):
     """Batched BM25 over the MATERIALIZED postings index
     (operators/lexindex.bm25_from_index): same query batch and k as
@@ -4340,6 +4533,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_dup_spans": _q_strip_dup_spans,
         "bm25_index_retrieval": _q_bm25_index_retrieval,
         "dup_spans_incremental": _q_dup_spans_incremental,
+        "dup_run_pairs": _q_dup_run_pairs,
+        "corpus_ingest_stream_dup_spans": _q_corpus_ingest_stream_dup_spans,
     }
 
 
@@ -4355,6 +4550,10 @@ def candidate_oracle_sql() -> dict[str, str]:
         # bit-exactly, so the two share ONE twin
         "bm25_index_retrieval": _bm25_retrieval_batch_sql(k=5),
         "dup_spans_incremental": _dup_spans_incremental_sql(length=8, min_count=2),
+        "dup_run_pairs": _dup_run_pairs_sql(length=6, max_df=50),
+        "corpus_ingest_stream_dup_spans": _corpus_ingest_dup_spans_sql(
+            length=8, max_ppm=500_000
+        ),
     }
 
 

@@ -771,6 +771,113 @@ def strip_dup_spans(
     )
 
 
+def dup_run_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    length: int = 8,
+    max_df: int = 50,
+    min_run: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    arith_hash: bool = True,
+) -> DataFrame:
+    """EXACT maximal shared token runs between two corpora, with
+    boundaries on both sides — the exact complement of
+    ``winnow_matches`` (whose spans are sketch EXTENTS that one
+    coincidental hash can inflate) and the cross-document pairing
+    view of ``dup_spans`` (which reports per-doc spans without saying
+    WHO they are shared with). For each (a, b) pair, every maximal
+    contiguous run of >= max(length, min_run) identical tokens is one
+    output row with exact [start, end] token positions on each side —
+    the report Lee et al. 2021 builds from the suffix array, and the
+    evidence a human reviews for license/plagiarism/contamination
+    triage.
+
+    The diagonal trick makes this ONE window pass instead of an
+    alignment algorithm: a shared run of R tokens is R−L+1 gram
+    matches at consecutive positions on BOTH sides, so every match in
+    the run has the same ``a_pos − b_pos`` — grouping joined gram
+    matches by (a, b, diagonal) and clustering consecutive a_pos
+    (new run iff a_pos > lag(a_pos) + 1) recovers every maximal run
+    exactly; run token length = gram_span + length − 1. The same
+    content repeated at several places in b shows up as several
+    diagonals — each reported separately, as it should be.
+
+    ``max_df`` is the same boilerplate/fan-out guard as
+    winnow_matches: a gram hash present in more than ``max_df``
+    documents of either corpus is dropped BEFORE the pair join
+    (bounding pair fan-out per hash at max_df²); dropped hashes are
+    boilerplate by definition and their runs are exactly what a
+    curation pass does not want pair-multiplied.
+
+    Scale shape: two gram passes (spread + posexplode, exchanges
+    carry (id, pos, int64) only), per-side document-frequency caps
+    (partial-aggregated), ONE hash equi-join pinned merge (both sides
+    explode-descended — never broadcast), then one
+    (a, b, diag) window + aggregate. All integer; arith_hash chooses
+    the 62-bit two-channel oracle hash vs JVM xxhash64."""
+
+    def _grams(df: DataFrame, side: str) -> DataFrame:
+        from data_pengadaan_agent_spark.sources.catalog import spread
+
+        g = spread(df, id_col).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.posexplode(word_ngrams(text_col, length)).alias(f"{side}_pos", "g"),
+        )
+        out = g.select(
+            f"{side}_id",
+            F.col(f"{side}_pos").cast("bigint").alias(f"{side}_pos"),
+            dup_gram_hash(F.col("g"), arith_hash).alias("h"),
+        )
+        dfreq = out.groupBy("h").agg(
+            F.count_distinct(f"{side}_id").alias("_df")
+        )
+        return out.join(
+            dfreq.filter(F.col("_df") <= max_df).select("h").hint("merge"),
+            "h",
+            "left_semi",
+        )
+
+    if length < 1:
+        raise ValueError("dup_run_pairs: length must be >= 1")
+    a = _grams(df_a, "a")
+    b = _grams(df_b, "b")
+    m = a.join(b.hint("merge"), "h").select(
+        "a_id", "b_id", "a_pos", "b_pos", (F.col("a_pos") - F.col("b_pos")).alias("_diag")
+    )
+    w = Window.partitionBy("a_id", "b_id", "_diag").orderBy("a_pos")
+    runs = (
+        m.withColumn(
+            "_new",
+            F.when(
+                F.lag("a_pos").over(w).isNull()
+                | (F.col("a_pos") > F.lag("a_pos").over(w) + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_run", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("a_id", "b_id", "_diag", "_run")
+        .agg(
+            F.min("a_pos").alias("a_start"),
+            (F.max("a_pos") + F.lit(int(length) - 1)).alias("a_end"),
+        )
+    )
+    return (
+        runs.select(
+            "a_id",
+            "b_id",
+            "a_start",
+            "a_end",
+            (F.col("a_start") - F.col("_diag")).alias("b_start"),
+            (F.col("a_end") - F.col("_diag")).alias("b_end"),
+            (F.col("a_end") - F.col("a_start") + F.lit(1)).alias("run_tokens"),
+        )
+        .filter(F.col("run_tokens") >= F.lit(max(int(min_run), int(length))))
+    )
+
+
 def lexical_diversity(
     df: DataFrame,
     text_col: str = "text",

@@ -236,6 +236,87 @@ def foreach_batch_parquet_sink(
     )
 
 
+def foreach_batch_dup_span_sink(
+    stream_df: DataFrame,
+    index_path: str,
+    path: str,
+    checkpoint: str,
+    max_ppm: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming exact-substring dedup gate — the dup-span family's
+    ingest deployment: each micro-batch is appended to the maintained
+    gram-count index (``dupindex.append_gram_counts``) and scored by
+    its incremental duplicated-token budget; rows with
+    ``dup_ppm <= max_ppm`` are kept. First-wins semantics across
+    batches (the incremental_dedup contract): a doc that arrives
+    BEFORE its duplicate passes, the later copy is the one flagged —
+    and a doc's within-batch repeats count immediately because the
+    batch is appended before it is scored.
+
+    Replay safety comes from the index's own crash contract instead
+    of sink bookkeeping: a replayed epoch's docs are already in the
+    registry, so the append is a no-op and the verdicts recompute
+    identically; the epoch-stamped dynamic-partition write then
+    rewrites the same partition (the foreach_batch_parquet_sink
+    recipe). The gram law (length, bucket count, hash family — use
+    xxhash64 in production) is fixed at index build and read from its
+    meta, never passed per batch.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import dupindex as DI
+    from data_pengadaan_agent_spark.operators.textan import tokens
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if b.isEmpty():
+            return
+        DI.append_gram_counts(b, index_path, text_col=text_col, id_col=id_col)
+        spans = DI.dup_spans_incremental(
+            spark, index_path, b, text_col=text_col, id_col=id_col
+        )
+        per = spans.groupBy(id_col).agg(
+            F.sum("span_len").cast("bigint").alias("dup_tokens")
+        )
+        stats = (
+            b.select(
+                F.col(id_col),
+                F.col(text_col),
+                F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+            )
+            .join(per, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.col(text_col),
+                "n_tokens",
+                F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+                    "dup_tokens"
+                ),
+                F.expr(
+                    "CAST((1000000 * coalesce(dup_tokens, 0))"
+                    " DIV greatest(n_tokens, 1) AS BIGINT)"
+                ).alias("dup_ppm"),
+            )
+            .withColumn("keep", F.col("dup_ppm") <= F.lit(int(max_ppm)))
+        )
+        (
+            stats.withColumn("_epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
 def foreach_batch_classify_sink(
     stream_df: DataFrame,
     weights: DataFrame,

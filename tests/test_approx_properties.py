@@ -275,3 +275,57 @@ def test_dup_spans_matches_bruteforce_reference(spark, corpora, length):
             tuple(r) for r in dup_spans(df, length=length, arith_hash=arith).collect()
         }
         assert got == want, (length, corpora, arith)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=10),
+        min_size=2,
+        max_size=6,
+    ),
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=3),
+)
+def test_bm25_batch_matches_integer_reference(spark, corpora, qterms):
+    """bm25_retrieval_batch == an independent pure-Python integer
+    reference (Counter-derived tf/df/dl/N, the same fraction-cleared
+    contribution, same (score DESC, id) ranking) on random tiny
+    corpora — pins the whole distributed derivation, not just the
+    contribution formula. Duplicate query terms weight twice."""
+    from collections import Counter
+
+    from data_pengadaan_agent_spark.operators.textan import (
+        bm25_int_coeffs,
+        bm25_retrieval_batch,
+    )
+
+    A, B, C, L = bm25_int_coeffs(1.5, 0.75)
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    n = len(corpora)
+    sdl = sum(len(t) for t in corpora)
+    tf = {i: Counter(toks) for i, toks in enumerate(corpora)}
+    dfreq = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    scores = {}
+    for i, toks in enumerate(corpora):
+        s = 0
+        for t in qterms:  # multiplicity preserved
+            if tf[i].get(t):
+                idf = (n * 1_000_000) // dfreq[t]
+                f = tf[i][t]
+                dl = len(toks)
+                s += (idf * A * f * sdl) // (L * f * sdl + B * sdl + C * dl * n)
+        if s:
+            scores[i] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    want = [(7, i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+    qdf = spark.createDataFrame([(7, qterms)], "qid LONG, terms ARRAY<STRING>")
+    ddf = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = [
+        (r["qid"], r["doc_id"], int(r["bm25"]), r["rank"])
+        for r in bm25_retrieval_batch(qdf, ddf, k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want, (corpora, qterms)

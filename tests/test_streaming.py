@@ -709,3 +709,53 @@ def test_streaming_dedup_near_rejects_bad_band_params(spark):
         SW.streaming_dedup_near(df, n_hashes=16, bands=5)
     with pytest.raises(ValueError, match="multiple"):
         SW.streaming_dedup_near(df, n_hashes=4, bands=8)
+
+
+def test_dup_span_sink_first_wins_across_batches(spark, tmp_path):
+    """Cross-batch semantics of the streaming dup-span gate: a doc
+    that arrives BEFORE its duplicate passes (dup_ppm 0); the later
+    copy is flagged against the maintained index. Files are written
+    between processAllAvailable() calls so trigger boundaries are
+    deterministic, and within-batch repeats count immediately."""
+    from data_pengadaan_agent_spark.operators import dupindex as DI
+    from data_pengadaan_agent_spark.streaming.windows import (
+        foreach_batch_dup_span_sink,
+    )
+
+    run = "q1 q2 q3 q4 q5 q6 q7 q8"
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "gidx")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    DI.build_gram_counts(
+        spark.createDataFrame([], "doc_id long, text string"),
+        idx, length=8, n_buckets=8, arith_hash=False,
+    )
+
+    def write_file(name, rows):
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        with open(f"{src}/{name}", "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    # trigger 1: the run's first appearance + an unrelated doc
+    write_file("b1.txt", [run + " unique tail alpha", "totally fresh other text"])
+    stream = spark.readStream.text(src).select(
+        F.xxhash64("value").alias("doc_id"), F.col("value").alias("text")
+    )
+    q = foreach_batch_dup_span_sink(stream, idx, out, ckpt, max_ppm=100_000)
+    q.processAllAvailable()
+    # trigger 2: a LATER doc carrying the same run -> flagged
+    write_file("b2.txt", ["prefix words " + run])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["text"]: (r["dup_ppm"], r["keep"], r["_epoch"])
+        for r in spark.read.parquet(out).collect()
+    }
+    first = got[run + " unique tail alpha"]
+    later = got["prefix words " + run]
+    assert first[0] == 0 and first[1] is True          # arrived first: clean
+    assert later[0] == (1_000_000 * 8) // 10 and later[1] is False
+    assert first[2] < later[2]                          # separate epochs

@@ -840,3 +840,50 @@ def test_tokenizer_vertical_tab_oracle_parity(spark):
     assert got == want
     assert got[1] == ["alpha", "beta", "gamma"]
     assert got[4] == ["alpha beta"]
+
+
+def test_dup_run_pairs_exact_localization(spark):
+    """Diagonal-trick pins: (1) a shared 12-token run at shifted
+    offsets reports EXACT [start, end] on both sides and the exact
+    run length; (2) the same content appearing TWICE in b yields two
+    rows (two diagonals); (3) a one-gram coincidental hit far from
+    the run stays its own row and cannot inflate the real run's
+    boundaries (the winnow_matches extent problem, solved exactly);
+    (4) min_run filters it out; (5) xxhash64 path agrees."""
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+    a = spark.createDataFrame(
+        [(1, run + " tailx taily k1 k2 k3 k4")], "doc_id LONG, text STRING"
+    )
+    b = spark.createDataFrame(
+        [
+            (10, "p1 p2 " + run + " mid " + run),
+            (11, "z1 k1 k2 k3 k4 z2"),  # small separate 4-gram hit
+        ],
+        "doc_id LONG, text STRING",
+    )
+    for arith in (True, False):
+        rows = X.dup_run_pairs(a, b, length=4, arith_hash=arith).collect()
+        got = {
+            (r["a_id"], r["b_id"], r["a_start"], r["a_end"],
+             r["b_start"], r["b_end"], r["run_tokens"])
+            for r in rows
+        }
+        assert (1, 10, 0, 11, 2, 13, 12) in got     # first copy
+        assert (1, 10, 0, 11, 15, 26, 12) in got    # second copy, own diagonal
+        assert (1, 11, 14, 17, 1, 4, 4) in got      # the small exact hit
+        assert len(got) == 3
+        # min_run: only the 12-token runs survive
+        big = X.dup_run_pairs(a, b, length=4, min_run=10, arith_hash=arith)
+        assert {(r["b_start"], r["run_tokens"]) for r in big.collect()} == {
+            (2, 12), (15, 12)
+        }
+
+
+def test_dup_run_pairs_max_df_guard(spark):
+    """A gram shared by many docs on one side must be dropped before
+    the pair join — same boilerplate law as winnow_matches."""
+    boiler = "standard header text appears verbatim everywhere"
+    a = spark.createDataFrame([(i, boiler) for i in range(6)], "doc_id LONG, text STRING")
+    b = spark.createDataFrame([(100 + i, boiler) for i in range(6)], "doc_id LONG, text STRING")
+    assert X.dup_run_pairs(a, b, length=3, max_df=5).count() == 0
+    assert X.dup_run_pairs(a, b, length=3, max_df=50).count() == 36

@@ -76,6 +76,15 @@ QUERIES = (
     .localCheckpoint(eager=True)
 )
 
+def _drp_sides(k):
+    a = docs[k].filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    b = a.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("pre1 pre2 "), F.col("text")).alias("text"),
+    )
+    return a, b
+
+
 RUNS = {} if X64 else {
     "dup_spans": lambda k: X.dup_spans(docs[k], length=8).count(),
     # production hash path: JVM xxhash64 inside whole-stage codegen
@@ -92,6 +101,11 @@ RUNS = {} if X64 else {
         docs[k], length=8, arith_hash=False
     ).agg(F.sum(F.length("clean_text"))).collect(),
     "lexical_diversity": lambda k: X.lexical_diversity(docs[k]).count(),
+    # exact shared-run pairs: both corpora grow (A = %4 slice, B = the
+    # same docs re-identified with a prelude — the registered shape)
+    "dup_run_pairs_prod": lambda k: X.dup_run_pairs(
+        *_drp_sides(k), length=6, max_df=50, arith_hash=False
+    ).count(),
 }
 
 if X64:
@@ -103,6 +117,9 @@ if X64:
             docs[k], length=8, arith_hash=False
         ).agg(F.sum(F.length("clean_text"))).collect(),
         "lexical_diversity": lambda k: X.lexical_diversity(docs[k]).count(),
+        "dup_run_pairs_prod": lambda k: X.dup_run_pairs(
+            *_drp_sides(k), length=6, max_df=50, arith_hash=False
+        ).count(),
     }
 
 res = {}

@@ -158,6 +158,64 @@ def append_gram_counts(
     return n_new
 
 
+def compact_gram_counts(
+    spark: SparkSession,
+    path: str,
+    target_files_per_bucket: int = 1,
+) -> tuple[int, int]:
+    """Maintenance for the daily-append loop — with a twist postings
+    compaction doesn't have: count rows MERGE. Every append lays one
+    row per (shard, hash); compaction SUMS them to one row per hash,
+    shrinking both the file count (the listing-cost problem) and the
+    row count the incremental query's aggregate must re-reduce every
+    day. Readers are oblivious: they always SUM per hash, so a
+    half-compacted reading order cannot exist — the swap is atomic at
+    the meta level (same staged-copy + meta-out/rename/meta-in
+    discipline as compact_postings_index; a crash mid-swap leaves a
+    loudly-invalid index). Returns (files_removed, rows_merged)."""
+    _, n_buckets, _ = _read_meta(spark, path)
+    counts_p, _, meta_p = _paths(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(counts_p).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p: str) -> int:
+        it, n = fs.listFiles(jvm_path(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before_files = _n_files(counts_p)
+    old_counts = spark.read.parquet(counts_p)
+    before_rows = old_counts.count()
+    tmp = f"{counts_p}_compact_tmp"
+    old = f"{counts_p}_compact_old"
+    for stale in (tmp, old):
+        if fs.exists(jvm_path(stale)):
+            fs.delete(jvm_path(stale), True)
+    sub = F.pmod(F.xxhash64("h"), F.lit(int(target_files_per_bucket)))
+    (
+        old_counts.groupBy("bucket", "h")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .repartition(
+            int(n_buckets) * int(target_files_per_bucket), F.col("bucket"), sub
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    after_rows = spark.read.parquet(tmp).count()
+    meta_rows = spark.read.parquet(meta_p).collect()
+    fs.delete(jvm_path(meta_p), True)  # index invalid until recommit
+    fs.rename(jvm_path(counts_p), jvm_path(old))
+    fs.rename(jvm_path(tmp), jvm_path(counts_p))
+    fs.delete(jvm_path(old), True)
+    spark.createDataFrame(meta_rows).coalesce(1).write.mode("overwrite").parquet(
+        meta_p
+    )
+    return before_files - _n_files(counts_p), before_rows - after_rows
+
+
 def dup_spans_incremental(
     spark: SparkSession,
     path: str,

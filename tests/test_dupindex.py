@@ -112,3 +112,32 @@ def test_meta_is_commit_marker_and_gram_law(spark, tmp_path):
         DI.append_gram_counts(shard, path)
     with pytest.raises(ValueError, match="length and n_buckets"):
         DI.build_gram_counts(base, str(tmp_path / "g2"), length=0)
+
+
+def test_compact_gram_counts_merges_and_preserves_answers(spark, tmp_path):
+    """Compaction merges per-shard count rows (SUM per hash) and
+    shrinks files; incremental answers are bit-identical before and
+    after, and appends keep working on the compacted index."""
+    import glob
+
+    base, shard = _base(spark), _shard(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=8, n_buckets=4)
+    DI.append_gram_counts(shard.filter(F.col("doc_id") <= 11), path)
+    DI.append_gram_counts(shard.filter(F.col("doc_id") >= 12), path)
+    probe = shard.filter(F.col("doc_id") >= 12)
+    want = _spans(DI.dup_spans_incremental(spark, path, probe))
+    files_before = len(glob.glob(str(tmp_path / "gidx" / "counts" / "*" / "*.parquet")))
+    removed_files, merged_rows = DI.compact_gram_counts(spark, path)
+    files_after = len(glob.glob(str(tmp_path / "gidx" / "counts" / "*" / "*.parquet")))
+    assert removed_files == files_before - files_after and files_after < files_before
+    # doc 12 duplicates doc 11's phrase across two appends: at least
+    # that hash had multiple rows to merge
+    assert merged_rows > 0
+    assert _spans(DI.dup_spans_incremental(spark, path, probe)) == want
+    extra = spark.createDataFrame(
+        [(99, "s1 s2 s3 s4 s5 s6 s7 s8 fresh tail")], "doc_id LONG, text STRING"
+    )
+    assert DI.append_gram_counts(extra, path) == 1
+    after = _spans(DI.dup_spans_incremental(spark, path, extra))
+    assert [(r[1], r[2]) for r in after] == [(0, 7)]

@@ -4196,6 +4196,37 @@ FROM d LEFT JOIN ka USING (doc_id)
 """
 
 
+def _q_zorder_key_orders(spark, sf):
+    """Morton / Z-order clustering key over orders
+    (operators/layout.zorder_key): interleave o_custkey with the
+    order-date day number (days since 1992-01-01) — the layout key a
+    write job sorts by so parquet footer min/max stats skip files on
+    BOTH columns (multi-dimensional data skipping; see
+    tests/test_layout.py for the measured skip-fraction payoff).
+    Exact integer bit arithmetic; the twin replays the identical
+    fold emitted by layout.zorder_key_sql. ROUND-11-pool candidate."""
+    from data_pengadaan_agent_spark.operators import layout as L
+
+    orders = load_table(spark, sf, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    return orders.select(
+        F.col("o_orderkey"),
+        L.zorder_key([F.col("o_custkey"), day], bits=21).alias("zkey"),
+    )
+
+
+def _zorder_key_orders_sql() -> str:
+    from data_pengadaan_agent_spark.operators.layout import zorder_key_sql
+
+    fold = zorder_key_sql(
+        ["o_custkey", "(CAST(o_orderdate AS DATE) - DATE '1992-01-01')"],
+        bits=21,
+    )
+    return f"""
+SELECT o_orderkey, CAST({fold} AS BIGINT) AS zkey FROM orders
+"""
+
+
 def _q_corpus_ingest_stream_dup_spans(spark, sf):
     """FOURTH value-checked streaming-ingest form: readStream.text →
     per-epoch append to the maintained gram-count index → incremental
@@ -4535,6 +4566,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans_incremental": _q_dup_spans_incremental,
         "dup_run_pairs": _q_dup_run_pairs,
         "corpus_ingest_stream_dup_spans": _q_corpus_ingest_stream_dup_spans,
+        "zorder_key_orders": _q_zorder_key_orders,
     }
 
 
@@ -4554,6 +4586,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "corpus_ingest_stream_dup_spans": _corpus_ingest_dup_spans_sql(
             length=8, max_ppm=500_000
         ),
+        "zorder_key_orders": _zorder_key_orders_sql(),
     }
 
 

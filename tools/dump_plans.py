@@ -68,6 +68,7 @@ HEADLINERS = {
     "bm25_index_retrieval": "materialized postings path: literal bucket predicate in PartitionFilters, doclen 1-row stats fold, broadcast query joins only",
     "dup_spans_incremental": "maintained gram-count index: shard-only tokenize, 16-byte (h,cnt) count-table exchange, merge-pinned semi-join, same gap-merge window",
     "dup_run_pairs": "exact shared runs via the diagonal trick: df-capped gram join (merge-pinned), one (a,b,diag) window clusters consecutive matches",
+    "zorder_key_orders": "Morton layout key: one static shift/mask fold, pure map — whole-stage codegen, zero exchanges",
 }
 
 

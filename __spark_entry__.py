@@ -4548,13 +4548,16 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidates (ngram_lm_score, scd2_history, ivf_drift_report,
     mmr_diversify) paired with the four due-set retirements from the
     NOTES tranche. The winnowing pair below is the r10 plan (MOSS
-    positional fingerprints + the span consumer); at the 150 cap each
-    registers paired with a retirement from r10's due set. The
-    dup_spans family (Lee et al. exact-substring dedup + stats) and
-    lexical_diversity are the r11 pool — by r11 the tier-3
-    retirement candidates (length_outliers, bm25_retrieval,
-    minhash_lsh_pairs, corpus_ingest_stream) are due, so plan the
-    r11 window against that due list."""
+    positional fingerprints + the span consumer), simulator-verified
+    FITS paired with retiring minhash_lsh_pairs +
+    corpus_ingest_stream from r10's due set (coverage arguments in
+    NOTES). The other nine — the Lee et al. exact-substring family
+    (dup_spans / dup_span_stats / strip_dup_spans /
+    dup_spans_incremental / dup_run_pairs /
+    corpus_ingest_stream_dup_spans), lexical_diversity,
+    bm25_index_retrieval, and zorder_key_orders — are the r11+ pool;
+    stage their registrations against each round's computed due list
+    with plan_rotation.py."""
     return {
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_matches": _q_winnow_matches,

@@ -329,3 +329,61 @@ def test_bm25_batch_matches_integer_reference(spark, corpora, qterms):
         .collect()
     ]
     assert got == want, (corpora, qterms)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_dup_run_pairs_matches_bruteforce_reference(spark, ca, cb):
+    """dup_run_pairs == an independent brute-force reference (every
+    (a, b, diagonal): consecutive equal-L-gram clustering) on random
+    2-letter corpora — heavy organic overlap exercises multi-diagonal
+    and run-boundary paths no hand fixture covers."""
+    from data_pengadaan_agent_spark.operators.textan import dup_run_pairs
+
+    L = 3
+    want = set()
+    for i, ta in enumerate(ca):
+        ga = [tuple(ta[p : p + L]) for p in range(len(ta) - L + 1)]
+        for j, tb in enumerate(cb):
+            gb = [tuple(tb[p : p + L]) for p in range(len(tb) - L + 1)]
+            for d in range(-len(gb) + 1, len(ga)):
+                run = []
+                for pa in range(max(0, d), min(len(ga), len(gb) + d)):
+                    if ga[pa] == gb[pa - d]:
+                        run.append(pa)
+                    else:
+                        if run:
+                            want.add((i, 100 + j, run[0], run[-1] + L - 1,
+                                      run[0] - d, run[-1] + L - 1 - d,
+                                      run[-1] - run[0] + L))
+                        run = []
+                if run:
+                    want.add((i, 100 + j, run[0], run[-1] + L - 1,
+                              run[0] - d, run[-1] + L - 1 - d,
+                              run[-1] - run[0] + L))
+    dfa = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(ca)], "doc_id LONG, text STRING"
+    )
+    dfb = spark.createDataFrame(
+        [(100 + j, " ".join(t)) for j, t in enumerate(cb)],
+        "doc_id LONG, text STRING",
+    )
+    for arith in (True, False):
+        got = {
+            tuple(r)
+            for r in dup_run_pairs(
+                dfa, dfb, length=L, max_df=1000, arith_hash=arith
+            ).collect()
+        }
+        assert got == want, (ca, cb, arith)

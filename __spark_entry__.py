@@ -4196,6 +4196,69 @@ FROM d LEFT JOIN ka USING (doc_id)
 """
 
 
+def _q_bpe_merges(spark, sf):
+    """BPE merge induction (operators/bpe.learn_bpe_merges, Sennrich
+    et al. 2016): the first 3 learned merges over the documents
+    vocabulary — (rank, x, y, pair_count). The greedy merge
+    application folds through ONE shared CASE template emitted into
+    both engines (bpe.merge_fold_sql), and the merge pair is always a
+    cross-joined column reference, never a re-injected literal.
+    ROUND-11-pool candidate."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    docs = load_table(spark, sf, "documents")
+    return B.learn_bpe_merges(docs, k=3)
+
+
+def _bpe_merges_sql(k: int = 3) -> str:
+    """DuckDB twin of _q_bpe_merges: the identical k rounds unrolled
+    as CTEs — vocab-sized pair counts, min(struct(-cnt, x, y))
+    argmax, and the SAME fold template (bpe.merge_fold_sql('duckdb'))
+    applying each round's merge."""
+    from data_pengadaan_agent_spark.operators.bpe import merge_fold_sql
+
+    parts = [
+        f"""
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+v0 AS (
+  SELECT w, n,
+         list_transform(range(1, length(w) + 1),
+                        i -> substr(w, CAST(i AS INT), 1)) AS syms
+  FROM words
+)"""
+    ]
+    selects = []
+    for r in range(1, k + 1):
+        fold = merge_fold_sql("duckdb", f"m{r}.mx", f"m{r}.my", f"v{r - 1}.syms")
+        parts.append(f"""
+p{r} AS (
+  SELECT syms[CAST(i AS INT)] AS x, syms[CAST(i + 1 AS INT)] AS y,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM v{r - 1}, unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+),
+m{r} AS (
+  SELECT (min(struct_pack(o := -cnt, x := x, y := y))).x AS mx,
+         (min(struct_pack(o := -cnt, x := x, y := y))).y AS my,
+         CAST(-(min(struct_pack(o := -cnt, x := x, y := y))).o AS BIGINT)
+           AS mcnt
+  FROM p{r}
+),
+v{r} AS (
+  SELECT v{r - 1}.w, v{r - 1}.n, {fold} AS syms
+  FROM v{r - 1}, m{r}
+)""")
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS rank, mx AS x, my AS y, "
+            f"mcnt AS pair_count FROM m{r}"
+        )
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_zorder_key_orders(spark, sf):
     """Morton / Z-order clustering key over orders
     (operators/layout.zorder_key): interleave o_custkey with the
@@ -4570,6 +4633,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_run_pairs": _q_dup_run_pairs,
         "corpus_ingest_stream_dup_spans": _q_corpus_ingest_stream_dup_spans,
         "zorder_key_orders": _q_zorder_key_orders,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -4590,6 +4654,7 @@ def candidate_oracle_sql() -> dict[str, str]:
             length=8, max_ppm=500_000
         ),
         "zorder_key_orders": _zorder_key_orders_sql(),
+        "bpe_merges": _bpe_merges_sql(k=3),
     }
 
 

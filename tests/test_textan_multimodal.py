@@ -887,3 +887,42 @@ def test_dup_run_pairs_max_df_guard(spark):
     b = spark.createDataFrame([(100 + i, boiler) for i in range(6)], "doc_id LONG, text STRING")
     assert X.dup_run_pairs(a, b, length=3, max_df=5).count() == 0
     assert X.dup_run_pairs(a, b, length=3, max_df=50).count() == 36
+
+
+def test_bpe_learn_merges_canonical_example(spark):
+    """The Sennrich et al. running example: low/lower/newest/widest
+    with frequencies learns (e,s) -> (es,t) -> (l,o) [the third is a
+    7-7 tie between (l,o) and (o,w), broken lexicographically], and
+    within-round counts match hand arithmetic."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, (w, n) in enumerate(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        ) for _ in range(n) for i in [i * 100 + _]],
+        "doc_id LONG, text STRING",
+    )
+    got = [
+        (r["rank"], r["x"], r["y"], r["pair_count"])
+        for r in B.learn_bpe_merges(docs, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(1, "e", "s", 9), (2, "es", "t", 9), (3, "l", "o", 7)]
+
+
+def test_bpe_apply_and_greedy_overlap(spark):
+    """(1) apply_bpe_merges replays the learned table on an UNSEEN
+    word; (2) the fold is greedy left-to-right non-overlapping:
+    'aaaa' + merge (a,a) segments to [aa, aa], never [a, aa, a];
+    (3) the learner stops early when no pair remains."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    out = B.apply_bpe_merges(
+        spark.createDataFrame([("lowest",), ("aaaa",)], "w string"),
+        [("e", "s"), ("es", "t"), ("l", "o"), ("a", "a")],
+    )
+    segs = {r["w"]: r["syms"] for r in out.collect()}
+    assert segs["lowest"] == ["lo", "w", "est"]
+    assert segs["aaaa"] == ["aa", "aa"]
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id LONG, text STRING")
+    merges = B.learn_bpe_merges(tiny, k=5).collect()
+    assert [(r["rank"], r["x"], r["y"]) for r in merges] == [(1, "a", "b")]

@@ -69,6 +69,7 @@ HEADLINERS = {
     "dup_spans_incremental": "maintained gram-count index: shard-only tokenize, 16-byte (h,cnt) count-table exchange, merge-pinned semi-join, same gap-merge window",
     "dup_run_pairs": "exact shared runs via the diagonal trick: df-capped gram join (merge-pinned), one (a,b,diag) window clusters consecutive matches",
     "zorder_key_orders": "Morton layout key: one static shift/mask fold, pure map — whole-stage codegen, zero exchanges",
+    "bpe_merges": "BPE training rounds: corpus collapses once to word frequencies; per round one vocab-sized pair aggregate + 1-row argmax + broadcast merge fold",
 }
 
 

@@ -2304,13 +2304,26 @@ def _bm25_retrieval_batch_sql(k: int = 5) -> str:
     fraction-cleared form is contrib = (idf·20·tf·sdl) //
     (8·tf·sdl + 3·sdl + 9·dl·n) — every term integer, widened through
     HUGEINT, one integer division, zero rounding; summed exactly, same
-    (score DESC, id) ranking."""
+    (score DESC, id) ranking.
+
+    Round-10 hardening (driver-red twice with identical local green):
+    the final bm25 is CAST to BIGINT on both engines — the integer
+    division bounds each contribution by (k1+1)·n·10^6, int64-safe at
+    every SF, and the decimal(38,0) output was the single construct
+    unique to this query across both red rounds (different Arrow
+    stacks serialize decimal128 ambiguously; int64 is one encoding).
+    The query CTE also drops the version-sensitive list slice
+    toks[1:3] for a zipped parallel-unnest ordinality filter (i < 3),
+    matching Spark's F.slice(toks, 1, 3) semantics explicitly."""
     return f"""
 WITH d AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
 ),
 q AS (
-  SELECT doc_id AS qid, unnest(toks[1:3]) AS t FROM d WHERE doc_id % 50 = 0
+  SELECT qid, t FROM (
+    SELECT doc_id AS qid, unnest(toks) AS t, unnest(range(len(toks))) AS i
+    FROM d WHERE doc_id % 50 = 0
+  ) WHERE i < 3
 ),
 posts AS (
   SELECT d.doc_id, u.t, len(d.toks) AS dl
@@ -2340,7 +2353,7 @@ c AS (
   JOIN dfreq ON dfreq.t = tf.t
   CROSS JOIN stats
 ),
-s AS (SELECT qid, doc_id, CAST(sum(c) AS DECIMAL(38,0)) AS bm25 FROM c GROUP BY 1, 2),
+s AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS bm25 FROM c GROUP BY 1, 2),
 r AS (
   SELECT qid, doc_id, bm25,
          row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk

@@ -316,7 +316,7 @@ def bm25_from_index(
         .crossJoin(F.broadcast(stats))
         .select(F.col(qid_col), F.col(id_col), contrib.alias("_c"))
         .groupBy(qid_col, id_col)
-        .agg(F.sum("_c").cast("decimal(38,0)").alias("bm25"))
+        .agg(F.sum("_c").cast("bigint").alias("bm25"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("bm25"), F.asc(id_col))
     return (

@@ -1238,6 +1238,17 @@ def bm25_retrieval_batch(
     (score DESC, id ASC). ``k1``/``b`` must be rational-representable
     (the Fraction round-trip is checked; defaults are).
 
+    The FINAL ``bm25`` column is BIGINT (round-10 hardening): only the
+    intermediate products need the DECIMAL(38,0) widening — each
+    summed contribution is bounded by ``idf·A/L ≤ (k1+1)·N·10^6``, so
+    the per-query sum is ``< (k1+1)·10^6·N·|terms|``: with defaults
+    and 3-term queries that is int64-safe through N ≈ 1.2e12 docs
+    (far past sf1000). A decimal output type buys nothing after the
+    integer division and is the one construct that was unique to this
+    query across two driver-red rounds — different engines/Arrow
+    stacks serialize decimal128 values differently while int64 is
+    unambiguous.
+
     Scale shape: the corpus EXPLODES once — to (term, doc) rows
     immediately semi-joined against the BROADCAST distinct query
     vocabulary — but is SCANNED twice: the (N, Σdl) stats aggregate
@@ -1293,7 +1304,7 @@ def bm25_retrieval_batch(
             contrib.alias("_c"),
         )
         .groupBy(qid_col, id_col)
-        .agg(F.sum("_c").cast("decimal(38,0)").alias("bm25"))
+        .agg(F.sum("_c").cast("bigint").alias("bm25"))
     )
     from pyspark.sql import Window
 

@@ -18,9 +18,16 @@ exactly the way ``lexindex`` maintains postings:
   from meta, drops in-shard duplicate ids, anti-joins the registry,
   commits the registry FIRST (replay after any crash is a no-op, the
   lexindex append contract), then appends the shard's per-hash count
-  rows as new files. Existing files are never read or rewritten:
+  rows as new files tagged with a per-append batch id, then the
+  batch's commit marker. Existing files are never read or rewritten:
   base-independent by construction. Readers SUM rows per hash, so
   append never needs a read-modify-write.
+- ``audit_gram_counts`` / ``repair_gram_counts``: the crash-window
+  closers. A batch whose marker never landed (append died between
+  registry and marker) is flagged by the audit; repair appends
+  NEGATING rows for whatever the dead batch did write plus a fresh
+  recompute of its docs — append-only, and convergent because a
+  crashed repair is itself a marker-less batch the next audit flags.
 - ``dup_spans_incremental``: duplicated spans of an ALREADY-APPENDED
   shard against everything ingested so far. The shard re-tokenizes
   (it must — positions are needed), the base never does: the count
@@ -55,13 +62,19 @@ from data_pengadaan_agent_spark.operators.textan import (
 )
 
 
-def _paths(path: str) -> tuple[str, str, str]:
+# batch tag on compacted count rows: compaction collapses per-append
+# lineage, so its output rows carry this sentinel and the audit skips
+# it (compaction refuses to run while any real batch is uncommitted)
+COMPACTED_BATCH = -1
+
+
+def _paths(path: str) -> tuple[str, str, str, str]:
     p = path.rstrip("/")
-    return f"{p}/counts", f"{p}/docs", f"{p}/meta"
+    return f"{p}/counts", f"{p}/docs", f"{p}/meta", f"{p}/commits"
 
 
 def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, bool]:
-    _, _, meta = _paths(path)
+    _, _, meta, _ = _paths(path)
     try:
         row = spark.read.parquet(meta).collect()
     except Exception as exc:  # noqa: BLE001 - absent/corrupt meta = invalid index
@@ -83,6 +96,7 @@ def _shard_counts(
     arith_hash: bool,
     text_col: str,
     id_col: str,
+    batch: int,
 ) -> DataFrame:
     from data_pengadaan_agent_spark.sources.catalog import spread
 
@@ -92,10 +106,23 @@ def _shard_counts(
         .select(dup_gram_hash(F.col("g"), arith_hash).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("batch", F.lit(int(batch)).cast("bigint"))
         .withColumn(
             "bucket", F.pmod(F.col("h"), F.lit(int(n_buckets))).cast("int")
         )
     )
+
+
+def _write_markers(spark: SparkSession, commits_p: str, batches: list[int]) -> None:
+    spark.createDataFrame(
+        [(int(b),) for b in batches], "batch bigint"
+    ).coalesce(1).write.mode("append").parquet(commits_p)
+
+
+def _next_batch(spark: SparkSession, docs_p: str, commits_p: str) -> int:
+    reg = spark.read.parquet(docs_p).agg(F.max("batch")).collect()[0][0]
+    com = spark.read.parquet(commits_p).agg(F.max("batch")).collect()[0][0]
+    return max(int(reg or 0), int(com or 0)) + 1
 
 
 def build_gram_counts(
@@ -111,20 +138,28 @@ def build_gram_counts(
     gram law: length, bucket count, hash family) commits LAST; a
     rebuild deletes the old meta first — the lexindex build
     discipline, so a crash never leaves an index that silently
-    under-reports duplication."""
+    under-reports duplication. The base dedups on ``id_col`` (same
+    contract as the append path — a repeated doc_id must not
+    double-count grams and fabricate duplicates)."""
     if length < 1 or n_buckets < 1:
         raise ValueError("build_gram_counts: length and n_buckets must be >= 1")
-    counts_p, docs_p, meta_p = _paths(path)
+    counts_p, docs_p, meta_p, commits_p = _paths(path)
     spark = docs.sparkSession
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     meta_fs = jvm_path(meta_p)
     fs = meta_fs.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(meta_fs):
         fs.delete(meta_fs, True)
-    _shard_counts(docs, length, n_buckets, arith_hash, text_col, id_col).write.mode(
+    docs = docs.dropDuplicates([id_col])
+    _shard_counts(
+        docs, length, n_buckets, arith_hash, text_col, id_col, batch=0
+    ).write.mode("overwrite").partitionBy("bucket").parquet(counts_p)
+    docs.select(
+        F.col(id_col), F.lit(0).cast("bigint").alias("batch")
+    ).write.mode("overwrite").parquet(docs_p)
+    spark.createDataFrame([(0,)], "batch bigint").coalesce(1).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(counts_p)
-    docs.select(F.col(id_col)).write.mode("overwrite").parquet(docs_p)
+    ).parquet(commits_p)
     spark.createDataFrame(
         [(int(length), int(n_buckets), bool(arith_hash))],
         "length int, n_buckets int, arith_hash boolean",
@@ -139,23 +174,141 @@ def append_gram_counts(
 ) -> int:
     """Per-shard ingest: registry commits FIRST (replay-safe — a
     mid-append crash can never double gram counts, which would
-    fabricate duplicates corpus-wide; the surviving lost-shard state
-    under-COUNTS, detectable by re-auditing the shard). Existing
-    count files are never read or rewritten. Returns docs appended."""
+    fabricate duplicates corpus-wide), then the shard's count rows
+    tagged with this append's batch id, then the batch's commit
+    marker. A crash between the registry write and the marker leaves
+    the batch's grams missing or partial — that state under-COUNTS
+    only, is flagged by ``audit_gram_counts`` (registered-or-present
+    batches with no marker), and is healed exactly by
+    ``repair_gram_counts``. Existing count files are never read or
+    rewritten. Returns docs appended."""
     spark = shard.sparkSession
     length, n_buckets, arith_hash = _read_meta(spark, path)
-    counts_p, docs_p, _ = _paths(path)
+    counts_p, docs_p, _, commits_p = _paths(path)
     fresh = shard.dropDuplicates([id_col])
     seen = spark.read.parquet(docs_p).select(id_col)
     fresh = fresh.join(seen, id_col, "left_anti").localCheckpoint(eager=True)
     n_new = fresh.count()
     if n_new == 0:
         return 0
-    fresh.select(F.col(id_col)).write.mode("append").parquet(docs_p)
-    _shard_counts(fresh, length, n_buckets, arith_hash, text_col, id_col).write.mode(
-        "append"
-    ).partitionBy("bucket").parquet(counts_p)
+    batch = _next_batch(spark, docs_p, commits_p)
+    fresh.select(
+        F.col(id_col), F.lit(int(batch)).cast("bigint").alias("batch")
+    ).write.mode("append").parquet(docs_p)
+    _shard_counts(
+        fresh, length, n_buckets, arith_hash, text_col, id_col, batch
+    ).write.mode("append").partitionBy("bucket").parquet(counts_p)
+    _write_markers(spark, commits_p, [batch])
     return n_new
+
+
+def audit_gram_counts(spark: SparkSession, path: str) -> DataFrame:
+    """Integrity audit for the append crash contract: batches present
+    in the registry or the count table but missing a commit marker —
+    an append (or repair) that died between its first write and its
+    marker. Returns (batch, n_registry_docs, n_count_rows); empty =
+    index consistent. The compacted sentinel batch is skipped (it
+    only exists because compaction verified a clean audit first).
+    Repair: ``repair_gram_counts`` with a source frame covering the
+    flagged docs."""
+    _read_meta(spark, path)
+    counts_p, docs_p, _, commits_p = _paths(path)
+    committed = spark.read.parquet(commits_p).select("batch").distinct()
+    reg = (
+        spark.read.parquet(docs_p)
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_registry_docs"))
+    )
+    cnt = (
+        spark.read.parquet(counts_p)
+        .filter(F.col("batch") != F.lit(COMPACTED_BATCH))
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_count_rows"))
+    )
+    return (
+        reg.join(cnt, "batch", "full_outer")
+        .join(committed, "batch", "left_anti")
+        .select(
+            "batch",
+            F.coalesce("n_registry_docs", F.lit(0)).alias("n_registry_docs"),
+            F.coalesce("n_count_rows", F.lit(0)).alias("n_count_rows"),
+        )
+    )
+
+
+def repair_gram_counts(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Heal every batch ``audit_gram_counts`` flags, append-only: (a)
+    NEGATE whatever count rows the dead batches did land (readers SUM
+    per hash, so negation cancels exactly — no file is read-modified
+    or rewritten), (b) recompute the flagged docs' counts from
+    ``docs`` (which must cover every flagged registry id — raises
+    otherwise: silently skipping a doc would leave it permanently
+    invisible to dup detection), both written under ONE new batch id,
+    then (c) commit markers for the dead batches and the repair batch.
+    A crash inside the repair leaves the repair batch itself
+    marker-less, so the next audit flags it and a re-run negates its
+    partial rows too — the procedure converges from any crash point.
+    Returns the number of dead batches healed."""
+    length, n_buckets, arith_hash = _read_meta(spark, path)
+    counts_p, docs_p, _, commits_p = _paths(path)
+    dead = [int(r["batch"]) for r in audit_gram_counts(spark, path).collect()]
+    if not dead:
+        return 0
+    flagged_ids = (
+        spark.read.parquet(docs_p)
+        .filter(F.col("batch").isin([int(b) for b in dead]))
+        .select(id_col)
+        .distinct()
+    )
+    missing = flagged_ids.join(
+        docs.select(id_col).distinct(), id_col, "left_anti"
+    ).count()
+    if missing:
+        raise ValueError(
+            f"repair_gram_counts: {missing} flagged doc(s) not in the "
+            "provided source frame — repair must re-read the original "
+            "text of every doc in the dead batches"
+        )
+    # _next_batch never scans the (corpus-gram-scale) counts table, so
+    # a crashed REPAIR's batch id exists only there; every counts-only
+    # batch is either marker-committed (consulted) or in `dead`, so
+    # maxing over the dead set keeps the new id collision-free
+    repair_batch = max(
+        [_next_batch(spark, docs_p, commits_p)] + [b + 1 for b in dead]
+    )
+    negations = (
+        spark.read.parquet(counts_p)
+        .filter(F.col("batch").isin([int(b) for b in dead]))
+        .select(
+            "h",
+            (-F.col("cnt")).cast("bigint").alias("cnt"),
+            F.lit(int(repair_batch)).cast("bigint").alias("batch"),
+            "bucket",
+        )
+        # materialize BEFORE the append below starts laying files into
+        # the same path the negations read from
+        .localCheckpoint(eager=True)
+    )
+    redo = _shard_counts(
+        docs.dropDuplicates([id_col]).join(flagged_ids, id_col, "left_semi"),
+        length,
+        n_buckets,
+        arith_hash,
+        text_col,
+        id_col,
+        repair_batch,
+    )
+    negations.unionByName(redo).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(counts_p)
+    _write_markers(spark, commits_p, dead + [repair_batch])
+    return len(dead)
 
 
 def compact_gram_counts(
@@ -172,9 +325,20 @@ def compact_gram_counts(
     half-compacted reading order cannot exist — the swap is atomic at
     the meta level (same staged-copy + meta-out/rename/meta-in
     discipline as compact_postings_index; a crash mid-swap leaves a
-    loudly-invalid index). Returns (files_removed, rows_merged)."""
-    _, n_buckets, _ = _read_meta(spark, path)
-    counts_p, _, meta_p = _paths(path)
+    loudly-invalid index). Compaction collapses per-append batch
+    lineage into the COMPACTED_BATCH sentinel, so it refuses to run
+    while the audit shows any uncommitted batch (baking a dead batch's
+    partial counts into the merged rows would make it unrepairable).
+    Returns (files_removed, rows_merged)."""
+    length, n_buckets, arith_hash = _read_meta(spark, path)
+    counts_p, _, meta_p, _ = _paths(path)
+    dirty = audit_gram_counts(spark, path).count()
+    if dirty:
+        raise ValueError(
+            f"compact_gram_counts: {dirty} uncommitted batch(es) in the "
+            "index — run repair_gram_counts first (compaction would bake "
+            "their partial counts in irrecoverably)"
+        )
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(counts_p).getFileSystem(spark._jsc.hadoopConfiguration())
 
@@ -197,6 +361,7 @@ def compact_gram_counts(
     (
         old_counts.groupBy("bucket", "h")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn("batch", F.lit(COMPACTED_BATCH).cast("bigint"))
         .repartition(
             int(n_buckets) * int(target_files_per_bucket), F.col("bucket"), sub
         )
@@ -205,14 +370,17 @@ def compact_gram_counts(
         .parquet(tmp)
     )
     after_rows = spark.read.parquet(tmp).count()
-    meta_rows = spark.read.parquet(meta_p).collect()
     fs.delete(jvm_path(meta_p), True)  # index invalid until recommit
     fs.rename(jvm_path(counts_p), jvm_path(old))
     fs.rename(jvm_path(tmp), jvm_path(counts_p))
     fs.delete(jvm_path(old), True)
-    spark.createDataFrame(meta_rows).coalesce(1).write.mode("overwrite").parquet(
-        meta_p
-    )
+    # recommit meta with the ORIGINAL explicit schema — re-inferring
+    # from collected Rows widened the int columns to bigint, silently
+    # drifting the meta schema after the first compaction
+    spark.createDataFrame(
+        [(int(length), int(n_buckets), bool(arith_hash))],
+        "length int, n_buckets int, arith_hash boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return before_files - _n_files(counts_p), before_rows - after_rows
 
 
@@ -234,7 +402,7 @@ def dup_spans_incremental(
     from meta, so shard grams and table counts agree by
     construction."""
     length, n_buckets, arith_hash = _read_meta(spark, path)
-    counts_p, docs_p, _ = _paths(path)
+    counts_p, docs_p, _, _ = _paths(path)
     if min_count < 2:
         raise ValueError("dup_spans_incremental: min_count must be >= 2")
     ids = shard.select(id_col).distinct()

@@ -256,13 +256,19 @@ def foreach_batch_dup_span_sink(
     batch is appended before it is scored.
 
     Replay safety comes from the index's own crash contract instead
-    of sink bookkeeping: a replayed epoch's docs are already in the
-    registry, so the append is a no-op and the verdicts recompute
-    identically; the epoch-stamped dynamic-partition write then
-    rewrites the same partition (the foreach_batch_parquet_sink
-    recipe). The gram law (length, bucket count, hash family — use
-    xxhash64 in production) is fixed at index build and read from its
-    meta, never passed per batch.
+    of sink bookkeeping: for a FULLY-COMMITTED append, a replayed
+    epoch's docs are already in the registry, so the append is a
+    no-op and the verdicts recompute identically; the epoch-stamped
+    dynamic-partition write then rewrites the same partition (the
+    foreach_batch_parquet_sink recipe). If the original append died
+    between its registry write and its commit marker, the replay's
+    no-op append leaves the batch's grams missing and the replayed
+    verdicts UNDER-count — that state is flagged by
+    ``dupindex.audit_gram_counts`` and healed append-only by
+    ``dupindex.repair_gram_counts``, so run the audit before trusting
+    verdicts across a crash-restart. The gram law (length, bucket
+    count, hash family — use xxhash64 in production) is fixed at
+    index build and read from its meta, never passed per batch.
 
     Returns the started StreamingQuery; callers stop it."""
     from data_pengadaan_agent_spark.operators import dupindex as DI

@@ -141,3 +141,138 @@ def test_compact_gram_counts_merges_and_preserves_answers(spark, tmp_path):
     assert DI.append_gram_counts(extra, path) == 1
     after = _spans(DI.dup_spans_incremental(spark, path, extra))
     assert [(r[1], r[2]) for r in after] == [(0, 7)]
+
+
+def test_build_dedups_repeated_doc_ids(spark, tmp_path):
+    """ADVICE r9: a base corpus with repeated doc_ids must not
+    double-count grams (fabricating duplicates) — the build path now
+    shares the append path's dropDuplicates contract."""
+    base = _base(spark)
+    dup_base = base.union(base)  # every id twice
+    clean, dirty = str(tmp_path / "clean"), str(tmp_path / "dirty")
+    DI.build_gram_counts(base, clean, length=8, n_buckets=8)
+    DI.build_gram_counts(dup_base, dirty, length=8, n_buckets=8)
+    shard = _shard(spark)
+    DI.append_gram_counts(shard, clean)
+    DI.append_gram_counts(shard, dirty)
+    assert _spans(DI.dup_spans_incremental(spark, dirty, shard)) == _spans(
+        DI.dup_spans_incremental(spark, clean, shard)
+    )
+    # and the registry holds each id once
+    docs_p = str(tmp_path / "dirty" / "docs")
+    reg = spark.read.parquet(docs_p)
+    assert reg.count() == reg.select("doc_id").distinct().count()
+
+
+def test_audit_clean_and_flags_dead_batch(spark, tmp_path):
+    """The append crash window: registry committed, counts/marker
+    lost. The audit flags exactly that batch; repair heals it so the
+    incremental answer equals the never-crashed index's."""
+    base, shard = _base(spark), _shard(spark)
+    good, crashed = str(tmp_path / "good"), str(tmp_path / "crashed")
+    for p in (good, crashed):
+        DI.build_gram_counts(base, p, length=8, n_buckets=8)
+    assert DI.audit_gram_counts(spark, crashed).count() == 0
+    DI.append_gram_counts(shard, good)
+
+    # inject the crash: replay append's REGISTRY write only (step 1),
+    # dying before counts and marker
+    counts_p, docs_p, _, commits_p = DI._paths(crashed)
+    batch = DI._next_batch(spark, docs_p, commits_p)
+    shard.select(
+        F.col("doc_id"), F.lit(batch).cast("bigint").alias("batch")
+    ).write.mode("append").parquet(docs_p)
+
+    flagged = DI.audit_gram_counts(spark, crashed).collect()
+    assert [int(r["batch"]) for r in flagged] == [batch]
+    assert flagged[0]["n_registry_docs"] == 4
+    assert flagged[0]["n_count_rows"] == 0
+    # a replayed append is a no-op (anti-join) — the grams stay lost
+    assert DI.append_gram_counts(shard, crashed) == 0
+    assert DI.audit_gram_counts(spark, crashed).count() == 1
+    # compaction refuses to bake the dead batch in
+    with pytest.raises(ValueError, match="uncommitted"):
+        DI.compact_gram_counts(spark, crashed)
+    # repair must see every flagged doc's text
+    with pytest.raises(ValueError, match="source frame"):
+        DI.repair_gram_counts(spark, crashed, shard.filter(F.col("doc_id") <= 11))
+    assert DI.repair_gram_counts(spark, crashed, shard) == 1
+    assert DI.audit_gram_counts(spark, crashed).count() == 0
+    assert _spans(DI.dup_spans_incremental(spark, crashed, shard)) == _spans(
+        DI.dup_spans_incremental(spark, good, shard)
+    )
+
+
+def test_repair_negates_partial_counts(spark, tmp_path):
+    """The other crash point: counts landed (fully or partially) but
+    the marker didn't. Repair appends NEGATING rows plus a fresh
+    recompute — never double-counting — and a crashed repair is
+    itself flagged and converges on re-run."""
+    base, shard = _base(spark), _shard(spark)
+    good, crashed = str(tmp_path / "good"), str(tmp_path / "crashed")
+    for p in (good, crashed):
+        DI.build_gram_counts(base, p, length=8, n_buckets=8)
+    DI.append_gram_counts(shard, good)
+
+    # inject: registry + FULL counts written, marker lost
+    counts_p, docs_p, _, commits_p = DI._paths(crashed)
+    batch = DI._next_batch(spark, docs_p, commits_p)
+    shard.select(
+        F.col("doc_id"), F.lit(batch).cast("bigint").alias("batch")
+    ).write.mode("append").parquet(docs_p)
+    DI._shard_counts(shard, 8, 8, True, "text", "doc_id", batch).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(counts_p)
+
+    assert DI.repair_gram_counts(spark, crashed, shard) == 1
+    assert DI.audit_gram_counts(spark, crashed).count() == 0
+    assert _spans(DI.dup_spans_incremental(spark, crashed, shard)) == _spans(
+        DI.dup_spans_incremental(spark, good, shard)
+    )
+    # net counts are exact: per-hash sums match the healthy index
+    healthy = {
+        (r["h"], r["s"])
+        for r in spark.read.parquet(str(tmp_path / "good" / "counts"))
+        .groupBy("h").agg(F.sum("cnt").alias("s")).collect()
+    }
+    repaired = {
+        (r["h"], r["s"])
+        for r in spark.read.parquet(counts_p)
+        .groupBy("h").agg(F.sum("cnt").alias("s"))
+        .filter(F.col("s") != 0).collect()
+    }
+    assert repaired == healthy
+
+    # crashed REPAIR convergence: fake a dead repair batch (negations
+    # landed, no marker), then a real repair heals everything
+    dead_repair = DI._next_batch(spark, docs_p, commits_p)
+    spark.read.parquet(counts_p).filter(F.col("batch") == batch).select(
+        "h",
+        (-F.col("cnt")).cast("bigint").alias("cnt"),
+        F.lit(dead_repair).cast("bigint").alias("batch"),
+        "bucket",
+    ).write.mode("append").partitionBy("bucket").parquet(counts_p)
+    assert DI.audit_gram_counts(spark, crashed).count() == 1
+    assert DI.repair_gram_counts(spark, crashed, shard) == 1
+    assert DI.audit_gram_counts(spark, crashed).count() == 0
+    assert _spans(DI.dup_spans_incremental(spark, crashed, shard)) == _spans(
+        DI.dup_spans_incremental(spark, good, shard)
+    )
+
+
+def test_compact_meta_keeps_explicit_schema(spark, tmp_path):
+    """ADVICE r9: compaction used to recommit meta via inferred-schema
+    createDataFrame(Rows), widening int columns to bigint. The meta
+    schema must be byte-stable across compactions."""
+    import pyarrow.parquet as pq
+
+    base = _base(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=8, n_buckets=4)
+    meta_p = str(tmp_path / "gidx" / "meta")
+    before = pq.read_table(meta_p).schema
+    DI.compact_gram_counts(spark, path)
+    after = pq.read_table(meta_p).schema
+    assert before == after
+    assert str(after.field("length").type) == "int32"
+    assert str(after.field("n_buckets").type) == "int32"

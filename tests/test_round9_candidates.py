@@ -211,3 +211,45 @@ def test_mmr_rank1_ties_break_to_lowest_id(spark):
     )  # ids 5 and 3 both have rel 1.0 (cosine ignores magnitude)
     out = mmr_diversify(df, q, k=2, pool=3, lam=0.7).orderBy("rank").collect()
     assert out[0]["vec_id"] == 3 and out[0]["mmr_score"] == 1.0
+
+
+def test_ivf_drift_near_tie_assigns_lowest_cid(spark):
+    """VERDICT r9 ask #2: the cluster assignment must be drift-proof
+    on near-ties. Distances are rounded to 6dp BEFORE the argmin, so
+    (a) a sub-1e-6 distance gap collapses to an exact tie broken by
+    the LOWEST centroid id regardless of codebook input order, and
+    (b) an exact geometric tie does the same. The cross-engine margin
+    itself (no unrounded distance within drift of a rounding half) is
+    certified on the real fixtures by tools/audit_round_boundaries.py's
+    ivf_drift_report.assignment probe."""
+    from data_pengadaan_agent_spark.operators.similarity import ivf_drift_report
+
+    # exact tie: v is equidistant from both centroids
+    cents_desc = [(7, [0.0, 1.0]), (3, [1.0, 0.0])]  # ids out of order
+    v = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id long, embedding array<double>"
+    )
+    rep = {r["centroid_id"]: r["n_vecs"] for r in
+           ivf_drift_report(v, cents_desc).collect()}
+    assert rep == {3: 1, 7: 0}
+
+    # near-tie UNDER the rounding grid: d differs by ~2e-8 < 0.5e-6,
+    # so the rounded distances tie and the lower id must win even
+    # though the HIGHER id is geometrically (imperceptibly) closer
+    eps = 1e-8
+    cents = [(2, [1.0, 0.0]), (5, [1.0 + eps, 0.0])]
+    v2 = spark.createDataFrame(
+        [(1, [1.0 + eps, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rep2 = {r["centroid_id"]: r["n_vecs"] for r in
+            ivf_drift_report(v2, cents).collect()}
+    assert rep2 == {2: 1, 5: 0}
+
+    # and a gap ABOVE the grid resolves geometrically, not by id
+    cents3 = [(2, [1.0, 0.0]), (5, [0.0, 1.0])]
+    v3 = spark.createDataFrame(
+        [(1, [0.1, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rep3 = {r["centroid_id"]: r["n_vecs"] for r in
+            ivf_drift_report(v3, cents3).collect()}
+    assert rep3 == {2: 0, 5: 1}

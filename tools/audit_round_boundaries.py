@@ -172,6 +172,78 @@ def audit_entry(name: str, sql: str, con_norm, con_ident, con_ident1):
     return out
 
 
+def tie_margin_probes() -> dict[str, tuple[str, int]]:
+    """VERDICT r9 ask #2: rounding-boundary audits of OUTPUT columns
+    miss intermediates that gate cross-engine control flow — e.g.
+    ``ivf_drift_report`` assigns clusters by argmin over a distance
+    rounded to 6dp, where Spark computes the EXPANDED form
+    |v|^2 - 2v·c + |c|^2 and DuckDB the direct sum((v-c)^2). Rounding
+    collapses their ~1e-13 drift into exact ties (broken by lowest
+    centroid id on both engines) ONLY if both forms round the same
+    way — i.e. if no unrounded value sits within drift distance of a
+    .5e-6 rounding half. These probes emit exactly those PRE-round
+    intermediates so the main margin check certifies them on the
+    actual fixtures. Returns {probe_name: (sql, decimals)}."""
+    from __spark_entry__ import _kmeans_cte_sql
+
+    ivf = f"""
+WITH {_kmeans_cte_sql('SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000')},
+cb AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x*x))) AS cn FROM c1
+), fe AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), fv AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS vn FROM fe
+)
+SELECT f.vec_id, c.cid,
+       list_sum(list_transform(range(1, len(f.v) + 1),
+                i -> (f.v[i] - c.cv[i]) * (f.v[i] - c.cv[i]))) AS d_pre,
+       list_sum(list_transform(range(1, len(f.v) + 1),
+                i -> f.v[i] * c.cv[i]))
+       / ((CASE WHEN f.vn = 0 THEN 1 ELSE f.vn END)
+          * (CASE WHEN c.cn = 0 THEN 1 ELSE c.cn END)) AS cos_pre
+FROM fv f, cb c
+"""
+    return {"ivf_drift_report.assignment": (ivf, 6)}
+
+
+def audit_probe(sql: str, decimals: int, con) -> dict:
+    """Margin-check every float column of a pre-round probe at the
+    given rounding scale (same margin formula as the main audit)."""
+    import pyarrow as pa
+
+    out = {"cols": {}, "err": None, "kind": "tie-margin-probe"}
+    try:
+        tbl = con.execute(sql).arrow()
+    except Exception as e:  # pragma: no cover - surfaced in report
+        out["err"] = f"{type(e).__name__}: {e}"
+        return out
+    scale = 10 ** decimals
+    for i, field in enumerate(tbl.schema):
+        if not pa.types.is_floating(field.type):
+            continue
+        margins, on_grid = [], 0
+        vals = [v for v in tbl.column(i).to_pylist() if v is not None]
+        for v in vals:
+            x = abs(float(v)) * scale
+            fr = x - math.floor(x)
+            if fr == 0.0:
+                on_grid += 1
+                continue
+            margins.append(abs(fr - 0.5))
+        rec = {
+            "kind": "rounded",
+            "decimals": decimals,
+            "n": len(vals),
+            "on_grid": on_grid,
+            "min_margin": min(margins) if margins else None,
+        }
+        rec["flag"] = bool(margins and rec["min_margin"] < FLAG_MARGIN)
+        out["cols"][field.name] = rec
+    return out
+
+
 def main():
     sf_dir = (sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01").rstrip("/")
     only = set(sys.argv[2:])
@@ -213,6 +285,30 @@ def main():
             wm = f"{worst:.3e}" if worst is not None else "all-on-grid"
             print(
                 f"{name:34s} {len(rounded)} rounded col(s), "
+                f"min margin {wm}  {status}"
+            )
+            if flags:
+                flagged.append(name)
+        report[name] = rec
+
+    for name, (sql, decimals) in sorted(tie_margin_probes().items()):
+        if only and name.split(".")[0] not in only and name not in only:
+            continue
+        rec = audit_probe(sql, decimals, con_norm)
+        rec["tier"] = "probe"
+        if rec["err"]:
+            print(f"{name:34s} ERROR {rec['err'][:80]}")
+        else:
+            worst = min(
+                (d["min_margin"] for d in rec["cols"].values()
+                 if d.get("min_margin") is not None),
+                default=None,
+            )
+            flags = [c for c, d in rec["cols"].items() if d.get("flag")]
+            status = "FLAG " + ",".join(flags) if flags else "ok"
+            wm = f"{worst:.3e}" if worst is not None else "all-on-grid"
+            print(
+                f"{name:34s} probe: {len(rec['cols'])} col(s), "
                 f"min margin {wm}  {status}"
             )
             if flags:

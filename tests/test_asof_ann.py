@@ -795,3 +795,68 @@ def test_mine_hard_negatives_validation(spark):
         mine_hard_negatives(
             queries.unionByName(queries), corpus, gold, k=2
         )
+
+
+def test_ivf_trained_rebuild_stages_codebook_until_lists_written(
+    spark, tables, tmp_path, monkeypatch
+):
+    """VERDICT r9 ask #5 (the converse of the untrained pin above):
+    a TRAINED rebuild must never leave a NEW codebook beside the OLD
+    lists. The new codebook is staged at a temp path and renamed in
+    only after the partitioned list overwrite succeeds — so a failure
+    mid list-write leaves the previous trained build fully coherent
+    (old lists + old codebook). Injected by failing the writer exactly
+    at the list path: the rebuild's training and codebook STAGING
+    succeed, the list overwrite dies, and the live codebook must
+    still be the old one."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        build_ivf_table,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivf_trained_swap")
+    # train_iters=2: one real Lloyd update, so the codebook DEPENDS on
+    # the training corpus (iters=1 returns the corpus-independent init)
+    build_ivf_table(base, "embedding", 64, path, n_centroids=4, train_iters=2)
+    old_cb = sorted(
+        (r["centroid_id"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}_codebook").collect()
+    )
+    bigger = emb  # different corpus -> different post-update codebook
+    real_parquet = DataFrameWriter.parquet
+
+    def dying_parquet(self, p, *a, **kw):
+        if p == path:
+            raise RuntimeError("boom-lists")
+        return real_parquet(self, p, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", dying_parquet)
+    with _pytest.raises(RuntimeError, match="boom-lists"):
+        build_ivf_table(
+            bigger, "embedding", 64, path, n_centroids=4, train_iters=2
+        )
+    monkeypatch.undo()
+    # the staged tmp DID land (the window was real) ...
+    assert os.path.exists(f"{path}_codebook_tmp")
+    # ... but the LIVE codebook is still the old one, byte-identical
+    got_cb = sorted(
+        (r["centroid_id"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}_codebook").collect()
+    )
+    assert got_cb == old_cb
+    # and the old LISTS are intact and probe-coherent with it
+    assert spark.read.parquet(path).count() == 300
+    # a retried rebuild heals everything
+    build_ivf_table(bigger, "embedding", 64, path, n_centroids=4, train_iters=2)
+    new_cb = sorted(
+        (r["centroid_id"], tuple(r["centroid"]))
+        for r in spark.read.parquet(f"{path}_codebook").collect()
+    )
+    assert new_cb != old_cb
+    assert spark.read.parquet(path).count() == emb.count()

@@ -759,3 +759,98 @@ def test_dup_span_sink_first_wins_across_batches(spark, tmp_path):
     assert first[0] == 0 and first[1] is True          # arrived first: clean
     assert later[0] == (1_000_000 * 8) // 10 and later[1] is False
     assert first[2] < later[2]                          # separate epochs
+
+
+def test_dedup_eviction_single_start_max_files_per_trigger(spark, tmp_path):
+    """r8 ask #7 (the long-standing backlog item): the SAME watermark
+    eviction sequence as test_dedup_within_watermark_evicts_state, but
+    through ONE readStream start() consuming pre-existing files with
+    maxFilesPerTrigger=1 — the production catch-up shape, where trigger
+    boundaries come from the file source's own batching instead of
+    files landing between processAllAvailable() calls. Determinism:
+    each trigger's file is a SINGLE pyarrow-written parquet whose
+    mtime is forced 100 s apart (FileStreamSource orders its listing
+    by modification time), so the files become ordered triggers.
+
+    MEASURED semantics this test pins (the reason the ask sat in the
+    backlog): state CLEANUP runs at end-of-batch with that batch's
+    watermark, so in a continuous catch-up — where no empty
+    maintenance batch runs between data triggers — a key whose expiry
+    the watermark just passed still suppresses duplicates for ONE
+    more trigger (f3 below), and only re-emits after a subsequent
+    data batch has run the cleanup (f4). The between-
+    processAllAvailable() form above hides this lag because idle
+    no-data batches run the cleanup; a production catch-up gets the
+    lagged behavior, which is why it needed its own pin."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([i for i, _, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1, h, m) for _, h, m in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        p = os.path.join(src, name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    t0 = 1_700_000_000
+    # trigger 1: first sighting of docs 1 and 2; watermark -> 09:50
+    write_file("f1.parquet", [(1, 10, 0), (2, 10, 0)], t0)
+    # trigger 2: doc 1 again at 10:05 — state live -> suppressed;
+    # doc 3 at 11:00 pushes the watermark to 10:50, past doc 1's expiry
+    write_file("f2.parquet", [(1, 10, 5), (3, 11, 0)], t0 + 100)
+    # trigger 3: the CLEANUP-LAG probe — doc 1 at 11:02 is still
+    # suppressed (cleanup with wm 10:50 runs at this batch's END);
+    # doc 4 keeps the stream moving
+    write_file("f3.parquet", [(1, 11, 2), (4, 11, 3)], t0 + 200)
+    # trigger 4: doc 1 again — state evicted by f3's cleanup, re-emits
+    write_file("f4.parquet", [(1, 11, 5)], t0 + 300)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    deduped = SW.streaming_dedup_within_watermark(
+        stream, ["doc_id"], "ts", delay="10 minutes"
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_dedup_catchup")
+        .start()
+    )
+    q.processAllAvailable()
+    n_data_batches = sum(
+        1
+        for p in q.recentProgress
+        if (p["numInputRows"] if isinstance(p, dict) else p.numInputRows) > 0
+    )
+    q.stop()
+    # maxFilesPerTrigger really split the catch-up into one trigger
+    # per file — without that the eviction sequence is untestable
+    assert n_data_batches == 4, n_data_batches
+
+    rows = spark.sql("SELECT * FROM ttl_dedup_catchup").collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r["ts"])
+    assert sorted(by_id) == [1, 2, 3, 4]
+    assert all(len(by_id[k]) == 1 for k in (2, 3, 4))
+    assert sorted(by_id[1]) == [
+        dt.datetime(2024, 1, 1, 10, 0),  # first sighting emitted
+        dt.datetime(2024, 1, 1, 11, 5),  # re-emitted AFTER eviction
+    ], by_id[1]  # 10:05 suppressed by live state; 11:02 by cleanup lag

@@ -166,6 +166,13 @@ def learn_bpe_merges(
             .drop("mx", "my", "mcnt")
             .localCheckpoint(eager=True)
         )
+    if not merges:
+        # round 1 found no pair at all (e.g. every word is a single
+        # character): the documented early stop, as an empty frame
+        # with the contract schema rather than an IndexError
+        return docs.sparkSession.createDataFrame(
+            [], "rank int, x string, y string, pair_count bigint"
+        )
     out = merges[0]
     for mdf in merges[1:]:
         out = out.unionByName(mdf)

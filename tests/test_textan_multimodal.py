@@ -926,3 +926,47 @@ def test_bpe_apply_and_greedy_overlap(spark):
     tiny = spark.createDataFrame([(1, "ab")], "doc_id LONG, text STRING")
     merges = B.learn_bpe_merges(tiny, k=5).collect()
     assert [(r["rank"], r["x"], r["y"]) for r in merges] == [(1, "a", "b")]
+
+
+def test_bpe_no_pairs_returns_empty_merge_table(spark):
+    """ADVICE r9: a corpus of only single-character words has no
+    adjacent pair in round 1 — the documented early stop must return
+    an EMPTY frame with the contract schema, not IndexError."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    out = B.learn_bpe_merges(docs, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["rank", "x", "y", "pair_count"]
+    assert [str(f.dataType) for f in out.schema.fields] == [
+        "IntegerType()", "StringType()", "StringType()", "LongType()",
+    ]
+
+
+def test_bpe_twin_stops_with_spark_when_merges_exhaust(spark):
+    """ADVICE r9: when merges exhaust before k (every word fully
+    merged), Spark's loop breaks and emits fewer rows; the DuckDB twin
+    must not emit all-NULL rows from the ungrouped min() of an empty
+    pair table. k=3 over two-char words exhausts after rank 1-2."""
+    import duckdb
+
+    from data_pengadaan_agent_spark.operators import bpe as B
+    from __spark_entry__ import _bpe_merges_sql
+
+    rows = [(1, "ab ab cd"), (2, "ab cd")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, B.learn_bpe_merges(docs, k=3).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES (1, 'ab ab cd'), "
+        "(2, 'ab cd')) AS t(doc_id, text)"
+    )
+    want = sorted(map(tuple, con.execute(_bpe_merges_sql(k=3)).fetchall()))
+    assert got == want
+    # merges really exhausted early: fewer than k rows, none NULL
+    assert 0 < len(got) < 3
+    assert all(x is not None and y is not None for _, x, y, _ in got)

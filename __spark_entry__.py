@@ -2720,6 +2720,13 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 10 (promoted from candidate_queries(); the
+        # 2-in/2-out plan pre-verified at end of round 9 with
+        # tools/plan_rotation.py — paired with retiring
+        # minhash_lsh_pairs + corpus_ingest_stream from r10's due set,
+        # see _RETIRED_TIER3) ---
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_matches": _q_winnow_matches,
         # --- NEW in round 9 (promoted from candidate_queries(); the
         # 4-in/4-out registration plan pre-verified in round 8 with
         # tools/plan_rotation.py — each pairs with one retirement from
@@ -3685,6 +3692,30 @@ _RETIRED_TIER3 = frozenset(
         # variant; the §2.7 set-ops family keeps its driver row via
         # the registered set_ops (INTERSECT/EXCEPT/UNION, r7-green).
         "except_all_multiplicity",
+        # round-10 retirements (the pre-verified 2-in/2-out plan from
+        # end of round 9, funding the winnow pair registrations; both
+        # were in r10's computed due set — the r7-green cohort):
+        # minhash_lsh_pairs: the candidate STAGE of registered
+        # minhash_dedup_pairs (r8-green), which runs the identical
+        # arith banding lineage and then Jaccard-verifies; the shape
+        # keeps its driver hash via that consumer.
+        "minhash_lsh_pairs",
+        # corpus_ingest_stream: the dedup-only streaming form strictly
+        # contained in registered corpus_ingest_stream_ttl (same
+        # front-end + TTL state bound, r8-green) and _scored (r8-green),
+        # and tripled by corpus_ingest_stream_dup_spans in the
+        # candidate pool.
+        "corpus_ingest_stream",
+        # THIRD r10 retirement (unplanned, forced by the r9 red row —
+        # the same mechanism as r9's except_all_multiplicity:
+        # bm25_retrieval_batch stayed never-green in r9, so the
+        # end-of-r9 simulation's assumption that the full r9 window
+        # would go green was off by one and r10's must-check set is 51).
+        # join_broadcast_dim: nation ⋈ broadcast(region) + group-count —
+        # strictly contained in registered star_join_revenue (5-table
+        # star over the same two dims, in r10's gate window) and in the
+        # driver-green TPC-H q5/q8 broadcast-dim chains (r9/r8).
+        "join_broadcast_dim",
     }
 )
 
@@ -4265,9 +4296,14 @@ v{r} AS (
   SELECT v{r - 1}.w, v{r - 1}.n, {fold} AS syms
   FROM v{r - 1}, m{r}
 )""")
+        # WHERE mx IS NOT NULL: an empty p{r} still yields one all-NULL
+        # row from the ungrouped min() in m{r}; Spark's loop breaks and
+        # emits nothing for that rank, so the twin must drop it too
+        # (the v{r} fold is a no-op under a NULL merge pair — the CASE
+        # arms never match — matching Spark's unchanged vocab)
         selects.append(
             f"SELECT CAST({r} AS INT) AS rank, mx AS x, my AS y, "
-            f"mcnt AS pair_count FROM m{r}"
+            f"mcnt AS pair_count FROM m{r} WHERE mx IS NOT NULL"
         )
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
@@ -4621,22 +4657,17 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 7 promoted all three round-6 candidates; round 8 promoted
     all five round-7 candidates; round 9 promoted its four pre-planned
-    candidates (ngram_lm_score, scd2_history, ivf_drift_report,
-    mmr_diversify) paired with the four due-set retirements from the
-    NOTES tranche. The winnowing pair below is the r10 plan (MOSS
-    positional fingerprints + the span consumer), simulator-verified
-    FITS paired with retiring minhash_lsh_pairs +
-    corpus_ingest_stream from r10's due set (coverage arguments in
-    NOTES). The other nine — the Lee et al. exact-substring family
+    candidates paired with due-set retirements; round 10 promoted the
+    winnow pair paired with retiring minhash_lsh_pairs +
+    corpus_ingest_stream (coverage arguments in _RETIRED_TIER3 and
+    NOTES). The remaining pool — the Lee et al. exact-substring family
     (dup_spans / dup_span_stats / strip_dup_spans /
     dup_spans_incremental / dup_run_pairs /
     corpus_ingest_stream_dup_spans), lexical_diversity,
-    bm25_index_retrieval, and zorder_key_orders — are the r11+ pool;
-    stage their registrations against each round's computed due list
-    with plan_rotation.py."""
+    bm25_index_retrieval, bpe_merges, and zorder_key_orders — is the
+    r11+ pool; the registration triage (which four register in r11
+    against that round's due set) is recorded in NOTES."""
     return {
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_matches": _q_winnow_matches,
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,
@@ -4652,8 +4683,6 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def candidate_oracle_sql() -> dict[str, str]:
     return {
-        "winnow_fingerprints": _winnow_sql(k=5, w=4),
-        "winnow_matches": _winnow_matches_sql(k=5, w=4, min_shared=2),
         "dup_spans": _dup_spans_sql(length=8, min_count=2),
         "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
@@ -4673,6 +4702,9 @@ def candidate_oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-10 registrations (promoted candidates) ---
+        "winnow_fingerprints": _winnow_sql(k=5, w=4),
+        "winnow_matches": _winnow_matches_sql(k=5, w=4, min_shared=2),
         # --- round-9 registrations (promoted candidates) ---
         "ngram_lm_score": _NGRAM_LM_SQL,
         "scd2_history": _SCD2_SQL,

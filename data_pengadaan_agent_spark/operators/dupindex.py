@@ -391,6 +391,7 @@ def dup_spans_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 2,
+    counts_source: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated spans of an already-appended shard against the whole
     ingested history — same output contract as ``textan.dup_spans``
@@ -400,7 +401,15 @@ def dup_spans_incremental(
     shard raises — silently under-counting its self-duplication is
     the wrong failure). The gram law (length, hash family) comes
     from meta, so shard grams and table counts agree by
-    construction."""
+    construction.
+
+    ``counts_source`` swaps in an alternative frame holding the SAME
+    (h, cnt) rows — e.g. a managed table bucketed on ``h``
+    (``sources.readers.write_bucketed``), which removes the
+    count-side exchange of both the per-hash SUM and the merge join
+    (see tools/lap_bucketed_counts.py for the measured payoff); the
+    parquet layout stays the default because it keeps the index
+    vanilla-session-portable."""
     length, n_buckets, arith_hash = _read_meta(spark, path)
     counts_p, docs_p, _, _ = _paths(path)
     if min_count < 2:
@@ -427,9 +436,13 @@ def dup_spans_incremental(
         F.col("pos").cast("bigint").alias("pos"),
         dup_gram_hash(F.col("g"), arith_hash).alias("h"),
     )
+    counts = (
+        counts_source
+        if counts_source is not None
+        else spark.read.parquet(counts_p)
+    )
     dup_hashes = (
-        spark.read.parquet(counts_p)
-        .groupBy("h")
+        counts.groupBy("h")
         .agg(F.sum("cnt").cast("bigint").alias("_occ"))
         .filter(F.col("_occ") >= F.lit(int(min_count)))
         .select("h")

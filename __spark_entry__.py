@@ -4240,6 +4240,120 @@ FROM d LEFT JOIN ka USING (doc_id)
 """
 
 
+def _q_pq_adc_topk(spark, sf):
+    """Product-quantization ADC retrieval (operators/pq, Jégou et al.
+    TPAMI 2011): train a m=4 × ksub=4 codebook over the embeddings
+    (2 Lloyd rounds, lowest-id init — the kmeans_clusters convention),
+    PQ-encode the corpus, and rank it against vec 0's embedding by
+    asymmetric distance. Scores are exact BIGINT micro-unit sums of a
+    literal LUT (no float in the hashed output — the bm25 lesson);
+    assignment distances round to 4dp before the argmin with ties to
+    the lowest code (coarser than ivf_drift's 6dp: the sf0.1 fixture
+    measured a 6dp pre-round margin inside drift distance, so the PQ
+    grid keeps three orders of safety; margins probed by
+    tools/audit_round_boundaries.py). ROUND-12-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb = PQ.train_pq(emb, dim=64, m=4, ksub=4, iters=2)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    codes = PQ.pq_encode(emb, cb)
+    return PQ.pq_adc_topk(codes, cb, qvec, k=10)
+
+
+def _pq_adc_sql(
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    tail: str | None = None,
+) -> str:
+    """DuckDB twin of _q_pq_adc_topk: per subspace, the identical
+    2-round Lloyd (lowest-id init, round(d,6)-then-argmin with
+    lowest-code ties, empty-cluster carryover), the identical
+    floor(d·1e6 + 0.5) BIGINT LUT, integer score sum, rank by
+    (score, vec_id). ``tail`` swaps the final SELECT — used by
+    tools/audit_round_boundaries.py to emit the PRE-round assignment
+    and LUT distances for margin probing from the same CTE bodies
+    (one source of truth)."""
+    dsub = dim // m
+    parts = [
+        """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
+    ]
+    for s in range(m):
+        off = s * dsub
+        rawdist = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> (e.v[{off} + i] - c.cv[i]) * (e.v[{off} + i] - c.cv[i])))"
+        )
+        qdist = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> (q.qv[{off} + i] - c.cv[i]) * (q.qv[{off} + i] - c.cv[i])))"
+        )
+        parts.append(f"""
+c0_{s} AS (
+  SELECT CAST(vec_id AS INT) AS code, v[{off + 1}:{off + dsub}] AS cv
+  FROM e WHERE vec_id < {ksub}
+),
+a1raw_{s} AS (
+  SELECT e.vec_id, c.code, {rawdist} AS d_pre FROM e, c0_{s} c
+),
+a1_{s} AS (
+  SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
+  FROM (SELECT vec_id, code, round(d_pre, 4) AS d FROM a1raw_{s}) GROUP BY 1
+),
+m1_{s} AS (
+  SELECT code, dim, avg(val) AS mval FROM (
+    SELECT a.code, unnest(e.v[{off + 1}:{off + dsub}]) AS val,
+           unnest(range(1, {dsub} + 1)) AS dim
+    FROM a1_{s} a JOIN e USING (vec_id)
+  ) GROUP BY 1, 2
+),
+c1_{s} AS (
+  -- empty-cluster rule: a code with no members keeps its init centroid
+  SELECT c0.code, coalesce(u.cv, c0.cv) AS cv
+  FROM c0_{s} c0 LEFT JOIN (
+    SELECT code, list(mval ORDER BY dim) AS cv FROM m1_{s} GROUP BY 1
+  ) u USING (code)
+),
+lutraw_{s} AS (
+  SELECT c.code, {qdist} * 1000000 AS ql FROM c1_{s} c, q
+),
+lut_{s} AS (
+  SELECT code, CAST(floor(ql + 0.5) AS BIGINT) AS lv FROM lutraw_{s}
+),
+kraw_{s} AS (
+  SELECT e.vec_id, c.code, {rawdist} AS d_pre FROM e, c1_{s} c
+),
+k_{s} AS (
+  SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
+  FROM (SELECT vec_id, code, round(d_pre, 4) AS d FROM kraw_{s}) GROUP BY 1
+)""")
+    if tail is not None:
+        return f"WITH {','.join(parts)}\n{tail}"
+    code_joins = " ".join(f"JOIN k_{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.code = k_{s}.code" for s in range(m)
+    )
+    score = " + ".join(f"l{s}.lv" for s in range(m))
+    return f"""
+WITH {",".join(parts)},
+scored AS (
+  SELECT k_0.vec_id, CAST({score} AS BIGINT) AS adc_score
+  FROM k_0 {code_joins} {lut_joins}
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_score, vec_id) AS INT) AS rank,
+       vec_id, adc_score
+FROM scored ORDER BY adc_score, vec_id LIMIT {k}
+"""
+
+
 def _q_bpe_merges(spark, sf):
     """BPE merge induction (operators/bpe.learn_bpe_merges, Sennrich
     et al. 2016): the first 3 learned merges over the documents
@@ -4666,7 +4780,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_ingest_stream_dup_spans), lexical_diversity,
     bm25_index_retrieval, bpe_merges, and zorder_key_orders — is the
     r11+ pool; the registration triage (which four register in r11
-    against that round's due set) is recorded in NOTES."""
+    against that round's due set) is recorded in NOTES. pq_adc_topk
+    (round-10-built product quantization) joins the r12 pool."""
     return {
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
@@ -4678,6 +4793,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ingest_stream_dup_spans": _q_corpus_ingest_stream_dup_spans,
         "zorder_key_orders": _q_zorder_key_orders,
         "bpe_merges": _q_bpe_merges,
+        "pq_adc_topk": _q_pq_adc_topk,
     }
 
 
@@ -4697,6 +4813,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         ),
         "zorder_key_orders": _zorder_key_orders_sql(),
         "bpe_merges": _bpe_merges_sql(k=3),
+        "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
     }
 
 

@@ -1,0 +1,160 @@
+"""Product quantization: train → encode → ADC top-k.
+
+Determinism contract mirrors the IVF/kmeans family: lowest-id init,
+distances rounded before argmin with ties to the lowest code, LUT in
+exact BIGINT micro-units so ADC scores are integer sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import pq as PQ
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+FIX = [
+    (0, [0.0, 0.0, 10.0, 0.0]),
+    (1, [1.0, 0.0, 0.0, 10.0]),
+    (2, [0.2, 0.1, 9.0, 1.0]),
+    (3, [0.9, 0.2, 1.0, 9.0]),
+    (4, [0.1, 0.0, 8.5, 0.5]),
+    (5, [1.1, 0.1, 0.5, 9.5]),
+    (6, [0.0, 0.1, 9.5, 0.2]),
+    (7, [0.8, 0.0, 0.3, 8.8]),
+]
+
+
+def _np_train(rows, dim, m, ksub, iters, dp=6):
+    dsub = dim // m
+    v = np.array([x for _, x in sorted(rows)], dtype=np.float64)
+    cb = np.array(
+        [[v[c, s * dsub:(s + 1) * dsub] for c in range(ksub)] for s in range(m)]
+    )
+    for _ in range(iters - 1):
+        for s in range(m):
+            sv = v[:, s * dsub:(s + 1) * dsub]
+            d = np.round(((sv[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1), dp)
+            code = np.argmin(d, axis=1)
+            for c in range(ksub):
+                sel = sv[code == c]
+                if len(sel):
+                    cb[s, c] = sel.mean(axis=0)
+    return cb
+
+
+def test_train_pq_validation(spark):
+    df = _vecs(spark, FIX)
+    with pytest.raises(ValueError, match="equal subspaces"):
+        PQ.train_pq(df, dim=4, m=3)
+    with pytest.raises(ValueError, match="ksub and iters"):
+        PQ.train_pq(df, dim=4, m=2, ksub=0)
+    with pytest.raises(ValueError, match="init needs ids"):
+        PQ.train_pq(df.filter(F.col("vec_id") >= 2), dim=4, m=2, ksub=2)
+
+
+def test_train_pq_iters1_returns_init_subvectors(spark):
+    """iters=1 = one assignment against the init, no update — the
+    codebook is exactly the lowest-id vectors' subvectors (the
+    kmeans_lloyd convention)."""
+    cb = PQ.train_pq(_vecs(spark, FIX), dim=4, m=2, ksub=2, iters=1)
+    assert cb == [
+        [[0.0, 0.0], [1.0, 0.0]],
+        [[10.0, 0.0], [0.0, 10.0]],
+    ]
+
+
+def test_train_pq_matches_numpy_reference(spark):
+    got = np.array(PQ.train_pq(_vecs(spark, FIX), dim=4, m=2, ksub=2, iters=3))
+    want = _np_train(FIX, dim=4, m=2, ksub=2, iters=3)
+    assert np.allclose(got, want, atol=1e-12), (got, want)
+
+
+def test_pq_encode_codes_and_tie_to_lowest(spark):
+    cb = [
+        [[0.0, 0.0], [1.0, 0.0]],   # sub 0
+        [[10.0, 0.0], [0.0, 10.0]],  # sub 1
+    ]
+    df = _vecs(
+        spark,
+        [
+            (0, [0.1, 0.0, 9.0, 1.0]),   # codes (0, 0)
+            (1, [0.9, 0.0, 1.0, 9.0]),   # codes (1, 1)
+            (2, [0.5, 0.0, 5.0, 5.0]),   # exact ties BOTH subs -> (0, 0)
+        ],
+    )
+    got = {r["vec_id"]: list(r["codes"]) for r in PQ.pq_encode(df, cb).collect()}
+    assert got == {0: [0, 0], 1: [1, 1], 2: [0, 0]}
+
+
+def test_pq_encode_rejects_dim_mismatch(spark):
+    cb = [[[0.0, 0.0], [1.0, 0.0]]]
+    df = _vecs(spark, [(0, [1.0, 2.0, 3.0])])
+    with pytest.raises(Exception, match="dim"):
+        PQ.pq_encode(df, cb).collect()
+
+
+def test_adc_lut_exact_micro_units():
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    lut = PQ.adc_lut(cb, [0.5, 0.0, 10.0, 0.0])
+    # sub0: (0.5-0)^2 = 0.25 ; (0.5-1)^2 = 0.25 -> both 250000
+    # sub1: 0 vs (10^2 + 10^2) = 200
+    assert lut == [250000, 250000, 0, 200000000]
+
+
+def test_pq_adc_topk_ranks_by_integer_score_then_id(spark):
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    df = _vecs(spark, FIX)
+    codes = PQ.pq_encode(df, cb)
+    q = [0.0, 0.0, 10.0, 0.0]  # = vec 0: cell (0, 0)
+    top = PQ.pq_adc_topk(codes, cb, q, k=4).collect()
+    lut = PQ.adc_lut(cb, q)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    want = sorted(
+        (lut[c0] + lut[2 + c1], i) for i, (c0, c1) in got_codes.items()
+    )[:4]
+    assert [(r["adc_score"], r["vec_id"]) for r in top] == want
+    assert [r["rank"] for r in top] == [1, 2, 3, 4]
+    # every vector in the query's own cell shares the minimal score and
+    # ranks before the other cell — ties broken by id ascending
+    cell0 = sorted(i for i, c in got_codes.items() if c == [0, 0])
+    assert [r["vec_id"] for r in top[: len(cell0)]] == cell0[:4]
+
+
+def test_pq_adc_plan_no_shuffle_before_topk(spark):
+    """The ADC score is a literal-LUT codegen select: the plan must
+    contain NO Exchange other than the TakeOrderedAndProject's own
+    single-partition collect, and no join."""
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    codes = PQ.pq_encode(_vecs(spark, FIX), cb)
+    top = PQ.pq_adc_topk(codes, cb, [0.0, 0.0, 10.0, 0.0], k=3)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    scored = codes.select(F.col("vec_id"))
+    # TakeOrderedAndProject caps the sort at k before any exchange
+    inner = PQ.pq_adc_topk(codes, cb, [0.0, 0.0, 10.0, 0.0], k=3)
+    iplan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in iplan, iplan[:1500]
+    del scored
+
+
+def test_pq_compression_shape(spark):
+    """The 100 TB point: an encoded corpus carries m small ints per
+    vector, not dim doubles."""
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    codes = PQ.pq_encode(_vecs(spark, FIX), cb)
+    fields = {f.name: str(f.dataType) for f in codes.schema.fields}
+    assert fields == {
+        "vec_id": "LongType()",
+        "codes": "ArrayType(IntegerType(), True)",
+    }
+    assert all(len(r["codes"]) == 2 for r in codes.collect())

@@ -205,7 +205,24 @@ SELECT f.vec_id, c.cid,
           * (CASE WHEN c.cn = 0 THEN 1 ELSE c.cn END)) AS cos_pre
 FROM fv f, cb c
 """
-    return {"ivf_drift_report.assignment": (ivf, 6)}
+    from __spark_entry__ import _pq_adc_sql
+
+    m, ksub = 4, 4
+    assign_tail = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {s} AS sub, code, d_pre FROM a1raw_{s}\n"
+        f"UNION ALL\nSELECT vec_id, {s} AS sub, code, d_pre FROM kraw_{s}"
+        for s in range(m)
+    )
+    # ql is the LUT value BEFORE floor(x + 0.5): its danger grid is the
+    # integer halves of the raw value, i.e. decimals=0
+    lut_tail = "\nUNION ALL\n".join(
+        f"SELECT {s} AS sub, code, ql FROM lutraw_{s}" for s in range(m)
+    )
+    return {
+        "ivf_drift_report.assignment": (ivf, 6),
+        "pq_adc_topk.assignment": (_pq_adc_sql(m, ksub, tail=assign_tail), 4),
+        "pq_adc_topk.lut": (_pq_adc_sql(m, ksub, tail=lut_tail), 0),
+    }
 
 
 def audit_probe(sql: str, decimals: int, con) -> dict:

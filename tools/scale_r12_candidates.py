@@ -1,0 +1,104 @@
+"""Scale-lap the round-10-built r12-pool candidate (the standing
+discipline: every new operator gets a measured scaling exponent
+before it reaches the driver gate).
+
+Product quantization (operators/pq), embeddings x1/x4/x16 (the
+scale_daily_shard perturbed-replica fixtures — vectors stay distinct,
+geometry stays organic):
+
+  train_pq    m=4 ksub=4 iters=2 — one partial-aggregated exchange per
+              update round; cost should be ~linear in the corpus
+  pq_encode   one Arrow scan; ~linear
+  pq_adc_topk codegen LUT select + TakeOrdered over the CODES; ~linear
+              in rows but with a per-row constant ~32x smaller than a
+              raw-vector scan (the compression point) — also reported:
+              bytes scanned for codes vs raw embeddings
+
+Warm pass first, then timed; exponent = log(t16/t1)/log(16).
+Usage: python tools/scale_r12_candidates.py
+"""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = "/tmp/spark_graft_scale"
+BASE = "/root/testdata/sf0.1"
+
+import duckdb
+
+_con = duckdb.connect()
+for k in (1, 4, 16):
+    e = f"{ROOT}/emb_x{k}"
+    os.makedirs(e, exist_ok=True)
+    q = f"{e}/embeddings.parquet"
+    if not os.path.exists(q):
+        _con.execute(f"""
+        COPY (SELECT vec_id + r*2000 AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(x + 0.0003 * r AS FLOAT)) AS embedding
+              FROM read_parquet('{BASE}/embeddings.parquet'),
+                   (SELECT unnest(range({k})) AS r))
+        TO '{q}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)""")
+print("fixtures ready", flush=True)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from data_pengadaan_agent_spark.operators import pq as PQ  # noqa: E402
+
+spark = (
+    SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+
+def lap(fn, warm=True):
+    if warm:
+        fn()
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+results: dict[str, dict[int, float]] = {"train": {}, "encode": {}, "adc": {}}
+for k in (1, 4, 16):
+    emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    t_train, cb = lap(lambda: PQ.train_pq(emb, dim=64, m=4, ksub=4, iters=2))
+    results["train"][k] = t_train
+    codes_path = f"{ROOT}/pq_codes_x{k}"
+    t_enc, _ = lap(
+        lambda: PQ.pq_encode(emb, cb).write.mode("overwrite").parquet(codes_path)
+    )
+    results["encode"][k] = t_enc
+    codes = spark.read.parquet(codes_path)
+    qvec = emb.filter(emb.vec_id == 0).select("embedding").first()[0]
+    t_adc, top = lap(lambda: PQ.pq_adc_topk(codes, cb, qvec, k=10).collect())
+    results["adc"][k] = t_adc
+    raw_b = sum(
+        os.path.getsize(os.path.join(f"{ROOT}/emb_x{k}", f))
+        for f in os.listdir(f"{ROOT}/emb_x{k}")
+    )
+    code_b = sum(
+        os.path.getsize(os.path.join(codes_path, f))
+        for f in os.listdir(codes_path)
+        if f.endswith(".parquet")
+    )
+    print(
+        f"x{k}: n={n} train={t_train:.2f}s encode={t_enc:.2f}s "
+        f"adc={t_adc:.2f}s top1={top[0]['vec_id']} "
+        f"codes_bytes={code_b} raw_bytes={raw_b} "
+        f"compression={raw_b / max(code_b, 1):.1f}x",
+        flush=True,
+    )
+
+for name, r in results.items():
+    exp = math.log(r[16] / r[1]) / math.log(16)
+    print(f"{name}: x1={r[1]:.2f}s x4={r[4]:.2f}s x16={r[16]:.2f}s exp={exp:.2f}")

@@ -4262,6 +4262,71 @@ def _q_pq_adc_topk(spark, sf):
     return PQ.pq_adc_topk(codes, cb, qvec, k=10)
 
 
+def _pq_subspace_parts(
+    m: int, ksub: int, dsub: int, src: str, lut_cte: str, lut_keys: str = ""
+) -> list[str]:
+    """Shared per-subspace CTE builder for the PQ twins: 2-round Lloyd
+    (lowest-id init, round(d,4)-then-argmin with lowest-code ties,
+    empty-cluster carryover) over ``src`` (vec_id, v), plus the
+    floor(d·1e6 + 0.5) BIGINT LUT against ``lut_cte`` rows (qv
+    [, lut_keys]) — ivfpq passes lut_keys="list" for per-probed-list
+    LUTs. kraw/a1raw/lutraw expose the PRE-round values for
+    tools/audit_round_boundaries.py's margin probes."""
+    parts = []
+    for s in range(m):
+        off = s * dsub
+        rawdist = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> ({src}.v[{off} + i] - c.cv[i]) * ({src}.v[{off} + i] - c.cv[i])))"
+        )
+        qdist = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> (p.qv[{off} + i] - c.cv[i]) * (p.qv[{off} + i] - c.cv[i])))"
+        )
+        keys = f"p.{lut_keys}, " if lut_keys else ""
+        keyout = f"{lut_keys}, " if lut_keys else ""
+        parts.append(f"""
+c0_{s} AS (
+  SELECT CAST(vec_id AS INT) AS code, v[{off + 1}:{off + dsub}] AS cv
+  FROM {src} WHERE vec_id < {ksub}
+),
+a1raw_{s} AS (
+  SELECT {src}.vec_id, c.code, {rawdist} AS d_pre FROM {src}, c0_{s} c
+),
+a1_{s} AS (
+  SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
+  FROM (SELECT vec_id, code, round(d_pre, 4) AS d FROM a1raw_{s}) GROUP BY 1
+),
+m1_{s} AS (
+  SELECT code, dim, avg(val) AS mval FROM (
+    SELECT a.code, unnest({src}.v[{off + 1}:{off + dsub}]) AS val,
+           unnest(range(1, {dsub} + 1)) AS dim
+    FROM a1_{s} a JOIN {src} USING (vec_id)
+  ) GROUP BY 1, 2
+),
+c1_{s} AS (
+  -- empty-cluster rule: a code with no members keeps its init centroid
+  SELECT c0.code, coalesce(u.cv, c0.cv) AS cv
+  FROM c0_{s} c0 LEFT JOIN (
+    SELECT code, list(mval ORDER BY dim) AS cv FROM m1_{s} GROUP BY 1
+  ) u USING (code)
+),
+lutraw_{s} AS (
+  SELECT {keys}c.code, {qdist} * 1000000 AS ql FROM c1_{s} c, {lut_cte} p
+),
+lut_{s} AS (
+  SELECT {keyout}code, CAST(floor(ql + 0.5) AS BIGINT) AS lv FROM lutraw_{s}
+),
+kraw_{s} AS (
+  SELECT {src}.vec_id, c.code, {rawdist} AS d_pre FROM {src}, c1_{s} c
+),
+k_{s} AS (
+  SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
+  FROM (SELECT vec_id, code, round(d_pre, 4) AS d FROM kraw_{s}) GROUP BY 1
+)""")
+    return parts
+
+
 def _pq_adc_sql(
     m: int = 4,
     ksub: int = 4,
@@ -4270,7 +4335,7 @@ def _pq_adc_sql(
     tail: str | None = None,
 ) -> str:
     """DuckDB twin of _q_pq_adc_topk: per subspace, the identical
-    2-round Lloyd (lowest-id init, round(d,6)-then-argmin with
+    2-round Lloyd (lowest-id init, round(d,4)-then-argmin with
     lowest-code ties, empty-cluster carryover), the identical
     floor(d·1e6 + 0.5) BIGINT LUT, integer score sum, rank by
     (score, vec_id). ``tail`` swaps the final SELECT — used by
@@ -4285,56 +4350,7 @@ e AS (
   FROM embeddings
 ),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"""
-    ]
-    for s in range(m):
-        off = s * dsub
-        rawdist = (
-            f"list_sum(list_transform(range(1, {dsub} + 1), "
-            f"i -> (e.v[{off} + i] - c.cv[i]) * (e.v[{off} + i] - c.cv[i])))"
-        )
-        qdist = (
-            f"list_sum(list_transform(range(1, {dsub} + 1), "
-            f"i -> (q.qv[{off} + i] - c.cv[i]) * (q.qv[{off} + i] - c.cv[i])))"
-        )
-        parts.append(f"""
-c0_{s} AS (
-  SELECT CAST(vec_id AS INT) AS code, v[{off + 1}:{off + dsub}] AS cv
-  FROM e WHERE vec_id < {ksub}
-),
-a1raw_{s} AS (
-  SELECT e.vec_id, c.code, {rawdist} AS d_pre FROM e, c0_{s} c
-),
-a1_{s} AS (
-  SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
-  FROM (SELECT vec_id, code, round(d_pre, 4) AS d FROM a1raw_{s}) GROUP BY 1
-),
-m1_{s} AS (
-  SELECT code, dim, avg(val) AS mval FROM (
-    SELECT a.code, unnest(e.v[{off + 1}:{off + dsub}]) AS val,
-           unnest(range(1, {dsub} + 1)) AS dim
-    FROM a1_{s} a JOIN e USING (vec_id)
-  ) GROUP BY 1, 2
-),
-c1_{s} AS (
-  -- empty-cluster rule: a code with no members keeps its init centroid
-  SELECT c0.code, coalesce(u.cv, c0.cv) AS cv
-  FROM c0_{s} c0 LEFT JOIN (
-    SELECT code, list(mval ORDER BY dim) AS cv FROM m1_{s} GROUP BY 1
-  ) u USING (code)
-),
-lutraw_{s} AS (
-  SELECT c.code, {qdist} * 1000000 AS ql FROM c1_{s} c, q
-),
-lut_{s} AS (
-  SELECT code, CAST(floor(ql + 0.5) AS BIGINT) AS lv FROM lutraw_{s}
-),
-kraw_{s} AS (
-  SELECT e.vec_id, c.code, {rawdist} AS d_pre FROM e, c1_{s} c
-),
-k_{s} AS (
-  SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
-  FROM (SELECT vec_id, code, round(d_pre, 4) AS d FROM kraw_{s}) GROUP BY 1
-)""")
+    ] + _pq_subspace_parts(m, ksub, dsub, src="e", lut_cte="q")
     if tail is not None:
         return f"WITH {','.join(parts)}\n{tail}"
     code_joins = " ".join(f"JOIN k_{s} USING (vec_id)" for s in range(1, m))
@@ -4347,6 +4363,105 @@ WITH {",".join(parts)},
 scored AS (
   SELECT k_0.vec_id, CAST({score} AS BIGINT) AS adc_score
   FROM k_0 {code_joins} {lut_joins}
+)
+SELECT CAST(row_number() OVER (ORDER BY adc_score, vec_id) AS INT) AS rank,
+       vec_id, adc_score
+FROM scored ORDER BY adc_score, vec_id LIMIT {k}
+"""
+
+
+def _q_ivfpq_adc_topk(spark, sf):
+    """IVF-PQ composition (operators/pq — Jégou et al. TPAMI 2011
+    §III, IVFADC): coarse quantizer = the EXACT vectors of ids 0..3
+    (no training drift by construction), residual PQ m=4 × ksub=4
+    (2 Lloyd rounds), codes written PARTITIONED BY coarse list, query
+    = vec 0's embedding probing n_probe=2 lists — the scan carries a
+    LITERAL PartitionFilter and each probed list scores against its
+    own residual LUT in exact BIGINT micro-units. ROUND-12-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = _warehouse_path(spark, sf, "ivfpq_codes")
+    coarse, cb = PQ.build_ivfpq_table(emb, path, dim=64, kc=4, m=4, ksub=4, iters=2)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return PQ.ivfpq_adc_topk(spark, path, coarse, cb, qvec, k=10, n_probe=2)
+
+
+def _ivfpq_adc_sql(
+    kc: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    n_probe: int = 2,
+    tail: str | None = None,
+) -> str:
+    """DuckDB twin of _q_ivfpq_adc_topk: exact coarse codebook (ids
+    0..kc-1 verbatim), coarse assignment by round(d,4)-argmin with
+    lowest-list ties, exact residual subtraction, the SHARED
+    subspace-training CTEs over the residual frame, per-probed-list
+    LUTs, and the pruned scoring restricted to the probed lists."""
+    dsub = dim // m
+    fulldist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    qfulldist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cc AS (
+  SELECT CAST(vec_id AS INT) AS list, v AS cv FROM e WHERE vec_id < {kc}
+),
+asgraw AS (
+  SELECT e.vec_id, c.list, {fulldist} AS d_pre FROM e, cc c
+),
+asg AS (
+  SELECT vec_id, (min(struct_pack(d := d, list := list))).list AS list
+  FROM (SELECT vec_id, list, round(d_pre, 4) AS d FROM asgraw) GROUP BY 1
+),
+r AS (
+  SELECT e.vec_id, a.list,
+         list_transform(range(1, {dim} + 1), i -> e.v[i] - c.cv[i]) AS v
+  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.list = a.list
+),
+proberaw AS (
+  SELECT c.list, {qfulldist} AS d_pre FROM cc c, q
+),
+probe AS (
+  SELECT list FROM (SELECT list, round(d_pre, 4) AS d FROM proberaw)
+  ORDER BY d, list LIMIT {n_probe}
+),
+qres AS (
+  SELECT c.list,
+         list_transform(range(1, {dim} + 1), i -> q.qv[i] - c.cv[i]) AS qv
+  FROM cc c JOIN probe USING (list), q
+)"""
+    ] + _pq_subspace_parts(m, ksub, dsub, src="r", lut_cte="qres", lut_keys="list")
+    if tail is not None:
+        return f"WITH {','.join(parts)}\n{tail}"
+    code_joins = " ".join(f"JOIN k_{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.code = k_{s}.code AND l{s}.list = a.list"
+        for s in range(m)
+    )
+    score = " + ".join(f"l{s}.lv" for s in range(m))
+    return f"""
+WITH {",".join(parts)},
+scored AS (
+  SELECT k_0.vec_id, CAST({score} AS BIGINT) AS adc_score
+  FROM k_0 {code_joins}
+  JOIN asg a ON a.vec_id = k_0.vec_id
+  JOIN probe pr ON pr.list = a.list
+  {lut_joins}
 )
 SELECT CAST(row_number() OVER (ORDER BY adc_score, vec_id) AS INT) AS rank,
        vec_id, adc_score
@@ -4780,8 +4895,9 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     corpus_ingest_stream_dup_spans), lexical_diversity,
     bm25_index_retrieval, bpe_merges, and zorder_key_orders — is the
     r11+ pool; the registration triage (which four register in r11
-    against that round's due set) is recorded in NOTES. pq_adc_topk
-    (round-10-built product quantization) joins the r12 pool."""
+    against that round's due set) is recorded in NOTES. pq_adc_topk +
+    ivfpq_adc_topk (round-10-built product quantization and its IVF
+    composition) join the r12 pool."""
     return {
         "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
@@ -4794,6 +4910,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key_orders": _q_zorder_key_orders,
         "bpe_merges": _q_bpe_merges,
         "pq_adc_topk": _q_pq_adc_topk,
+        "ivfpq_adc_topk": _q_ivfpq_adc_topk,
     }
 
 
@@ -4814,6 +4931,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "zorder_key_orders": _zorder_key_orders_sql(),
         "bpe_merges": _bpe_merges_sql(k=3),
         "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
+        "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
     }
 
 

@@ -152,15 +152,20 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 4,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
-    """Encode vectors to PQ codes: (id, codes array<int>), one Arrow
-    scan, codebook in the closure. Assignment = argmin over the
-    ROUNDED subspace distance, ties to the lowest code."""
+    """Encode vectors to PQ codes: (id, [passthrough...,] codes
+    array<int>), one Arrow scan, codebook in the closure. Assignment =
+    argmin over the ROUNDED subspace distance, ties to the lowest
+    code. ``passthrough`` columns ride along through the kernel so
+    callers (e.g. the IVF-PQ build, which needs the coarse list id
+    beside the codes) never re-join the kernel's own input."""
     import numpy as np
 
     cb = np.array(codebooks, dtype=np.float64)  # m × ksub × dsub
     m, _, dsub = cb.shape
     dim = m * dsub
+    extra = list(passthrough)
 
     def run(batches):
         import pandas as pd
@@ -178,14 +183,20 @@ def pq_encode(
                     ((sv[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1), round_dp
                 )
                 codes[:, s] = np.argmin(d, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(map(list, codes))}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["codes"] = list(map(list, codes))
+            yield pd.DataFrame(out)
 
     from data_pengadaan_agent_spark.sources.catalog import spread
 
-    return spread(df.select(id_col, vec_col), id_col).mapInPandas(
-        run, schema=f"{id_col} long, codes array<int>"
+    src = spread(df.select(id_col, *extra, vec_col), id_col)
+    extra_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in extra
+    )
+    return src.mapInPandas(
+        run, schema=f"{id_col} long{extra_schema}, codes array<int>"
     )
 
 
@@ -244,6 +255,170 @@ def pq_adc_topk(
     scored = codes_df.select(
         F.col(id_col), score.cast("bigint").alias("adc_score")
     )
+    top = scored.orderBy(F.asc("adc_score"), F.asc(id_col)).limit(int(k))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc("adc_score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", id_col, "adc_score"
+    )
+
+
+# --------------------------------------------------------------------
+# IVF-PQ: coarse partitioning + residual quantization (Jégou et al.
+# TPAMI 2011 §III — "IVFADC"). The coarse codebook here is EXACT by
+# construction: the raw vectors of ids 0..kc-1 (float32 parquet values
+# widened to double — bit-identical on every engine), so the coarse
+# assignment and the residual subtraction introduce no training drift
+# at all; only the residual PQ codebook carries the (probed, rounded)
+# mean drift. Codes are written PARTITIONED BY list, so an n_probe
+# query prunes the scan with a LITERAL PartitionFilter — the IVF scan
+# story composed with PQ's 30x-smaller rows.
+# --------------------------------------------------------------------
+
+
+def coarse_codebook(
+    df: DataFrame, kc: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """The exact coarse quantizer: vectors of ids 0..kc-1 verbatim."""
+    rows = df.filter(F.col(id_col) < kc).select(id_col, vec_col).collect()
+    if len(rows) < kc:
+        raise ValueError(f"coarse_codebook: init needs ids 0..{kc - 1} present")
+    return [
+        [float(x) for x in v]
+        for _, v in sorted((int(r[id_col]), r[vec_col]) for r in rows)
+    ]
+
+
+def ivfpq_residuals(
+    df: DataFrame,
+    coarse: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Coarse-assign and subtract in ONE Arrow pass: (id, list, resid).
+    Assignment = argmin over the ROUNDED distance to the coarse
+    codebook, ties to the lowest list (the pq_encode discipline);
+    resid = v - coarse[list] (one exactly-rounded IEEE subtraction of
+    identical inputs on every engine)."""
+    import numpy as np
+
+    cc = np.array([list(map(float, c)) for c in coarse], dtype=np.float64)
+    dim = cc.shape[1]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if vecs.shape[1] != dim:
+                raise ValueError(
+                    f"ivfpq_residuals: vector dim {vecs.shape[1]} != {dim}"
+                )
+            d = np.round(
+                ((vecs[:, None, :] - cc[None, :, :]) ** 2).sum(-1), round_dp
+            )
+            lst = np.argmin(d, axis=1)
+            resid = vecs - cc[lst]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "list": lst.astype(np.int32),
+                    "resid": list(map(list, resid)),
+                }
+            )
+
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    return spread(df.select(id_col, vec_col), id_col).mapInPandas(
+        run, schema=f"{id_col} long, list int, resid array<double>"
+    )
+
+
+def build_ivfpq_table(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    kc: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Build the IVF-PQ table: residual codes written PARTITIONED BY
+    coarse list (the inverted lists ARE partitions, the
+    build_ivf_table convention), one row = (id, codes). Returns
+    (coarse, codebooks) — both parameter-sized — for the query side.
+    The residual PQ trains on ALL residuals (the paper's single shared
+    codebook)."""
+    coarse = coarse_codebook(df, kc, vec_col, id_col)
+    resid = ivfpq_residuals(df, coarse, vec_col, id_col)
+    cb = train_pq(
+        resid, dim=dim, m=m, ksub=ksub, iters=iters, vec_col="resid", id_col=id_col
+    )
+    codes = pq_encode(
+        resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
+    )
+    codes.write.mode("overwrite").partitionBy("list").parquet(path)
+    return coarse, cb
+
+
+def ivfpq_adc_topk(
+    spark,
+    path: str,
+    coarse: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+    lut_dp: int = 6,
+) -> DataFrame:
+    """ADC top-k over the n_probe nearest inverted lists: rank the
+    coarse lists by ROUNDED query distance (ties to the lowest list),
+    read ONLY those partitions (a literal PartitionFilter — the scan
+    never touches the other lists' files), score each row with its
+    LIST'S residual LUT chosen by a parameter-bounded CASE over exact
+    BIGINT micro-units, TakeOrderedAndProject at k. Approximate by
+    IVF semantics: vectors outside the probed lists are not
+    considered."""
+    import numpy as np
+
+    cc = np.array([list(map(float, c)) for c in coarse], dtype=np.float64)
+    q = np.array(list(map(float, query_vec)), dtype=np.float64)
+    if q.shape[0] != cc.shape[1]:
+        raise ValueError(f"ivfpq_adc_topk: query dim {q.shape[0]} != {cc.shape[1]}")
+    if not 1 <= n_probe <= len(cc):
+        raise ValueError("ivfpq_adc_topk: n_probe out of range")
+    dq = np.round(((q[None, :] - cc) ** 2).sum(-1), round_dp)
+    probed = sorted(range(len(cc)), key=lambda i: (dq[i], i))[:n_probe]
+
+    ksub = len(codebooks[0])
+    m = len(codebooks)
+    codes_df = spark.read.parquet(path).filter(
+        F.col("list").isin([int(p) for p in probed])
+    )
+    luts = {p: adc_lut(codebooks, (q - cc[p]).tolist(), lut_dp) for p in probed}
+    # per-list LUT chosen by an n_probe-bounded CASE chain — literal
+    # arrays, stays inside codegen
+    chain = None
+    for p in probed:
+        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in luts[p]])
+        chain = (
+            F.when(F.col("list") == int(p), arr)
+            if chain is None
+            else chain.when(F.col("list") == int(p), arr)
+        )
+    score = None
+    for s in range(m):
+        term = F.element_at(chain, F.col("codes")[s] + s * ksub + 1)
+        score = term if score is None else score + term
+    scored = codes_df.select(F.col(id_col), score.cast("bigint").alias("adc_score"))
     top = scored.orderBy(F.asc("adc_score"), F.asc(id_col)).limit(int(k))
     from pyspark.sql import Window
 

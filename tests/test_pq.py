@@ -158,3 +158,78 @@ def test_pq_compression_shape(spark):
         "codes": "ArrayType(IntegerType(), True)",
     }
     assert all(len(r["codes"]) == 2 for r in codes.collect())
+
+
+def test_ivfpq_residuals_exact_and_tie_to_lowest(spark):
+    df = _vecs(spark, FIX)
+    coarse = PQ.coarse_codebook(df, kc=2)
+    assert coarse == [[0.0, 0.0, 10.0, 0.0], [1.0, 0.0, 0.0, 10.0]]
+    got = {
+        r["vec_id"]: (r["list"], list(r["resid"]))
+        for r in PQ.ivfpq_residuals(df, coarse).collect()
+    }
+    # vec 0 IS coarse 0: residual exactly zero
+    assert got[0] == (0, [0.0, 0.0, 0.0, 0.0])
+    # vec 2 near coarse 0; residual = v - c exactly
+    assert got[2] == (0, [0.2, 0.1, -1.0, 1.0])
+    # a vector equidistant from both coarse cells goes to list 0
+    tie = _vecs(spark, [(99, [0.5, 0.0, 5.0, 5.0])])
+    r = PQ.ivfpq_residuals(tie, coarse).collect()[0]
+    assert r["list"] == 0
+
+
+def test_ivfpq_build_partitions_and_pruned_topk(spark, tmp_path):
+    """Codes land partitioned by coarse list; the n_probe query's scan
+    carries a LITERAL PartitionFilter (never touches the other lists'
+    files), and its ranking equals a brute-force replay over exactly
+    the probed lists."""
+    import numpy as np
+
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "ivfpq")
+    coarse, cb = PQ.build_ivfpq_table(df, path, dim=4, kc=2, m=2, ksub=2, iters=2)
+    import os
+
+    parts = sorted(p for p in os.listdir(path) if p.startswith("list="))
+    assert parts == ["list=0", "list=1"]
+
+    q = [0.1, 0.0, 9.0, 0.5]
+    top = PQ.ivfpq_adc_topk(spark, path, coarse, cb, q, k=3, n_probe=1)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list" in plan, plan[:1500]
+    assert "Join" not in plan
+    rows = top.collect()
+
+    # brute replay: probed list = argmin rounded distance (list 0 here)
+    cc = np.array(coarse)
+    dq = np.round(((np.array(q)[None, :] - cc) ** 2).sum(-1), 4)
+    probed = int(np.argmin(dq))
+    lut = PQ.adc_lut(cb, (np.array(q) - cc[probed]).tolist())
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(path).filter(F.col("list") == probed).collect()
+    }
+    want = sorted((lut[c0] + lut[2 + c1], i) for i, (c0, c1) in codes.items())[:3]
+    assert [(r["adc_score"], r["vec_id"]) for r in rows] == want
+    # vectors OUTSIDE the probed list never appear
+    other_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(path).filter(F.col("list") != probed).collect()
+    }
+    assert not other_ids & {r["vec_id"] for r in rows}
+
+    # n_probe=2 covers both lists: the full corpus is rankable again
+    top2 = PQ.ivfpq_adc_topk(spark, path, coarse, cb, q, k=8, n_probe=2)
+    assert top2.count() == len(FIX)
+
+
+def test_ivfpq_validation(spark, tmp_path):
+    df = _vecs(spark, FIX)
+    with pytest.raises(ValueError, match="init needs ids"):
+        PQ.coarse_codebook(df.filter(F.col("vec_id") > 0), kc=2)
+    path = str(tmp_path / "ivfpq")
+    coarse, cb = PQ.build_ivfpq_table(df, path, dim=4, kc=2, m=2, ksub=2)
+    with pytest.raises(ValueError, match="n_probe"):
+        PQ.ivfpq_adc_topk(spark, path, coarse, cb, [0.0] * 4, n_probe=3)
+    with pytest.raises(ValueError, match="query dim"):
+        PQ.ivfpq_adc_topk(spark, path, coarse, cb, [0.0] * 5)

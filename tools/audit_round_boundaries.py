@@ -218,10 +218,21 @@ FROM fv f, cb c
     lut_tail = "\nUNION ALL\n".join(
         f"SELECT {s} AS sub, code, ql FROM lutraw_{s}" for s in range(m)
     )
+    from __spark_entry__ import _ivfpq_adc_sql
+
+    ivfpq_assign_tail = (
+        "SELECT vec_id, -1 AS sub, list AS code, d_pre FROM asgraw\n"
+        "UNION ALL\nSELECT NULL AS vec_id, -2 AS sub, list AS code, d_pre "
+        "FROM proberaw\nUNION ALL\n" + assign_tail
+    )
     return {
         "ivf_drift_report.assignment": (ivf, 6),
         "pq_adc_topk.assignment": (_pq_adc_sql(m, ksub, tail=assign_tail), 4),
         "pq_adc_topk.lut": (_pq_adc_sql(m, ksub, tail=lut_tail), 0),
+        "ivfpq_adc_topk.assignment": (
+            _ivfpq_adc_sql(tail=ivfpq_assign_tail), 4,
+        ),
+        "ivfpq_adc_topk.lut": (_ivfpq_adc_sql(tail=lut_tail), 0),
     }
 
 

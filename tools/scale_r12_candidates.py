@@ -65,7 +65,9 @@ def lap(fn, warm=True):
     return time.time() - t0, out
 
 
-results: dict[str, dict[int, float]] = {"train": {}, "encode": {}, "adc": {}}
+results: dict[str, dict[int, float]] = {
+    "train": {}, "encode": {}, "adc": {}, "ivfpq_build": {}, "ivfpq_query": {},
+}
 for k in (1, 4, 16):
     emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -96,6 +98,26 @@ for k in (1, 4, 16):
         f"adc={t_adc:.2f}s top1={top[0]['vec_id']} "
         f"codes_bytes={code_b} raw_bytes={raw_b} "
         f"compression={raw_b / max(code_b, 1):.1f}x",
+        flush=True,
+    )
+
+    # IVF-PQ: build (coarse assign + residual train/encode +
+    # partitioned write) and the pruned n_probe=2 query
+    ivfpq_path = f"{ROOT}/ivfpq_x{k}"
+    t_build0 = time.time()
+    coarse, rcb = PQ.build_ivfpq_table(
+        emb, ivfpq_path, dim=64, kc=4, m=4, ksub=4, iters=2
+    )
+    results["ivfpq_build"][k] = time.time() - t_build0
+    t_q, topr = lap(
+        lambda: PQ.ivfpq_adc_topk(
+            spark, ivfpq_path, coarse, rcb, qvec, k=10, n_probe=2
+        ).collect()
+    )
+    results["ivfpq_query"][k] = t_q
+    print(
+        f"x{k}: ivfpq build={results['ivfpq_build'][k]:.2f}s "
+        f"query={t_q:.2f}s top1={topr[0]['vec_id']}",
         flush=True,
     )
 

@@ -4483,11 +4483,33 @@ def _q_bpe_merges(spark, sf):
     return B.learn_bpe_merges(docs, k=3)
 
 
-def _bpe_merges_sql(k: int = 3) -> str:
+def _q_bpe_encode_vocab(spark, sf):
+    """Encode-side BPE (operators/bpe.learn_bpe_merges with
+    return_vocab=True): the trained tokenizer's segmentation of every
+    distinct corpus word after k=3 learned merges — (w, n, seg). The
+    merge table never leaves the cluster (no driver collection); the
+    segmentation is the same fold template both engines share.
+    ROUND-12-pool candidate."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    docs = load_table(spark, sf, "documents")
+    vocab = B.learn_bpe_merges(docs, k=3, return_vocab=True)
+    return vocab.select(
+        "w",
+        F.col("n").cast("bigint").alias("n"),
+        F.array_join("syms", " ").alias("seg"),
+    )
+
+
+def _bpe_merges_sql(k: int = 3, vocab: bool = False) -> str:
     """DuckDB twin of _q_bpe_merges: the identical k rounds unrolled
     as CTEs — vocab-sized pair counts, min(struct(-cnt, x, y))
     argmax, and the SAME fold template (bpe.merge_fold_sql('duckdb'))
-    applying each round's merge."""
+    applying each round's merge. ``vocab=True`` emits the encode-side
+    product instead (the _q_bpe_encode_vocab twin): the final
+    vocabulary's segmentation after all k merges (a NULL merge round
+    folds as a no-op on both engines — Spark's loop break leaves the
+    vocab unchanged the same way)."""
     from data_pengadaan_agent_spark.operators.bpe import merge_fold_sql
 
     parts = [
@@ -4533,6 +4555,12 @@ v{r} AS (
         selects.append(
             f"SELECT CAST({r} AS INT) AS rank, mx AS x, my AS y, "
             f"mcnt AS pair_count FROM m{r} WHERE mx IS NOT NULL"
+        )
+    if vocab:
+        return (
+            "WITH " + ",".join(parts)
+            + f"\nSELECT w, CAST(n AS BIGINT) AS n, "
+            f"array_to_string(syms, ' ') AS seg FROM v{k}"
         )
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
@@ -4911,6 +4939,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "pq_adc_topk": _q_pq_adc_topk,
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
+        "bpe_encode_vocab": _q_bpe_encode_vocab,
     }
 
 
@@ -4932,6 +4961,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(k=3),
         "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
         "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
+        "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
     }
 
 

@@ -101,6 +101,7 @@ def learn_bpe_merges(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    return_vocab: bool = False,
 ) -> DataFrame:
     """Learn the first ``k`` BPE merges over the corpus; returns
     (rank, x, y, pair_count) — the merge table a tokenizer replays at
@@ -114,7 +115,13 @@ def learn_bpe_merges(
     Rounds with no remaining pair (every word a single symbol) stop
     the loop early. Each round's merge frame is 1 row, eagerly
     checkpointed (cuts the unrolled lineage), cross-joined back so
-    the fold references its columns — never re-injected literals."""
+    the fold references its columns — never re-injected literals.
+
+    ``return_vocab=True`` returns the ENCODE-side product instead:
+    the vocabulary after all k merges, (w, n, syms) — the trained
+    tokenizer's segmentation of every distinct word, produced by the
+    same loop with zero driver collection (the merge table never
+    leaves the cluster)."""
     if k < 1:
         raise ValueError("learn_bpe_merges: k must be >= 1")
     vocab = word_frequencies(docs, text_col, id_col).withColumn(
@@ -166,6 +173,8 @@ def learn_bpe_merges(
             .drop("mx", "my", "mcnt")
             .localCheckpoint(eager=True)
         )
+    if return_vocab:
+        return vocab.select("w", "n", "syms")
     if not merges:
         # round 1 found no pair at all (e.g. every word is a single
         # character): the documented early stop, as an empty frame

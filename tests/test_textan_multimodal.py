@@ -970,3 +970,34 @@ def test_bpe_twin_stops_with_spark_when_merges_exhaust(spark):
     # merges really exhausted early: fewer than k rows, none NULL
     assert 0 < len(got) < 3
     assert all(x is not None and y is not None for _, x, y, _ in got)
+
+
+def test_bpe_return_vocab_segmentation(spark):
+    """Encode-side product: the vocabulary after k merges, segmented
+    by the same fold — no driver collection of the merge table."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "low lower")],
+        "doc_id long, text string",
+    )
+    vocab = {r["w"]: (r["n"], list(r["syms"])) for r in
+             B.learn_bpe_merges(docs, k=2, return_vocab=True).collect()}
+    merges = [(r["x"], r["y"]) for r in
+              B.learn_bpe_merges(docs, k=2).orderBy("rank").collect()]
+    # replay the learned merges by hand over 'low' and check the
+    # vocab segmentation agrees (both come from the same fold)
+    assert set(vocab) == {"low", "lower", "lowest"}
+    assert vocab["low"][0] == 3 and vocab["lower"][0] == 2
+    syms = list("low")
+    for x, y in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    assert vocab["low"][1] == syms

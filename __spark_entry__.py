@@ -2296,7 +2296,7 @@ def _q_bm25_retrieval_batch(spark, sf):
     return X.bm25_retrieval_batch(queries, docs, k=5)
 
 
-def _bm25_retrieval_batch_sql(k: int = 5) -> str:
+def _bm25_retrieval_batch_sql(k: int = 5, tail: str | None = None) -> str:
     """DuckDB twin of _q_bm25_retrieval_batch: integer-proxy idf and
     the EXACT-INTEGER contribution (round-9 determinism fix — the old
     round(double, 6) form hash-failed on a representation-boundary
@@ -2314,7 +2314,12 @@ def _bm25_retrieval_batch_sql(k: int = 5) -> str:
     stacks serialize decimal128 ambiguously; int64 is one encoding).
     The query CTE also drops the version-sensitive list slice
     toks[1:3] for a zipped parallel-unnest ordinality filter (i < 3),
-    matching Spark's F.slice(toks, 1, 3) semantics explicitly."""
+    matching Spark's F.slice(toks, 1, 3) semantics explicitly.
+
+    ``tail`` swaps the final SELECT; the components-probe twin emits
+    the raw per-(qid, doc, term) BIGINT components from the SAME c
+    CTE the score sum consumes (the one-construction-site rule the
+    Spark side follows via _bm25_contrib_frame)."""
     return f"""
 WITH d AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
@@ -2341,7 +2346,7 @@ stats AS (
   FROM d
 ),
 c AS (
-  SELECT q.qid, tf.doc_id,
+  SELECT q.qid, tf.doc_id, tf.t, tf.tf, tf.dl, dfreq.dft, stats.n, stats.sdl,
          (CAST((n * 1000000) // greatest(dft, 1) AS HUGEINT)
           * 20 * tf.tf * sdl)
          //
@@ -2359,7 +2364,34 @@ r AS (
          row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk
   FROM s
 )
-SELECT qid, doc_id, bm25, CAST(rk AS INT) AS rank FROM r WHERE rk <= {k}
+{tail if tail is not None else
+ f"SELECT qid, doc_id, bm25, CAST(rk AS INT) AS rank FROM r WHERE rk <= " + str(k)}
+"""
+
+
+def _q_bm25_components_probe(spark, sf):
+    """Driver-red localization probe (VERDICT r9 What's-wrong #1.iii,
+    staged as the r11 contingency): the RAW BIGINT components of the
+    bm25_retrieval_batch contribution for the doc_id%500==0 slice —
+    (qid, doc_id, t, tf, dl, df, n_docs, sum_dl, contrib). Shares
+    textan._bm25_contrib_frame with the batch operator and the twin's
+    own c CTE, so driver green/red on this row bisects the batch
+    query: probe green + batch red => sum/rank/output stage; probe
+    red => the differing component column. ROUND-11 CONTINGENCY
+    candidate — register only if bm25_retrieval_batch reds in r10."""
+    docs = load_table(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(X.tokens("text"), 1, 3).alias("terms"),
+    )
+    return X.bm25_components_probe(queries, docs, doc_mod=500)
+
+
+_BM25_PROBE_TAIL = """
+SELECT qid, doc_id, t, tf, CAST(dl AS BIGINT) AS dl,
+       CAST(dft AS BIGINT) AS df, CAST(n AS BIGINT) AS n_docs,
+       CAST(sdl AS BIGINT) AS sum_dl, CAST(c AS BIGINT) AS contrib
+FROM c WHERE doc_id % 500 = 0
 """
 
 
@@ -4940,6 +4972,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "bpe_encode_vocab": _q_bpe_encode_vocab,
+        "bm25_components_probe": _q_bm25_components_probe,
     }
 
 
@@ -4962,6 +4995,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
         "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
         "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
+        "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
     }
 
 

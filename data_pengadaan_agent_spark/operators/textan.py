@@ -1195,6 +1195,108 @@ def bm25_int_coeffs(k1: float, b: float) -> tuple[int, int, int, int]:
     return int(af * scale_l), int(bf * scale_l), int(cf * scale_l), scale_l
 
 
+def _bm25_contrib_frame(
+    queries_df: DataFrame,
+    docs: DataFrame,
+    qid_col: str,
+    terms_col: str,
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The shared per-(query, doc, term) contribution lineage of
+    ``bm25_retrieval_batch`` (which sums it) and
+    ``bm25_components_probe`` (which emits it raw): pruned posting
+    explode → tf aggregate → broadcast joins → the exact-integer
+    fraction-cleared contribution. One construction site so the probe
+    can never diverge from the operator it instruments. Columns:
+    (qid, id, t, _tf, _dl, _df, _n_docs, _sum_dl, _c)."""
+    coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
+
+    toks = tokens(text_col)
+    qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
+    vocab = qterms.select("t").distinct()
+    posts = docs.select(
+        F.col(id_col),
+        F.explode(toks).alias("t"),
+        F.size(toks).cast("bigint").alias("_dl"),
+    ).join(F.broadcast(vocab), "t", "left_semi")
+    tf = posts.groupBy(id_col, "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf"),
+        F.min("_dl").alias("_dl"),
+    )
+    dfreq = tf.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("_sum_dl"),
+    )
+    contrib = F.expr(
+        f"""(CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
+             * CAST({coef_a} AS DECIMAL(38,0)) * _tf * _sum_dl)
+            DIV
+            (CAST({scale_l} AS DECIMAL(38,0)) * _tf * _sum_dl
+             + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
+             + CAST({coef_c} AS DECIMAL(38,0)) * _dl * _n_docs)"""
+    )
+    return (
+        tf.join(F.broadcast(qterms), "t")
+        .join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.col("t"),
+            "_tf",
+            "_dl",
+            "_df",
+            "_n_docs",
+            "_sum_dl",
+            contrib.alias("_c"),
+        )
+    )
+
+
+def bm25_components_probe(
+    queries_df: DataFrame,
+    docs: DataFrame,
+    doc_mod: int = 500,
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> DataFrame:
+    """Diagnostic probe for the driver-red localization plan (VERDICT
+    r9 What's-wrong #1.iii): emit the RAW BIGINT components of every
+    BM25 contribution — (qid, doc_id, t, tf, dl, df, n_docs, sum_dl,
+    contrib) — restricted to the ``doc_id % doc_mod == 0`` slice so
+    the output stays small. Shares ``_bm25_contrib_frame`` with
+    ``bm25_retrieval_batch``, so a driver green/red on this probe
+    bisects the batch operator: probe green + batch red localizes the
+    divergence to the sum/rank/output stage; probe red shows WHICH
+    component column differs. Every hashed column is int64."""
+    frame = _bm25_contrib_frame(
+        queries_df, docs, qid_col, terms_col, text_col, id_col, k1, b
+    )
+    return frame.filter(
+        F.col(id_col) % F.lit(int(doc_mod)) == 0
+    ).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.col("t"),
+        F.col("_tf").cast("bigint").alias("tf"),
+        F.col("_dl").cast("bigint").alias("dl"),
+        F.col("_df").cast("bigint").alias("df"),
+        F.col("_n_docs").cast("bigint").alias("n_docs"),
+        F.col("_sum_dl").cast("bigint").alias("sum_dl"),
+        F.col("_c").cast("bigint").alias("contrib"),
+    )
+
+
 def bm25_retrieval_batch(
     queries_df: DataFrame,
     docs: DataFrame,
@@ -1265,44 +1367,11 @@ def bm25_retrieval_batch(
     in one query weight that term twice — multiplicity is preserved
     identically on both engines. Documents sharing no term with a
     query are absent from its ranking (score 0), like bm25_score."""
-    coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
-
-    toks = tokens(text_col)
-    qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
-    vocab = qterms.select("t").distinct()
-    posts = docs.select(
-        F.col(id_col),
-        F.explode(toks).alias("t"),
-        F.size(toks).cast("bigint").alias("_dl"),
-    ).join(F.broadcast(vocab), "t", "left_semi")
-    tf = posts.groupBy(id_col, "t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_tf"),
-        F.min("_dl").alias("_dl"),
-    )
-    dfreq = tf.groupBy("t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("_df")
-    )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("_sum_dl"),
-    )
-    contrib = F.expr(
-        f"""(CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
-             * CAST({coef_a} AS DECIMAL(38,0)) * _tf * _sum_dl)
-            DIV
-            (CAST({scale_l} AS DECIMAL(38,0)) * _tf * _sum_dl
-             + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
-             + CAST({coef_c} AS DECIMAL(38,0)) * _dl * _n_docs)"""
-    )
     scored = (
-        tf.join(F.broadcast(qterms), "t")
-        .join(F.broadcast(dfreq), "t")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(qid_col),
-            F.col(id_col),
-            contrib.alias("_c"),
+        _bm25_contrib_frame(
+            queries_df, docs, qid_col, terms_col, text_col, id_col, k1, b
         )
+        .select(F.col(qid_col), F.col(id_col), F.col("_c"))
         .groupBy(qid_col, id_col)
         .agg(F.sum("_c").cast("bigint").alias("bm25"))
     )

@@ -70,6 +70,10 @@ HEADLINERS = {
     "dup_run_pairs": "exact shared runs via the diagonal trick: df-capped gram join (merge-pinned), one (a,b,diag) window clusters consecutive matches",
     "zorder_key_orders": "Morton layout key: one static shift/mask fold, pure map — whole-stage codegen, zero exchanges",
     "bpe_merges": "BPE training rounds: corpus collapses once to word frequencies; per round one vocab-sized pair aggregate + 1-row argmax + broadcast merge fold",
+    "pq_adc_topk": "PQ ADC: literal BIGINT LUT inside one codegen select — joinless, shuffle-free — then TakeOrderedAndProject",
+    "ivfpq_adc_topk": "IVF-PQ: literal PartitionFilter prunes to n_probe lists, per-list LUT CASE chain, same joinless scoring",
+    "bpe_encode_vocab": "encode-side BPE: the training loop's final vocab frame, merge folds applied via broadcast 1-row frames",
+    "bm25_components_probe": "bm25 batch's own contribution lineage emitted raw: same semi-join + broadcast shape, sliced output",
 }
 
 

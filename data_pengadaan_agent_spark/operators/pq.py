@@ -351,10 +351,21 @@ def build_ivfpq_table(
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """Build the IVF-PQ table: residual codes written PARTITIONED BY
     coarse list (the inverted lists ARE partitions, the
-    build_ivf_table convention), one row = (id, codes). Returns
+    build_ivf_table convention), one row = (id, codes), plus the
+    sidecars the incremental path needs — the ids registry (the
+    append anti-join source) and the frozen geometry, whose write is
+    LAST and is the build's commit marker (codes without codebooks =
+    loudly-invalid index, the lexindex meta discipline). Returns
     (coarse, codebooks) — both parameter-sized — for the query side.
     The residual PQ trains on ALL residuals (the paper's single shared
     codebook)."""
+    spark = df.sparkSession
+    ids_p, coarse_p, pqcb_p = _ivfpq_sidecars(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(pqcb_p).getFileSystem(spark._jsc.hadoopConfiguration())
+    for stale in (coarse_p, pqcb_p):  # index invalid until recommit
+        if fs.exists(jvm_path(stale)):
+            fs.delete(jvm_path(stale), True)
     coarse = coarse_codebook(df, kc, vec_col, id_col)
     resid = ivfpq_residuals(df, coarse, vec_col, id_col)
     cb = train_pq(
@@ -364,6 +375,10 @@ def build_ivfpq_table(
         resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
     )
     codes.write.mode("overwrite").partitionBy("list").parquet(path)
+    df.select(id_col).dropDuplicates([id_col]).write.mode("overwrite").parquet(
+        ids_p
+    )
+    save_ivfpq_codebooks(spark, path, coarse, cb)
     return coarse, cb
 
 
@@ -426,3 +441,117 @@ def ivfpq_adc_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", id_col, "adc_score"
     )
+
+
+def _ivfpq_sidecars(path: str) -> tuple[str, str, str]:
+    p = path.rstrip("/")
+    return f"{p}_ids", f"{p}_coarse", f"{p}_pqcb"
+
+
+def save_ivfpq_codebooks(
+    spark,
+    path: str,
+    coarse: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+) -> None:
+    """Persist the frozen geometry beside the codes (parameter-sized
+    frames). Written LAST by the build — the commit marker: a reader
+    finding codes but no codebooks sees a loudly-invalid index, never
+    a silently re-trainable one."""
+    _, coarse_p, pqcb_p = _ivfpq_sidecars(path)
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(coarse)],
+        "list int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(coarse_p)
+    spark.createDataFrame(
+        [
+            (int(s), int(c), [float(x) for x in v])
+            for s, sub in enumerate(codebooks)
+            for c, v in enumerate(sub)
+        ],
+        "sub int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(pqcb_p)
+
+
+def load_ivfpq_codebooks(
+    spark, path: str
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Read back the frozen geometry; raises if the build never
+    committed (codes without codebooks)."""
+    _, coarse_p, pqcb_p = _ivfpq_sidecars(path)
+    try:
+        crows = spark.read.parquet(coarse_p).collect()
+        prows = spark.read.parquet(pqcb_p).collect()
+    except Exception as exc:  # noqa: BLE001 - absent = invalid index
+        raise ValueError(
+            f"ivfpq index at {path!r} has no readable codebooks — the "
+            "build crashed before commit; rebuild with build_ivfpq_table"
+        ) from exc
+    coarse = [
+        [float(x) for x in r["centroid"]]
+        for r in sorted(crows, key=lambda r: r["list"])
+    ]
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in prows:
+        by_sub.setdefault(r["sub"], {})[r["code"]] = [
+            float(x) for x in r["centroid"]
+        ]
+    cb = [
+        [by_sub[s][c] for c in sorted(by_sub[s])] for s in sorted(by_sub)
+    ]
+    return coarse, cb
+
+
+def append_ivfpq_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental IVF-PQ maintenance: assign + encode a NEW batch
+    with the FROZEN geometry (read from the sidecars — the
+    append_ivf_table contract: daily shards must never retrain or
+    rescan the base; drift is the monitor's job — the coarse sidecar
+    plugs straight into similarity.ivf_drift_report) and append to
+    the list partitions. Write order is the crash contract: the ids
+    sidecar FIRST (the anti-join keys on it, so replay after any
+    crash is a no-op and codes can never double), codes second; the
+    surviving failure mode is ids-without-codes — those vectors are
+    invisible to probes (under-recall only), flagged by
+    ``audit_ivfpq_table``. Returns vectors appended."""
+    spark = df.sparkSession
+    coarse, cb = load_ivfpq_codebooks(spark, path)
+    ids_p, _, _ = _ivfpq_sidecars(path)
+    fresh = df.dropDuplicates([id_col])
+    seen = spark.read.parquet(ids_p).select(id_col)
+    fresh = fresh.join(seen, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    fresh.select(id_col).write.mode("append").parquet(ids_p)
+    resid = ivfpq_residuals(fresh, coarse, vec_col, id_col)
+    pq_encode(
+        resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
+    ).write.mode("append").partitionBy("list").parquet(path)
+    return n_new
+
+
+def audit_ivfpq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Integrity audit for the append crash contract: ids present in
+    the sidecar (committed) but missing from the codes table (an
+    append whose second write died — probe-invisible vectors) and the
+    converse orphans. Returns (id, state); empty = consistent. Repair
+    for 'missing_codes' = re-encoding exactly those vectors with the
+    frozen geometry and appending — their ids rows are already
+    correct."""
+    load_ivfpq_codebooks(spark, path)  # validates the build committed
+    ids_p, _, _ = _ivfpq_sidecars(path)
+    reg = spark.read.parquet(ids_p).select(id_col).distinct()
+    coded = spark.read.parquet(path).select(id_col).distinct()
+    missing = reg.join(coded, id_col, "left_anti").select(
+        id_col, F.lit("missing_codes").alias("state")
+    )
+    orphan = coded.join(reg, id_col, "left_anti").select(
+        id_col, F.lit("orphan_codes").alias("state")
+    )
+    return missing.unionByName(orphan)

@@ -233,3 +233,75 @@ def test_ivfpq_validation(spark, tmp_path):
         PQ.ivfpq_adc_topk(spark, path, coarse, cb, [0.0] * 4, n_probe=3)
     with pytest.raises(ValueError, match="query dim"):
         PQ.ivfpq_adc_topk(spark, path, coarse, cb, [0.0] * 5)
+
+
+def test_ivfpq_append_frozen_geometry_and_replay(spark, tmp_path):
+    """Incremental IVF-PQ: appends encode with the FROZEN sidecar
+    geometry (never retrain), replay is a no-op (ids-first contract),
+    appended vectors are probe-visible immediately, and codes equal
+    what pq_encode produces with the same codebooks."""
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "ivfpq")
+    coarse, cb = PQ.build_ivfpq_table(df, path, dim=4, kc=2, m=2, ksub=2)
+    lc, lcb = PQ.load_ivfpq_codebooks(spark, path)
+    assert lc == coarse and lcb == cb
+
+    shard = _vecs(spark, [(100, [0.05, 0.0, 9.8, 0.1]), (101, [1.0, 0.1, 0.2, 9.9])])
+    assert PQ.append_ivfpq_table(shard, path) == 2
+    assert PQ.append_ivfpq_table(shard, path) == 0          # replay no-op
+    assert PQ.append_ivfpq_table(shard.union(shard), path) == 0
+    assert PQ.audit_ivfpq_table(spark, path).count() == 0
+
+    got = {
+        r["vec_id"]: (r["list"], list(r["codes"]))
+        for r in spark.read.parquet(path).filter(F.col("vec_id") >= 100).collect()
+    }
+    resid = PQ.ivfpq_residuals(shard, coarse)
+    want_list = {r["vec_id"]: r["list"] for r in resid.collect()}
+    want_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode(resid, cb, vec_col="resid").collect()
+    }
+    assert got == {i: (want_list[i], want_codes[i]) for i in (100, 101)}
+
+    # probe-visible: vec 100 sits in the query's own cell and ranks
+    q = [0.05, 0.0, 9.8, 0.1]
+    top = PQ.ivfpq_adc_topk(spark, path, coarse, cb, q, k=10, n_probe=2)
+    assert 100 in {r["vec_id"] for r in top.collect()}
+
+
+def test_ivfpq_append_crash_contract_and_audit(spark, tmp_path):
+    """The ids-first write order: a crash after the ids write leaves
+    probe-INVISIBLE vectors (under-recall only, never doubled codes);
+    the audit names them and a re-encode append repairs. A build that
+    never committed its codebooks is loudly invalid."""
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "ivfpq")
+    coarse, cb = PQ.build_ivfpq_table(df, path, dim=4, kc=2, m=2, ksub=2)
+    # inject: ids landed, codes write died
+    shard = _vecs(spark, [(200, [0.0, 0.2, 9.7, 0.3])])
+    ids_p, _, _ = PQ._ivfpq_sidecars(path)
+    shard.select("vec_id").write.mode("append").parquet(ids_p)
+    flagged = PQ.audit_ivfpq_table(spark, path).collect()
+    assert [(r["vec_id"], r["state"]) for r in flagged] == [(200, "missing_codes")]
+    # replayed append is a no-op — the vector stays lost until repaired
+    assert PQ.append_ivfpq_table(shard, path) == 0
+    # repair: re-encode exactly the flagged vectors and append codes
+    resid = PQ.ivfpq_residuals(shard, coarse)
+    PQ.pq_encode(resid, cb, vec_col="resid", passthrough=["list"]).write.mode(
+        "append"
+    ).partitionBy("list").parquet(path)
+    assert PQ.audit_ivfpq_table(spark, path).count() == 0
+    top = PQ.ivfpq_adc_topk(
+        spark, path, coarse, cb, [0.0, 0.2, 9.7, 0.3], k=10, n_probe=2
+    )
+    assert 200 in {r["vec_id"] for r in top.collect()}
+
+    # uncommitted build: codebook sidecars absent -> loud ValueError
+    import shutil
+
+    shutil.rmtree(f"{path}_pqcb")
+    with pytest.raises(ValueError, match="codebooks"):
+        PQ.load_ivfpq_codebooks(spark, path)
+    with pytest.raises(ValueError, match="codebooks"):
+        PQ.append_ivfpq_table(shard, path)

@@ -46,6 +46,7 @@ for k in (1, 4, 16):
 print("fixtures ready", flush=True)
 
 from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from data_pengadaan_agent_spark.operators import pq as PQ  # noqa: E402
 
@@ -67,6 +68,7 @@ def lap(fn, warm=True):
 
 results: dict[str, dict[int, float]] = {
     "train": {}, "encode": {}, "adc": {}, "ivfpq_build": {}, "ivfpq_query": {},
+    "ivfpq_append": {},
 }
 for k in (1, 4, 16):
     emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
@@ -115,9 +117,25 @@ for k in (1, 4, 16):
         ).collect()
     )
     results["ivfpq_query"][k] = t_q
+    # base-independence: the SAME fixed x1-derived shard appended onto
+    # the x{k} base — cost must not grow with the base (frozen
+    # geometry, ids anti-join on a pruned column, append-only writes)
+    shard = (
+        spark.read.parquet(f"{ROOT}/emb_x1/embeddings.parquet")
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.001)).alias(
+                "embedding"
+            ),
+        )
+    )
+    t0 = time.time()
+    n_app = PQ.append_ivfpq_table(shard, ivfpq_path)
+    results["ivfpq_append"][k] = time.time() - t0
     print(
         f"x{k}: ivfpq build={results['ivfpq_build'][k]:.2f}s "
-        f"query={t_q:.2f}s top1={topr[0]['vec_id']}",
+        f"query={t_q:.2f}s top1={topr[0]['vec_id']} "
+        f"append({n_app})={results['ivfpq_append'][k]:.2f}s",
         flush=True,
     )
 

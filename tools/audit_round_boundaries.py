@@ -236,6 +236,112 @@ FROM fv f, cb c
     }
 
 
+GAP_FLAG = 1e-9  # min best-vs-runner-up distance gap for UNROUNDED argmins
+
+
+def gap_probes() -> dict[str, str]:
+    """VERDICT r9 warning #2, second half: the kmeans-family twins
+    (_kmeans_cte_sql consumers — kmeans_clusters, prototypicality,
+    semdedup_prune, semdedup_greedy) argmin over UNROUNDED doubles,
+    where Spark computes the expanded form and DuckDB the direct sum.
+    There the dangerous quantity is not a rounding half but the GAP
+    between the best and runner-up distance per vector: a gap inside
+    the ~1e-13 drift class can flip the assignment across engines.
+    The kmeans_assign_blas docstring claims fixtures sit orders of
+    magnitude away — these probes MEASURE that claim. Each probe
+    emits (vec_id, stage, cid, d_pre) for both Lloyd stages (c0 and
+    c1 codebooks) over the twin's exact training corpus; the harness
+    computes the min per-vector gap. Sources mirror the twins
+    verbatim (kmeans_clusters/prototypicality train on the full
+    embeddings; the semdedup twins add their planted dup/rotation
+    rows)."""
+    from __spark_entry__ import _CHAIN_THETA, _kmeans_cte_sql
+
+    dist = (
+        "list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    tail = f"""
+SELECT e.vec_id, 0 AS stage, c.cid, {dist} AS d_pre FROM e, c0 c
+UNION ALL
+SELECT e.vec_id, 1 AS stage, c.cid, {dist} AS d_pre FROM e, c1 c
+"""
+    plain = f"WITH {_kmeans_cte_sql('SELECT vec_id, embedding FROM embeddings')}\n{tail}"
+    prune_src = """
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding,
+                   x -> CAST(CAST(x AS DOUBLE) * 1.01 AS FLOAT))
+          FROM embeddings WHERE vec_id % 25 = 0
+"""
+    greedy_src = prune_src + f"""
+          UNION ALL
+          SELECT vec_id + 2000000,
+                 list_concat(
+                   [CAST(cos({_CHAIN_THETA!r} * ((vec_id // 25) % 8)) AS FLOAT),
+                    CAST(sin({_CHAIN_THETA!r} * ((vec_id // 25) % 8)) AS FLOAT)],
+                   list_transform(range(62), z -> CAST(0.0 AS FLOAT)))
+          FROM embeddings WHERE vec_id % 25 = 0
+"""
+    prune = (
+        f"WITH src AS ({prune_src}), "
+        f"{_kmeans_cte_sql('SELECT * FROM src')}\n{tail}"
+    )
+    greedy = (
+        f"WITH src AS ({greedy_src}), "
+        f"{_kmeans_cte_sql('SELECT * FROM src')}\n{tail}"
+    )
+    return {
+        "kmeans_clusters+prototypicality.gap": plain,
+        "semdedup_prune.gap": prune,
+        "semdedup_greedy.gap": greedy,
+    }
+
+
+def audit_gap_probe(sql: str, con) -> dict:
+    """Min best-vs-runner-up distance gap per (vec_id, stage); flags
+    any gap below GAP_FLAG. Exact zero gaps are reported separately —
+    a bitwise tie is only safe when it is STRUCTURAL (identical
+    centroids/vectors, equal in both engines' forms); coincidental
+    ones deserve eyes."""
+    out = {"err": None, "kind": "argmin-gap"}
+    try:
+        tbl = con.execute(sql).arrow()
+    except Exception as e:  # pragma: no cover - surfaced in report
+        out["err"] = f"{type(e).__name__}: {e}"
+        return out
+    groups: dict[tuple, list[float]] = {}
+    vid = tbl.column("vec_id").to_pylist()
+    stg = tbl.column("stage").to_pylist()
+    dp = tbl.column("d_pre").to_pylist()
+    for v, s, d in zip(vid, stg, dp):
+        groups.setdefault((v, s), []).append(float(d))
+    min_gap, zero_ties, n = None, 0, 0
+    for ds in groups.values():
+        ds.sort()
+        if len(ds) < 2:
+            continue
+        n += 1
+        gap = ds[1] - ds[0]
+        if gap == 0.0:
+            zero_ties += 1
+            continue
+        if min_gap is None or gap < min_gap:
+            min_gap = gap
+    out.update(
+        {
+            "n_vectors": n,
+            "zero_ties": zero_ties,
+            "min_gap": min_gap,
+            "flag": bool(
+                (min_gap is not None and min_gap < GAP_FLAG) or zero_ties
+            ),
+        }
+    )
+    return out
+
+
 def audit_probe(sql: str, decimals: int, con) -> dict:
     """Margin-check every float column of a pre-round probe at the
     given rounding scale (same margin formula as the main audit)."""
@@ -340,6 +446,25 @@ def main():
                 f"min margin {wm}  {status}"
             )
             if flags:
+                flagged.append(name)
+        report[name] = rec
+
+    for name, sql in sorted(gap_probes().items()):
+        if only and name.split(".")[0] not in only and name not in only:
+            continue
+        rec = audit_gap_probe(sql, con_norm)
+        rec["tier"] = "probe"
+        if rec["err"]:
+            print(f"{name:34s} ERROR {rec['err'][:80]}")
+        else:
+            mg = rec["min_gap"]
+            mgs = f"{mg:.3e}" if mg is not None else "n/a"
+            status = "FLAG" if rec["flag"] else "ok"
+            print(
+                f"{name:34s} gap probe: {rec['n_vectors']} vecs, "
+                f"min gap {mgs}, zero ties {rec['zero_ties']}  {status}"
+            )
+            if rec["flag"]:
                 flagged.append(name)
         report[name] = rec
 

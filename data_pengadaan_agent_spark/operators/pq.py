@@ -555,3 +555,61 @@ def audit_ivfpq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
         id_col, F.lit("orphan_codes").alias("state")
     )
     return missing.unionByName(orphan)
+
+
+def compact_ivfpq_table(
+    spark,
+    path: str,
+    target_files_per_list: int = 1,
+    id_col: str = "vec_id",
+) -> int:
+    """Maintenance for the daily-append loop: every append lays new
+    files into each touched list partition, so a year of shards turns
+    one pruned-list probe into thousands of tiny file opens. Rewrites
+    each list to ``target_files_per_list`` files. Refuses a dirty
+    audit (compaction would bake probe-invisible ids in as
+    permanently-lost). Crash discipline mirrors compact_postings_index
+    with the CODEBOOK sidecar as the validity marker: it is deleted
+    before the swap and re-committed after, so a crash mid-swap leaves
+    a loudly-invalid index (load_ivfpq_codebooks raises), never a
+    silently half-compacted one. Returns files removed."""
+    coarse, cb = load_ivfpq_codebooks(spark, path)
+    dirty = audit_ivfpq_table(spark, path, id_col).count()
+    if dirty:
+        raise ValueError(
+            f"compact_ivfpq_table: {dirty} inconsistent id(s) in the "
+            "index — repair (re-encode the flagged vectors) before "
+            "compacting"
+        )
+    _, coarse_p, pqcb_p = _ivfpq_sidecars(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p: str) -> int:
+        it, n = fs.listFiles(jvm_path(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = _n_files(path)
+    tmp, old = f"{path}_compact_tmp", f"{path}_compact_old"
+    for stale in (tmp, old):
+        if fs.exists(jvm_path(stale)):
+            fs.delete(jvm_path(stale), True)
+    sub = F.pmod(F.xxhash64(id_col), F.lit(int(target_files_per_list)))
+    n_lists = len(coarse)
+    (
+        spark.read.parquet(path)
+        .repartition(n_lists * int(target_files_per_list), F.col("list"), sub)
+        .write.mode("overwrite")
+        .partitionBy("list")
+        .parquet(tmp)
+    )
+    # index invalid from here until the codebook recommit
+    fs.delete(jvm_path(pqcb_p), True)
+    fs.rename(jvm_path(path), jvm_path(old))
+    fs.rename(jvm_path(tmp), jvm_path(path))
+    fs.delete(jvm_path(old), True)
+    save_ivfpq_codebooks(spark, path, coarse, cb)
+    return before - _n_files(path)

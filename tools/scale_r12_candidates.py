@@ -14,8 +14,9 @@ geometry stays organic):
               raw-vector scan (the compression point) — also reported:
               bytes scanned for codes vs raw embeddings
 
-Warm pass first, then timed; exponent = log(t16/t1)/log(16).
-Usage: python tools/scale_r12_candidates.py
+Warm pass first, then timed; exponent = log(t_hi/t1)/log(hi).
+Usage: python tools/scale_r12_candidates.py        (x1/x4/x16)
+       python tools/scale_r12_candidates.py x64    (x1/x16/x64 stress)
 """
 
 import math
@@ -30,8 +31,11 @@ BASE = "/root/testdata/sf0.1"
 
 import duckdb
 
+X64 = len(sys.argv) > 1 and sys.argv[1] == "x64"
+SPANS = (1, 16, 64) if X64 else (1, 4, 16)
+
 _con = duckdb.connect()
-for k in (1, 4, 16):
+for k in SPANS:
     e = f"{ROOT}/emb_x{k}"
     os.makedirs(e, exist_ok=True)
     q = f"{e}/embeddings.parquet"
@@ -70,7 +74,7 @@ results: dict[str, dict[int, float]] = {
     "train": {}, "encode": {}, "adc": {}, "ivfpq_build": {}, "ivfpq_query": {},
     "ivfpq_append": {},
 }
-for k in (1, 4, 16):
+for k in SPANS:
     emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
@@ -139,6 +143,8 @@ for k in (1, 4, 16):
         flush=True,
     )
 
+hi = SPANS[-1]
 for name, r in results.items():
-    exp = math.log(r[16] / r[1]) / math.log(16)
-    print(f"{name}: x1={r[1]:.2f}s x4={r[4]:.2f}s x16={r[16]:.2f}s exp={exp:.2f}")
+    exp = math.log(r[hi] / r[1]) / math.log(hi)
+    pts = " ".join(f"x{k}={r[k]:.2f}s" for k in SPANS)
+    print(f"{name}: {pts} exp={exp:.2f}")

@@ -4295,15 +4295,26 @@ def _q_pq_adc_topk(spark, sf):
 
 
 def _pq_subspace_parts(
-    m: int, ksub: int, dsub: int, src: str, lut_cte: str, lut_keys: str = ""
+    m: int,
+    ksub: int,
+    dsub: int,
+    src: str,
+    lut_cte: str | None,
+    lut_keys: str = "",
+    encode_src: str | None = None,
 ) -> list[str]:
     """Shared per-subspace CTE builder for the PQ twins: 2-round Lloyd
     (lowest-id init, round(d,4)-then-argmin with lowest-code ties,
     empty-cluster carryover) over ``src`` (vec_id, v), plus the
     floor(d·1e6 + 0.5) BIGINT LUT against ``lut_cte`` rows (qv
     [, lut_keys]) — ivfpq passes lut_keys="list" for per-probed-list
-    LUTs. kraw/a1raw/lutraw expose the PRE-round values for
-    tools/audit_round_boundaries.py's margin probes."""
+    LUTs; ``lut_cte=None`` omits the LUT CTEs (the ingest twin only
+    needs codes). ``encode_src`` lets the FINAL assignment run over a
+    different frame than training (the streaming-ingest twin trains
+    on the base slice, encodes everything — the frozen-geometry
+    append semantics). kraw/a1raw/lutraw expose the PRE-round values
+    for tools/audit_round_boundaries.py's margin probes."""
+    enc = encode_src or src
     parts = []
     for s in range(m):
         off = s * dsub
@@ -4317,6 +4328,17 @@ def _pq_subspace_parts(
         )
         keys = f"p.{lut_keys}, " if lut_keys else ""
         keyout = f"{lut_keys}, " if lut_keys else ""
+        encdist = (
+            f"list_sum(list_transform(range(1, {dsub} + 1), "
+            f"i -> ({enc}.v[{off} + i] - c.cv[i]) * ({enc}.v[{off} + i] - c.cv[i])))"
+        )
+        lut_block = f"""
+lutraw_{s} AS (
+  SELECT {keys}c.code, {qdist} * 1000000 AS ql FROM c1_{s} c, {lut_cte} p
+),
+lut_{s} AS (
+  SELECT {keyout}code, CAST(floor(ql + 0.5) AS BIGINT) AS lv FROM lutraw_{s}
+),""" if lut_cte is not None else ""
         parts.append(f"""
 c0_{s} AS (
   SELECT CAST(vec_id AS INT) AS code, v[{off + 1}:{off + dsub}] AS cv
@@ -4342,15 +4364,9 @@ c1_{s} AS (
   FROM c0_{s} c0 LEFT JOIN (
     SELECT code, list(mval ORDER BY dim) AS cv FROM m1_{s} GROUP BY 1
   ) u USING (code)
-),
-lutraw_{s} AS (
-  SELECT {keys}c.code, {qdist} * 1000000 AS ql FROM c1_{s} c, {lut_cte} p
-),
-lut_{s} AS (
-  SELECT {keyout}code, CAST(floor(ql + 0.5) AS BIGINT) AS lv FROM lutraw_{s}
-),
+),{lut_block}
 kraw_{s} AS (
-  SELECT {src}.vec_id, c.code, {rawdist} AS d_pre FROM {src}, c1_{s} c
+  SELECT {enc}.vec_id, c.code, {encdist} AS d_pre FROM {enc}, c1_{s} c
 ),
 k_{s} AS (
   SELECT vec_id, (min(struct_pack(d := d, code := code))).code AS code
@@ -4512,6 +4528,105 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY adc_score, vec_id) AS INT) AS rank,
        vec_id, adc_score
 FROM scored ORDER BY adc_score, vec_id LIMIT {k}
+"""
+
+
+def _q_ann_ingest_stream_codes(spark, sf):
+    """FIFTH value-checked streaming-ingest form: a maintained IVF-PQ
+    index built on the base slice (vec_id < 300), then the REST of the
+    embeddings arrive as a stream and are appended per epoch with the
+    FROZEN sidecar geometry (streaming/windows.foreach_batch_ivfpq_sink
+    → pq.append_ivfpq_table). Returns the final codes table flattened
+    to hashable ints: (vec_id, list, c0..c3). The twin recomputes from
+    raw embeddings — training on the base slice only, encoding
+    everything — so a hash match certifies the whole frozen-geometry
+    append semantics end to end. Fresh index + checkpoint per call
+    (the corpus_ingest_stream determinism convention).
+    ROUND-12-pool candidate."""
+    import shutil
+    import tempfile
+
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 300)
+    rest = emb.filter(F.col("vec_id") >= 300)
+    idx = _warehouse_path(spark, sf, "stream_ivfpq")
+    ack = _warehouse_path(spark, sf, "stream_ivfpq_ack")
+    shutil.rmtree(ack, ignore_errors=True)
+    PQ.build_ivfpq_table(base, idx, dim=64, kc=4, m=4, ksub=4, iters=2)
+    srcdir = tempfile.mkdtemp(prefix="ann_ingest_src_")
+    rest.coalesce(1).write.mode("overwrite").parquet(srcdir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .format("parquet")
+        .load(srcdir)
+    )
+    q = SW.foreach_batch_ivfpq_sink(
+        stream, idx, ack, tempfile.mkdtemp(prefix="ann_ingest_ckpt_")
+    )
+    q.processAllAvailable()
+    q.stop()
+    codes = spark.read.parquet(idx)
+    return codes.select(
+        "vec_id",
+        F.col("list").cast("int").alias("list"),
+        *[F.col("codes")[i].cast("int").alias(f"c{i}") for i in range(4)],
+    )
+
+
+def _ann_ingest_codes_sql(
+    kc: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    split: int = 300,
+    tail: str | None = None,
+) -> str:
+    """DuckDB twin of _q_ann_ingest_stream_codes: coarse codebook from
+    the GLOBAL lowest ids (all < split, so base-trained ≡ this),
+    coarse-assign everything, train the residual PQ on the BASE slice
+    only (the frozen geometry the stream appends under), encode ALL
+    residuals — the exact batch equivalent of build(base) +
+    streamed-append(rest)."""
+    dsub = dim // m
+    fulldist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cc AS (
+  SELECT CAST(vec_id AS INT) AS list, v AS cv FROM e WHERE vec_id < {kc}
+),
+asgraw AS (
+  SELECT e.vec_id, c.list, {fulldist} AS d_pre FROM e, cc c
+),
+asg AS (
+  SELECT vec_id, (min(struct_pack(d := d, list := list))).list AS list
+  FROM (SELECT vec_id, list, round(d_pre, 4) AS d FROM asgraw) GROUP BY 1
+),
+r AS (
+  SELECT e.vec_id, a.list,
+         list_transform(range(1, {dim} + 1), i -> e.v[i] - c.cv[i]) AS v
+  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.list = a.list
+),
+rb AS (SELECT vec_id, v FROM r WHERE vec_id < {split})"""
+    ] + _pq_subspace_parts(
+        m, ksub, dsub, src="rb", lut_cte=None, encode_src="r"
+    )
+    if tail is not None:
+        return f"WITH {','.join(parts)}\n{tail}"
+    code_joins = " ".join(f"JOIN k_{s} USING (vec_id)" for s in range(1, m))
+    cols = ", ".join(f"CAST(k_{s}.code AS INT) AS c{s}" for s in range(m))
+    return f"""
+WITH {",".join(parts)}
+SELECT k_0.vec_id, CAST(a.list AS INT) AS list, {cols}
+FROM k_0 {code_joins} JOIN asg a ON a.vec_id = k_0.vec_id
 """
 
 
@@ -4987,6 +5102,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "bpe_encode_vocab": _q_bpe_encode_vocab,
         "bm25_components_probe": _q_bm25_components_probe,
+        "ann_ingest_stream_codes": _q_ann_ingest_stream_codes,
     }
 
 
@@ -5010,6 +5126,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
         "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
         "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
+        "ann_ingest_stream_codes": _ann_ingest_codes_sql(),
     }
 
 

@@ -218,7 +218,7 @@ FROM fv f, cb c
     lut_tail = "\nUNION ALL\n".join(
         f"SELECT {s} AS sub, code, ql FROM lutraw_{s}" for s in range(m)
     )
-    from __spark_entry__ import _ivfpq_adc_sql
+    from __spark_entry__ import _ann_ingest_codes_sql, _ivfpq_adc_sql
 
     ivfpq_assign_tail = (
         "SELECT vec_id, -1 AS sub, list AS code, d_pre FROM asgraw\n"
@@ -233,6 +233,18 @@ FROM fv f, cb c
             _ivfpq_adc_sql(tail=ivfpq_assign_tail), 4,
         ),
         "ivfpq_adc_topk.lut": (_ivfpq_adc_sql(tail=lut_tail), 0),
+        # streaming-ANN ingest: same 4dp argmin discipline, but the
+        # residual PQ trains on the BASE slice — its own margin story
+        # (no probe/LUT CTEs in this twin: coarse asgraw + subspace raws)
+        "ann_ingest_stream_codes.assignment": (
+            _ann_ingest_codes_sql(
+                tail=(
+                    "SELECT vec_id, -1 AS sub, list AS code, d_pre "
+                    "FROM asgraw\nUNION ALL\n" + assign_tail
+                )
+            ),
+            4,
+        ),
     }
 
 

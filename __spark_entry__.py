@@ -4531,6 +4531,70 @@ FROM scored ORDER BY adc_score, vec_id LIMIT {k}
 """
 
 
+def _q_pq_adc_batch(spark, sf):
+    """Batched multi-query ADC (operators/pq.pq_adc_batch): the same
+    m=4 × ksub=4 geometry as pq_adc_topk, queried by every
+    vec_id%200==0 embedding at once — the compressed-corpus analog of
+    mine_hard_negatives, top-5 per query. One Arrow scan of the codes
+    scores all queries; the only exchange carries partition-partial
+    top-k rows. ROUND-12-pool candidate."""
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb = PQ.train_pq(emb, dim=64, m=4, ksub=4, iters=2)
+    codes = PQ.pq_encode(emb, cb)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    return PQ.pq_adc_batch(codes, cb, queries, k=5)
+
+
+def _pq_adc_batch_sql(
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    tail: str | None = None,
+) -> str:
+    """DuckDB twin of _q_pq_adc_batch: the SAME shared training CTEs
+    as the single-query twin, with per-qid LUTs (lut_keys='qid') and
+    a per-qid ranking over the full cross of codes × queries."""
+    dsub = dim // m
+    parts = [
+        """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 200 = 0)"""
+    ] + _pq_subspace_parts(m, ksub, dsub, src="e", lut_cte="qs", lut_keys="qid")
+    if tail is not None:
+        return f"WITH {','.join(parts)}\n{tail}"
+    code_joins = " ".join(f"JOIN k_{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.qid = q.qid AND l{s}.code = k_{s}.code"
+        for s in range(m)
+    )
+    score = " + ".join(f"l{s}.lv" for s in range(m))
+    return f"""
+WITH {",".join(parts)},
+scored AS (
+  SELECT q.qid, k_0.vec_id, CAST({score} AS BIGINT) AS adc_score
+  FROM k_0 {code_joins} CROSS JOIN (SELECT DISTINCT qid FROM qs) q
+  {lut_joins}
+),
+r AS (
+  SELECT qid, vec_id, adc_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_score, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, CAST(rk AS INT) AS rank, vec_id, adc_score
+FROM r WHERE rk <= {k}
+"""
+
+
 def _q_ann_ingest_stream_codes(spark, sf):
     """FIFTH value-checked streaming-ingest form: a maintained IVF-PQ
     index built on the base slice (vec_id < 300), then the REST of the
@@ -5103,6 +5167,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_vocab": _q_bpe_encode_vocab,
         "bm25_components_probe": _q_bm25_components_probe,
         "ann_ingest_stream_codes": _q_ann_ingest_stream_codes,
+        "pq_adc_batch": _q_pq_adc_batch,
     }
 
 
@@ -5127,6 +5192,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
         "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
         "ann_ingest_stream_codes": _ann_ingest_codes_sql(),
+        "pq_adc_batch": _pq_adc_batch_sql(m=4, ksub=4, dim=64, k=5),
     }
 
 

@@ -613,3 +613,76 @@ def compact_ivfpq_table(
     fs.delete(jvm_path(old), True)
     save_ivfpq_codebooks(spark, path, coarse, cb)
     return before - _n_files(path)
+
+
+def pq_adc_batch(
+    codes_df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    queries,
+    k: int = 5,
+    id_col: str = "vec_id",
+    lut_dp: int = 6,
+) -> DataFrame:
+    """Batched multi-query ADC top-k — the compressed-corpus analog of
+    ``mine_hard_negatives`` (and of ``bm25_retrieval_batch`` on the
+    lexical side): one scan of the CODES ranks every query at once.
+    ``queries`` is a parameter-bounded list of (qid, vector) — the
+    mine_hard_negatives broadcast-batch contract (it is the model
+    input, not corpus data; the caller collects it).
+
+    Scale shape: all |Q| LUTs (exact BIGINT micro-units) ship in the
+    kernel closure (|Q|·m·ksub ints — parameter-sized); ONE Arrow scan
+    of the codes scores every (row, query) pair with a NumPy gather
+    and emits only each PARTITION's per-query top-k, so the single
+    exchange carries ≤ partitions × |Q| × k rows — never n × |Q|.
+    The final per-qid window runs over that bounded set. Integer
+    scores end to end; ties rank by id ascending."""
+    import numpy as np
+
+    cb = np.array(codebooks, dtype=np.float64)
+    m, ksub, _ = cb.shape
+    qids = [int(q) for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("pq_adc_batch: duplicate qids")
+    luts = np.array(
+        [adc_lut(codebooks, v, lut_dp) for _, v in queries], dtype=np.int64
+    )  # |Q| × (m·ksub)
+    kk = int(k)
+
+    def topk_partial(batches):
+        import pandas as pd
+
+        # accumulate the whole PARTITION's codes before cutting top-k:
+        # fewer emitted rows than per-Arrow-batch cuts
+        ids_all, flat_all = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_all.append(pdf[id_col].to_numpy())
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            flat_all.append(codes + (np.arange(m) * ksub)[None, :])
+        if not ids_all:
+            return
+        ids = np.concatenate(ids_all)
+        flat = np.concatenate(flat_all)  # n × m flat LUT indices
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            scores = luts[qi][flat].sum(axis=1)  # exact int64
+            take = min(kk, len(ids))
+            pick = np.lexsort((ids, scores))[:take]
+            out_q.extend([qid] * take)
+            out_id.extend(ids[pick].tolist())
+            out_s.extend(scores[pick].tolist())
+        yield pd.DataFrame({"qid": out_q, id_col: out_id, "adc_score": out_s})
+
+    from pyspark.sql import Window
+
+    partial = codes_df.select(id_col, "codes").mapInPandas(
+        topk_partial, schema=f"qid long, {id_col} long, adc_score bigint"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_score"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("qid", "rank", id_col, "adc_score")
+    )

@@ -424,3 +424,38 @@ def test_streaming_ivfpq_ingest_matches_batch_append(spark, tmp_path):
     assert acks.select("_epoch").distinct().count() == 2
     assert {r["vec_id"] for r in acks.collect()} == {100, 101, 102}
     assert acks.filter(F.col("vec_id") == 101).count() == 2
+
+
+def test_pq_adc_batch_matches_per_query_topk(spark):
+    """The batch op's per-query rankings equal running pq_adc_topk
+    once per query; the plan's only exchange carries the partial
+    top-k rows, never n x |Q|."""
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    codes = PQ.pq_encode(_vecs(spark, FIX), cb).localCheckpoint(eager=True)
+    queries = [
+        (7, [0.0, 0.0, 10.0, 0.0]),
+        (8, [1.0, 0.0, 0.0, 10.0]),
+        (9, [0.5, 0.0, 5.0, 5.0]),
+    ]
+    got = {
+        (r["qid"], r["rank"]): (r["vec_id"], r["adc_score"])
+        for r in PQ.pq_adc_batch(codes, cb, queries, k=3).collect()
+    }
+    for qid, qv in queries:
+        single = PQ.pq_adc_topk(codes, cb, qv, k=3).collect()
+        for r in single:
+            assert got[(qid, r["rank"])] == (r["vec_id"], r["adc_score"])
+    assert len(got) == 9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate qids"):
+        PQ.pq_adc_batch(codes, cb, [(1, [0.0] * 4), (1, [1.0] * 4)])
+
+    plan = (
+        PQ.pq_adc_batch(codes, cb, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    # one exchange total: the bounded partial-topk rows to the window
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]

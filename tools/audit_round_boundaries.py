@@ -218,7 +218,11 @@ FROM fv f, cb c
     lut_tail = "\nUNION ALL\n".join(
         f"SELECT {s} AS sub, code, ql FROM lutraw_{s}" for s in range(m)
     )
-    from __spark_entry__ import _ann_ingest_codes_sql, _ivfpq_adc_sql
+    from __spark_entry__ import (
+        _ann_ingest_codes_sql,
+        _ivfpq_adc_sql,
+        _pq_adc_batch_sql,
+    )
 
     ivfpq_assign_tail = (
         "SELECT vec_id, -1 AS sub, list AS code, d_pre FROM asgraw\n"
@@ -244,6 +248,17 @@ FROM fv f, cb c
                 )
             ),
             4,
+        ),
+        # batched ADC: same training population as pq_adc_topk (already
+        # probed above); the NEW surface is the per-qid LUT grid
+        "pq_adc_batch.lut": (
+            _pq_adc_batch_sql(
+                tail="\nUNION ALL\n".join(
+                    f"SELECT qid, {s} AS sub, code, ql FROM lutraw_{s}"
+                    for s in range(m)
+                )
+            ),
+            0,
         ),
     }
 

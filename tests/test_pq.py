@@ -459,3 +459,50 @@ def test_pq_adc_batch_matches_per_query_topk(spark):
     assert "Join" not in plan
     # one exchange total: the bounded partial-topk rows to the window
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_pq_adc_batch_partition_invariant(spark):
+    """The partial-topk kernel accumulates per PARTITION; the final
+    window must merge partials identically whatever the partitioning —
+    1 partition vs 8 give byte-identical rankings."""
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    codes = PQ.pq_encode(_vecs(spark, FIX), cb).localCheckpoint(eager=True)
+    queries = [(7, [0.0, 0.0, 10.0, 0.0]), (8, [0.5, 0.0, 5.0, 5.0])]
+
+    def run(df):
+        return sorted(
+            map(tuple, PQ.pq_adc_batch(df, cb, queries, k=4).collect())
+        )
+
+    assert run(codes.coalesce(1)) == run(codes.repartition(8))
+    # k larger than the corpus: every vector ranks, no dup rows
+    allr = PQ.pq_adc_batch(codes.repartition(8), cb, queries, k=100).collect()
+    assert len(allr) == 2 * len(FIX)
+    assert len({(r["qid"], r["vec_id"]) for r in allr}) == 2 * len(FIX)
+
+
+def test_ivfpq_coarse_sidecar_feeds_drift_monitor(spark, tmp_path):
+    """The documented integration: the persisted coarse codebook plugs
+    straight into similarity.ivf_drift_report as the retrain monitor.
+    A shard of far-from-every-centroid vectors appended to the index
+    trips the mean_cos floor."""
+    from data_pengadaan_agent_spark.operators.similarity import ivf_drift_report
+
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "ivfpq")
+    PQ.build_ivfpq_table(df, path, dim=4, kc=2, m=2, ksub=2)
+    coarse, _ = PQ.load_ivfpq_codebooks(spark, path)
+    cents = list(enumerate(coarse))
+    healthy = ivf_drift_report(df, cents, cos_floor=0.5, skew_ceiling=10.0)
+    assert not any(r["retrain"] for r in healthy.collect())
+
+    drifted = _vecs(
+        spark, [(500 + i, [0.0, 5.0 + 0.1 * i, 0.0, 0.0]) for i in range(6)]
+    )
+    PQ.append_ivfpq_table(drifted, path)
+    corpus = df.union(drifted)
+    rep = {r["centroid_id"]: r for r in ivf_drift_report(
+        corpus, cents, cos_floor=0.5, skew_ceiling=10.0).collect()}
+    # the drifted mass is orthogonal-ish to both centroids: whichever
+    # list absorbed it sees its mean_cos collapse below the floor
+    assert any(r["retrain"] for r in rep.values()), rep

@@ -71,8 +71,8 @@ def lap(fn, warm=True):
 
 
 results: dict[str, dict[int, float]] = {
-    "train": {}, "encode": {}, "adc": {}, "ivfpq_build": {}, "ivfpq_query": {},
-    "ivfpq_append": {},
+    "train": {}, "encode": {}, "adc": {}, "adc_batch8": {},
+    "ivfpq_build": {}, "ivfpq_query": {}, "ivfpq_append": {},
 }
 for k in SPANS:
     emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
@@ -90,6 +90,14 @@ for k in SPANS:
     qvec = emb.filter(emb.vec_id == 0).select("embedding").first()[0]
     t_adc, top = lap(lambda: PQ.pq_adc_topk(codes, cb, qvec, k=10).collect())
     results["adc"][k] = t_adc
+    # batched ADC with a FIXED |Q|=8 across corpus sizes: one codes
+    # scan for all queries, the exchange bounded by partitions*|Q|*k
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(emb.vec_id % 250 == 0).limit(8).collect()
+    ]
+    t_b, _ = lap(lambda: PQ.pq_adc_batch(codes, cb, qrows, k=10).collect())
+    results["adc_batch8"][k] = t_b
     raw_b = sum(
         os.path.getsize(os.path.join(f"{ROOT}/emb_x{k}", f))
         for f in os.listdir(f"{ROOT}/emb_x{k}")

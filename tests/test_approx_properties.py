@@ -387,3 +387,47 @@ def test_dup_run_pairs_matches_bruteforce_reference(spark, ca, cb):
             ).collect()
         }
         assert got == want, (ca, cb, arith)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-8.0, max_value=8.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=4, max_size=4,
+        ),
+        min_size=4, max_size=12,
+    )
+)
+def test_pq_encode_matches_numpy_reference_property(spark, vec_lists):
+    """PQ encode property: for ANY small vector set, the distributed
+    codes equal the NumPy reference (rounded-distance argmin, first
+    minimum on ties) and the ADC top-k equals brute-force ranking of
+    the codes by the exact integer LUT, ties by id."""
+    import numpy as np
+
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vec_lists)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = PQ.train_pq(df, dim=4, m=2, ksub=2, iters=2)
+    cbn = np.array(cb)
+    V = np.array([v for _, v in rows])
+    want = {}
+    for i, v in enumerate(V):
+        codes = []
+        for s in range(2):
+            d = np.round(((v[s * 2:(s + 1) * 2] - cbn[s]) ** 2).sum(-1), 4)
+            codes.append(int(np.argmin(d)))
+        want[i] = codes
+    codes_df = PQ.pq_encode(df, cb)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes_df.collect()}
+    assert got == want
+
+    q = [float(x) for x in V[0]]
+    lut = PQ.adc_lut(cb, q)
+    brute = sorted((lut[c0] + lut[2 + c1], i) for i, (c0, c1) in want.items())
+    k = min(3, len(rows))
+    top = PQ.pq_adc_topk(codes_df, cb, q, k=k).collect()
+    assert [(r["adc_score"], r["vec_id"]) for r in top] == brute[:k]

@@ -31,8 +31,9 @@ Spark shapes, chosen per stage:
   (tools/audit_round_boundaries.py probes the pre-round margins).
 - ``pq_encode``: ONE Arrow scan through a plan-size-constant kernel
   (codebook in the closure); output (id, codes array<int>).
-- ``pq_adc_topk``: the LUT is rounded to exact BIGINT micro-units
-  (round(d·10^lut_dp)) and embedded as ONE flat array literal, so the
+- ``pq_adc_topk``: the LUT is fixed to exact BIGINT micro-units
+  (floor(d·10^lut_dp + 0.5) — explicit HALF_UP, spelled identically
+  on both engines) and embedded as ONE flat array literal, so the
   score is an exact integer sum evaluated in a pure codegen select —
   no join, no shuffle — followed by a distributed
   TakeOrderedAndProject. Ties rank by id ascending. Integer scores
@@ -206,9 +207,10 @@ def adc_lut(
     lut_dp: int = 6,
 ) -> list[int]:
     """The query's asymmetric-distance lookup table as exact BIGINT
-    micro-units: flat[sub·ksub + code] = round(‖q_sub − centroid‖² ·
-    10^lut_dp). Parameter-sized (m·ksub ints); computed identically
-    by the oracle twin so ADC scores hash-match as integers."""
+    micro-units: flat[sub·ksub + code] = floor(‖q_sub − centroid‖² ·
+    10^lut_dp + 0.5). Parameter-sized (m·ksub ints); computed
+    identically by the oracle twin so ADC scores hash-match as
+    integers."""
     import numpy as np
 
     cb = np.array(codebooks, dtype=np.float64)

@@ -4595,6 +4595,55 @@ FROM r WHERE rk <= {k}
 """
 
 
+def _q_pq_quant_report(spark, sf):
+    """PQ quantization-error report (operators/pq.
+    pq_quantization_report): per-subspace reconstruction-error totals
+    under the same m=4 × ksub=4 codebook as pq_adc_topk — the
+    codebook-staleness monitor (the PQ analog of ivf_drift_report).
+    Exact integer error sums at the 4dp grid. ROUND-12-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    cb = PQ.train_pq(emb, dim=64, m=4, ksub=4, iters=2)
+    return PQ.pq_quantization_report(emb, cb)
+
+
+def _pq_quant_report_sql(m: int = 4, ksub: int = 4, dim: int = 64) -> str:
+    """DuckDB twin of _q_pq_quant_report: the SAME shared training
+    CTEs; each vector's chosen code (k_{s}) joins back to its raw
+    distance (kraw_{s}), floored to the 4dp integer grid, summed
+    exactly per subspace."""
+    dsub = dim // m
+    parts = [
+        """
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""
+    ] + _pq_subspace_parts(m, ksub, dsub, src="e", lut_cte=None)
+    per_sub = "\nUNION ALL\n".join(
+        f"""
+  SELECT {s} AS sub,
+         CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(CAST(floor(r.d_pre * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS err_micro_sum,
+         CAST(max(CAST(floor(r.d_pre * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS err_micro_max
+  FROM k_{s} k JOIN kraw_{s} r ON r.vec_id = k.vec_id AND r.code = k.code"""
+        for s in range(m)
+    )
+    return f"""
+WITH {",".join(parts)}
+SELECT sub, n_vecs, err_micro_sum,
+       CAST(err_micro_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+         AS mean_err_micro,
+       err_micro_max
+FROM ({per_sub})
+ORDER BY sub
+"""
+
+
 def _q_ann_ingest_stream_codes(spark, sf):
     """FIFTH value-checked streaming-ingest form: a maintained IVF-PQ
     index built on the base slice (vec_id < 300), then the REST of the
@@ -5172,6 +5221,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_components_probe": _q_bm25_components_probe,
         "ann_ingest_stream_codes": _q_ann_ingest_stream_codes,
         "pq_adc_batch": _q_pq_adc_batch,
+        "pq_quant_report": _q_pq_quant_report,
     }
 
 
@@ -5197,6 +5247,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
         "ann_ingest_stream_codes": _ann_ingest_codes_sql(),
         "pq_adc_batch": _pq_adc_batch_sql(m=4, ksub=4, dim=64, k=5),
+        "pq_quant_report": _pq_quant_report_sql(m=4, ksub=4, dim=64),
     }
 
 

@@ -688,3 +688,85 @@ def pq_adc_batch(
         .filter(F.col("rank") <= kk)
         .select("qid", "rank", id_col, "adc_score")
     )
+
+
+def pq_quantization_report(
+    df: DataFrame,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+    err_dp: int = 4,
+) -> DataFrame:
+    """Per-subspace quantization-error report — the PQ analog of
+    ``ivf_drift_report``: when daily shards keep arriving under a
+    frozen codebook, rising reconstruction error is the retrain
+    signal. Per subspace: vectors seen, the exact integer SUM of
+    per-vector errors (floor(‖v_sub − centroid(code)‖²·10^err_dp +
+    0.5) — the LUT rule at the 4dp grid, NOT 1e6: the sf0.1 fixture
+    measured pre-round distances inside drift range of .5e-6 halves,
+    so the error grid stays at the same 4dp the assignment uses,
+    where margins are three orders above drift; the sum is order-free
+    and cross-engine exact), their mean as one double division, and
+    the max. Code choice is the encode argmin (rounded at
+    ``round_dp``, lowest code on ties), so the report measures
+    exactly the error the stored codes carry.
+
+    Scale shape: ONE Arrow scan, each batch collapsing to m partial
+    rows (sub, n, err_sum, err_max) before the only exchange — an
+    m-row aggregate, never per-vector traffic."""
+    import numpy as np
+
+    cb = np.array(codebooks, dtype=np.float64)
+    m, _, dsub = cb.shape
+    dim = m * dsub
+    scale = 10 ** err_dp
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if vecs.shape[1] != dim:
+                raise ValueError(
+                    f"pq_quantization_report: vector dim {vecs.shape[1]} != {dim}"
+                )
+            rows = []
+            n = len(vecs)
+            for s in range(m):
+                sv = vecs[:, s * dsub : (s + 1) * dsub]
+                d = ((sv[:, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                code = np.argmin(np.round(d, round_dp), axis=1)
+                chosen = d[np.arange(n), code]
+                micro = np.floor(chosen * scale + 0.5).astype(np.int64)
+                rows.append((s, n, int(micro.sum()), int(micro.max())))
+            yield pd.DataFrame(
+                rows, columns=["sub", "n", "err_sum", "err_max"]
+            )
+
+    from data_pengadaan_agent_spark.sources.catalog import spread
+
+    partial = spread(df.select(id_col, vec_col), id_col).mapInPandas(
+        partials, schema="sub int, n long, err_sum long, err_max long"
+    )
+    return (
+        partial.groupBy("sub")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.sum("err_sum").cast("bigint").alias("err_micro_sum"),
+            F.max("err_max").cast("bigint").alias("err_micro_max"),
+        )
+        .select(
+            "sub",
+            "n_vecs",
+            "err_micro_sum",
+            (
+                F.col("err_micro_sum").cast("double")
+                / F.col("n_vecs").cast("double")
+            ).alias("mean_err_micro"),
+            "err_micro_max",
+        )
+        .orderBy("sub")
+    )

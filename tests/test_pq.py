@@ -506,3 +506,31 @@ def test_ivfpq_coarse_sidecar_feeds_drift_monitor(spark, tmp_path):
     # the drifted mass is orthogonal-ish to both centroids: whichever
     # list absorbed it sees its mean_cos collapse below the floor
     assert any(r["retrain"] for r in rep.values()), rep
+
+
+def test_pq_quantization_report_matches_numpy(spark):
+    """Per-subspace error totals equal the NumPy reference (chosen
+    code = rounded argmin, error = raw distance floored to the 4dp
+    integer grid), and a codebook that fits the data perfectly
+    reports zero error."""
+    import numpy as np
+
+    cb = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    df = _vecs(spark, FIX)
+    got = {r["sub"]: (r["n_vecs"], r["err_micro_sum"], r["err_micro_max"])
+           for r in PQ.pq_quantization_report(df, cb).collect()}
+    V = np.array([v for _, v in sorted(FIX)])
+    cbn = np.array(cb)
+    for s in range(2):
+        sv = V[:, s * 2:(s + 1) * 2]
+        d = ((sv[:, None, :] - cbn[s][None, :, :]) ** 2).sum(-1)
+        code = np.argmin(np.round(d, 4), axis=1)
+        micro = np.floor(d[np.arange(len(V)), code] * 1e4 + 0.5).astype(int)
+        assert got[s] == (len(V), int(micro.sum()), int(micro.max())), s
+
+    # a perfect codebook (every vector IS a centroid): zero error
+    perfect = [[[0.0, 0.0], [1.0, 0.0]], [[10.0, 0.0], [0.0, 10.0]]]
+    exact = _vecs(spark, [(0, [0.0, 0.0, 10.0, 0.0]), (1, [1.0, 0.0, 0.0, 10.0])])
+    rep = PQ.pq_quantization_report(exact, perfect).collect()
+    assert all(r["err_micro_sum"] == 0 and r["err_micro_max"] == 0 for r in rep)
+    assert all(r["mean_err_micro"] == 0.0 for r in rep)

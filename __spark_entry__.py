@@ -5198,9 +5198,10 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bm25_index_retrieval, bpe_merges, and zorder_key_orders — is the
     r11+ pool; the registration triage (which four register in r11
     against that round's due set) is recorded in NOTES. Round 10
-    added six to the r12 pool: pq_adc_topk, ivfpq_adc_topk and
-    pq_adc_batch (product quantization, its IVF composition, and the
-    batched multi-query ADC), bpe_encode_vocab (encode-side BPE),
+    added seven to the r12 pool: pq_adc_topk, ivfpq_adc_topk,
+    pq_adc_batch and pq_quant_report (product quantization, its IVF
+    composition, the batched multi-query ADC, and the
+    codebook-staleness monitor), bpe_encode_vocab (encode-side BPE),
     ann_ingest_stream_codes (the fifth streaming form, hash-certified
     end to end), and bm25_components_probe (the r11 CONTINGENCY row —
     register it only if bm25_retrieval_batch reds a third time)."""

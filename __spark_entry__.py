@@ -2752,6 +2752,20 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 11 (promoted from candidate_queries(); the
+        # 4-in/3-out triage written and simulator-verified in round 10
+        # — NOTES.md "Round 11 registration triage" — paired with
+        # retiring length_outliers + bm25_retrieval + corpus_mix from
+        # r11's due set, see _RETIRED_TIER3. Each carries an algorithm
+        # family no other registered entry hashes: the Lee et al.
+        # occurrence-aggregate + gap-merge shape, the maintained
+        # gram-count index read path, the partition-pruned postings
+        # query ≡ from-scratch equality, and the shared-template BPE
+        # merge fold.) ---
+        "dup_spans": _q_dup_spans,
+        "dup_spans_incremental": _q_dup_spans_incremental,
+        "bm25_index_retrieval": _q_bm25_index_retrieval,
+        "bpe_merges": _q_bpe_merges,
         # --- NEW in round 10 (promoted from candidate_queries(); the
         # 2-in/2-out plan pre-verified at end of round 9 with
         # tools/plan_rotation.py — paired with retiring
@@ -3748,6 +3762,24 @@ _RETIRED_TIER3 = frozenset(
         # star over the same two dims, in r10's gate window) and in the
         # driver-green TPC-H q5/q8 broadcast-dim chains (r9/r8).
         "join_broadcast_dim",
+        # round-11 retirements (the pre-verified 4-in/3-out triage
+        # written in round 10 — NOTES.md; all three in r11's due set,
+        # the r8-green cohort):
+        # length_outliers: continuous-percentile twin of registered
+        # quantile_band + the length features inside text_quality;
+        # the queries() docstring's tier-3 example since round 5.
+        "length_outliers",
+        # bm25_retrieval: single-query form strictly dominated by
+        # registered bm25_retrieval_batch (same integer scoring,
+        # r10-green) and by bm25_index_retrieval registering THIS
+        # round with the SAME shared twin.
+        "bm25_retrieval",
+        # corpus_mix: proportional-rate hash filter whose constructs
+        # all keep driver rows — the Knuth-hash selection via
+        # train_test_split/sample_per_group (r9-green), the
+        # count→broadcast-rate shape via its registered sibling
+        # corpus_mix_tokens (same module, same group frame).
+        "corpus_mix",
     }
 )
 
@@ -4308,7 +4340,8 @@ def _pq_subspace_parts(
     empty-cluster carryover) over ``src`` (vec_id, v), plus the
     floor(d·1e6 + 0.5) BIGINT LUT against ``lut_cte`` rows (qv
     [, lut_keys]) — ivfpq passes lut_keys="list" for per-probed-list
-    LUTs; ``lut_cte=None`` omits the LUT CTEs (the ingest twin only
+    LUTs, the batched ivfpq twin the composite "qid, list";
+    ``lut_cte=None`` omits the LUT CTEs (the ingest twin only
     needs codes). ``encode_src`` lets the FINAL assignment run over a
     different frame than training (the streaming-ingest twin trains
     on the base slice, encodes everything — the frozen-geometry
@@ -4326,8 +4359,9 @@ def _pq_subspace_parts(
             f"list_sum(list_transform(range(1, {dsub} + 1), "
             f"i -> (p.qv[{off} + i] - c.cv[i]) * (p.qv[{off} + i] - c.cv[i])))"
         )
-        keys = f"p.{lut_keys}, " if lut_keys else ""
-        keyout = f"{lut_keys}, " if lut_keys else ""
+        key_list = [x.strip() for x in lut_keys.split(",") if x.strip()]
+        keys = "".join(f"p.{x}, " for x in key_list)
+        keyout = "".join(f"{x}, " for x in key_list)
         encdist = (
             f"list_sum(list_transform(range(1, {dsub} + 1), "
             f"i -> ({enc}.v[{off} + i] - c.cv[i]) * ({enc}.v[{off} + i] - c.cv[i])))"
@@ -4528,6 +4562,138 @@ scored AS (
 SELECT CAST(row_number() OVER (ORDER BY adc_score, vec_id) AS INT) AS rank,
        vec_id, adc_score
 FROM scored ORDER BY adc_score, vec_id LIMIT {k}
+"""
+
+
+def _q_ivfpq_adc_batch(spark, sf):
+    """Batched multi-query ADC over the IVF-PQ index
+    (operators/pq.ivfpq_adc_batch — VERDICT r10 ask #4): the same
+    kc=4 coarse / m=4 × ksub=4 residual geometry and warehouse table
+    as ivfpq_adc_topk, queried by every vec_id%200==0 embedding at
+    once with n_probe=2 — the scan reads ONLY the union of the
+    queries' probed lists (one literal PartitionFilter), each row
+    scored only for the queries that probed its list with that
+    (query, list)'s residual LUT. Top-5 per query. ROUND-12-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import pq as PQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = _warehouse_path(spark, sf, "ivfpq_codes")
+    expected = emb.count()
+    try:
+        coarse, cb = PQ.load_ivfpq_codebooks(spark, path)
+        fresh = (
+            len(coarse) == 4
+            and len(cb) == 4
+            and len(cb[0]) == 4
+            and spark.read.parquet(path).count() == expected
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        coarse, cb = PQ.build_ivfpq_table(
+            emb, path, dim=64, kc=4, m=4, ksub=4, iters=2
+        )
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") % 200 == 0).collect()
+    ]
+    return PQ.ivfpq_adc_batch(
+        spark, path, coarse, cb, queries, k=5, n_probe=2
+    )
+
+
+def _ivfpq_adc_batch_sql(
+    kc: int = 4,
+    m: int = 4,
+    ksub: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    n_probe: int = 2,
+    tail: str | None = None,
+) -> str:
+    """DuckDB twin of _q_ivfpq_adc_batch: the single-query ivfpq twin's
+    coarse/residual CTEs with a per-qid probe ranking (row_number over
+    rounded coarse distance, ties to the lowest list — the operator's
+    driver-side rule verbatim), per-(qid, list) residual LUTs via the
+    SHARED subspace CTE builder (composite lut_keys), and scoring
+    restricted to each query's OWN probed lists."""
+    dsub = dim // m
+    fulldist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    qfulldist = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 200 = 0),
+cc AS (
+  SELECT CAST(vec_id AS INT) AS list, v AS cv FROM e WHERE vec_id < {kc}
+),
+asgraw AS (
+  SELECT e.vec_id, c.list, {fulldist} AS d_pre FROM e, cc c
+),
+asg AS (
+  SELECT vec_id, (min(struct_pack(d := d, list := list))).list AS list
+  FROM (SELECT vec_id, list, round(d_pre, 4) AS d FROM asgraw) GROUP BY 1
+),
+r AS (
+  SELECT e.vec_id, a.list,
+         list_transform(range(1, {dim} + 1), i -> e.v[i] - c.cv[i]) AS v
+  FROM e JOIN asg a USING (vec_id) JOIN cc c ON c.list = a.list
+),
+proberaw AS (
+  SELECT q.qid, c.list, {qfulldist} AS d_pre FROM cc c, qs q
+),
+probe AS (
+  SELECT qid, list FROM (
+    SELECT qid, list,
+           row_number() OVER (PARTITION BY qid ORDER BY round(d_pre, 4), list)
+             AS prk
+    FROM proberaw
+  ) WHERE prk <= {n_probe}
+),
+qres AS (
+  SELECT p.qid, p.list,
+         list_transform(range(1, {dim} + 1), i -> q.qv[i] - c.cv[i]) AS qv
+  FROM probe p JOIN cc c USING (list) JOIN qs q USING (qid)
+)"""
+    ] + _pq_subspace_parts(
+        m, ksub, dsub, src="r", lut_cte="qres", lut_keys="qid, list"
+    )
+    if tail is not None:
+        return f"WITH {','.join(parts)}\n{tail}"
+    code_joins = " ".join(f"JOIN k_{s} USING (vec_id)" for s in range(1, m))
+    lut_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.qid = pr.qid AND l{s}.list = a.list "
+        f"AND l{s}.code = k_{s}.code"
+        for s in range(m)
+    )
+    score = " + ".join(f"l{s}.lv" for s in range(m))
+    return f"""
+WITH {",".join(parts)},
+scored AS (
+  SELECT pr.qid, k_0.vec_id, CAST({score} AS BIGINT) AS adc_score
+  FROM k_0 {code_joins}
+  JOIN asg a ON a.vec_id = k_0.vec_id
+  JOIN probe pr ON pr.list = a.list
+  {lut_joins}
+),
+rk AS (
+  SELECT qid, vec_id, adc_score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_score, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, CAST(rnk AS INT) AS rank, vec_id, adc_score
+FROM rk WHERE rnk <= {k}
 """
 
 
@@ -5191,31 +5357,28 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     candidates paired with due-set retirements; round 10 promoted the
     winnow pair paired with retiring minhash_lsh_pairs +
     corpus_ingest_stream (coverage arguments in _RETIRED_TIER3 and
-    NOTES). The remaining pool — the Lee et al. exact-substring family
-    (dup_spans / dup_span_stats / strip_dup_spans /
-    dup_spans_incremental / dup_run_pairs /
-    corpus_ingest_stream_dup_spans), lexical_diversity,
-    bm25_index_retrieval, bpe_merges, and zorder_key_orders — is the
-    r11+ pool; the registration triage (which four register in r11
-    against that round's due set) is recorded in NOTES. Round 10
-    added seven to the r12 pool: pq_adc_topk, ivfpq_adc_topk,
+    NOTES). Round 11 promoted dup_spans / dup_spans_incremental /
+    bm25_index_retrieval / bpe_merges (the pre-verified 4-in/3-out
+    triage) — their lineage consumers dup_span_stats /
+    strip_dup_spans and the self-contained lexical_diversity /
+    dup_run_pairs / corpus_ingest_stream_dup_spans /
+    zorder_key_orders stay here, locally swept + value-checked.
+    Round 10 added seven to the r12 pool: pq_adc_topk, ivfpq_adc_topk,
     pq_adc_batch and pq_quant_report (product quantization, its IVF
     composition, the batched multi-query ADC, and the
     codebook-staleness monitor), bpe_encode_vocab (encode-side BPE),
     ann_ingest_stream_codes (the fifth streaming form, hash-certified
-    end to end), and bm25_components_probe (the r11 CONTINGENCY row —
-    register it only if bm25_retrieval_batch reds a third time)."""
+    end to end), and bm25_components_probe (a diagnostic probe that
+    stays unregistered — its contingency branch died when
+    bm25_retrieval_batch went driver-green in r10). The r12 staging
+    triage is recorded in NOTES ("Round 12 registration triage")."""
     return {
-        "dup_spans": _q_dup_spans,
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,
         "strip_dup_spans": _q_strip_dup_spans,
-        "bm25_index_retrieval": _q_bm25_index_retrieval,
-        "dup_spans_incremental": _q_dup_spans_incremental,
         "dup_run_pairs": _q_dup_run_pairs,
         "corpus_ingest_stream_dup_spans": _q_corpus_ingest_stream_dup_spans,
         "zorder_key_orders": _q_zorder_key_orders,
-        "bpe_merges": _q_bpe_merges,
         "pq_adc_topk": _q_pq_adc_topk,
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "bpe_encode_vocab": _q_bpe_encode_vocab,
@@ -5223,25 +5386,20 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ingest_stream_codes": _q_ann_ingest_stream_codes,
         "pq_adc_batch": _q_pq_adc_batch,
         "pq_quant_report": _q_pq_quant_report,
+        "ivfpq_adc_batch": _q_ivfpq_adc_batch,
     }
 
 
 def candidate_oracle_sql() -> dict[str, str]:
     return {
-        "dup_spans": _dup_spans_sql(length=8, min_count=2),
         "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
         "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
         "strip_dup_spans": _strip_dup_spans_sql(length=8, min_count=2),
-        # the index path must reproduce the from-scratch path
-        # bit-exactly, so the two share ONE twin
-        "bm25_index_retrieval": _bm25_retrieval_batch_sql(k=5),
-        "dup_spans_incremental": _dup_spans_incremental_sql(length=8, min_count=2),
         "dup_run_pairs": _dup_run_pairs_sql(length=6, max_df=50),
         "corpus_ingest_stream_dup_spans": _corpus_ingest_dup_spans_sql(
             length=8, max_ppm=500_000
         ),
         "zorder_key_orders": _zorder_key_orders_sql(),
-        "bpe_merges": _bpe_merges_sql(k=3),
         "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
         "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
         "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
@@ -5249,11 +5407,23 @@ def candidate_oracle_sql() -> dict[str, str]:
         "ann_ingest_stream_codes": _ann_ingest_codes_sql(),
         "pq_adc_batch": _pq_adc_batch_sql(m=4, ksub=4, dim=64, k=5),
         "pq_quant_report": _pq_quant_report_sql(m=4, ksub=4, dim=64),
+        "ivfpq_adc_batch": _ivfpq_adc_batch_sql(
+            kc=4, m=4, ksub=4, dim=64, k=5, n_probe=2
+        ),
     }
 
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-11 registrations (promoted candidates) ---
+        "dup_spans": _dup_spans_sql(length=8, min_count=2),
+        "dup_spans_incremental": _dup_spans_incremental_sql(
+            length=8, min_count=2
+        ),
+        # the index path must reproduce the from-scratch path
+        # bit-exactly, so the two share ONE twin
+        "bm25_index_retrieval": _bm25_retrieval_batch_sql(k=5),
+        "bpe_merges": _bpe_merges_sql(k=3),
         # --- round-10 registrations (promoted candidates) ---
         "winnow_fingerprints": _winnow_sql(k=5, w=4),
         "winnow_matches": _winnow_matches_sql(k=5, w=4, min_shared=2),

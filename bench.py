@@ -46,8 +46,23 @@ ANCHOR_EVERY = 25
 # bench lap at sf0.1 local[32] on a quiet machine (round 4) — the
 # same conditions the anchor always runs under, so a quiet lap reads
 # lap_factor ≈ 1.0. Do not update casually — the whole point is that
-# it stays fixed across rounds.
-ANCHOR_REF_SEC = 0.148
+# it stays fixed across rounds. (Env override exists ONLY so the
+# rerun trigger can be exercised in testing.)
+ANCHOR_REF_SEC = float(os.environ.get("SPARK_GRAFT_ANCHOR_REF", "0.148"))
+
+
+def rerun_trigger(anchor_spread: float, lap_factor: float) -> str | None:
+    """Why (if at all) the worst segment gets re-run — VERDICT r7 ask
+    #3 (anchor spread > 2× = mid-lap burst) extended by VERDICT r10
+    ask #6 (lap_factor > 1.15 = uniformly-elevated lap: r10's driver
+    lap ran 1.243 with spread only 1.596, so the rerun never fired and
+    the judge re-ran outliers by hand). Factored out so the branch is
+    unit-pinned without needing a quiet machine to stage each case."""
+    if anchor_spread > 2.0:
+        return "anchor_spread"
+    if lap_factor > 1.15:
+        return "lap_factor"
+    return None
 
 
 def main() -> None:
@@ -151,9 +166,10 @@ def main() -> None:
     # not load, one slow burst against the lap's own typical pace is.
     # (r7 driver lap reads 2.25 by this measure; a quiet lap ~1.3.)
     anchor_spread = round(max(anchor_samples) / max(anchor_sec, 1e-9), 3)
-    noisy_lap = anchor_spread > 2.0
+    trigger = rerun_trigger(anchor_spread, lap_factor)
+    noisy_lap = trigger == "anchor_spread"
     rerun_times: dict[str, float] = {}
-    if noisy_lap and segment_factors:
+    if trigger and segment_factors:
         worst = max(segment_factors, key=lambda s: s["factor"])
         names = list(E.queries())
         for name in names[worst["from_n"] : worst["to_n"]]:
@@ -185,6 +201,7 @@ def main() -> None:
         "lap_factor": lap_factor,
         "anchor_spread": anchor_spread,
         "noisy_lap": noisy_lap,
+        "rerun_trigger": trigger,
         "worst_segment_rerun": rerun_times,
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")

@@ -28,6 +28,12 @@ exactly the way ``lexindex`` maintains postings:
   NEGATING rows for whatever the dead batch did write plus a fresh
   recompute of its docs — append-only, and convergent because a
   crashed repair is itself a marker-less batch the next audit flags.
+  Repair declares its batch id in a tiny ``intents`` sidecar BEFORE
+  touching counts, so ``_next_batch`` (which never scans the
+  corpus-gram-scale counts table) can never hand a later append a
+  crashed repair's id — without it, that reuse committed a marker
+  legitimizing the dead repair's partial negations and the next
+  repair double-negated the still-unmarked batches (ADVICE r10).
 - ``dup_spans_incremental``: duplicated spans of an ALREADY-APPENDED
   shard against everything ingested so far. The shard re-tokenizes
   (it must — positions are needed), the base never does: the count
@@ -71,6 +77,20 @@ COMPACTED_BATCH = -1
 def _paths(path: str) -> tuple[str, str, str, str]:
     p = path.rstrip("/")
     return f"{p}/counts", f"{p}/docs", f"{p}/meta", f"{p}/commits"
+
+
+def _intents_path(path: str) -> str:
+    return f"{path.rstrip('/')}/intents"
+
+
+def _intent_batches(spark: SparkSession, path: str) -> DataFrame | None:
+    """Batch-id INTENTS declared by repair before it touches counts
+    (absent on indexes that never ran a repair). See
+    ``repair_gram_counts`` for why they exist."""
+    try:
+        return spark.read.parquet(_intents_path(path)).select("batch")
+    except Exception:  # noqa: BLE001 - no repair ever declared an intent
+        return None
 
 
 def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, bool]:
@@ -119,10 +139,30 @@ def _write_markers(spark: SparkSession, commits_p: str, batches: list[int]) -> N
     ).coalesce(1).write.mode("append").parquet(commits_p)
 
 
-def _next_batch(spark: SparkSession, docs_p: str, commits_p: str) -> int:
+def _next_batch(
+    spark: SparkSession,
+    docs_p: str,
+    commits_p: str,
+    index_path: str | None = None,
+) -> int:
+    """Next collision-free batch id from the three TINY sidecars
+    (registry, markers, repair intents) — never the corpus-gram-scale
+    counts table, which is what keeps append base-independent. Every
+    batch id that can exist in counts is covered: append ids land in
+    the registry first, repair ids in the intents table first (ADVICE
+    r10 medium — a repair that crashed between its counts append and
+    its marker used to leave its id visible ONLY in counts, so the
+    next append reused it and silently legitimized the dead repair's
+    partial negation rows)."""
     reg = spark.read.parquet(docs_p).agg(F.max("batch")).collect()[0][0]
     com = spark.read.parquet(commits_p).agg(F.max("batch")).collect()[0][0]
-    return max(int(reg or 0), int(com or 0)) + 1
+    top = max(int(reg or 0), int(com or 0))
+    if index_path is not None:
+        intents = _intent_batches(spark, index_path)
+        if intents is not None:
+            i = intents.agg(F.max("batch")).collect()[0][0]
+            top = max(top, int(i or 0))
+    return top + 1
 
 
 def build_gram_counts(
@@ -150,6 +190,11 @@ def build_gram_counts(
     fs = meta_fs.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(meta_fs):
         fs.delete(meta_fs, True)
+    # a rebuild over a prior index must also clear its repair intents,
+    # or the fresh audit would flag phantom never-committed batches
+    intents_fs = jvm_path(_intents_path(path))
+    if fs.exists(intents_fs):
+        fs.delete(intents_fs, True)
     docs = docs.dropDuplicates([id_col])
     _shard_counts(
         docs, length, n_buckets, arith_hash, text_col, id_col, batch=0
@@ -191,7 +236,7 @@ def append_gram_counts(
     n_new = fresh.count()
     if n_new == 0:
         return 0
-    batch = _next_batch(spark, docs_p, commits_p)
+    batch = _next_batch(spark, docs_p, commits_p, index_path=path)
     fresh.select(
         F.col(id_col), F.lit(int(batch)).cast("bigint").alias("batch")
     ).write.mode("append").parquet(docs_p)
@@ -225,9 +270,15 @@ def audit_gram_counts(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("batch")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_count_rows"))
     )
+    present = reg.join(cnt, "batch", "full_outer")
+    intents = _intent_batches(spark, path)
+    if intents is not None:
+        # a repair intent with no marker is a dead repair even if it
+        # crashed before ANY counts row landed — flag it so the next
+        # repair re-marks it and its id is never silently orphaned
+        present = present.join(intents.distinct(), "batch", "full_outer")
     return (
-        reg.join(cnt, "batch", "full_outer")
-        .join(committed, "batch", "left_anti")
+        present.join(committed, "batch", "left_anti")
         .select(
             "batch",
             F.coalesce("n_registry_docs", F.lit(0)).alias("n_registry_docs"),
@@ -275,13 +326,25 @@ def repair_gram_counts(
             "provided source frame — repair must re-read the original "
             "text of every doc in the dead batches"
         )
-    # _next_batch never scans the (corpus-gram-scale) counts table, so
-    # a crashed REPAIR's batch id exists only there; every counts-only
-    # batch is either marker-committed (consulted) or in `dead`, so
-    # maxing over the dead set keeps the new id collision-free
     repair_batch = max(
-        [_next_batch(spark, docs_p, commits_p)] + [b + 1 for b in dead]
+        [_next_batch(spark, docs_p, commits_p, index_path=path)]
+        + [b + 1 for b in dead]
     )
+    # Declare the repair's batch id in the intents sidecar BEFORE any
+    # counts write (ADVICE r10 medium): _next_batch never scans the
+    # corpus-gram-scale counts table (that is what keeps append
+    # base-independent), so without this a repair that crashed between
+    # its counts append and its marker left its id visible ONLY in
+    # counts — the next append reused it and committed a marker for
+    # it, silently legitimizing the dead repair's partial negation
+    # rows, and the round-after repair then negated the still-unmarked
+    # dead batches a SECOND time. With the intent written first, the
+    # crashed repair's id is (a) never reused and (b) audit-flagged
+    # until a successful repair marks it, so convergence holds from
+    # any crash point with appends interleaved anywhere.
+    spark.createDataFrame(
+        [(int(repair_batch),)], "batch bigint"
+    ).coalesce(1).write.mode("append").parquet(_intents_path(path))
     negations = (
         spark.read.parquet(counts_p)
         .filter(F.col("batch").isin([int(b) for b in dead]))

@@ -85,11 +85,18 @@ def train_pq(
         .select(id_col, vec_col)
         .collect()
     )
-    if len(init) < ksub:
-        raise ValueError(
-            f"train_pq: init needs ids 0..{ksub - 1} present; got {len(init)}"
-        )
     by_id = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
+    # exactly ids 0..ksub-1, each once (ADVICE r10: duplicate ids below
+    # ksub used to slip past a len(init) check and silently widen the
+    # init codebook past ksub — training then argmin'd over phantom
+    # codes the returned ksub-truncated codebook never contained; and
+    # picking one of two different vectors sharing an id would be
+    # collect-order nondeterministic, so duplicates raise)
+    if [i for i, _ in by_id] != list(range(ksub)):
+        raise ValueError(
+            f"train_pq: init needs ids 0..{ksub - 1} each present exactly "
+            f"once; got ids {[i for i, _ in by_id]}"
+        )
     # codebooks[sub] = ksub × dsub
     cb = np.array(
         [[v[s * dsub : (s + 1) * dsub] for _, v in by_id] for s in range(m)],
@@ -368,6 +375,13 @@ def build_ivfpq_table(
     for stale in (coarse_p, pqcb_p):  # index invalid until recommit
         if fs.exists(jvm_path(stale)):
             fs.delete(jvm_path(stale), True)
+    # same dedup contract as build_gram_counts/append_ivfpq_table
+    # (ADVICE r10): the ids sidecar was already deduped, but codes were
+    # encoded from the raw frame — duplicate vec_ids yielded duplicate
+    # code rows the distinct-vs-distinct audit cannot see and ADC top-k
+    # surfaces as repeated ids. Dedup ONCE so training, codes, and the
+    # ids sidecar all see the same frame.
+    df = df.dropDuplicates([id_col])
     coarse = coarse_codebook(df, kc, vec_col, id_col)
     resid = ivfpq_residuals(df, coarse, vec_col, id_col)
     cb = train_pq(
@@ -377,9 +391,7 @@ def build_ivfpq_table(
         resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
     )
     codes.write.mode("overwrite").partitionBy("list").parquet(path)
-    df.select(id_col).dropDuplicates([id_col]).write.mode("overwrite").parquet(
-        ids_p
-    )
+    df.select(id_col).write.mode("overwrite").parquet(ids_p)
     save_ivfpq_codebooks(spark, path, coarse, cb)
     return coarse, cb
 
@@ -542,10 +554,10 @@ def audit_ivfpq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     """Integrity audit for the append crash contract: ids present in
     the sidecar (committed) but missing from the codes table (an
     append whose second write died — probe-invisible vectors) and the
-    converse orphans. Returns (id, state); empty = consistent. Repair
-    for 'missing_codes' = re-encoding exactly those vectors with the
-    frozen geometry and appending — their ids rows are already
-    correct."""
+    converse orphans. Returns (id, state); empty = consistent.
+    'missing_codes' flags are healed by ``repair_ivfpq_table`` (re-
+    encodes exactly those vectors with the frozen geometry and
+    appends — their ids rows are already correct)."""
     load_ivfpq_codebooks(spark, path)  # validates the build committed
     ids_p, _, _ = _ivfpq_sidecars(path)
     reg = spark.read.parquet(ids_p).select(id_col).distinct()
@@ -557,6 +569,54 @@ def audit_ivfpq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
         id_col, F.lit("orphan_codes").alias("state")
     )
     return missing.unionByName(orphan)
+
+
+def repair_ivfpq_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Heal every ``missing_codes`` id ``audit_ivfpq_table`` flags —
+    the surviving failure mode of the append crash contract (ids
+    committed, the codes write died): re-encode EXACTLY the flagged
+    vectors with the FROZEN sidecar geometry and append their code
+    rows, append-only (the ``repair_gram_counts`` discipline; the ids
+    rows are already correct, so nothing else is touched). ``df`` must
+    cover every flagged id — raises otherwise: silently skipping one
+    would leave it probe-invisible forever. A crash inside the repair
+    re-creates the state it was healing (some ids still without
+    codes), so a re-run converges; a replay after success is a no-op
+    (the flagged set is empty). ``orphan_codes`` flags are NOT
+    repairable from here — codes without registry ids mean the ids
+    sidecar itself was damaged; rebuild. Returns vectors re-encoded."""
+    spark = df.sparkSession
+    coarse, cb = load_ivfpq_codebooks(spark, path)
+    flagged = (
+        audit_ivfpq_table(spark, path, id_col)
+        .filter(F.col("state") == "missing_codes")
+        .select(id_col)
+    )
+    todo = (
+        df.dropDuplicates([id_col])
+        .join(flagged, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_todo = todo.count()
+    n_flagged = flagged.count()
+    if n_todo < n_flagged:
+        raise ValueError(
+            f"repair_ivfpq_table: {n_flagged - n_todo} flagged id(s) not "
+            "in the provided source frame — repair must re-read the "
+            "original vector of every probe-invisible id"
+        )
+    if n_todo == 0:
+        return 0
+    resid = ivfpq_residuals(todo, coarse, vec_col, id_col)
+    pq_encode(
+        resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
+    ).write.mode("append").partitionBy("list").parquet(path)
+    return n_todo
 
 
 def compact_ivfpq_table(
@@ -580,8 +640,8 @@ def compact_ivfpq_table(
     if dirty:
         raise ValueError(
             f"compact_ivfpq_table: {dirty} inconsistent id(s) in the "
-            "index — repair (re-encode the flagged vectors) before "
-            "compacting"
+            "index — run repair_ivfpq_table (re-encodes the flagged "
+            "vectors with the frozen geometry) before compacting"
         )
     _, coarse_p, pqcb_p = _ivfpq_sidecars(path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -638,7 +698,19 @@ def pq_adc_batch(
     and emits only each PARTITION's per-query top-k, so the single
     exchange carries ≤ partitions × |Q| × k rows — never n × |Q|.
     The final per-qid window runs over that bounded set. Integer
-    scores end to end; ties rank by id ascending."""
+    scores end to end; ties rank by id ascending.
+
+    Kernel memory contract: the kernel accumulates its WHOLE
+    partition's (id, flat-code) arrays before the top-k cut — int64
+    NumPy buffers of (m+1)·8 bytes per code row, independent of
+    corpus size but NOT of split size: rows/split is set by
+    spark.sql.files.maxPartitionBytes, and since parquet stores codes
+    bit-packed (~1 byte/code) the in-memory int64 blow-up is ~8× the
+    on-disk bytes — a default 128 MB split of m=16 codes is ~7M rows
+    ≈ 1 GB peak per task. Shrink maxPartitionBytes (or pre-
+    repartition) if executors are tighter, or trade for
+    per-Arrow-batch cuts (constant memory, up to batches/partition ×
+    more exchange rows)."""
     import numpy as np
 
     cb = np.array(codebooks, dtype=np.float64)
@@ -680,6 +752,118 @@ def pq_adc_batch(
     from pyspark.sql import Window
 
     partial = codes_df.select(id_col, "codes").mapInPandas(
+        topk_partial, schema=f"qid long, {id_col} long, adc_score bigint"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_score"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("qid", "rank", id_col, "adc_score")
+    )
+
+
+def ivfpq_adc_batch(
+    spark,
+    path: str,
+    coarse: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    queries,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+    lut_dp: int = 6,
+) -> DataFrame:
+    """Batched multi-query ADC over the IVF-PQ index — ``pq_adc_batch``
+    composed with IVF partition pruning (VERDICT r10 ask #4): at 100 TB
+    the batch miner is the steady-state shape (the compressed analog of
+    ``mine_hard_negatives``), and it must not scan lists no query
+    probes. Per query, the n_probe nearest coarse lists are ranked
+    driver-side by ROUNDED distance (ties to the lowest list — the
+    ``ivfpq_adc_topk`` rule exactly); the scan reads ONLY the UNION of
+    all queries' probed lists as one literal PartitionFilter, so query
+    cost is independent of unprobed lists. Inside the kernel each row
+    is scored only for the queries that probed ITS list, with that
+    (query, list)'s residual LUT (exact BIGINT micro-units) chosen by
+    a NumPy gather — |Q|·n_probe·m·ksub LUT ints ship in the closure,
+    parameter-sized. Per-partition per-query top-k cut, so the single
+    exchange carries ≤ partitions × |Q| × k rows; the final per-qid
+    window runs over that bounded set. Approximate by IVF semantics
+    per query: vectors outside a query's probed lists are not
+    considered for it. Same kernel memory contract as
+    ``pq_adc_batch``: the partition's (id, flat-code, list) int64
+    buffers are held before the cut — ~8× the bit-packed on-disk
+    bytes of one input split. Integer scores; ties rank by id."""
+    import numpy as np
+
+    cc = np.array([list(map(float, c)) for c in coarse], dtype=np.float64)
+    cb = np.array(codebooks, dtype=np.float64)
+    m, ksub, _ = cb.shape
+    qids = [int(q) for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("ivfpq_adc_batch: duplicate qids")
+    if not 1 <= n_probe <= len(cc):
+        raise ValueError("ivfpq_adc_batch: n_probe out of range")
+    probed: dict[int, list[int]] = {}
+    luts: dict[int, dict[int, "np.ndarray"]] = {}
+    for qid, v in queries:
+        q = np.array(list(map(float, v)), dtype=np.float64)
+        if q.shape[0] != cc.shape[1]:
+            raise ValueError(
+                f"ivfpq_adc_batch: query dim {q.shape[0]} != {cc.shape[1]}"
+            )
+        dq = np.round(((q[None, :] - cc) ** 2).sum(-1), round_dp)
+        lists = sorted(range(len(cc)), key=lambda i: (dq[i], i))[: int(n_probe)]
+        probed[int(qid)] = lists
+        luts[int(qid)] = {
+            p: np.array(adc_lut(cb.tolist(), (q - cc[p]).tolist(), lut_dp), dtype=np.int64)
+            for p in lists
+        }
+    union_lists = sorted({p for ls in probed.values() for p in ls})
+    codes_df = spark.read.parquet(path).filter(
+        F.col("list").isin([int(p) for p in union_lists])
+    )
+    kk = int(k)
+
+    def topk_partial(batches):
+        import pandas as pd
+
+        ids_all, flat_all, list_all = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_all.append(pdf[id_col].to_numpy())
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            flat_all.append(codes + (np.arange(m) * ksub)[None, :])
+            list_all.append(pdf["list"].to_numpy().astype(np.int64))
+        if not ids_all:
+            return
+        ids = np.concatenate(ids_all)
+        flat = np.concatenate(flat_all)
+        lists = np.concatenate(list_all)
+        out_q, out_id, out_s = [], [], []
+        for qid in qids:
+            scores = np.zeros(len(ids), dtype=np.int64)
+            valid = np.zeros(len(ids), dtype=bool)
+            for p in probed[qid]:
+                sel = lists == p
+                if sel.any():
+                    scores[sel] = luts[qid][p][flat[sel]].sum(axis=1)
+                    valid |= sel
+            idx = np.flatnonzero(valid)
+            if len(idx) == 0:
+                continue
+            take = min(kk, len(idx))
+            pick = idx[np.lexsort((ids[idx], scores[idx]))[:take]]
+            out_q.extend([qid] * take)
+            out_id.extend(ids[pick].tolist())
+            out_s.extend(scores[pick].tolist())
+        if out_q:
+            yield pd.DataFrame({"qid": out_q, id_col: out_id, "adc_score": out_s})
+
+    from pyspark.sql import Window
+
+    partial = codes_df.select(id_col, "codes", "list").mapInPandas(
         topk_partial, schema=f"qid long, {id_col} long, adc_score bigint"
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adc_score"), F.asc(id_col))

@@ -410,3 +410,53 @@ def test_round8_candidate_mine_hard_negatives_matches_oracle(spark):
     for r in rows:
         by_q.setdefault(r["qid"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_round_audit_current_for_fixtures():
+    """ADVICE r10: the hash-exact ADC/LUT guarantee is certified per
+    FIXTURE by the margin probes in tools/audit_round_boundaries.py,
+    so a fixture refresh without a fresh FULL audit run must fail
+    loudly instead of silently carrying stale margins. The artifact
+    records a (size, mtime) fingerprint of the audited sf dir; this
+    pins artifact-vs-disk and rejects a partial (name-filtered) run
+    as the standing artifact."""
+    import json
+    import os
+
+    import pytest
+
+    from tools.audit_round_boundaries import fixture_fingerprint
+
+    path = os.path.join("tools", "round_audit.json")
+    assert os.path.exists(path), "run tools/audit_round_boundaries.py"
+    with open(path) as f:
+        doc = json.load(f)
+    if "fixtures" not in doc:
+        pytest.xfail(
+            "round_audit.json predates the fixture fingerprint — "
+            "regenerate with tools/audit_round_boundaries.py"
+        )
+    assert doc.get("partial") is None, (
+        "round_audit.json is a name-filtered partial run — regenerate "
+        "the FULL artifact: python tools/audit_round_boundaries.py "
+        f"{doc['sf_dir']}"
+    )
+    assert doc["fixtures"] == fixture_fingerprint(doc["sf_dir"]), (
+        f"fixtures under {doc['sf_dir']} changed since the last "
+        "boundary audit — re-run tools/audit_round_boundaries.py "
+        "(the LUT/assignment margins are certified per fixture)"
+    )
+
+
+def test_bench_rerun_trigger_branches():
+    """VERDICT r10 ask #6: the worst-segment rerun must fire on a
+    uniformly-elevated lap (lap_factor > 1.15) even when the in-lap
+    anchor spread stays under the burst threshold — exactly r10's
+    driver-lap shape (factor 1.243, spread 1.596, rerun {})."""
+    from bench import rerun_trigger
+
+    assert rerun_trigger(anchor_spread=1.596, lap_factor=1.243) == "lap_factor"
+    assert rerun_trigger(anchor_spread=2.25, lap_factor=0.98) == "anchor_spread"
+    assert rerun_trigger(anchor_spread=2.25, lap_factor=1.5) == "anchor_spread"
+    assert rerun_trigger(anchor_spread=1.3, lap_factor=1.0) is None
+    assert rerun_trigger(anchor_spread=1.99, lap_factor=1.15) is None

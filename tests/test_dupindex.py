@@ -276,3 +276,112 @@ def test_compact_meta_keeps_explicit_schema(spark, tmp_path):
     assert before == after
     assert str(after.field("length").type) == "int32"
     assert str(after.field("n_buckets").type) == "int32"
+
+
+def test_crashed_repair_id_never_reused_by_append(spark, tmp_path):
+    """ADVICE r10 (medium): a repair that dies between its counts
+    append and its marker must not have its batch id handed to the
+    next append — that marker would legitimize the dead repair's
+    partial negation rows and the round-after repair would negate the
+    still-unmarked dead batches a SECOND time, corrupting counts with
+    a clean audit. The intents sidecar (written before any counts
+    touch) closes it: the id is reserved, the dead repair stays
+    audit-flagged through interleaved appends, and the final state
+    matches the never-crashed index exactly."""
+    base, shard = _base(spark), _shard(spark)
+    good, crashed = str(tmp_path / "good"), str(tmp_path / "crashed")
+    for p in (good, crashed):
+        DI.build_gram_counts(base, p, length=8, n_buckets=8)
+    part1 = shard.filter(F.col("doc_id") <= 11)
+    part2 = shard.filter(F.col("doc_id") >= 12)
+    DI.append_gram_counts(part1, good)
+    DI.append_gram_counts(part2, good)
+
+    # dead APPEND: registry + full counts for part1, marker lost
+    counts_p, docs_p, _, commits_p = DI._paths(crashed)
+    dead_append = DI._next_batch(spark, docs_p, commits_p, index_path=crashed)
+    part1.select(
+        F.col("doc_id"), F.lit(dead_append).cast("bigint").alias("batch")
+    ).write.mode("append").parquet(docs_p)
+    DI._shard_counts(part1, 8, 8, True, "text", "doc_id", dead_append).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(counts_p)
+
+    # dead REPAIR: crashes AFTER its negation/redo rows, BEFORE markers
+    real_markers = DI._write_markers
+
+    def _die(*a, **k):
+        raise RuntimeError("injected writer failure")
+
+    DI._write_markers = _die
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            DI.repair_gram_counts(spark, crashed, part1)
+    finally:
+        DI._write_markers = real_markers
+    dead_repair = dead_append + 1
+    count_batches = {
+        int(r["batch"])
+        for r in spark.read.parquet(counts_p).select("batch").distinct().collect()
+    }
+    assert dead_repair in count_batches  # the partial rows DID land
+
+    # the historical failure: this append used to grab dead_repair's id
+    n = DI.append_gram_counts(part2, crashed)
+    assert n == 2
+    appended_batch = (
+        spark.read.parquet(docs_p)
+        .filter(F.col("doc_id") >= 12)
+        .select("batch").distinct().collect()
+    )
+    assert [int(r["batch"]) for r in appended_batch] == [dead_repair + 1]
+
+    # both dead batches still flagged (the append marked ONLY its own id)
+    flagged = {
+        int(r["batch"]) for r in DI.audit_gram_counts(spark, crashed).collect()
+    }
+    assert flagged == {dead_append, dead_repair}
+
+    # one real repair converges: audit clean, per-hash sums and the
+    # incremental answer equal the never-crashed twin
+    assert DI.repair_gram_counts(spark, crashed, shard) == 2
+    assert DI.audit_gram_counts(spark, crashed).count() == 0
+    healthy = {
+        (r["h"], r["s"])
+        for r in spark.read.parquet(str(tmp_path / "good" / "counts"))
+        .groupBy("h").agg(F.sum("cnt").alias("s")).collect()
+    }
+    repaired = {
+        (r["h"], r["s"])
+        for r in spark.read.parquet(counts_p)
+        .groupBy("h").agg(F.sum("cnt").alias("s"))
+        .filter(F.col("s") != 0).collect()
+    }
+    assert repaired == healthy
+    assert _spans(DI.dup_spans_incremental(spark, crashed, shard)) == _spans(
+        DI.dup_spans_incremental(spark, good, shard)
+    )
+
+
+def test_intent_only_dead_repair_flagged_and_healed(spark, tmp_path):
+    """A repair that dies after declaring its intent but before ANY
+    counts row lands: the audit must still flag it (0 registry docs,
+    0 count rows) so its id gets marked by the next repair instead of
+    dangling forever; negating zero rows is a no-op."""
+    base, shard = _base(spark), _shard(spark)
+    path = str(tmp_path / "gidx")
+    DI.build_gram_counts(base, path, length=8, n_buckets=8)
+    DI.append_gram_counts(shard, path)
+    spark.createDataFrame([(99,)], "batch bigint").coalesce(1).write.mode(
+        "append"
+    ).parquet(DI._intents_path(path))
+    flagged = DI.audit_gram_counts(spark, path).collect()
+    assert [(int(r["batch"]), r["n_registry_docs"], r["n_count_rows"])
+            for r in flagged] == [(99, 0, 0)]
+    counts_p, docs_p, _, commits_p = DI._paths(path)
+    assert DI._next_batch(spark, docs_p, commits_p, index_path=path) == 100
+    assert DI.repair_gram_counts(spark, path, shard) == 1
+    assert DI.audit_gram_counts(spark, path).count() == 0
+    # rebuild clears stale intents — no phantom flags on the fresh index
+    DI.build_gram_counts(base, path, length=8, n_buckets=8)
+    assert DI.audit_gram_counts(spark, path).count() == 0

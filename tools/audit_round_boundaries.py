@@ -220,6 +220,7 @@ FROM fv f, cb c
     )
     from __spark_entry__ import (
         _ann_ingest_codes_sql,
+        _ivfpq_adc_batch_sql,
         _ivfpq_adc_sql,
         _pq_adc_batch_sql,
     )
@@ -249,6 +250,31 @@ FROM fv f, cb c
             ),
             4,
         ),
+        # batched IVF-PQ ADC: the corpus coarse assignment + residual
+        # training raws are the SAME populations as ivfpq_adc_topk's
+        # (identical CTEs), but the per-qid probe ranking (proberaw,
+        # one row per query×list) and the per-(qid, list) LUT grid are
+        # new surfaces — probe both
+        "ivfpq_adc_batch.assignment": (
+            _ivfpq_adc_batch_sql(
+                tail=(
+                    "SELECT vec_id, -1 AS sub, list AS code, d_pre "
+                    "FROM asgraw\nUNION ALL\nSELECT qid AS vec_id, -2 AS "
+                    "sub, list AS code, d_pre FROM proberaw\nUNION ALL\n"
+                    + assign_tail
+                )
+            ),
+            4,
+        ),
+        "ivfpq_adc_batch.lut": (
+            _ivfpq_adc_batch_sql(
+                tail="\nUNION ALL\n".join(
+                    f"SELECT qid, list, {s} AS sub, code, ql FROM lutraw_{s}"
+                    for s in range(m)
+                )
+            ),
+            0,
+        ),
         # batched ADC: same training population as pq_adc_topk (already
         # probed above); the NEW surface is the per-qid LUT grid
         "pq_adc_batch.lut": (
@@ -261,6 +287,20 @@ FROM fv f, cb c
             0,
         ),
     }
+
+
+def fixture_fingerprint(sf_dir: str) -> dict[str, list]:
+    """(size, mtime_ns) of every fixture parquet — recorded into the
+    artifact so a FIXTURE change without a fresh audit run is loudly
+    detectable (ADVICE r10: the hash-exact LUT guarantee is certified
+    per fixture by measurement, so any data refresh must re-run the
+    probes; tests/test_driver_contract.py pins artifact-vs-disk)."""
+    out = {}
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, fn))
+            out[fn] = [st.st_size, st.st_mtime_ns]
+    return out
 
 
 GAP_FLAG = 1e-9  # min best-vs-runner-up distance gap for UNROUNDED argmins
@@ -497,7 +537,17 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "round_audit.json")
     with open(path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "flag_margin": FLAG_MARGIN, "entries": report}, f, indent=1)
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "flag_margin": FLAG_MARGIN,
+                "fixtures": fixture_fingerprint(sf_dir),
+                "partial": sorted(only) if only else None,
+                "entries": report,
+            },
+            f,
+            indent=1,
+        )
     print(f"\nwrote {path}; flagged entries: {flagged or 'none'}")
     return 1 if flagged else 0
 

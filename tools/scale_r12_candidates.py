@@ -73,6 +73,7 @@ def lap(fn, warm=True):
 results: dict[str, dict[int, float]] = {
     "train": {}, "encode": {}, "adc": {}, "adc_batch8": {},
     "ivfpq_build": {}, "ivfpq_query": {}, "ivfpq_append": {},
+    "ivfpq_batch8": {},
 }
 for k in SPANS:
     emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
@@ -144,10 +145,20 @@ for k in SPANS:
     t0 = time.time()
     n_app = PQ.append_ivfpq_table(shard, ivfpq_path)
     results["ivfpq_append"][k] = time.time() - t0
+    # batched pruned ADC, same FIXED |Q|=8: the union of the queries'
+    # probed lists is the only scan — cost tracks the probed share of
+    # the corpus, and the 8 queries share that one scan
+    t_ib, _ = lap(
+        lambda: PQ.ivfpq_adc_batch(
+            spark, ivfpq_path, coarse, rcb, qrows, k=10, n_probe=2
+        ).collect()
+    )
+    results["ivfpq_batch8"][k] = t_ib
     print(
         f"x{k}: ivfpq build={results['ivfpq_build'][k]:.2f}s "
         f"query={t_q:.2f}s top1={topr[0]['vec_id']} "
-        f"append({n_app})={results['ivfpq_append'][k]:.2f}s",
+        f"append({n_app})={results['ivfpq_append'][k]:.2f}s "
+        f"batch8={t_ib:.2f}s",
         flush=True,
     )
 

@@ -4761,6 +4761,138 @@ FROM r WHERE rk <= {k}
 """
 
 
+def _q_sq_topk(spark, sf):
+    """Scalar-quantization retrieval (operators/sq, SQ8): per-dim
+    min/max quantizer trained in ONE codegen aggregate, corpus encoded
+    by a pure zip_with expression (no Python worker anywhere — the
+    codegen-only compression tier between raw vectors and PQ), vec 0's
+    embedding quantized under the same rule and ranked by exact BIGINT
+    symmetric L2 over the codes. Cross-engine equality is STRUCTURAL:
+    both engines run the identical (x−mn)·sc floor(+0.5) ops on
+    bit-identical doubles. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import sq as SQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    mins, scales = SQ.train_sq(emb, dim=64)
+    codes = SQ.sq_encode(emb, mins, scales)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return SQ.sq_topk(codes, SQ.encode_query(qvec, mins, scales), k=10)
+
+
+def _q_sq_quant_report(spark, sf):
+    """SQ quantizer-staleness monitor (operators/sq.
+    sq_quantization_report): exact integer reconstruction-error totals
+    + the clamp counter (out-of-range saturation = the retrain signal)
+    under the corpus-trained quantizer, one summary row, all codegen.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import sq as SQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    mins, scales = SQ.train_sq(emb, dim=64)
+    return SQ.sq_quantization_report(emb, mins, scales)
+
+
+def _sq_core_sql(dim: int = 64, levels: int = 255) -> str:
+    """Shared CTE chain for the SQ twins: per-dim exact min/max, the
+    (mn, sc) quantizer, and per-vector code lists via the IDENTICAL
+    clamp(floor((x − mn)·sc + 0.5)) expression the Spark side runs —
+    one subtraction, one multiply, one floor on bit-identical doubles,
+    so equality is structural (operators/sq.py docstring)."""
+    return f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, min(e.v[i]) AS mn, max(e.v[i]) AS mx
+  FROM e, UNNEST(range(1, {dim} + 1)) AS u(i)
+  GROUP BY 1
+),
+quant AS (
+  SELECT i, mn,
+         CASE WHEN mx = mn THEN 0.0
+              ELSE {float(levels)} / (mx - mn) END AS sc
+  FROM dims
+),
+qlists AS (
+  SELECT list(mn ORDER BY i) AS mns, list(sc ORDER BY i) AS scs FROM quant
+),
+coderaw AS (
+  -- scaled value BEFORE the +0.5: floor(x + 0.5) flips when x sits on
+  -- an integer half, so the margin probe's danger grid is decimals=0
+  -- halves of THIS column (the pq lutraw convention)
+  SELECT e.vec_id, q.i, (e.v[q.i] - q.mn) * q.sc AS scaled
+  FROM e, quant q
+),
+codes AS (
+  SELECT vec_id,
+         list(least({levels}, greatest(0, CAST(floor(scaled + 0.5) AS BIGINT)))
+              ORDER BY i) AS c
+  FROM coderaw GROUP BY 1
+)"""
+
+
+def _sq_topk_sql(
+    dim: int = 64, levels: int = 255, k: int = 10, tail: str | None = None
+) -> str:
+    """DuckDB twin of _q_sq_topk. ``tail`` exposes the pre-floor
+    encode values for tools/audit_round_boundaries.py (decimals=0 —
+    the floor grid), belt-and-braces on top of the structural-equality
+    argument."""
+    core = _sq_core_sql(dim, levels)
+    if tail is not None:
+        return f"WITH {core}\n{tail}"
+    return f"""
+WITH {core},
+qc AS (SELECT c AS qc FROM codes WHERE vec_id = 0),
+scored AS (
+  SELECT codes.vec_id,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+              i -> (c[i] - qc[i]) * (c[i] - qc[i]))) AS BIGINT) AS sq_score
+  FROM codes, qc
+)
+SELECT CAST(row_number() OVER (ORDER BY sq_score, vec_id) AS INT) AS rank,
+       vec_id, sq_score
+FROM scored ORDER BY sq_score, vec_id LIMIT {k}
+"""
+
+
+def _sq_quant_report_sql(
+    dim: int = 64, levels: int = 255, err_dp: int = 6
+) -> str:
+    """DuckDB twin of _q_sq_quant_report: decode = c/sc + mn (sc=0 →
+    mn), the per-vector error fold in the SAME array order as Spark's
+    sequential aggregate, exact integer micro-units, clamp counter
+    from the UNCLAMPED floor value."""
+    return f"""
+WITH {_sq_core_sql(dim, levels)},
+per AS (
+  SELECT e.vec_id,
+         CAST(floor(list_sum(list_transform(range(1, {dim} + 1), i ->
+             (e.v[i] - (CASE WHEN ql.scs[i] = 0.0 THEN 0.0
+                             ELSE CAST(c.c[i] AS DOUBLE) / ql.scs[i] END
+                        + ql.mns[i]))
+             * (e.v[i] - (CASE WHEN ql.scs[i] = 0.0 THEN 0.0
+                               ELSE CAST(c.c[i] AS DOUBLE) / ql.scs[i] END
+                          + ql.mns[i]))))
+           * {float(10 ** err_dp)} + 0.5) AS BIGINT) AS err_micro,
+         CAST(list_sum(list_transform(range(1, {dim} + 1), i ->
+             CASE WHEN floor((e.v[i] - ql.mns[i]) * ql.scs[i] + 0.5) < 0
+                    OR floor((e.v[i] - ql.mns[i]) * ql.scs[i] + 0.5)
+                       > {levels}
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS n_clamped
+  FROM e JOIN codes c USING (vec_id), qlists ql
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(err_micro) AS BIGINT) AS err_micro_sum,
+       CAST(sum(err_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_err_micro,
+       CAST(max(err_micro) AS BIGINT) AS err_micro_max,
+       CAST(sum(n_clamped) AS BIGINT) AS n_clamped
+FROM per
+"""
+
+
 def _q_pq_quant_report(spark, sf):
     """PQ quantization-error report (operators/pq.
     pq_quantization_report): per-subspace reconstruction-error totals
@@ -5370,7 +5502,10 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_ingest_stream_codes (the fifth streaming form, hash-certified
     end to end), and bm25_components_probe (a diagnostic probe that
     stays unregistered — its contingency branch died when
-    bm25_retrieval_batch went driver-green in r10). The r12 staging
+    bm25_retrieval_batch went driver-green in r10). Round 11 added
+    ivfpq_adc_batch (batched ADC composed with IVF pruning — the r12
+    registration pick) and the SQ8 pair sq_topk / sq_quant_report
+    (the codegen-only compression tier, r13 pool). The r12 staging
     triage is recorded in NOTES ("Round 12 registration triage")."""
     return {
         "dup_span_stats": _q_dup_span_stats,
@@ -5387,6 +5522,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_batch": _q_pq_adc_batch,
         "pq_quant_report": _q_pq_quant_report,
         "ivfpq_adc_batch": _q_ivfpq_adc_batch,
+        "sq_topk": _q_sq_topk,
+        "sq_quant_report": _q_sq_quant_report,
     }
 
 
@@ -5410,6 +5547,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "ivfpq_adc_batch": _ivfpq_adc_batch_sql(
             kc=4, m=4, ksub=4, dim=64, k=5, n_probe=2
         ),
+        "sq_topk": _sq_topk_sql(dim=64, k=10),
+        "sq_quant_report": _sq_quant_report_sql(dim=64),
     }
 
 

@@ -223,6 +223,7 @@ FROM fv f, cb c
         _ivfpq_adc_batch_sql,
         _ivfpq_adc_sql,
         _pq_adc_batch_sql,
+        _sq_topk_sql,
     )
 
     ivfpq_assign_tail = (
@@ -273,6 +274,14 @@ FROM fv f, cb c
                     for s in range(m)
                 )
             ),
+            0,
+        ),
+        # SQ8 encode: equality is STRUCTURAL (identical ops on
+        # identical doubles — operators/sq.py), so this probe is
+        # belt-and-braces; pre_floor sits on the floor grid, danger =
+        # integer values of pre_floor itself (decimals=0)
+        "sq_topk.encode": (
+            _sq_topk_sql(tail="SELECT vec_id, i, scaled FROM coderaw"),
             0,
         ),
         # batched ADC: same training population as pq_adc_topk (already

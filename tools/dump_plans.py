@@ -74,6 +74,9 @@ HEADLINERS = {
     "ivfpq_adc_topk": "IVF-PQ: literal PartitionFilter prunes to n_probe lists, per-list LUT CASE chain, same joinless scoring",
     "bpe_encode_vocab": "encode-side BPE: the training loop's final vocab frame, merge folds applied via broadcast 1-row frames",
     "bm25_components_probe": "bm25 batch's own contribution lineage emitted raw: same semi-join + broadcast shape, sliced output",
+    "ivfpq_adc_batch": "batched pruned ADC: union-of-probed-lists literal PartitionFilter, per-(qid,list) LUTs in the partition-cut kernel, exchange <= partitions x |Q| x k",
+    "sq_topk": "SQ8 symmetric retrieval: pure codegen aggregate(zip_with) fold over the codes, no Python worker, no exchange before TakeOrderedAndProject",
+    "sq_quant_report": "SQ staleness monitor: codegen decode+error fold, one partial-aggregated summary row",
 }
 
 

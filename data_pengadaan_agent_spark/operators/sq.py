@@ -185,6 +185,224 @@ def sq_topk(
     )
 
 
+def _sq_sidecars(path: str) -> tuple[str, str]:
+    p = path.rstrip("/")
+    return f"{p}_ids", f"{p}_quant"
+
+
+def save_sq_quantizer(
+    spark,
+    path: str,
+    mins: Sequence[float],
+    scales: Sequence[float],
+    levels: int = 255,
+) -> None:
+    """Persist the frozen quantizer beside the codes (dim rows —
+    parameter-sized). Written LAST by the build — the commit marker:
+    codes without a quantizer are a loudly-invalid index (the
+    lexindex/ivfpq meta discipline)."""
+    _, quant_p = _sq_sidecars(path)
+    spark.createDataFrame(
+        [
+            (int(i), float(mn), float(sc), int(levels))
+            for i, (mn, sc) in enumerate(zip(mins, scales))
+        ],
+        "dim int, mn double, sc double, levels int",
+    ).coalesce(1).write.mode("overwrite").parquet(quant_p)
+
+
+def load_sq_quantizer(
+    spark, path: str
+) -> tuple[list[float], list[float], int]:
+    """Read back the frozen quantizer; raises if the build never
+    committed."""
+    _, quant_p = _sq_sidecars(path)
+    try:
+        rows = spark.read.parquet(quant_p).collect()
+    except Exception as exc:  # noqa: BLE001 - absent = invalid index
+        raise ValueError(
+            f"sq index at {path!r} has no readable quantizer — the build "
+            "crashed before commit; rebuild with build_sq_table"
+        ) from exc
+    rows = sorted(rows, key=lambda r: r["dim"])
+    if not rows:
+        raise ValueError(f"sq index quantizer at {path!r} is empty")
+    return (
+        [float(r["mn"]) for r in rows],
+        [float(r["sc"]) for r in rows],
+        int(rows[0]["levels"]),
+    )
+
+
+def build_sq_table(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> tuple[list[float], list[float]]:
+    """Build the persisted SQ index: train the quantizer, encode, and
+    write (codes, ids registry, quantizer sidecar) — the sidecar LAST
+    as the commit marker. Dedup ONCE up front so training, codes, and
+    the registry all see the same frame (the build_ivfpq_table
+    contract). Returns (mins, scales) for the query side."""
+    spark = df.sparkSession
+    ids_p, quant_p = _sq_sidecars(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(quant_p).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path(quant_p)):  # index invalid until recommit
+        fs.delete(jvm_path(quant_p), True)
+    df = df.dropDuplicates([id_col])
+    mins, scales = train_sq(df, dim, vec_col, id_col, levels)
+    sq_encode(df, mins, scales, vec_col, id_col, levels).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df.select(id_col).write.mode("overwrite").parquet(ids_p)
+    save_sq_quantizer(spark, path, mins, scales, levels)
+    return mins, scales
+
+
+def append_sq_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental SQ maintenance: encode a NEW batch with the FROZEN
+    quantizer (daily shards never retrain — drift is
+    ``sq_quantization_report``'s job; out-of-range values CLAMP, which
+    the report's clamp counter surfaces) and append. Write order is
+    the crash contract: ids FIRST (replay after any crash is a no-op —
+    codes can never double), codes second; the surviving
+    ids-without-codes state is probe-invisible under-recall only,
+    flagged by ``audit_sq_table``, healed by ``repair_sq_table``.
+    Returns vectors appended."""
+    spark = df.sparkSession
+    mins, scales, levels = load_sq_quantizer(spark, path)
+    ids_p, _ = _sq_sidecars(path)
+    fresh = df.dropDuplicates([id_col])
+    seen = spark.read.parquet(ids_p).select(id_col)
+    fresh = fresh.join(seen, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    fresh.select(id_col).write.mode("append").parquet(ids_p)
+    sq_encode(fresh, mins, scales, vec_col, id_col, levels).write.mode(
+        "append"
+    ).parquet(path)
+    return n_new
+
+
+def audit_sq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Integrity audit for the append crash contract (the
+    audit_ivfpq_table shape): registry ids without codes (an append
+    whose second write died — probe-invisible) and orphan codes
+    (registry damage; rebuild). Returns (id, state); empty =
+    consistent."""
+    load_sq_quantizer(spark, path)  # validates the build committed
+    ids_p, _ = _sq_sidecars(path)
+    reg = spark.read.parquet(ids_p).select(id_col).distinct()
+    coded = spark.read.parquet(path).select(id_col).distinct()
+    missing = reg.join(coded, id_col, "left_anti").select(
+        id_col, F.lit("missing_codes").alias("state")
+    )
+    orphan = coded.join(reg, id_col, "left_anti").select(
+        id_col, F.lit("orphan_codes").alias("state")
+    )
+    return missing.unionByName(orphan)
+
+
+def repair_sq_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Heal every ``missing_codes`` id: re-encode exactly the flagged
+    vectors with the FROZEN quantizer and append their code rows —
+    append-only, replay-safe (empty flagged set ⇒ no-op),
+    crash-convergent (a dead repair re-creates the state it was
+    healing). ``df`` must cover every flagged id. Returns vectors
+    re-encoded."""
+    spark = df.sparkSession
+    mins, scales, levels = load_sq_quantizer(spark, path)
+    flagged = (
+        audit_sq_table(spark, path, id_col)
+        .filter(F.col("state") == "missing_codes")
+        .select(id_col)
+    )
+    todo = (
+        df.dropDuplicates([id_col])
+        .join(flagged, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_todo = todo.count()
+    n_flagged = flagged.count()
+    if n_todo < n_flagged:
+        raise ValueError(
+            f"repair_sq_table: {n_flagged - n_todo} flagged id(s) not in "
+            "the provided source frame — repair must re-read the original "
+            "vector of every probe-invisible id"
+        )
+    if n_todo == 0:
+        return 0
+    sq_encode(todo, mins, scales, vec_col, id_col, levels).write.mode(
+        "append"
+    ).parquet(path)
+    return n_todo
+
+
+def compact_sq_table(
+    spark,
+    path: str,
+    target_files: int = 1,
+    id_col: str = "vec_id",
+) -> int:
+    """Daily-append small-file maintenance (the fifth index family to
+    get it): rewrite the flat codes table to ``target_files`` files,
+    bit-identical rows. Refuses a dirty audit (baking probe-invisible
+    ids in as permanently lost). The quantizer sidecar is the validity
+    marker: deleted before the swap, re-committed after — a crash
+    mid-swap leaves a loudly-invalid index (load_sq_quantizer raises),
+    never a silently half-compacted one. Returns files removed."""
+    mins, scales, levels = load_sq_quantizer(spark, path)
+    dirty = audit_sq_table(spark, path, id_col).count()
+    if dirty:
+        raise ValueError(
+            f"compact_sq_table: {dirty} inconsistent id(s) in the index — "
+            "run repair_sq_table before compacting"
+        )
+    _, quant_p = _sq_sidecars(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p: str) -> int:
+        it, n = fs.listFiles(jvm_path(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = _n_files(path)
+    tmp, old = f"{path}_compact_tmp", f"{path}_compact_old"
+    for stale in (tmp, old):
+        if fs.exists(jvm_path(stale)):
+            fs.delete(jvm_path(stale), True)
+    (
+        spark.read.parquet(path)
+        .repartition(int(target_files), F.xxhash64(id_col))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs.delete(jvm_path(quant_p), True)  # index invalid until recommit
+    fs.rename(jvm_path(path), jvm_path(old))
+    fs.rename(jvm_path(tmp), jvm_path(path))
+    fs.delete(jvm_path(old), True)
+    save_sq_quantizer(spark, path, mins, scales, levels)
+    return before - _n_files(path)
+
+
 def sq_quantization_report(
     df: DataFrame,
     mins: Sequence[float],

@@ -186,3 +186,109 @@ def test_ivf_sq_composition_partition_pruned(spark, tmp_path):
         map(tuple, brute.collect())
     )
     assert got.count() == 5
+
+
+def test_sq_table_lifecycle_build_append_replay(spark, tmp_path):
+    """The persisted SQ index (5th index family with the full
+    lifecycle): build commits the quantizer LAST; append uses the
+    FROZEN quantizer (never retrains), is ids-first replay-safe, and
+    append ∪ base answers equal a rebuild's for in-range vectors."""
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "sq")
+    mins, scales = SQ.build_sq_table(df, path, dim=4)
+    assert (mins, scales) == SQ.train_sq(df, dim=4)
+    shard = _vecs(spark, [(10, [0.3, 3.0, -1.0, 1.0]), (11, [0.6, 6.0, 2.0, 1.0])])
+    assert SQ.append_sq_table(shard, path) == 2
+    # replay is a no-op
+    assert SQ.append_sq_table(shard, path) == 0
+    assert spark.read.parquet(path).count() == len(FIX) + 2
+    # quantizer frozen (not retrained by the append)
+    m2, s2, lv = SQ.load_sq_quantizer(spark, path)
+    assert (m2, s2, lv) == (mins, scales, 255)
+    # probe sees the shard; codes equal fresh encodes under the
+    # frozen quantizer
+    q = SQ.encode_query(shard.collect()[0]["embedding"], mins, scales)
+    got = {r["vec_id"] for r in SQ.sq_topk(spark.read.parquet(path), q, k=3).collect()}
+    assert 10 in got
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in SQ.sq_encode(shard, mins, scales).collect()
+    }
+    stored = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(path).filter(F.col("vec_id") >= 10).collect()
+    }
+    assert stored == want
+    # build dedups repeated ids (the ivfpq contract)
+    dup_path = str(tmp_path / "sqdup")
+    SQ.build_sq_table(df.union(df), dup_path, dim=4)
+    codes = spark.read.parquet(dup_path)
+    assert codes.count() == codes.select("vec_id").distinct().count() == len(FIX)
+
+
+def test_sq_table_crash_audit_repair_compact(spark, tmp_path):
+    """Writer-failure injection for the SQ index: append's codes write
+    dies after the ids commit → audit flags, replay is a no-op, repair
+    refuses an incomplete source, a covering repair converges (answers
+    equal the never-crashed twin), compaction refuses dirty and works
+    clean; a crash mid-compact leaves a loudly-invalid index."""
+    good, crashed = str(tmp_path / "good"), str(tmp_path / "crashed")
+    for p in (good, crashed):
+        SQ.build_sq_table(_vecs(spark, FIX), p, dim=4)
+    shard = _vecs(spark, [(10, [0.3, 3.0, -1.0, 1.0]), (11, [0.6, 6.0, 2.0, 1.0])])
+    SQ.append_sq_table(shard, good)
+
+    real_encode = SQ.sq_encode
+
+    def _die(*a, **k):
+        raise RuntimeError("injected writer failure")
+
+    SQ.sq_encode = _die
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            SQ.append_sq_table(shard, crashed)
+    finally:
+        SQ.sq_encode = real_encode
+    flagged = {
+        (r["vec_id"], r["state"])
+        for r in SQ.audit_sq_table(spark, crashed).collect()
+    }
+    assert flagged == {(10, "missing_codes"), (11, "missing_codes")}
+    assert SQ.append_sq_table(shard, crashed) == 0  # replay no-op
+    with pytest.raises(ValueError, match="source frame"):
+        SQ.repair_sq_table(shard.filter(F.col("vec_id") == 10), crashed)
+    with pytest.raises(ValueError, match="inconsistent"):
+        SQ.compact_sq_table(spark, crashed)
+    assert SQ.repair_sq_table(shard, crashed) == 2
+    assert SQ.audit_sq_table(spark, crashed).count() == 0
+    assert SQ.repair_sq_table(shard, crashed) == 0  # replay no-op
+
+    mins, scales, _ = SQ.load_sq_quantizer(spark, crashed)
+    q = SQ.encode_query(shard.collect()[0]["embedding"], mins, scales)
+    want = sorted(map(tuple, SQ.sq_topk(
+        spark.read.parquet(good), q, k=7).collect()))
+    got = sorted(map(tuple, SQ.sq_topk(
+        spark.read.parquet(crashed), q, k=7).collect()))
+    assert got == want
+
+    # compaction: files drop, answers identical, appends keep working
+    import glob
+
+    files_before = len(glob.glob(f"{crashed}/*.parquet"))
+    removed = SQ.compact_sq_table(spark, crashed)
+    files_after = len(glob.glob(f"{crashed}/*.parquet"))
+    assert removed == files_before - files_after and files_after < files_before
+    assert sorted(map(tuple, SQ.sq_topk(
+        spark.read.parquet(crashed), q, k=7).collect())) == want
+    assert SQ.append_sq_table(
+        _vecs(spark, [(20, [0.9, 9.0, 4.0, 1.0])]), crashed
+    ) == 1
+
+    # uncommitted build / mid-compact crash shape: quantizer absent
+    import shutil
+
+    shutil.rmtree(f"{crashed}_quant")
+    with pytest.raises(ValueError, match="quantizer"):
+        SQ.load_sq_quantizer(spark, crashed)
+    with pytest.raises(ValueError, match="quantizer"):
+        SQ.append_sq_table(shard, crashed)

@@ -4893,6 +4893,220 @@ FROM per
 """
 
 
+def _q_bq_topk(spark, sf):
+    """Binary-quantization retrieval (operators/bq): per-dimension
+    midrange thresholds trained in ONE codegen aggregate, corpus
+    packed to 63-bit sign words by a pure zip_with expression, vec 0
+    packed under the same rule and ranked by exact BIGINT Hamming
+    distance (bit_count(xor)). Cross-engine equality is STRUCTURAL —
+    (mn+mx)/2 is one add + one exact halving, the bit test is a strict
+    > on bit-identical doubles, everything after is integers.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import bq as BQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    thr = BQ.train_bq(emb, dim=64)
+    codes = BQ.bq_encode(emb, thr)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return BQ.bq_topk(codes, BQ.encode_query_bq(qvec, thr), k=10)
+
+
+def _q_bq_rerank_topk(spark, sf):
+    """The production two-stage BQ shape (operators/bq.
+    bq_rerank_topk): the 1-bit Hamming scan cuts the corpus to a
+    50-candidate shortlist (the only full-corpus pass — 16 B/vector,
+    pure codegen), then exact integer micro-unit L2 re-ranks the
+    shortlist to k=10. Hamming ties then L2 ties break by id — one
+    deterministic trajectory. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import bq as BQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    thr = BQ.train_bq(emb, dim=64)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return BQ.bq_rerank_topk(emb, thr, qvec, k=10, shortlist=50)
+
+
+def _q_kcenter_coreset(spark, sf):
+    """Greedy k-center coreset (operators/coreset, Gonzalez 1985):
+    k=5 farthest-point selections over the exact BIGINT micro-unit
+    grid — seed = lowest id, every argmax ties to the lowest id, all
+    distances exact integers, so the trajectory is reproducible
+    bit-for-bit by the unrolled 5-level DuckDB twin. Returns
+    (sel_rank, vec_id, dist_micro) with non-increasing radii.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import coreset as CS
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return CS.kcenter_coreset(emb, k=5)
+
+
+def _bq_core_sql(dim: int = 64) -> str:
+    """Shared CTE chain for the BQ twins: exact per-dim min/max, the
+    midrange thresholds, the strict > bit test, and the 63-bit word
+    packing — every float-touching step the IDENTICAL IEEE ops the
+    Spark side runs (operators/bq.py determinism contract), everything
+    downstream pure positive BIGINT arithmetic."""
+    from data_pengadaan_agent_spark.operators.bq import BITS_PER_WORD, n_words
+
+    words = []
+    for w in range(n_words(dim)):
+        start = w * BITS_PER_WORD  # 0-based dim offset
+        width = min(BITS_PER_WORD, dim - start)
+        words.append(
+            f"CAST(list_sum(list_transform(range({start + 1}, "
+            f"{start + width + 1}), j -> b[j] * (CAST(1 AS BIGINT) "
+            f"<< (j - {start + 1})))) AS BIGINT)"
+        )
+    word_list = ", ".join(words)
+    return f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (
+  SELECT i, min(e.v[i]) AS mn, max(e.v[i]) AS mx
+  FROM e, UNNEST(range(1, {dim} + 1)) AS u(i)
+  GROUP BY 1
+),
+thr AS (
+  SELECT list((mn + mx) / 2 ORDER BY i) AS ts FROM dims
+),
+bits AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim} + 1),
+           i -> CASE WHEN e.v[i] > thr.ts[i]
+                     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS b
+  FROM e, thr
+),
+words AS (
+  SELECT vec_id, [{word_list}] AS w FROM bits
+),
+qw AS (SELECT w FROM words WHERE vec_id = 0),
+scored AS (
+  SELECT words.vec_id,
+         CAST(list_sum(list_transform(range(1, {n_words(dim)} + 1),
+              t -> bit_count(xor(words.w[t], qw.w[t])))) AS BIGINT)
+           AS hamming
+  FROM words, qw
+)"""
+
+
+def _bq_topk_sql(dim: int = 64, k: int = 10) -> str:
+    """DuckDB twin of _q_bq_topk."""
+    return f"""
+WITH {_bq_core_sql(dim)}
+SELECT CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INT) AS rank,
+       vec_id, hamming
+FROM scored ORDER BY hamming, vec_id LIMIT {k}
+"""
+
+
+def _bq_rerank_sql(
+    dim: int = 64,
+    k: int = 10,
+    shortlist: int = 50,
+    dp: int = 6,
+    tail: str | None = None,
+) -> str:
+    """DuckDB twin of _q_bq_rerank_topk: the shared BQ CTEs cut the
+    Hamming shortlist, then exact integer micro-unit L2 re-ranks it.
+    ``tail`` exposes the PRE-floor micro values (mraw.scaled) for
+    tools/audit_round_boundaries.py — decimals=0, the floor(x + 0.5)
+    grid (the sq_topk.encode convention; kcenter_coreset shares this
+    identical grid over the identical fixture)."""
+    scale = float(10**dp)
+    core = f"""{_bq_core_sql(dim)},
+mraw AS (
+  -- pre-floor micro value: floor(x*scale + 0.5) flips on integer
+  -- halves of THIS column (probe decimals=0)
+  SELECT e.vec_id, u.i, e.v[u.i] * {scale} AS scaled
+  FROM e, UNNEST(range(1, {dim} + 1)) AS u(i)
+),
+micro AS (
+  SELECT vec_id,
+         list(CAST(floor(scaled + 0.5) AS BIGINT) ORDER BY i) AS m
+  FROM mraw GROUP BY 1
+)"""
+    if tail is not None:
+        return f"WITH {core}\n{tail}"
+    return f"""
+WITH {core},
+stage1 AS (
+  SELECT vec_id, hamming FROM scored
+  ORDER BY hamming, vec_id LIMIT {shortlist}
+),
+qm AS (SELECT m FROM micro WHERE vec_id = 0),
+rr AS (
+  SELECT s.vec_id, s.hamming,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+              i -> (mi.m[i] - qm.m[i]) * (mi.m[i] - qm.m[i])))
+           AS BIGINT) AS l2_micro
+  FROM stage1 s JOIN micro mi USING (vec_id), qm
+)
+SELECT CAST(row_number() OVER (ORDER BY l2_micro, vec_id) AS INT) AS rank,
+       vec_id, hamming, l2_micro
+FROM rr ORDER BY l2_micro, vec_id LIMIT {k}
+"""
+
+
+def _kcenter_sql(k: int = 5, dim: int = 64, dp: int = 6) -> str:
+    """DuckDB twin of _q_kcenter_coreset: the greedy trajectory
+    unrolled to k levels — c1 = lowest id; d_t = least(d_{t-1},
+    dist to c_t); c_{t+1} = argmax d_t with ties to the lowest id,
+    EXCLUDING already-selected ids (the operator's contract).
+    All-integer distances on the micro grid, so the unrolled chain is
+    bit-identical to Spark's iterative loop."""
+    scale = float(10**dp)
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> ({a}.q[i] - {c}.q[i]) * ({a}.q[i] - {c}.q[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+           AS q
+  FROM embeddings
+),
+c1 AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT qv.vec_id, qv.q,
+         {dist.format(dim=dim, a='qv', c='c1')} AS mind
+  FROM qv, c1
+)"""
+    ]
+    for t in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{s}" for s in range(1, t)
+        )
+        parts.append(
+            f"""
+c{t} AS (SELECT vec_id, q, mind FROM d{t - 1}
+        WHERE vec_id NOT IN ({prior})
+        ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+        if t < k:
+            parts.append(
+                f"""
+d{t} AS (
+  SELECT d.vec_id, d.q,
+         least(d.mind, {dist.format(dim=dim, a='d', c='c')}) AS mind
+  FROM d{t - 1} d, c{t} c
+)"""
+            )
+    selects = ["SELECT CAST(1 AS INT) AS sel_rank, vec_id, "
+               "CAST(0 AS BIGINT) AS dist_micro FROM c1"]
+    for t in range(2, k + 1):
+        selects.append(
+            f"SELECT CAST({t} AS INT) AS sel_rank, vec_id, "
+            f"CAST(mind AS BIGINT) AS dist_micro FROM c{t}"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {','.join(parts)}\n{union}\nORDER BY sel_rank"
+
+
 def _q_pq_quant_report(spark, sf):
     """PQ quantization-error report (operators/pq.
     pq_quantization_report): per-subspace reconstruction-error totals
@@ -5524,6 +5738,9 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_batch": _q_ivfpq_adc_batch,
         "sq_topk": _q_sq_topk,
         "sq_quant_report": _q_sq_quant_report,
+        "bq_topk": _q_bq_topk,
+        "bq_rerank_topk": _q_bq_rerank_topk,
+        "kcenter_coreset": _q_kcenter_coreset,
     }
 
 
@@ -5549,6 +5766,9 @@ def candidate_oracle_sql() -> dict[str, str]:
         ),
         "sq_topk": _sq_topk_sql(dim=64, k=10),
         "sq_quant_report": _sq_quant_report_sql(dim=64),
+        "bq_topk": _bq_topk_sql(dim=64, k=10),
+        "bq_rerank_topk": _bq_rerank_sql(dim=64, k=10, shortlist=50),
+        "kcenter_coreset": _kcenter_sql(k=5, dim=64),
     }
 
 

@@ -1,0 +1,242 @@
+"""Binary quantization (operators/bq) and greedy k-center coreset
+selection (operators/coreset).
+
+BQ determinism contract: midrange thresholds from exact min/max, a
+strict ``x > t`` bit test, 63-bit word packing (pure positive BIGINT
+sums of distinct powers of two — never the int64 sign bit), Hamming
+via bit_count(xor), integer micro-unit L2 for the re-rank; ties by id
+everywhere. k-center: all distances exact integers on the micro grid,
+seed = lowest id, argmax ties to the lowest id — one deterministic
+trajectory checked against a NumPy reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import bq as BQ
+from data_pengadaan_agent_spark.operators import coreset as CS
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+FIX = [
+    (0, [0.0, 10.0, -5.0, 1.0]),
+    (1, [1.0, 0.0, 5.0, 1.0]),
+    (2, [0.5, 5.0, 0.0, 1.0]),
+    (3, [0.25, 2.5, -2.5, 1.0]),
+    (4, [0.75, 7.5, 2.5, 1.0]),
+]
+
+
+# ---------------------------------------------------------------- BQ
+
+
+def test_train_bq_midrange(spark):
+    thr = BQ.train_bq(_vecs(spark, FIX), dim=4)
+    assert thr == [0.5, 5.0, 0.0, 1.0]
+
+
+def _np_words(bits):
+    words = []
+    for w in range(BQ.n_words(len(bits))):
+        chunk = bits[w * BQ.BITS_PER_WORD : (w + 1) * BQ.BITS_PER_WORD]
+        words.append(sum(int(b) << j for j, b in enumerate(chunk)))
+    return words
+
+
+def test_bq_encode_matches_numpy_packing(spark):
+    df = _vecs(spark, FIX)
+    thr = BQ.train_bq(df, dim=4)
+    got = {
+        r["vec_id"]: list(r["words"])
+        for r in BQ.bq_encode(df, thr).collect()
+    }
+    for vid, v in FIX:
+        bits = [1 if x > t else 0 for x, t in zip(v, thr)]
+        assert got[vid] == _np_words(bits), vid
+
+
+def test_bq_words_never_negative_at_full_width(spark):
+    # 63 bits all set stays positive: packing never touches bit 63
+    dim = 2 * BQ.BITS_PER_WORD  # two full words
+    lo = [0.0] * dim
+    hi = [1.0] * dim
+    df = _vecs(spark, [(0, lo), (1, hi)])
+    thr = BQ.train_bq(df, dim=dim)  # midrange 0.5 -> hi all ones
+    rows = {r["vec_id"]: list(r["words"]) for r in BQ.bq_encode(df, thr).collect()}
+    assert rows[0] == [0, 0]
+    assert rows[1] == [(1 << BQ.BITS_PER_WORD) - 1] * 2
+    assert all(w >= 0 for ws in rows.values() for w in ws)
+
+
+def test_bq_topk_matches_numpy_hamming(spark):
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.uniform(-1, 1, 8).tolist()) for i in range(40)]
+    df = _vecs(spark, vecs)
+    thr = BQ.train_bq(df, dim=8)
+    qwords = BQ.encode_query_bq(vecs[3][1], thr)
+    got = [
+        (r["rank"], r["vec_id"], r["hamming"])
+        for r in BQ.bq_topk(BQ.bq_encode(df, thr), qwords, k=5).collect()
+    ]
+    # NumPy reference
+    qb = [1 if x > t else 0 for x, t in zip(vecs[3][1], thr)]
+    ref = []
+    for vid, v in vecs:
+        vb = [1 if x > t else 0 for x, t in zip(v, thr)]
+        ref.append((sum(a != b for a, b in zip(vb, qb)), vid))
+    ref.sort()
+    want = [(i + 1, vid, h) for i, (h, vid) in enumerate(ref[:5])]
+    assert got == want
+    assert got[0][1] == 3 and got[0][2] == 0  # the query itself
+
+
+def test_bq_rerank_exact_micro_l2(spark):
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.uniform(-1, 1, 8).tolist()) for i in range(60)]
+    df = _vecs(spark, vecs)
+    thr = BQ.train_bq(df, dim=8)
+    q = vecs[5][1]
+    got = [
+        (r["rank"], r["vec_id"], r["l2_micro"])
+        for r in BQ.bq_rerank_topk(
+            df, thr, q, k=4, shortlist=60
+        ).collect()  # full-corpus shortlist -> exact top-4 by micro L2
+    ]
+    qm = [math.floor(x * 1e6 + 0.5) for x in q]
+    ref = []
+    for vid, v in vecs:
+        vm = [math.floor(x * 1e6 + 0.5) for x in v]
+        ref.append((sum((a - b) ** 2 for a, b in zip(vm, qm)), vid))
+    ref.sort()
+    want = [(i + 1, vid, d) for i, (d, vid) in enumerate(ref[:4])]
+    assert got == want
+    assert got[0] == (1, 5, 0)
+
+
+def test_bq_rerank_shortlist_bounds_stage2(spark):
+    # With shortlist=1, stage 2 sees only the Hamming-nearest point
+    df = _vecs(spark, FIX)
+    thr = BQ.train_bq(df, dim=4)
+    out = BQ.bq_rerank_topk(df, thr, FIX[0][1], k=3, shortlist=1).collect()
+    assert len(out) == 1
+
+
+def test_encode_query_bq_dim_mismatch():
+    with pytest.raises(ValueError):
+        BQ.encode_query_bq([1.0, 2.0], [0.0])
+
+
+# ----------------------------------------------------- k-center
+
+
+def _np_kcenter(vecs, k, dp=6):
+    """Reference greedy trajectory on the micro grid."""
+    scale = 10**dp
+    pts = {
+        vid: [math.floor(float(x) * scale + 0.5) for x in v]
+        for vid, v in vecs
+    }
+    ids = sorted(pts)
+    picked = [(1, ids[0], 0)]
+    mind = {}
+    newest = ids[0]
+    for t in range(1, k):
+        for vid in ids:
+            d = sum((a - b) ** 2 for a, b in zip(pts[vid], pts[newest]))
+            mind[vid] = min(mind.get(vid, d), d)
+        taken = {p[1] for p in picked}
+        far = max(
+            (vid for vid in ids if vid not in taken),
+            key=lambda vid: (mind[vid], -vid),
+        )
+        picked.append((t + 1, far, mind[far]))
+        newest = far
+    return picked
+
+
+def test_kcenter_matches_numpy_reference(spark):
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.uniform(-1, 1, 6).tolist()) for i in range(50)]
+    got = [
+        (r["sel_rank"], r["vec_id"], r["dist_micro"])
+        for r in CS.kcenter_coreset(_vecs(spark, vecs), k=6).collect()
+    ]
+    assert sorted(got) == _np_kcenter(vecs, k=6)
+
+
+def test_kcenter_radii_non_increasing(spark):
+    rng = np.random.RandomState(9)
+    vecs = [(i, rng.uniform(-1, 1, 4).tolist()) for i in range(30)]
+    rows = sorted(
+        CS.kcenter_coreset(_vecs(spark, vecs), k=5).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    radii = [r["dist_micro"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_duplicate_points_zero_radius_lowest_id(spark):
+    vecs = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [1.0, 1.0])]
+    rows = sorted(
+        CS.kcenter_coreset(_vecs(spark, vecs), k=3).collect(),
+        key=lambda r: r["sel_rank"],
+    )
+    assert [(r["vec_id"], r["dist_micro"]) for r in rows] == [
+        (0, 0),
+        (1, 0),
+        (2, 0),
+    ]
+
+
+def test_kcenter_k1_and_empty(spark):
+    one = CS.kcenter_coreset(_vecs(spark, FIX[:2]), k=1).collect()
+    assert [(r["sel_rank"], r["vec_id"], r["dist_micro"]) for r in one] == [
+        (1, 0, 0)
+    ]
+    with pytest.raises(ValueError):
+        CS.kcenter_coreset(_vecs(spark, []), k=2)
+    with pytest.raises(ValueError):
+        CS.kcenter_coreset(_vecs(spark, FIX), k=0)
+    with pytest.raises(ValueError):  # k > distinct ids
+        CS.kcenter_coreset(_vecs(spark, FIX[:2]), k=3)
+
+
+def test_coverage_report_consistent_with_selection(spark):
+    rng = np.random.RandomState(5)
+    vecs = [(i, rng.uniform(-1, 1, 4).tolist()) for i in range(40)]
+    df = _vecs(spark, vecs)
+    k = 5
+    sel = sorted(
+        CS.kcenter_coreset(df, k=k + 1).collect(), key=lambda r: r["sel_rank"]
+    )
+    chosen = [r["vec_id"] for r in sel[:k]]
+    centers = [
+        [math.floor(x * 1e6 + 0.5) for x in dict(vecs)[vid]] for vid in chosen
+    ]
+    rep = CS.coverage_report(df, centers).collect()[0]
+    # the (k+1)-th greedy pick's radius IS the max coverage radius of
+    # the first k centers — the defining identity of the trajectory
+    assert rep["max_radius_micro"] == sel[k]["dist_micro"]
+    assert rep["n_points"] == 40
+    assert 1 <= rep["n_centers_used"] <= k
+
+
+def test_coverage_report_argmin_ties_lowest_index(spark):
+    df = _vecs(spark, [(0, [0.0, 0.0])])
+    # two identical centers: the point must assign to index 0
+    centers = [[0, 0], [0, 0]]
+    rep = CS.coverage_report(df, centers).collect()[0]
+    assert rep["n_centers_used"] == 1
+    with pytest.raises(ValueError):
+        CS.coverage_report(df, [])

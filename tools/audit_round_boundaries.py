@@ -220,6 +220,7 @@ FROM fv f, cb c
     )
     from __spark_entry__ import (
         _ann_ingest_codes_sql,
+        _bq_rerank_sql,
         _ivfpq_adc_batch_sql,
         _ivfpq_adc_sql,
         _pq_adc_batch_sql,
@@ -283,6 +284,27 @@ FROM fv f, cb c
         "sq_topk.encode": (
             _sq_topk_sql(tail="SELECT vec_id, i, scaled FROM coderaw"),
             0,
+            "structural",  # same class as bq_rerank_topk.micro below
+        ),
+        # BQ re-rank / k-center coreset micro grid: both quantize the
+        # SAME corpus by the SAME floor(x*1e6 + 0.5) expression
+        # (structural equality like SQ encode — belt-and-braces);
+        # danger = integer halves of the pre-floor scaled value
+        # (decimals=0). ONE probe covers both operators' identical
+        # grid over the identical fixture.
+        "bq_rerank_topk.micro": (
+            _bq_rerank_sql(tail="SELECT vec_id, i, scaled FROM mraw"),
+            0,
+            # STRUCTURAL: every engine (Spark JVM corpus side, Python
+            # driver query side, DuckDB twin) evaluates the IDENTICAL
+            # floor(x*1e6 + 0.5) op sequence on bit-identical doubles,
+            # so a value NEAR a half still floors identically
+            # everywhere — the margin is reported for the record but
+            # cannot flip cross-engine. Contrast the PQ LUT probes
+            # above, where NumPy pairwise summation vs DuckDB
+            # sequential list_sum are genuinely different computation
+            # paths and the margin is the safety argument.
+            "structural",
         ),
         # batched ADC: same training population as pq_adc_topk (already
         # probed above); the NEW surface is the per-qid LUT grid
@@ -418,12 +440,17 @@ def audit_gap_probe(sql: str, con) -> dict:
     return out
 
 
-def audit_probe(sql: str, decimals: int, con) -> dict:
+def audit_probe(sql: str, decimals: int, con, structural: bool = False) -> dict:
     """Margin-check every float column of a pre-round probe at the
-    given rounding scale (same margin formula as the main audit)."""
+    given rounding scale (same margin formula as the main audit).
+    ``structural`` probes belong to the sq/bq equality class — every
+    engine evaluates the IDENTICAL op sequence on bit-identical
+    doubles, so a small margin cannot flip cross-engine; their margins
+    are recorded for the fixture record but never flagged."""
     import pyarrow as pa
 
-    out = {"cols": {}, "err": None, "kind": "tie-margin-probe"}
+    out = {"cols": {}, "err": None, "kind": "tie-margin-probe",
+           "structural": bool(structural)}
     try:
         tbl = con.execute(sql).arrow()
     except Exception as e:  # pragma: no cover - surfaced in report
@@ -449,7 +476,9 @@ def audit_probe(sql: str, decimals: int, con) -> dict:
             "on_grid": on_grid,
             "min_margin": min(margins) if margins else None,
         }
-        rec["flag"] = bool(margins and rec["min_margin"] < FLAG_MARGIN)
+        rec["flag"] = bool(
+            not structural and margins and rec["min_margin"] < FLAG_MARGIN
+        )
         out["cols"][field.name] = rec
     return out
 
@@ -501,10 +530,12 @@ def main():
                 flagged.append(name)
         report[name] = rec
 
-    for name, (sql, decimals) in sorted(tie_margin_probes().items()):
+    for name, spec in sorted(tie_margin_probes().items()):
+        sql, decimals = spec[0], spec[1]
+        structural = len(spec) > 2 and spec[2] == "structural"
         if only and name.split(".")[0] not in only and name not in only:
             continue
-        rec = audit_probe(sql, decimals, con_norm)
+        rec = audit_probe(sql, decimals, con_norm, structural=structural)
         rec["tier"] = "probe"
         if rec["err"]:
             print(f"{name:34s} ERROR {rec['err'][:80]}")

@@ -5718,9 +5718,13 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stays unregistered — its contingency branch died when
     bm25_retrieval_batch went driver-green in r10). Round 11 added
     ivfpq_adc_batch (batched ADC composed with IVF pruning — the r12
-    registration pick) and the SQ8 pair sq_topk / sq_quant_report
-    (the codegen-only compression tier, r13 pool). The r12 staging
-    triage is recorded in NOTES ("Round 12 registration triage")."""
+    registration pick), the SQ8 pair sq_topk / sq_quant_report
+    (the codegen-only compression tier, r13 pool), the BQ pair
+    bq_topk / bq_rerank_topk (the 1-bit Hamming tier + its two-stage
+    exact re-rank, r13 pool), and kcenter_coreset (greedy
+    farthest-point selection on the exact integer micro grid, r13
+    pool). The r12 staging triage is recorded in NOTES ("Round 12
+    registration triage")."""
     return {
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,

@@ -77,6 +77,9 @@ HEADLINERS = {
     "ivfpq_adc_batch": "batched pruned ADC: union-of-probed-lists literal PartitionFilter, per-(qid,list) LUTs in the partition-cut kernel, exchange <= partitions x |Q| x k",
     "sq_topk": "SQ8 symmetric retrieval: pure codegen aggregate(zip_with) fold over the codes, no Python worker, no exchange before TakeOrderedAndProject",
     "sq_quant_report": "SQ staleness monitor: codegen decode+error fold, one partial-aggregated summary row",
+    "bq_topk": "1-bit Hamming retrieval: integer bit_count(xor) codegen fold over 16-byte word rows, TakeOrderedAndProject",
+    "bq_rerank_topk": "two-stage BQ: Hamming TakeOrdered cuts a 50-row shortlist, exact micro-unit L2 re-ranks only those rows",
+    "kcenter_coreset": "greedy k-center trajectory: k-1 literal-center codegen folds, each pass one TakeOrdered(1), state checkpointed flat",
 }
 
 

@@ -189,6 +189,205 @@ def bq_topk(
     )
 
 
+def _bq_sidecars(path: str) -> tuple[str, str]:
+    p = path.rstrip("/")
+    return f"{p}_ids", f"{p}_thr"
+
+
+def save_bq_thresholds(spark, path: str, thresholds: Sequence[float]) -> None:
+    """Persist the frozen thresholds beside the words (dim rows —
+    parameter-sized). Written LAST by the build — the commit marker:
+    words without thresholds are a loudly-invalid index (the
+    sq/lexindex/ivfpq meta discipline)."""
+    _, thr_p = _bq_sidecars(path)
+    spark.createDataFrame(
+        [(int(i), float(t)) for i, t in enumerate(thresholds)],
+        "dim int, t double",
+    ).coalesce(1).write.mode("overwrite").parquet(thr_p)
+
+
+def load_bq_thresholds(spark, path: str) -> list[float]:
+    """Read back the frozen thresholds; raises if the build never
+    committed."""
+    _, thr_p = _bq_sidecars(path)
+    try:
+        rows = spark.read.parquet(thr_p).collect()
+    except Exception as exc:  # noqa: BLE001 - absent = invalid index
+        raise ValueError(
+            f"bq index at {path!r} has no readable thresholds — the build "
+            "crashed before commit; rebuild with build_bq_table"
+        ) from exc
+    rows = sorted(rows, key=lambda r: r["dim"])
+    if not rows:
+        raise ValueError(f"bq index thresholds at {path!r} are empty")
+    return [float(r["t"]) for r in rows]
+
+
+def build_bq_table(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[float]:
+    """Build the persisted BQ index (the SIXTH index family with the
+    full lifecycle — the sq.py contract verbatim, with midrange
+    thresholds as the frozen geometry): train, encode, write (words,
+    ids registry, thresholds sidecar) — the sidecar LAST as the commit
+    marker. Dedup ONCE up front so training, words, and the registry
+    all see the same frame. Returns the thresholds for the query
+    side."""
+    spark = df.sparkSession
+    ids_p, thr_p = _bq_sidecars(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(thr_p).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path(thr_p)):  # index invalid until recommit
+        fs.delete(jvm_path(thr_p), True)
+    df = df.dropDuplicates([id_col])
+    thresholds = train_bq(df, dim, vec_col)
+    bq_encode(df, thresholds, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df.select(id_col).write.mode("overwrite").parquet(ids_p)
+    save_bq_thresholds(spark, path, thresholds)
+    return thresholds
+
+
+def append_bq_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Incremental BQ maintenance: encode a NEW batch with the FROZEN
+    thresholds (daily shards never retrain — a drifting distribution
+    shows up as recall loss, and the re-rank stage absorbs it) and
+    append. Write order is the crash contract: ids FIRST (replay
+    after any crash is a no-op — words can never double), words
+    second; the surviving ids-without-words state is probe-invisible
+    under-recall only, flagged by ``audit_bq_table``, healed by
+    ``repair_bq_table``. Returns vectors appended."""
+    spark = df.sparkSession
+    thresholds = load_bq_thresholds(spark, path)
+    ids_p, _ = _bq_sidecars(path)
+    fresh = df.dropDuplicates([id_col])
+    seen = spark.read.parquet(ids_p).select(id_col)
+    fresh = fresh.join(seen, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    fresh.select(id_col).write.mode("append").parquet(ids_p)
+    bq_encode(fresh, thresholds, vec_col, id_col).write.mode(
+        "append"
+    ).parquet(path)
+    return n_new
+
+
+def audit_bq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Integrity audit for the append crash contract: registry ids
+    without words (an append whose second write died —
+    probe-invisible) and orphan words (registry damage; rebuild).
+    Returns (id, state); empty = consistent."""
+    load_bq_thresholds(spark, path)  # validates the build committed
+    ids_p, _ = _bq_sidecars(path)
+    reg = spark.read.parquet(ids_p).select(id_col).distinct()
+    coded = spark.read.parquet(path).select(id_col).distinct()
+    missing = reg.join(coded, id_col, "left_anti").select(
+        id_col, F.lit("missing_words").alias("state")
+    )
+    orphan = coded.join(reg, id_col, "left_anti").select(
+        id_col, F.lit("orphan_words").alias("state")
+    )
+    return missing.unionByName(orphan)
+
+
+def repair_bq_table(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Heal every ``missing_words`` id: re-encode exactly the flagged
+    vectors with the FROZEN thresholds and append their word rows —
+    append-only, replay-safe, crash-convergent. ``df`` must cover
+    every flagged id. Returns vectors re-encoded."""
+    spark = df.sparkSession
+    thresholds = load_bq_thresholds(spark, path)
+    flagged = (
+        audit_bq_table(spark, path, id_col)
+        .filter(F.col("state") == "missing_words")
+        .select(id_col)
+    )
+    todo = (
+        df.dropDuplicates([id_col])
+        .join(flagged, id_col, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    n_todo = todo.count()
+    n_flagged = flagged.count()
+    if n_todo < n_flagged:
+        raise ValueError(
+            f"repair_bq_table: {n_flagged - n_todo} flagged id(s) not in "
+            "the provided source frame — repair must re-read the original "
+            "vector of every probe-invisible id"
+        )
+    if n_todo == 0:
+        return 0
+    bq_encode(todo, thresholds, vec_col, id_col).write.mode(
+        "append"
+    ).parquet(path)
+    return n_todo
+
+
+def compact_bq_table(
+    spark,
+    path: str,
+    target_files: int = 1,
+    id_col: str = "vec_id",
+) -> int:
+    """Daily-append small-file maintenance: rewrite the flat words
+    table to ``target_files`` files, bit-identical rows. Refuses a
+    dirty audit. The thresholds sidecar is the validity marker:
+    deleted before the swap, re-committed after — a crash mid-swap
+    leaves a loudly-invalid index, never a silently half-compacted
+    one. Returns files removed."""
+    thresholds = load_bq_thresholds(spark, path)
+    dirty = audit_bq_table(spark, path, id_col).count()
+    if dirty:
+        raise ValueError(
+            f"compact_bq_table: {dirty} inconsistent id(s) in the index — "
+            "run repair_bq_table before compacting"
+        )
+    _, thr_p = _bq_sidecars(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _n_files(p: str) -> int:
+        it, n = fs.listFiles(jvm_path(p), True), 0
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    before = _n_files(path)
+    tmp, old = f"{path}_compact_tmp", f"{path}_compact_old"
+    for stale in (tmp, old):
+        if fs.exists(jvm_path(stale)):
+            fs.delete(jvm_path(stale), True)
+    (
+        spark.read.parquet(path)
+        .repartition(int(target_files), F.xxhash64(id_col))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs.delete(jvm_path(thr_p), True)  # index invalid until recommit
+    fs.rename(jvm_path(path), jvm_path(old))
+    fs.rename(jvm_path(tmp), jvm_path(path))
+    fs.delete(jvm_path(old), True)
+    save_bq_thresholds(spark, path, thresholds)
+    return before - _n_files(path)
+
+
 def micro_l2_col(vec_col: str, query: Sequence[float], dp: int = 6):
     """Exact integer squared L2 on the micro-unit grid:
     q_i = floor(x_i * 10^dp + 0.5) as BIGINT (one multiply + one floor

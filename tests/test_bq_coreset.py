@@ -137,6 +137,122 @@ def test_encode_query_bq_dim_mismatch():
         BQ.encode_query_bq([1.0, 2.0], [0.0])
 
 
+def test_bq_table_lifecycle_build_append_replay(spark, tmp_path):
+    """The persisted BQ index (6th index family with the full
+    lifecycle — the sq.py contract with thresholds as the frozen
+    geometry): build commits the thresholds LAST; append uses the
+    FROZEN thresholds (never retrains), is ids-first replay-safe, and
+    appended words equal fresh encodes under the frozen thresholds."""
+    df = _vecs(spark, FIX)
+    path = str(tmp_path / "bq")
+    thr = BQ.build_bq_table(df, path, dim=4)
+    assert thr == BQ.train_bq(df, dim=4)
+    shard = _vecs(spark, [(10, [0.3, 3.0, -1.0, 1.0]), (11, [0.6, 6.0, 2.0, 1.0])])
+    assert BQ.append_bq_table(shard, path) == 2
+    assert BQ.append_bq_table(shard, path) == 0  # replay no-op
+    assert spark.read.parquet(path).count() == len(FIX) + 2
+    assert BQ.load_bq_thresholds(spark, path) == thr  # frozen
+    qw = BQ.encode_query_bq(shard.collect()[0]["embedding"], thr)
+    got = {
+        r["vec_id"]
+        for r in BQ.bq_topk(spark.read.parquet(path), qw, k=3).collect()
+    }
+    assert 10 in got
+    want = {
+        r["vec_id"]: list(r["words"])
+        for r in BQ.bq_encode(shard, thr).collect()
+    }
+    stored = {
+        r["vec_id"]: list(r["words"])
+        for r in spark.read.parquet(path)
+        .filter(F.col("vec_id") >= 10)
+        .collect()
+    }
+    assert stored == want
+    # build dedups repeated ids
+    dup_path = str(tmp_path / "bqdup")
+    BQ.build_bq_table(df.union(df), dup_path, dim=4)
+    words = spark.read.parquet(dup_path)
+    assert words.count() == words.select("vec_id").distinct().count() == len(FIX)
+
+
+def test_bq_table_crash_audit_repair_compact(spark, tmp_path):
+    """Writer-failure injection for the BQ index: append's words
+    write dies after the ids commit → audit flags, replay is a no-op,
+    repair refuses an incomplete source, a covering repair converges
+    (answers equal the never-crashed twin), compaction refuses dirty
+    and works clean; a crash mid-compact leaves a loudly-invalid
+    index."""
+    good, crashed = str(tmp_path / "good"), str(tmp_path / "crashed")
+    for p in (good, crashed):
+        BQ.build_bq_table(_vecs(spark, FIX), p, dim=4)
+    shard = _vecs(spark, [(10, [0.3, 3.0, -1.0, 1.0]), (11, [0.6, 6.0, 2.0, 1.0])])
+    BQ.append_bq_table(shard, good)
+
+    real_encode = BQ.bq_encode
+
+    def _die(*a, **k):
+        raise RuntimeError("injected writer failure")
+
+    BQ.bq_encode = _die
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            BQ.append_bq_table(shard, crashed)
+    finally:
+        BQ.bq_encode = real_encode
+    flagged = {
+        (r["vec_id"], r["state"])
+        for r in BQ.audit_bq_table(spark, crashed).collect()
+    }
+    assert flagged == {(10, "missing_words"), (11, "missing_words")}
+    assert BQ.append_bq_table(shard, crashed) == 0  # replay no-op
+    with pytest.raises(ValueError, match="source frame"):
+        BQ.repair_bq_table(shard.filter(F.col("vec_id") == 10), crashed)
+    with pytest.raises(ValueError, match="inconsistent"):
+        BQ.compact_bq_table(spark, crashed)
+    assert BQ.repair_bq_table(shard, crashed) == 2
+    assert BQ.audit_bq_table(spark, crashed).count() == 0
+    assert BQ.repair_bq_table(shard, crashed) == 0  # replay no-op
+
+    thr = BQ.load_bq_thresholds(spark, crashed)
+    qw = BQ.encode_query_bq(shard.collect()[0]["embedding"], thr)
+    want = sorted(
+        map(tuple, BQ.bq_topk(spark.read.parquet(good), qw, k=7).collect())
+    )
+    got = sorted(
+        map(tuple, BQ.bq_topk(spark.read.parquet(crashed), qw, k=7).collect())
+    )
+    assert got == want
+
+    import glob
+
+    files_before = len(glob.glob(f"{crashed}/*.parquet"))
+    removed = BQ.compact_bq_table(spark, crashed)
+    files_after = len(glob.glob(f"{crashed}/*.parquet"))
+    assert removed == files_before - files_after and files_after < files_before
+    assert (
+        sorted(
+            map(
+                tuple,
+                BQ.bq_topk(spark.read.parquet(crashed), qw, k=7).collect(),
+            )
+        )
+        == want
+    )
+    assert (
+        BQ.append_bq_table(_vecs(spark, [(20, [0.9, 9.0, 4.0, 1.0])]), crashed)
+        == 1
+    )
+
+    import shutil
+
+    shutil.rmtree(f"{crashed}_thr")
+    with pytest.raises(ValueError, match="thresholds"):
+        BQ.load_bq_thresholds(spark, crashed)
+    with pytest.raises(ValueError, match="thresholds"):
+        BQ.append_bq_table(shard, crashed)
+
+
 # ----------------------------------------------------- k-center
 
 

@@ -137,6 +137,61 @@ def test_encode_query_bq_dim_mismatch():
         BQ.encode_query_bq([1.0, 2.0], [0.0])
 
 
+def test_ivf_bq_composition_partition_pruned(spark, tmp_path):
+    """BQ composes with the IVF list layout using ONLY existing
+    pieces (the ivf-sq composition argument verbatim): assign each
+    vector a coarse list, write BQ words PARTITIONED BY the list,
+    probe one list with a literal filter — the scan carries a
+    PartitionFilter and bq_topk ranks only that list's words,
+    bit-equal to brute-force BQ restricted to the list."""
+    import re
+
+    from data_pengadaan_agent_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    rows = [
+        (i, [float((i * 37 + j * 11) % 19) - 9.0 for j in range(8)])
+        for i in range(40)
+    ]
+    df = _vecs(spark, rows)
+    thr = BQ.train_bq(df, dim=8)
+    assign = ivf_assignments(df, "embedding", 8, n_centroids=2)
+    words = BQ.bq_encode(df, thr).join(assign, "vec_id")
+    path = str(tmp_path / "ivfbq")
+    words.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    qvec = rows[7][1]
+    by_vec = {r["vec_id"]: r["centroid_id"] for r in assign.collect()}
+    qlist = by_vec[7]
+    bucket = spark.read.parquet(path).filter(F.col("centroid_id") == qlist)
+    qw = BQ.encode_query_bq(qvec, thr)
+    got = BQ.bq_topk(bucket, qw, k=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "centroid_id" in pf.group(1), plan[:1500]
+
+    list_ids = {v for v, c in by_vec.items() if c == qlist}
+    brute = BQ.bq_topk(
+        BQ.bq_encode(
+            df.join(
+                spark.createDataFrame(
+                    [(int(v),) for v in list_ids], "vec_id long"
+                ),
+                "vec_id",
+                "left_semi",
+            ),
+            thr,
+        ),
+        qw,
+        k=5,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+    assert got.count() == 5
+
+
 def test_bq_table_lifecycle_build_append_replay(spark, tmp_path):
     """The persisted BQ index (6th index family with the full
     lifecycle — the sq.py contract with thresholds as the frozen

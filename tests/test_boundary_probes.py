@@ -92,13 +92,17 @@ def test_probe_registry_renders_and_names_real_queries():
         | set(E.candidate_oracle_sql())
     )
     con = connect("/root/testdata/sf0.001", identity_round=0)
-    for name, (sql, decimals) in tie_margin_probes().items():
+    for name, spec in tie_margin_probes().items():
+        sql, decimals = spec[0], spec[1]
+        structural = len(spec) > 2 and spec[2] == "structural"
         targets = name.split(".")[0].split("+")
         assert all(t in known for t in targets), name
         assert decimals >= 0
-        rec = audit_probe(sql, decimals, con)
+        rec = audit_probe(sql, decimals, con, structural=structural)
         assert rec["err"] is None, (name, rec["err"])
         assert rec["cols"], name  # at least one float column measured
+        if structural:  # the structural class can never flag
+            assert not any(d.get("flag") for d in rec["cols"].values()), name
     for name, sql in gap_probes().items():
         targets = name.split(".")[0].split("+")
         assert all(t in known for t in targets), name

@@ -5049,6 +5049,100 @@ FROM rr ORDER BY l2_micro, vec_id LIMIT {k}
 """
 
 
+def _q_kcenter_coverage(spark, sf):
+    """The 100 TB k-center shape (operators/coreset.
+    kcenter_coverage_sampled): greedy k=4 selection on a
+    deterministic Knuth-hash quarter-sample (the sampling.py split
+    hash — the greedy loop's passes touch only the sample), coverage
+    measured over the FULL corpus in exactly ONE scan. One summary
+    row of exact integers. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import coreset as CS
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return CS.kcenter_coverage_sampled(emb, k=4, sample_frac=0.25)
+
+
+def _kcenter_coverage_sql(
+    k: int = 4, dim: int = 64, dp: int = 6, sample_frac: float = 0.25
+) -> str:
+    """DuckDB twin of _q_kcenter_coverage: the unrolled greedy chain
+    over the hash-filtered sample (the split_hash_col expression
+    re-emitted verbatim — ids are non-negative so pmod ≡ %), then the
+    full-corpus coverage aggregate with the argmin CASE keeping the
+    lowest center index on exact-integer ties (the coverage_report
+    fold's semantics)."""
+    scale = float(10**dp)
+    thresh = int(sample_frac * (1 << 32))
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> ({a}.q[i] - {c}.q[i]) * ({a}.q[i] - {c}.q[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+           AS q
+  FROM embeddings
+),
+s AS (
+  SELECT * FROM qv
+  WHERE ((vec_id % 2147483648) * 2654435761) % 4294967296 < {thresh}
+),
+c1 AS (SELECT vec_id, q FROM s ORDER BY vec_id LIMIT 1),
+d1 AS (
+  SELECT s.vec_id, s.q, {dist.format(dim=dim, a='s', c='c1')} AS mind
+  FROM s, c1
+)"""
+    ]
+    for t in range(2, k + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{s}" for s in range(1, t)
+        )
+        parts.append(
+            f"""
+c{t} AS (SELECT vec_id, q, mind FROM d{t - 1}
+        WHERE vec_id NOT IN ({prior})
+        ORDER BY mind DESC, vec_id LIMIT 1)"""
+        )
+        if t < k:
+            parts.append(
+                f"""
+d{t} AS (
+  SELECT d.vec_id, d.q,
+         least(d.mind, {dist.format(dim=dim, a='d', c='c')}) AS mind
+  FROM d{t - 1} d, c{t} c
+)"""
+            )
+    dists = ", ".join(
+        f"{dist.format(dim=dim, a='qv', c=f'c{t}')} AS e{t}"
+        for t in range(1, k + 1)
+    )
+    froms = ", ".join(f"c{t}" for t in range(1, k + 1))
+    least = "least(" + ", ".join(f"e{t}" for t in range(1, k + 1)) + ")"
+    case = " ".join(
+        f"WHEN e{t} = {least} THEN {t - 1}" for t in range(1, k)
+    )
+    parts.append(
+        f"""
+per AS (SELECT qv.vec_id, {dists} FROM qv, {froms}),
+agg AS (
+  SELECT vec_id, {least} AS mind,
+         CASE {case} ELSE {k - 1} END AS cidx
+  FROM per
+)"""
+    )
+    return f"""WITH {','.join(parts)}
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sample,
+       CAST(max(mind) AS BIGINT) AS max_radius_micro,
+       CAST(sum(mind) AS BIGINT) AS sum_radius_micro,
+       CAST(count(DISTINCT cidx) AS BIGINT) AS n_centers_used
+FROM agg
+"""
+
+
 def _kcenter_sql(k: int = 5, dim: int = 64, dp: int = 6) -> str:
     """DuckDB twin of _q_kcenter_coreset: the greedy trajectory
     unrolled to k levels — c1 = lowest id; d_t = least(d_{t-1},
@@ -5721,10 +5815,12 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registration pick), the SQ8 pair sq_topk / sq_quant_report
     (the codegen-only compression tier, r13 pool), the BQ pair
     bq_topk / bq_rerank_topk (the 1-bit Hamming tier + its two-stage
-    exact re-rank, r13 pool), and kcenter_coreset (greedy
-    farthest-point selection on the exact integer micro grid, r13
-    pool). The r12 staging triage is recorded in NOTES ("Round 12
-    registration triage")."""
+    exact re-rank, r13 pool), kcenter_coreset (greedy farthest-point
+    selection on the exact integer micro grid, r13 pool), and
+    kcenter_coverage (the sampled selection + one-scan full-corpus
+    coverage composition — the large-k 100 TB shape, r13 pool). The
+    r12 staging triage is recorded in NOTES ("Round 12 registration
+    triage")."""
     return {
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,
@@ -5745,6 +5841,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_topk": _q_bq_topk,
         "bq_rerank_topk": _q_bq_rerank_topk,
         "kcenter_coreset": _q_kcenter_coreset,
+        "kcenter_coverage": _q_kcenter_coverage,
     }
 
 
@@ -5773,6 +5870,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "bq_topk": _bq_topk_sql(dim=64, k=10),
         "bq_rerank_topk": _bq_rerank_sql(dim=64, k=10, shortlist=50),
         "kcenter_coreset": _kcenter_sql(k=5, dim=64),
+        "kcenter_coverage": _kcenter_coverage_sql(k=4, sample_frac=0.25),
     }
 
 

@@ -127,6 +127,54 @@ def kcenter_coreset(
     )
 
 
+def kcenter_coverage_sampled(
+    df: DataFrame,
+    k: int,
+    sample_frac: float = 0.25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dp: int = 6,
+) -> DataFrame:
+    """The 100 TB shape of k-center: run the greedy trajectory on a
+    DETERMINISTIC Knuth-hash sample (the sampling.py split hash — no
+    RNG state, stable under any partitioning, replicable in any SQL
+    engine), then measure coverage over the FULL corpus in exactly
+    ONE scan. The greedy loop's k-1 passes touch only ~frac*N rows;
+    the full data is read once, by the final coverage aggregate —
+    versus k full scans for the exact trajectory. The classic
+    trade-off (Gonzalez on a sample + one assignment pass) with the
+    sampled radius as the quality certificate: returns ONE row
+    (n_points, n_sample, max_radius_micro, sum_radius_micro,
+    n_centers_used). All distances exact integers; ties and the
+    trajectory deterministic exactly as in ``kcenter_coreset``."""
+    from data_pengadaan_agent_spark.operators.sampling import (
+        _M32,
+        split_hash_col,
+    )
+
+    if not (0.0 < sample_frac <= 1.0):
+        raise ValueError("kcenter_coverage_sampled: sample_frac in (0, 1]")
+    thresh = int(sample_frac * _M32)
+    sample = df.filter(split_hash_col(id_col) < F.lit(thresh))
+    sel = kcenter_coreset(sample, k, vec_col, id_col, dp)
+    n_sample = sample.count()
+    chosen = [int(r[id_col]) for r in sel.collect()]
+    center_rows = (
+        df.filter(F.col(id_col).isin(chosen))
+        .select(F.col(id_col).alias("vid"), micro_vec_col(vec_col, dp).alias("q"))
+        .collect()
+    )
+    by_id = {int(r["vid"]): [int(v) for v in r["q"]] for r in center_rows}
+    centers = [by_id[c] for c in chosen]  # selection order
+    return coverage_report(df, centers, vec_col, id_col, dp).select(
+        "n_points",
+        F.lit(int(n_sample)).cast("bigint").alias("n_sample"),
+        "max_radius_micro",
+        "sum_radius_micro",
+        "n_centers_used",
+    )
+
+
 def coverage_report(
     df: DataFrame,
     centers_micro: list[list[int]],

@@ -403,6 +403,27 @@ def test_coverage_report_consistent_with_selection(spark):
     assert 1 <= rep["n_centers_used"] <= k
 
 
+def test_kcenter_coverage_sampled_deterministic_and_consistent(spark):
+    rng = np.random.RandomState(13)
+    vecs = [(i, rng.uniform(-1, 1, 4).tolist()) for i in range(80)]
+    df = _vecs(spark, vecs)
+    a = CS.kcenter_coverage_sampled(df, k=3, sample_frac=0.5).collect()[0]
+    b = CS.kcenter_coverage_sampled(
+        df.repartition(7), k=3, sample_frac=0.5
+    ).collect()[0]
+    assert tuple(a) == tuple(b)  # stable under repartitioning
+    assert a["n_points"] == 80
+    assert 0 < a["n_sample"] < 80
+    assert a["max_radius_micro"] > 0
+    assert 1 <= a["n_centers_used"] <= 3
+    # (no ordering claim vs full-corpus greedy: greedy is a
+    # 2-approximation, so a sampled selection can legitimately cover
+    # the corpus BETTER than the exact trajectory — observed on this
+    # very fixture)
+    with pytest.raises(ValueError):
+        CS.kcenter_coverage_sampled(df, k=3, sample_frac=0.0)
+
+
 def test_coverage_report_argmin_ties_lowest_index(spark):
     df = _vecs(spark, [(0, [0.0, 0.0])])
     # two identical centers: the point must assign to index 0

@@ -4926,6 +4926,60 @@ def _q_bq_rerank_topk(spark, sf):
     return BQ.bq_rerank_topk(emb, thr, qvec, k=10, shortlist=50)
 
 
+def _q_bq_topk_batch(spark, sf):
+    """Batched BQ retrieval (operators/bq.bq_topk_batch): four query
+    vectors (vec_id % 125 == 0, first four by id) packed under the
+    corpus thresholds, every Hamming fold in ONE words scan, per-qid
+    row_number <= 5 with WindowGroupLimit partial top-k ahead of the
+    single qid exchange — the pure-codegen batch miner.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import bq as BQ
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    thr = BQ.train_bq(emb, dim=64)
+    qrows = (
+        emb.filter(F.col("vec_id") % 125 == 0)
+        .orderBy("vec_id")
+        .limit(4)
+        .collect()
+    )
+    queries = [
+        (int(r["vec_id"]), BQ.encode_query_bq(r["embedding"], thr))
+        for r in qrows
+    ]
+    return BQ.bq_topk_batch(BQ.bq_encode(emb, thr), queries, k=5)
+
+
+def _bq_topk_batch_sql(dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of _q_bq_topk_batch: the shared BQ word CTEs, the
+    same four queries selected by the same rule, Hamming per
+    (qid, vec) via one cross join, per-qid row_number <= k."""
+    from data_pengadaan_agent_spark.operators.bq import n_words
+
+    return f"""
+WITH {_bq_core_sql(dim)},
+qsel AS (
+  SELECT vec_id AS qid, w AS qw FROM words
+  WHERE vec_id % 125 = 0 ORDER BY vec_id LIMIT 4
+),
+pairs AS (
+  SELECT q.qid, words.vec_id,
+         CAST(list_sum(list_transform(range(1, {n_words(dim)} + 1),
+              t -> bit_count(xor(words.w[t], q.qw[t])))) AS BIGINT)
+           AS hamming
+  FROM words, qsel q
+),
+r AS (
+  SELECT qid, vec_id, hamming,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY hamming, vec_id) AS rk
+  FROM pairs
+)
+SELECT qid, CAST(rk AS INT) AS rank, vec_id, hamming
+FROM r WHERE rk <= {k}
+"""
+
+
 def _q_kcenter_coreset(spark, sf):
     """Greedy k-center coreset (operators/coreset, Gonzalez 1985):
     k=5 farthest-point selections over the exact BIGINT micro-unit
@@ -5816,11 +5870,13 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (the codegen-only compression tier, r13 pool), the BQ pair
     bq_topk / bq_rerank_topk (the 1-bit Hamming tier + its two-stage
     exact re-rank, r13 pool), kcenter_coreset (greedy farthest-point
-    selection on the exact integer micro grid, r13 pool), and
+    selection on the exact integer micro grid, r13 pool),
     kcenter_coverage (the sampled selection + one-scan full-corpus
-    coverage composition — the large-k 100 TB shape, r13 pool). The
-    r12 staging triage is recorded in NOTES ("Round 12 registration
-    triage")."""
+    coverage composition — the large-k 100 TB shape, r13 pool), and
+    bq_topk_batch (the pure-codegen batch miner: every Hamming fold
+    in one scan, WindowGroupLimit partial top-k ahead of the single
+    qid exchange, r13 pool). The r12 staging triage is recorded in
+    NOTES ("Round 12 registration triage")."""
     return {
         "dup_span_stats": _q_dup_span_stats,
         "lexical_diversity": _q_lexical_diversity,
@@ -5842,6 +5898,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_rerank_topk": _q_bq_rerank_topk,
         "kcenter_coreset": _q_kcenter_coreset,
         "kcenter_coverage": _q_kcenter_coverage,
+        "bq_topk_batch": _q_bq_topk_batch,
     }
 
 
@@ -5871,6 +5928,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "bq_rerank_topk": _bq_rerank_sql(dim=64, k=10, shortlist=50),
         "kcenter_coreset": _kcenter_sql(k=5, dim=64),
         "kcenter_coverage": _kcenter_coverage_sql(k=4, sample_frac=0.25),
+        "bq_topk_batch": _bq_topk_batch_sql(dim=64, k=5),
     }
 
 

@@ -388,6 +388,43 @@ def compact_bq_table(
     return before - _n_files(path)
 
 
+def bq_topk_batch(
+    codes_df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched multi-query Hamming retrieval — the batch-miner shape
+    every other retrieval family has (pq_adc_batch,
+    bm25_retrieval_batch, mine_hard_negatives), and the only one that
+    stays PURE codegen: all |Q| Hamming folds in one projection over
+    one words scan, exploded to (qid, hamming) rows, then per-qid
+    row_number <= k. Spark's WindowGroupLimit pushes a partial top-k
+    into each partition BEFORE the qid exchange, so the one shuffle
+    carries <= partitions x |Q| x k rows — never N x |Q|. Ties to the
+    lowest id. Returns (qid, rank, id, hamming)."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("bq_topk_batch: need at least one query")
+    structs = [
+        F.struct(
+            F.lit(int(qid)).cast("bigint").alias("qid"),
+            hamming_col(F.col("words"), qw).alias("hamming"),
+        )
+        for qid, qw in queries
+    ]
+    pairs = codes_df.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("p")
+    ).select(id_col, F.col("p.qid").alias("qid"), F.col("p.hamming").alias("hamming"))
+    w = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("qid", "rank", id_col, "hamming")
+    )
+
+
 def micro_l2_col(vec_col: str, query: Sequence[float], dp: int = 6):
     """Exact integer squared L2 on the micro-unit grid:
     q_i = floor(x_i * 10^dp + 0.5) as BIGINT (one multiply + one floor

@@ -124,6 +124,39 @@ def test_bq_rerank_exact_micro_l2(spark):
     assert got[0] == (1, 5, 0)
 
 
+def test_bq_topk_batch_equals_single_query_calls(spark):
+    """The batch miner is exactly |Q| single-query bq_topk calls in
+    one scan: per qid, identical (rank, id, hamming) rows; and the
+    executed plan carries the Partial WindowGroupLimit ahead of the
+    one qid exchange (the <= partitions x |Q| x k contract)."""
+    rng = np.random.RandomState(21)
+    vecs = [(i, rng.uniform(-1, 1, 8).tolist()) for i in range(50)]
+    df = _vecs(spark, vecs)
+    thr = BQ.train_bq(df, dim=8)
+    codes = BQ.bq_encode(df, thr)
+    queries = [
+        (vid, BQ.encode_query_bq(dict(vecs)[vid], thr)) for vid in (3, 17, 40)
+    ]
+    batch = BQ.bq_topk_batch(codes, queries, k=4)
+    got = {
+        qid: sorted(
+            (r["rank"], r["vec_id"], r["hamming"])
+            for r in batch.filter(F.col("qid") == qid).collect()
+        )
+        for qid, _ in queries
+    }
+    for qid, qw in queries:
+        single = sorted(
+            (r["rank"], r["vec_id"], r["hamming"])
+            for r in BQ.bq_topk(codes, qw, k=4).collect()
+        )
+        assert got[qid] == single, qid
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    with pytest.raises(ValueError):
+        BQ.bq_topk_batch(codes, [], k=4)
+
+
 def test_bq_rerank_shortlist_bounds_stage2(spark):
     # With shortlist=1, stage 2 sees only the Hamming-nearest point
     df = _vecs(spark, FIX)

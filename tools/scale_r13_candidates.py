@@ -79,7 +79,7 @@ def lap(fn, warm=True):
 
 results: dict[str, dict[int, float]] = {
     "bq_train": {}, "bq_encode": {}, "bq_topk": {},
-    "bq_rerank": {}, "kcenter_k5": {},
+    "bq_rerank": {}, "bq_batch8": {}, "kcenter_k5": {},
 }
 for k in SPANS:
     emb = spark.read.parquet(f"{ROOT}/emb_x{k}/embeddings.parquet").select(
@@ -102,6 +102,15 @@ for k in SPANS:
         lambda: BQ.bq_rerank_topk(emb, thr, qvec, k=10, shortlist=50).collect()
     )
     results["bq_rerank"][k] = t_rr
+    # batched miner with a FIXED |Q|=8: all Hamming folds in one scan,
+    # the partial WindowGroupLimit cuts each partition to |Q|*k before
+    # the single qid exchange
+    qrows = [
+        (int(r["vec_id"]), BQ.encode_query_bq(r["embedding"], thr))
+        for r in emb.filter(emb.vec_id % 250 == 0).limit(8).collect()
+    ]
+    t_b, _ = lap(lambda: BQ.bq_topk_batch(words, qrows, k=10).collect())
+    results["bq_batch8"][k] = t_b
     raw_b = sum(
         os.path.getsize(os.path.join(f"{ROOT}/emb_x{k}", f))
         for f in os.listdir(f"{ROOT}/emb_x{k}")

@@ -5836,6 +5836,104 @@ FROM agg
 """
 
 
+def _trgm_index_path(spark, sf):
+    """Shared ingest-once trigram index over documents (registry count
+    gates the rebuild, like the postings/gram-count indexes)."""
+    from data_pengadaan_agent_spark.operators import trgm as TG
+
+    docs = load_table(spark, sf, "documents")
+    path = _warehouse_path(spark, sf, "trgm_index")
+    try:
+        fresh = (
+            spark.read.parquet(f"{path}/docs").count() == docs.count()
+            and TG._read_meta(spark, path) == 64
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        TG.build_trgm_index(docs, path, n_buckets=64)
+    return path, docs
+
+
+def _q_trgm_search(spark, sf):
+    """Substring search through the MATERIALIZED trigram index
+    (operators/trgm.substring_search, pg_trgm re-expressed
+    Spark-first): pattern grams hash driver-side so the postings scan
+    carries a LITERAL bucket IN-list (PartitionFilters), candidates =
+    docs matching ALL pattern-gram hashes (lossless superset), one
+    exact contains() verification restores precision. The oracle twin
+    is the DIRECT substring scan — the certified equality IS the
+    index's correctness contract. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import trgm as TG
+
+    path, docs = _trgm_index_path(spark, sf)
+    return TG.substring_search(
+        spark, path, docs, ["window window", "scan merge part"]
+    )
+
+
+_TRGM_SEARCH_SQL = """
+WITH pats AS (
+  SELECT * FROM (VALUES ('window window'), ('scan merge part')) AS t(pattern)
+)
+SELECT pats.pattern, d.doc_id
+FROM documents d CROSS JOIN pats
+WHERE contains(lower(d.text), lower(pats.pattern))
+ORDER BY pats.pattern, d.doc_id
+"""
+
+
+def _q_trgm_similar(spark, sf):
+    """pg_trgm threshold similarity from the index alone
+    (operators/trgm.trgm_similar): sim_ppm = 1e6·|A∩B| DIV |A∪B| over
+    DISTINCT trigram sets, exact integer end to end; the intersection
+    folds from the hash-pruned postings slice, |A| off the registry —
+    no text scan at all. The twin recomputes the gram SETS from raw
+    text (no hash replay), so the hash-match also proves zero xxhash64
+    gram collisions on the fixture, the dup_spans discipline.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import trgm as TG
+
+    path, _ = _trgm_index_path(spark, sf)
+    return TG.trgm_similar(
+        spark, path, "the fast key order sort table scan merge",
+        min_sim_ppm=250_000,
+    )
+
+
+def _trgm_similar_sql(pattern: str, min_sim_ppm: int) -> str:
+    """DuckDB twin of _q_trgm_similar: distinct interior 3-grams of
+    lower(text), set intersection with the pattern's gram set, same
+    integer-DIV ppm. range(1, greatest(len-1, 1)) spells the same
+    short-string guard as char_grams' when() (DuckDB range is empty
+    when stop <= start; Spark sequence would DESCEND — the round-9
+    lesson lives on the Spark side)."""
+    return f"""
+WITH q AS (
+  SELECT DISTINCT substr(p, CAST(i AS INT), 3) AS g
+  FROM (SELECT lower('{pattern}') AS p),
+       unnest(range(1, greatest(len(p) - 1, 1))) AS u(i)
+),
+dg AS (
+  SELECT DISTINCT doc_id, substr(lt, CAST(i AS INT), 3) AS g
+  FROM (SELECT doc_id, lower(text) AS lt FROM documents),
+       unnest(range(1, greatest(len(lt) - 1, 1))) AS u(i)
+),
+nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q),
+it AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS inter
+  FROM dg JOIN q USING (g) GROUP BY doc_id
+)
+SELECT it.doc_id, it.inter, nd.n_grams,
+       CAST((1000000 * it.inter) // (nd.n_grams + nq.n_q - it.inter)
+            AS BIGINT) AS sim_ppm
+FROM it JOIN nd USING (doc_id) CROSS JOIN nq
+WHERE (1000000 * it.inter) // (nd.n_grams + nq.n_q - it.inter) >= {min_sim_ppm}
+ORDER BY sim_ppm DESC, it.doc_id
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -5899,6 +5997,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": _q_kcenter_coreset,
         "kcenter_coverage": _q_kcenter_coverage,
         "bq_topk_batch": _q_bq_topk_batch,
+        "trgm_search": _q_trgm_search,
+        "trgm_similar": _q_trgm_similar,
     }
 
 
@@ -5929,6 +6029,10 @@ def candidate_oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _kcenter_sql(k=5, dim=64),
         "kcenter_coverage": _kcenter_coverage_sql(k=4, sample_frac=0.25),
         "bq_topk_batch": _bq_topk_batch_sql(dim=64, k=5),
+        "trgm_search": _TRGM_SEARCH_SQL,
+        "trgm_similar": _trgm_similar_sql(
+            "the fast key order sort table scan merge", 250_000
+        ),
     }
 
 

@@ -1,0 +1,255 @@
+"""Trigram-index family: build → append → pruned substring/similarity
+search, with the repo's standard index invariants: the index path
+reproduces the direct scan EXACTLY (lossless-superset + verify), the
+query scan is partition-pruned to the pattern grams' buckets, appends
+are replay-safe and base-independent, audit/repair close the append
+crash window, and compaction is bit-identical."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import trgm as T
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _mini_corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "a quick brown dog naps"),
+        (3, "slow green turtle walks"),
+        (4, "THE QUICK BROWN FOX JUMPS"),  # case-folds equal to doc 1
+        (5, "xy"),  # shorter than the gram length: zero grams
+        (6, "quickest brownie recipe"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _direct(docs, pattern):
+    return sorted(
+        r["doc_id"]
+        for r in docs.filter(F.lower("text").contains(pattern.lower())).collect()
+    )
+
+
+def test_substring_search_matches_direct_scan(spark, tmp_path):
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    res = T.substring_search(spark, path, docs, ["quick brown", "TURTLE"])
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["pattern"], []).append(r["doc_id"])
+    assert sorted(got["quick brown"]) == _direct(docs, "quick brown") == [1, 2, 4]
+    assert sorted(got["TURTLE"]) == _direct(docs, "turtle") == [3]
+
+
+def test_substring_search_verification_kills_false_candidates(spark, tmp_path):
+    """'own fox' has grams {own, wn , n f, ' fo', fox} — docs 1 and 4
+    contain ALL of them ('brown fox') but doc 2 has own/wn only:
+    candidate superset shrinks to the exact answer. And a pattern
+    whose grams all exist corpus-wide but never contiguously must
+    return empty, proving verification is the exactness barrier."""
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    res = T.substring_search(spark, path, docs, ["own fox", "fox naps"])
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["pattern"], []).append(r["doc_id"])
+    assert sorted(got.get("own fox", [])) == [1, 4]
+    # 'fox' (docs 1,4) and ' naps' (doc 2) co-occur nowhere
+    assert got.get("fox naps") is None
+
+
+def test_substring_search_prunes_bucket_partitions(spark, tmp_path):
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    import re
+
+    plan = _plan(T.substring_search(spark, path, docs, ["quick brown"]))
+    m = re.search(r"PartitionFilters: \[bucket#\d+ IN \([\d,]+\)\]", plan)
+    assert m, f"pattern buckets must land in PartitionFilters; plan:\n{plan[:2000]}"
+    sim_plan = _plan(T.trgm_similar(spark, path, "quick brown", 1))
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \([\d,]+\)\]", sim_plan)
+
+
+def test_substring_search_rejects_sub_gram_pattern(spark, tmp_path):
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    with pytest.raises(ValueError, match="shorter than the gram"):
+        T.substring_search(spark, path, docs, ["ab"])
+    with pytest.raises(ValueError, match="at least one pattern"):
+        T.substring_search(spark, path, docs, [])
+
+
+def test_trgm_similar_exact_integer_scores(spark, tmp_path):
+    """Hand-checked similarity: pattern = doc 3's exact text gives
+    sim_ppm = 1e6 (identical gram sets); a disjoint pattern never
+    appears; scores are exact integer DIV."""
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    rows = T.trgm_similar(spark, path, "slow green turtle walks", 1).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[3]["sim_ppm"] == 1_000_000
+    assert by_id[3]["inter"] == by_id[3]["n_grams"]
+    for r in rows:
+        assert (
+            r["sim_ppm"]
+            == (1_000_000 * r["inter"]) // (r["n_grams"] + by_id[3]["n_grams"] - r["inter"])
+        )
+    assert T.trgm_similar(spark, path, "zzzzqqqq", 1).count() == 0
+    with pytest.raises(ValueError, match="min_sim_ppm"):
+        T.trgm_similar(spark, path, "slow green", 0)
+
+
+def test_append_replay_safe_and_base_independent(spark, tmp_path):
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    shard = spark.createDataFrame(
+        [(10, "quick brown bear growls"), (1, "the quick brown fox jumps")],
+        "doc_id LONG, text STRING",
+    )
+    assert T.append_trgm_index(shard, path) == 1  # doc 1 already registered
+    assert T.append_trgm_index(shard, path) == 0  # replay no-op
+    both = docs.unionByName(shard.filter(F.col("doc_id") == 10))
+    got = sorted(
+        r["doc_id"]
+        for r in T.substring_search(spark, path, both, ["quick brown"]).collect()
+    )
+    assert got == [1, 2, 4, 10]
+    assert T.audit_trgm_index(spark, path).count() == 0
+
+
+def test_audit_flags_lost_postings_and_repair_heals(spark, tmp_path, monkeypatch):
+    """Writer-failure injection replaying the append crash contract:
+    the registry commits, the postings write dies. The audit flags
+    exactly the shard ids (never the gram-less short doc), repair
+    re-grams exactly those docs, and post-repair answers equal a
+    never-crashed twin index."""
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    twin = str(tmp_path / "twin")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    T.build_trgm_index(docs, twin, n_buckets=8)
+    shard = spark.createDataFrame(
+        [(10, "quick brown bear growls"), (11, "ab")],
+        "doc_id LONG, text STRING",
+    )
+
+    import data_pengadaan_agent_spark.operators.trgm as tmod
+
+    real = tmod._gram_rows
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        postings, registry = real(*a, **k)
+
+        class Boom:
+            def __init__(self, df):
+                self._df = df
+
+            @property
+            def write(self):
+                raise RuntimeError("injected postings writer failure")
+
+            def __getattr__(self, name):
+                return getattr(self._df, name)
+
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return Boom(postings), registry
+        return postings, registry
+
+    monkeypatch.setattr(tmod, "_gram_rows", dying)
+    with pytest.raises(RuntimeError, match="injected"):
+        T.append_trgm_index(shard, path)
+    monkeypatch.undo()
+
+    flagged = {
+        (r["doc_id"], r["state"]) for r in T.audit_trgm_index(spark, path).collect()
+    }
+    assert flagged == {(10, "missing_postings")}  # 11 has zero grams: legit
+
+    # replay is a no-op (registry committed), so repair is the healer
+    assert T.append_trgm_index(shard, path) == 0
+    with pytest.raises(ValueError, match="missing flagged"):
+        T.repair_trgm_index(docs, path)  # source lacks doc 10
+    assert T.repair_trgm_index(docs.unionByName(shard), path) == 1
+    assert T.audit_trgm_index(spark, path).count() == 0
+    assert T.repair_trgm_index(shard, path) == 0  # clean audit: no-op
+
+    T.append_trgm_index(shard, twin)
+    both = docs.unionByName(shard)
+    for pat in ["quick brown", "bear"]:
+        a = sorted(map(tuple, T.substring_search(spark, path, both, [pat]).collect()))
+        b = sorted(map(tuple, T.substring_search(spark, twin, both, [pat]).collect()))
+        assert a == b and len(a) > 0
+
+
+def test_compact_bit_identical_and_refuses_dirty(spark, tmp_path):
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=4)
+    for i in range(3):
+        shard = spark.createDataFrame(
+            [(100 + i, f"quick brown shard {i} text")], "doc_id LONG, text STRING"
+        )
+        T.append_trgm_index(shard, path)
+    all_docs = docs.unionByName(
+        spark.createDataFrame(
+            [(100 + i, f"quick brown shard {i} text") for i in range(3)],
+            "doc_id LONG, text STRING",
+        )
+    )
+    before = sorted(
+        map(tuple, T.substring_search(spark, path, all_docs, ["quick brown"]).collect())
+    )
+    removed = T.compact_trgm_index(spark, path, target_files_per_bucket=1)
+    assert removed > 0
+    after = sorted(
+        map(tuple, T.substring_search(spark, path, all_docs, ["quick brown"]).collect())
+    )
+    assert before == after
+    # appends keep working post-compaction
+    assert (
+        T.append_trgm_index(
+            spark.createDataFrame([(200, "quick brown late")], "doc_id LONG, text STRING"),
+            path,
+        )
+        == 1
+    )
+
+
+def test_build_is_commit_marked_and_rejects_missing_meta(spark, tmp_path):
+    docs = _mini_corpus(spark)
+    path = str(tmp_path / "tidx")
+    T.build_trgm_index(docs, path, n_buckets=8)
+    # simulate a crash-before-commit: delete meta
+    import shutil
+
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="no readable meta"):
+        T.substring_search(spark, path, docs, ["quick brown"])
+    with pytest.raises(ValueError, match="no readable meta"):
+        T.append_trgm_index(docs, path)
+
+
+def test_char_grams_law(spark):
+    """The gram law: distinct, lowercased, interior 3-grams; short
+    strings yield EMPTY (not a descending-sequence artifact)."""
+    df = spark.createDataFrame(
+        [("Abcd",), ("ab",), ("",), ("aaaa",)], "text STRING"
+    )
+    got = [r["g"] for r in df.select(T.char_grams("text").alias("g")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["aaa"]  # set semantics: duplicate gram collapses

@@ -5934,6 +5934,55 @@ ORDER BY sim_ppm DESC, it.doc_id
 """
 
 
+def _q_fuzzy_dup_pairs(spark, sf):
+    """Typo-tier dedup via PassJoin pigeonhole blocking
+    (operators/fuzzy.fuzzy_dup_pairs, Li et al. VLDB 2011): corpus =
+    24-char lowered prefixes of the doc_id<8000 %8 slice plus a
+    1-substitution variant of each (+1000000) — every base/variant
+    pair is a planted distance-1 hit, organic identical prefixes land
+    at distance 0. Candidates come from the segment equi-join (never
+    all-pairs); the twin IS the brute-force band join — an independent
+    implementation, so the equality certifies the pigeonhole
+    completeness lemma on real data. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import fuzzy as FZ
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.filter((F.col("doc_id") < 8000) & (F.col("doc_id") % 8 == 0)).select(
+        "doc_id", F.expr("substring(lower(text), 1, 24)").alias("nm")
+    )
+    variant = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(nm, 1, 4)"), F.lit("q"), F.expr("substring(nm, 6)")
+        ).alias("nm"),
+    )
+    return FZ.fuzzy_dup_pairs(
+        base.unionByName(variant), max_dist=1, text_col="nm", id_col="doc_id"
+    )
+
+
+_FUZZY_DUP_PAIRS_SQL = """
+WITH base AS (
+  SELECT doc_id, substr(lower(text), 1, 24) AS nm
+  FROM documents WHERE doc_id < 8000 AND doc_id % 8 = 0
+),
+u AS (
+  SELECT doc_id, nm FROM base
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(nm, 1, 4) || 'q' || substr(nm, 6) AS nm
+  FROM base
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM u a JOIN u b
+  ON a.doc_id < b.doc_id
+ AND abs(len(a.nm) - len(b.nm)) <= 1
+WHERE levenshtein(a.nm, b.nm) <= 1
+ORDER BY a_id, b_id
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -5999,6 +6048,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_topk_batch": _q_bq_topk_batch,
         "trgm_search": _q_trgm_search,
         "trgm_similar": _q_trgm_similar,
+        "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
     }
 
 
@@ -6033,6 +6083,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "trgm_similar": _trgm_similar_sql(
             "the fast key order sort table scan merge", 250_000
         ),
+        "fuzzy_dup_pairs": _FUZZY_DUP_PAIRS_SQL,
     }
 
 

@@ -5983,6 +5983,36 @@ ORDER BY a_id, b_id
 """
 
 
+def _q_weighted_sample(spark, sf):
+    """Sequential Poisson sampling (operators/sampling.weighted_sample,
+    Ohlsson 1998): keep the 100 documents with the smallest
+    knuth_hash(id)/n_chars priority keys — selection probability
+    proportional to length, membership a pure function of (id, weight).
+    Cross-engine equality is STRUCTURAL (one exact int→double
+    conversion + one IEEE division, ties broken by id identically), so
+    the boundary needs no margin probe — a tie cannot reorder.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf, "documents")
+    return SA.weighted_sample(docs, "n_chars", 100).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("weight")
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+FROM k ORDER BY key ASC, doc_id ASC LIMIT 100
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6049,6 +6079,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trgm_search": _q_trgm_search,
         "trgm_similar": _q_trgm_similar,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -6084,6 +6115,7 @@ def candidate_oracle_sql() -> dict[str, str]:
             "the fast key order sort table scan merge", 250_000
         ),
         "fuzzy_dup_pairs": _FUZZY_DUP_PAIRS_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     }
 
 

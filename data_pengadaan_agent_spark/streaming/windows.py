@@ -673,3 +673,61 @@ def foreach_batch_ivfpq_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_trgm_sink(
+    stream_df,
+    index_path: str,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming substring-search-index ingest — the SIXTH streaming
+    form: each micro-batch of documents is appended to a maintained
+    trigram index (``trgm.append_trgm_index``: frozen gram law,
+    registry-first crash contract, existing partitions never
+    rescanned), and the batch's rows are acknowledged to an
+    epoch-stamped parquet log with their distinct-gram counts. New
+    docs are searchable by ``trgm.substring_search`` /
+    ``trgm.trgm_similar`` as soon as their trigger commits — the
+    streaming half of the index lifecycle, exactly the
+    ``foreach_batch_ivfpq_sink`` shape on the lexical side.
+
+    Replay safety rides the index's own registry-first contract, not
+    sink bookkeeping: a replayed epoch's ids are already registered,
+    so the append is a no-op; the ack rewrite is idempotent
+    (epoch-partitioned dynamic overwrite). First-wins across
+    triggers: a doc_id seen in an earlier epoch is never re-grammed.
+    The one crash window is the index's own (registry committed,
+    postings lost) — flagged by ``trgm.audit_trgm_index``, healed by
+    ``trgm.repair_trgm_index``. The ack is AT-LEAST-ONCE: rejected
+    later-epoch duplicates still ack (the log answers "what arrived
+    when", the registry answers "what the index holds").
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import trgm as TG
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if b.isEmpty():
+            return
+        TG.append_trgm_index(b, index_path, text_col=text_col, id_col=id_col)
+        ack = b.select(
+            F.col(id_col),
+            F.size(TG.char_grams(text_col)).cast("bigint").alias("n_grams"),
+        )
+        (
+            ack.withColumn("_epoch", F.lit(epoch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

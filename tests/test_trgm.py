@@ -253,3 +253,70 @@ def test_char_grams_law(spark):
     assert got[0] == ["abc", "bcd"]
     assert got[1] == [] and got[2] == []
     assert got[3] == ["aaa"]  # set semantics: duplicate gram collapses
+
+
+def test_streaming_trgm_sink_matches_batch_appends(spark, tmp_path):
+    """The sixth streaming form: file-per-trigger ingest into a
+    maintained trigram index equals the batch append sequence
+    (first-wins duplicate rejected, audit clean, new docs immediately
+    searchable), and the at-least-once epoch ack logs every arrival."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    docs = _mini_corpus(spark)
+    streamed, batched = str(tmp_path / "s_idx"), str(tmp_path / "b_idx")
+    T.build_trgm_index(docs, streamed, n_buckets=8)
+    T.build_trgm_index(docs, batched, n_buckets=8)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shard1 = [(100, "quick brown bear growls"), (101, "purple monkey dishwasher")]
+    shard2 = [(101, "REPLAYED TEXT IGNORED"), (102, "quick brown badger digs")]
+
+    def write_file(name, rows, mtime):
+        tbl = pa.table({
+            "doc_id": pa.array([i for i, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        })
+        p = os.path.join(src, name)
+        papq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    write_file("f1.parquet", shard1, 1_700_000_000)
+    write_file("f2.parquet", shard2, 1_700_000_100)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = SW.foreach_batch_trgm_sink(
+        stream, streamed, str(tmp_path / "ack"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    sh1 = spark.createDataFrame(shard1, "doc_id LONG, text STRING")
+    sh2 = spark.createDataFrame(shard2, "doc_id LONG, text STRING")
+    T.append_trgm_index(sh1, batched)
+    T.append_trgm_index(sh2, batched)
+
+    all_docs = docs.unionByName(sh1).unionByName(
+        sh2.filter(F.col("doc_id") == 102)
+    )
+    for pat in ["quick brown", "monkey dish"]:
+        a = sorted(map(tuple, T.substring_search(spark, streamed, all_docs, [pat]).collect()))
+        b = sorted(map(tuple, T.substring_search(spark, batched, all_docs, [pat]).collect()))
+        assert a == b and len(a) > 0
+    # first-wins: 101's replay text was never indexed
+    assert (
+        T.substring_search(spark, streamed, all_docs, ["replayed text"]).count() == 0
+    )
+    assert T.audit_trgm_index(spark, streamed).count() == 0
+    acks = spark.read.parquet(str(tmp_path / "ack"))
+    assert acks.select("_epoch").distinct().count() == 2
+    assert acks.filter(F.col("doc_id") == 101).count() == 2  # at-least-once

@@ -6013,6 +6013,46 @@ FROM k ORDER BY key ASC, doc_id ASC LIMIT 100
 """
 
 
+def _q_heavy_hitters(spark, sf):
+    """Exact bounded-memory top-k frequency (operators/heavy.
+    heavy_hitters — Misra-Gries candidates + exact recount, Agarwal
+    et al. PODS 2012 merge/prune form): token frequencies over the
+    corpus, k=10 at capacity 4096. The twin is the full GROUP BY —
+    when the exact-integer certification holds (it does on every
+    fixture SF), the sketch path must reproduce it bit-for-bit; the
+    sketch-pass pruning itself is pinned by adversarial pytest
+    fixtures (5000-value tails, 3-partition layouts).
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import heavy as HH
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("value"))
+    return HH.heavy_hitters(toks, "value", k=10, capacity=4096)
+
+
+_HEAVY_HITTERS_SQL = f"""
+WITH t AS (
+  SELECT unnest({_DUCK_TOKS}) AS value FROM documents
+),
+c AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS cnt
+  FROM t WHERE value IS NOT NULL GROUP BY value
+),
+top AS (
+  SELECT value, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, value) AS INT) AS rank
+  FROM c ORDER BY cnt DESC, value LIMIT 10
+),
+s AS (SELECT min(cnt) AS minc, count(*) AS nrows FROM top),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t WHERE value IS NOT NULL)
+SELECT top.value, top.cnt, top.rank,
+       CASE WHEN s.nrows = 10 THEN s.minc * 4097 > n.n_total
+            ELSE 4097 > n.n_total END AS certified
+FROM top, s, n
+ORDER BY rank
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6080,6 +6120,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trgm_similar": _q_trgm_similar,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "weighted_sample": _q_weighted_sample,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -6116,6 +6157,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         ),
         "fuzzy_dup_pairs": _FUZZY_DUP_PAIRS_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
     }
 
 

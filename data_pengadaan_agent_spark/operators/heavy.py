@@ -1,0 +1,126 @@
+"""Exact heavy hitters with bounded memory: Misra-Gries candidates +
+exact recount.
+
+``value_counts`` + top-k is exact but shuffles EVERY distinct key —
+at 100 TB a high-cardinality column (URLs, user ids, n-grams) makes
+that exchange the job. The classic two-pass answer (Misra-Gries 1982;
+merge/prune form from Agarwal et al., "Mergeable Summaries", PODS
+2012):
+
+1. **Sketch pass**: each partition folds its Arrow batches into a
+   Misra-Gries summary of ``capacity`` counters (vectorized
+   ``value_counts`` per batch, then the prune-to-capacity merge:
+   subtract the (capacity+1)-th largest count, keep positives). The
+   mergeable-summaries bound: any value with GLOBAL count
+   > N/(capacity+1) survives in at least one partition's summary —
+   pigeonhole over partitions, so the union of survivors is a
+   guaranteed candidate superset of every sufficiently-heavy value.
+2. **Recount pass**: exact counts of ONLY the candidate keys (a
+   broadcast semi-join gates the scan, so the one exchange carries
+   candidate-key rows, never the full key space), then top-k by
+   (count DESC, value ASC).
+
+The OUTPUT is exact and deterministic whenever the certification
+holds: ``certified`` = (k-th count) · (capacity+1) > N, an exact
+integer comparison meaning no pruned value could reach the top-k —
+then the result equals the full GROUP BY's top-k bit-for-bit (the
+oracle twin IS that full group-by). When certified is false the
+result is "top-k among candidates" and the caller should re-run with
+a larger capacity; the sketch-pass candidate SET may vary with
+partitioning, so only certified results are contractually
+deterministic. NULLs are excluded (they are not a value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SUPPORTED = ("string", "int", "bigint", "smallint", "tinyint", "long")
+
+
+def _mg_kernel(col_name: str, capacity: int):
+    def fold(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[col_name].dropna().value_counts()
+            for val, cnt in vc.items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            if len(counters) > capacity:
+                # prune-to-capacity merge (Agarwal et al. 2012):
+                # subtract the (capacity+1)-th largest count from all,
+                # keep positives — at most `capacity` survive, and the
+                # total undercount charged to any single value stays
+                # <= n_partition/(capacity+1)
+                pivot = sorted(counters.values(), reverse=True)[capacity]
+                counters = {v: c - pivot for v, c in counters.items() if c > pivot}
+        if counters:
+            yield pd.DataFrame({"value": list(counters.keys())})
+
+    return fold
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Top-``k`` most frequent values of ``col`` (see module
+    docstring): MG sketch pass for a guaranteed candidate superset,
+    broadcast-semi-join-gated exact recount, (count DESC, value ASC)
+    ranking, and the exact-integer ``certified`` verdict column.
+    Returns (value, cnt, rank, certified)."""
+    if k < 1:
+        raise ValueError("heavy_hitters: k must be >= 1")
+    if capacity < k:
+        raise ValueError("heavy_hitters: capacity must be >= k (the "
+                         "certification can never hold below it)")
+    dtype = dict(df.dtypes).get(col)
+    if dtype not in _SUPPORTED:
+        raise ValueError(
+            f"heavy_hitters: column {col!r} has type {dtype!r}; supported "
+            f"types are {_SUPPORTED} (float keys don't have exact equality "
+            "semantics; cast or bucket them first)"
+        )
+    vals = df.select(F.col(col)).filter(F.col(col).isNotNull())
+    cand = (
+        vals.mapInPandas(_mg_kernel(col, int(capacity)), schema=f"value {dtype}")
+        .distinct()
+    )
+    counted = (
+        vals.join(F.broadcast(cand), vals[col] == cand["value"], "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc(col))
+    top = (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+    n_total = int(vals.count())
+    # exact integer certification, ONE verdict stamped on every row:
+    # a pruned (non-candidate) value has count <= N/(capacity+1), so
+    # the result is provably the true top-k iff the k-th candidate
+    # count strictly beats that bound — and if fewer than k candidates
+    # exist, only the degenerate "nothing could have been pruned"
+    # bound (capacity+1 > N) certifies.
+    stats = top.agg(
+        F.min("cnt").alias("_minc"), F.count(F.lit(1)).alias("_nrows")
+    )
+    cert = F.when(
+        F.col("_nrows") == int(k),
+        F.col("_minc") * F.lit(int(capacity) + 1) > F.lit(n_total),
+    ).otherwise(F.lit(int(capacity) + 1 > n_total))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(col).alias("value"),
+            "cnt",
+            F.col("rank").cast("int").alias("rank"),
+            cert.alias("certified"),
+        )
+        .orderBy("rank")
+    )

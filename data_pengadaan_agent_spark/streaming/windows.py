@@ -731,3 +731,37 @@ def foreach_batch_trgm_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_distinct_cube_sink(
+    stream_df,
+    cube_path: str,
+    checkpoint: str,
+):
+    """Streaming distinct-count ingest — the SEVENTH streaming form,
+    and the one with the cleanest replay story in the repo: each
+    micro-batch is sketched per group and appended to the HLL cube
+    (``sketchcube.append_distinct_cube``), and because HLL union is
+    idempotent (union(s, s) = s), a replayed epoch, a crash between
+    append and checkpoint commit, or any at-least-once duplication
+    converges to BIT-IDENTICAL estimates — exactly-once semantics for
+    every ``distinct_rollup`` answer with zero bookkeeping: no
+    registry, no ack log, no commit marker. (The cube's n_rows column
+    keeps at-least-once arrival counts, documented there.) Rollups
+    are readable mid-stream; estimates only ever grow toward the
+    union of everything ingested.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import sketchcube as SC
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        SC.append_distinct_cube(batch_df, cube_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -141,3 +141,56 @@ def test_validation_and_meta_contract(spark, tmp_path):
         SC.distinct_rollup(spark, path)
     with pytest.raises(ValueError, match="no readable meta"):
         SC.append_distinct_cube(ev, path)
+
+
+def test_streaming_cube_sink_estimates_equal_batch(spark, tmp_path):
+    """The seventh streaming form: file-per-trigger ingest into the
+    cube gives the same estimates as a from-scratch build over
+    everything — idempotent-union replay semantics end to end."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    ev = _events(spark, n=200, users=23)
+    path, full = str(tmp_path / "cube"), str(tmp_path / "full")
+    SC.build_distinct_cube(ev, path, dims=["typ", "day"], key_col="user")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    shards = [
+        [(9_000 + i, f"s1u{i % 7}", "view", "2024-03-01") for i in range(30)],
+        [(9_100 + i, f"s2u{i % 9}", "click", "2024-03-02") for i in range(40)],
+    ]
+    for n, (rows, mtime) in enumerate(zip(shards, (1_700_000_000, 1_700_000_100))):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user": pa.array([r[1] for r in rows], pa.string()),
+            "typ": pa.array([r[2] for r in rows], pa.string()),
+            "day": pa.array([r[3] for r in rows], pa.string()),
+        })
+        p = os.path.join(src, f"f{n}.parquet")
+        papq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("event_id long, user string, typ string, day string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    q = SW.foreach_batch_distinct_cube_sink(stream, path, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    everything = ev.unionByName(
+        spark.createDataFrame(
+            [r for rows in shards for r in rows],
+            "event_id LONG, user STRING, typ STRING, day STRING",
+        )
+    )
+    SC.build_distinct_cube(everything, full, dims=["typ", "day"], key_col="user")
+    for gb in (["typ", "day"], ["typ"], []):
+        assert _rollup(spark, path, gb) == _rollup(spark, full, gb)

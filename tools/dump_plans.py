@@ -80,6 +80,11 @@ HEADLINERS = {
     "bq_topk": "1-bit Hamming retrieval: integer bit_count(xor) codegen fold over 16-byte word rows, TakeOrderedAndProject",
     "bq_rerank_topk": "two-stage BQ: Hamming TakeOrdered cuts a 50-row shortlist, exact micro-unit L2 re-ranks only those rows",
     "kcenter_coreset": "greedy k-center trajectory: k-1 literal-center codegen folds, each pass one TakeOrdered(1), state checkpointed flat",
+    "trgm_search": "trigram index: literal bucket+hash IN-lists prune the postings scan, ALL-grams count filter, broadcast candidate verify against the doc table",
+    "trgm_similar": "index-only set similarity: hash-pruned postings fold + registry join, exact integer ppm, no text scan anywhere",
+    "fuzzy_dup_pairs": "PassJoin: segment/probe equi-join (never cartesian), distinct pair cut, one banded levenshtein per candidate",
+    "weighted_sample": "sequential Poisson: one scan, TakeOrderedAndProject on the hash/weight key — no global sort",
+    "heavy_hitters": "MG sketch pass (Arrow kernel), broadcast semi-join gates the exact recount — the exchange carries candidate-key rows only",
 }
 
 

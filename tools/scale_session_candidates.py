@@ -144,5 +144,35 @@ lap("fuzzy_dup_pairs", lambda k: FZ.fuzzy_dup_pairs(
 lap("weighted_sample", lambda k: SA.weighted_sample(
     docs[k], "n_chars", 1000).count())
 
+# --- heavy hitters: token frequencies, the high-cardinality shape ---
+from data_pengadaan_agent_spark.operators import heavy as HH  # noqa: E402
+from data_pengadaan_agent_spark.operators import textan as X  # noqa: E402
+
+# the mutated-replica fixture is ideal here: each replica suffixes
+# every token with a hash char, so the vocabulary GROWS ~linearly with
+# the span (x64 ≈ 2.5k distinct/replica) while the planted base tokens
+# stay globally heavy — real pruning pressure at capacity 1024
+lap("heavy_hitters", lambda k: HH.heavy_hitters(
+    docs[k].select(F.explode(X.tokens("text")).alias("v")),
+    "v", k=10, capacity=1024).count())
+
+# --- sketch cube: build per span; rollup reads cube rows only ---
+from data_pengadaan_agent_spark.operators import sketchcube as SC  # noqa: E402
+
+CUBE = {k: f"{ROOT}/cube_x{k}" for k in SPANS}
+
+
+def _cube_build(k):
+    shutil.rmtree(CUBE[k], ignore_errors=True)
+    SC.build_distinct_cube(
+        docs[k].select("doc_id", "lang", "source"),
+        CUBE[k], dims=["lang", "source"], key_col="doc_id",
+    )
+    return k
+
+
+lap("cube_build", _cube_build, warm=False)
+lap("cube_rollup", lambda k: SC.distinct_rollup(spark, CUBE[k], ["lang"]).count())
+
 print({n: v for n, v in res.items()}, flush=True)
 spark.stop()

@@ -6053,6 +6053,76 @@ ORDER BY rank
 """
 
 
+def _q_hist_quantiles(spark, sf):
+    """Composable quantiles from the mergeable histogram cube
+    (operators/histcube): p50/p99 bins of event value per event_type,
+    exact integer end to end — bin counts add, so the cube rolls up
+    and appends where raw quantiles cannot. Geometry [0, 500)×50
+    clamps the fixture's >500 tail into the top bin (the escape-mass
+    contract, exercised at sf0.01/0.1). Bucketing is one subtraction +
+    one division + floor on bit-identical doubles — the structural
+    determinism class. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import histcube as HC
+
+    ev = load_table(spark, sf, "events")
+    path = _warehouse_path(spark, sf, "hist_cube")
+    expected = ev.filter(F.col("value").isNotNull()).count()
+    try:
+        fresh = (
+            HC._read_meta(spark, path) == (["event_type"], "value", 0.0, 500.0, 50)
+            and spark.read.parquet(f"{path}/cube")
+            .agg(F.sum("cnt"))
+            .collect()[0][0]
+            == expected
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        HC.build_hist_cube(
+            ev, path, dims=["event_type"], value_col="value",
+            lo=0.0, hi=500.0, n_bins=50,
+        )
+    return HC.hist_quantile_bins(
+        spark, path, ["event_type"], [500_000, 990_000]
+    )
+
+
+_HIST_QUANTILES_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(greatest(0, least(49,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS BIGINT)
+         )) AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM c
+),
+q AS (SELECT CAST(unnest([500000, 990000]) AS INT) AS q_ppm),
+hit AS (
+  SELECT event_type, q_ppm, bin, cum_cnt, total,
+         row_number() OVER (PARTITION BY event_type, q_ppm
+                            ORDER BY bin) AS rk
+  FROM cum, q
+  WHERE cum_cnt * 1000000 >= q_ppm * total
+)
+SELECT event_type, q_ppm, bin,
+       CAST(0.0 AS DOUBLE) + bin * CAST(10.0 AS DOUBLE) AS bin_lo,
+       CAST(0.0 AS DOUBLE) + (bin + 1) * CAST(10.0 AS DOUBLE) AS bin_hi,
+       cum_cnt, total
+FROM hit WHERE rk = 1
+ORDER BY event_type, q_ppm
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6121,6 +6191,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "weighted_sample": _q_weighted_sample,
         "heavy_hitters": _q_heavy_hitters,
+        "hist_quantiles": _q_hist_quantiles,
     }
 
 
@@ -6158,6 +6229,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "fuzzy_dup_pairs": _FUZZY_DUP_PAIRS_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "hist_quantiles": _HIST_QUANTILES_SQL,
     }
 
 

@@ -765,3 +765,35 @@ def foreach_batch_distinct_cube_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_hist_cube_sink(
+    stream_df,
+    cube_path: str,
+    checkpoint: str,
+):
+    """Streaming quantile-cube ingest — the EIGHTH streaming form:
+    each micro-batch is bucketed under the cube's frozen bin geometry
+    and appended (``histcube.append_hist_cube``). Counts ADD, so
+    unlike the HLL cube replay is not algebraically free — instead the
+    epoch id IS the batch-registry key: a replayed epoch finds its id
+    registered and appends nothing, giving exactly-once bin counts on
+    top of Structured Streaming's at-least-once foreachBatch. The one
+    crash window (registry committed, cube rows lost) under-counts
+    that epoch only and is the documented histcube retry contract.
+    Quantile rollups are readable mid-stream.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import histcube as HC
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        HC.append_hist_cube(batch_df, cube_path, batch_id=f"epoch_{epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

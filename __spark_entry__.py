@@ -6123,6 +6123,51 @@ ORDER BY event_type, q_ppm
 """
 
 
+def _q_exact_quantiles(spark, sf):
+    """Exact distributed quantile VALUES by iterative histogram
+    refinement (operators/selection.exact_quantiles — the
+    distributed-selection classic): p50/p99 of event value per
+    event_type, nearest-rank, with NO per-group global sort — each
+    pass is one scan folding to ≤ groups·|q|·n_bins counter rows, the
+    range narrows ~n_bins× per pass, and only the residual slice is
+    ever sorted. Slices narrow to OBSERVED bin extremes (inclusive),
+    so float rounding at arithmetic bin edges can never leak a
+    counted row out of the slice. The twin computes the same
+    nearest-rank definition by direct per-group ranking — value-exact
+    equality, doubles straight from the data. ROUND-13-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import selection as SEL
+
+    ev = load_table(spark, sf, "events")
+    return SEL.exact_quantiles(
+        ev, "event_type", "value", [500_000, 990_000], n_bins=64, max_passes=8
+    )
+
+
+_EXACT_QUANTILES_SQL = """
+WITH t AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY g),
+r AS (
+  SELECT g, v,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn
+  FROM t
+),
+q AS (SELECT CAST(unnest([500000, 990000]) AS INT) AS q_ppm),
+tgt AS (
+  SELECT n.g, q.q_ppm,
+         (CAST(q.q_ppm AS BIGINT) * n.n + 999999) // 1000000 AS rank, n.n
+  FROM n, q
+)
+SELECT tgt.g AS event_type, tgt.q_ppm, r.v AS value,
+       CAST(tgt.rank AS BIGINT) AS rank, tgt.n
+FROM tgt JOIN r ON r.g = tgt.g AND r.rn = tgt.rank
+ORDER BY event_type, q_ppm
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6192,6 +6237,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "heavy_hitters": _q_heavy_hitters,
         "hist_quantiles": _q_hist_quantiles,
+        "exact_quantiles": _q_exact_quantiles,
     }
 
 
@@ -6230,6 +6276,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "hist_quantiles": _HIST_QUANTILES_SQL,
+        "exact_quantiles": _EXACT_QUANTILES_SQL,
     }
 
 

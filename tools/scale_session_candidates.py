@@ -174,5 +174,39 @@ def _cube_build(k):
 lap("cube_build", _cube_build, warm=False)
 lap("cube_rollup", lambda k: SC.distinct_rollup(spark, CUBE[k], ["lang"]).count())
 
+# --- histogram cube: build per span; quantile rollup reads cube rows ---
+from data_pengadaan_agent_spark.operators import histcube as HC  # noqa: E402
+
+HCUBE = {k: f"{ROOT}/hcube_x{k}" for k in SPANS}
+
+
+def _hcube_build(k):
+    shutil.rmtree(HCUBE[k], ignore_errors=True)
+    HC.build_hist_cube(
+        docs[k].select("doc_id", "lang", "n_chars"),
+        HCUBE[k], dims=["lang"], value_col="n_chars", lo=0.0, hi=600.0, n_bins=60,
+    )
+    return k
+
+
+lap("hcube_build", _hcube_build, warm=False)
+lap(
+    "hcube_quantiles",
+    lambda k: HC.hist_quantile_bins(
+        spark, HCUBE[k], ["lang"], [500_000, 990_000]
+    ).count(),
+)
+
+# --- exact quantile selection: P scans replace the per-group sort ---
+from data_pengadaan_agent_spark.operators import selection as SEL  # noqa: E402
+
+lap(
+    "exact_quantiles",
+    lambda k: SEL.exact_quantiles(
+        docs[k].select("lang", F.col("n_chars").cast("double").alias("v")),
+        "lang", "v", [500_000, 990_000], n_bins=64,
+    ).count(),
+)
+
 print({n: v for n, v in res.items()}, flush=True)
 spark.stop()

@@ -6168,6 +6168,48 @@ ORDER BY event_type, q_ppm
 """
 
 
+def _q_skyline(spark, sf):
+    """2-D skyline / pareto front (operators/relational.skyline_2d,
+    Börzsönyi et al. ICDE 2001): the maximal (value, props-length)
+    events of the %50 slice. Distributed shape: distinct-x collapse →
+    range-partitioned LOCAL running max + a numPartitions-row
+    boundary-prefix broadcast — never the textbook one-partition
+    global window. Twin is the definitional NOT EXISTS dominance test
+    (independent implementation) on the parameter-bounded slice.
+    ROUND-13-pool candidate."""
+    ev = load_table(spark, sf, "events")
+    pts = ev.filter(
+        (F.col("event_id") % 50 == 0)
+        & F.col("value").isNotNull()
+        & F.col("props").isNotNull()
+    ).select(
+        "event_id",
+        F.col("value").cast("double").alias("x"),
+        F.length("props").cast("bigint").alias("y"),
+    )
+    return (
+        R.skyline_2d(pts, "x", "y")
+        .select("event_id", "x", "y")
+        .orderBy("event_id")
+    )
+
+
+_SKYLINE_SQL = """
+WITH p AS (
+  SELECT event_id, CAST(value AS DOUBLE) AS x,
+         CAST(len(props) AS BIGINT) AS y
+  FROM events
+  WHERE event_id % 50 = 0 AND value IS NOT NULL AND props IS NOT NULL
+)
+SELECT a.event_id, a.x, a.y FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y)
+)
+ORDER BY a.event_id
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6238,6 +6280,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "hist_quantiles": _q_hist_quantiles,
         "exact_quantiles": _q_exact_quantiles,
+        "skyline": _q_skyline,
     }
 
 
@@ -6277,6 +6320,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "heavy_hitters": _HEAVY_HITTERS_SQL,
         "hist_quantiles": _HIST_QUANTILES_SQL,
         "exact_quantiles": _EXACT_QUANTILES_SQL,
+        "skyline": _SKYLINE_SQL,
     }
 
 

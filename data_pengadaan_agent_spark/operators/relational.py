@@ -1189,3 +1189,68 @@ def embedding_qa(
             .alias("mean_norm"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """2-D skyline (pareto front, maximize both axes): rows for which
+    no other row is >= on both columns and > on at least one — the
+    classic multi-criteria OLAP operator ("cheapest AND newest",
+    Börzsönyi et al., ICDE 2001). NULLs in either column are excluded
+    (they cannot be compared).
+
+    Distributed shape — deliberately NOT the textbook single sort +
+    global running max, whose window is a one-partition bottleneck at
+    scale. Instead:
+
+    1. collapse to distinct x with max(y) (one hash shuffle — the
+       skyline of the collapsed set equals the skyline of the data);
+    2. RANGE-partition by x descending; each partition computes its
+       LOCAL running max with a window PARTITIONED by the range id
+       (parallel, no global window);
+    3. the cross-partition correction is a per-partition max summary —
+       numPartitions rows collected, prefix-maxed on the driver, and
+       broadcast back (the kmeans parameter-sized-driver-state
+       contract): a point survives iff its y strictly beats both the
+       local running max and every higher-x partition's max.
+    4. a final left-semi join returns the ORIGINAL rows whose (x, y)
+       is a skyline point (duplicate skyline points all survive —
+       neither copy strictly dominates the other).
+    """
+    pts = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    dx = pts.groupBy(F.col(x_col).alias("_x")).agg(
+        F.max(F.col(y_col)).alias("_my")
+    )
+    dxp = dx.repartitionByRange(int(n_partitions), F.desc("_x")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    summ = sorted(
+        dxp.groupBy("_pid").agg(F.max("_my").alias("_pmax")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    spark = df.sparkSession
+    prefix_rows, run = [], None
+    for r in summ:  # pid 0 holds the LARGEST x (desc range partitioner)
+        prefix_rows.append((int(r["_pid"]), run))
+        run = r["_pmax"] if run is None else max(run, r["_pmax"])
+    ytype = dict(dx.dtypes)["_my"]
+    pref = F.broadcast(
+        spark.createDataFrame(prefix_rows, f"_pid int, _pref {ytype}")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        dxp.join(pref, "_pid", "left")
+        .withColumn("_lm", F.max("_my").over(w))
+        .withColumn("_bound", F.greatest("_lm", "_pref"))
+        .filter(F.col("_bound").isNull() | (F.col("_my") > F.col("_bound")))
+        .select(F.col("_x").alias(x_col), F.col("_my").alias(y_col))
+    )
+    return df.join(sky, [x_col, y_col], "left_semi")

@@ -139,3 +139,49 @@ def test_validation(spark):
         FZ.fuzzy_dup_pairs(df, max_dist=0)
     with pytest.raises(ValueError, match="max_dist"):
         FZ.fuzzy_join(df, df, max_dist=0)
+
+
+def _sky_brute(rows):
+    out = set()
+    for i, (ix, iy) in enumerate(rows):
+        if ix is None or iy is None:
+            continue
+        dominated = any(
+            jx >= ix and jy >= iy and (jx > ix or jy > iy)
+            for j, (jx, jy) in enumerate(rows)
+            if j != i and jx is not None and jy is not None
+        )
+        if not dominated:
+            out.add((ix, iy))
+    return out
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    from data_pengadaan_agent_spark.operators import relational as R
+
+    pts = []
+    for i in range(400):
+        h = (i * 2654435761) % (1 << 32)
+        pts.append((float(h % 97), float((h >> 8) % 89)))
+    pts += [(96.0, 88.0)] * 2  # duplicate maximal point: both rows survive
+    pts += [(None, 5.0), (5.0, None)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "id LONG, x DOUBLE, y DOUBLE"
+    )
+    got = [(r["x"], r["y"]) for r in R.skyline_2d(df, "x", "y", n_partitions=7).collect()]
+    want = _sky_brute(pts)
+    assert set(got) == want
+    # duplicates of a skyline point are ALL returned
+    assert got.count((96.0, 88.0)) == 2
+    # monotone anti-chain: every point on the skyline
+    anti = spark.createDataFrame(
+        [(i, float(i), float(100 - i)) for i in range(50)], "id LONG, x DOUBLE, y DOUBLE"
+    )
+    assert R.skyline_2d(anti, "x", "y").count() == 50
+    # total order: exactly one survivor
+    chain = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(50)], "id LONG, x DOUBLE, y DOUBLE"
+    )
+    assert [(r["x"], r["y"]) for r in R.skyline_2d(chain, "x", "y").collect()] == [
+        (49.0, 49.0)
+    ]

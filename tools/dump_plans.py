@@ -85,6 +85,8 @@ HEADLINERS = {
     "fuzzy_dup_pairs": "PassJoin: segment/probe equi-join (never cartesian), distinct pair cut, one banded levenshtein per candidate",
     "weighted_sample": "sequential Poisson: one scan, TakeOrderedAndProject on the hash/weight key — no global sort",
     "heavy_hitters": "MG sketch pass (Arrow kernel), broadcast semi-join gates the exact recount — the exchange carries candidate-key rows only",
+    "skyline": "distinct-x collapse, range-partitioned LOCAL running max + boundary-prefix broadcast — no one-partition global window",
+    "exact_quantiles": "iterative selection: per-pass counter aggregates (parameter-sized), residual-slice sort only",
 }
 
 

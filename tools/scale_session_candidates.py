@@ -198,6 +198,7 @@ lap(
 )
 
 # --- exact quantile selection: P scans replace the per-group sort ---
+from data_pengadaan_agent_spark.operators import relational as R  # noqa: E402
 from data_pengadaan_agent_spark.operators import selection as SEL  # noqa: E402
 
 lap(
@@ -205,6 +206,18 @@ lap(
     lambda k: SEL.exact_quantiles(
         docs[k].select("lang", F.col("n_chars").cast("double").alias("v")),
         "lang", "v", [500_000, 990_000], n_bins=64,
+    ).count(),
+)
+
+lap(
+    "skyline_2d",
+    lambda k: R.skyline_2d(
+        docs[k].select(
+            F.col("n_chars").cast("double").alias("x"),
+            F.length("text").cast("bigint").alias("y"),
+            "doc_id",
+        ),
+        "x", "y",
     ).count(),
 )
 

@@ -6210,6 +6210,58 @@ ORDER BY a.event_id
 """
 
 
+def _q_group_trend(spark, sf):
+    """Exact per-group OLS trend (operators/aggregates.group_trend):
+    is each priority's order spend rising — slope of cents over epoch
+    days with fit quality, all sufficient statistics folded as
+    DECIMAL(38,0) (order-free), slope_ppm one exact integer division,
+    r2_ppm the staged integer recipe both engines evaluate
+    identically (truncation-toward-zero on negatives pinned by the
+    TPC-H fixture's near-zero, sign-varying slopes).
+    ROUND-13-pool candidate."""
+    orders = load_table(spark, sf, "orders")
+    pts = orders.select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    return A.group_trend(pts, "o_orderpriority", "x", "y")
+
+
+_GROUP_TREND_SQL = """
+WITH p AS (
+  SELECT o_orderpriority AS g,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS HUGEINT) AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+a AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM p GROUP BY g
+)
+SELECT g AS o_orderpriority,
+       CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0 THEN NULL
+            ELSE (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+            END AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN NULL
+            ELSE (((1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx))
+                  * (n * sxy - sx * sy)) // (n * syy - sy * sy)
+            END AS BIGINT) AS r2_ppm
+FROM a ORDER BY o_orderpriority
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6281,6 +6333,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": _q_hist_quantiles,
         "exact_quantiles": _q_exact_quantiles,
         "skyline": _q_skyline,
+        "group_trend": _q_group_trend,
     }
 
 
@@ -6321,6 +6374,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "hist_quantiles": _HIST_QUANTILES_SQL,
         "exact_quantiles": _EXACT_QUANTILES_SQL,
         "skyline": _SKYLINE_SQL,
+        "group_trend": _GROUP_TREND_SQL,
     }
 
 

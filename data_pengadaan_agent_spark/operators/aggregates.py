@@ -212,3 +212,69 @@ def mode_per_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         .filter(F.col("_rk") == 1)
         .select(group_col, F.col(value_col).alias("mode_value"), "n_mode")
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares trend (slope) and fit quality (r²) in
+    EXACT integer arithmetic — the "is this category's spend rising"
+    analytics primitive, computed the only way that is deterministic
+    under parallel summation: both columns must be INTEGER-VALUED
+    (cast money through cents, dates through epoch days — the
+    reference's money columns are exact 2-dec, so cents are exact);
+    all five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) fold as
+    DECIMAL(38,0), one partial-aggregated exchange, order-free.
+
+    slope_ppm = 10⁶·(nΣxy − ΣxΣy) DIV (nΣx² − (Σx)²) — slope in
+    millionths of a y-unit per x-unit, a SINGLE exact integer
+    division. r2_ppm uses the STAGED rule
+    ((10⁶·num DIV denx)·num) DIV deny — not the mathematical single
+    division (whose numerator num² can exceed 38 digits), but an
+    exactly-specified integer recipe both engines evaluate
+    identically; staging keeps every intermediate within DECIMAL(38)
+    for n·x·y products up to ~10³¹ (documented bound — epoch-day ×
+    cent units hold it to ~10¹² rows per group). Integral division on
+    negatives truncates toward zero on BOTH Spark (DIV) and DuckDB
+    (//) — the sweep pins the negative-slope case. Degenerate groups
+    (constant x, constant y, or n < 2) emit NULL slope/r2 rather than
+    dividing by zero. Returns (group, n, slope_ppm, r2_ppm)."""
+    d = "decimal(18,0)"
+    x = F.col(x_col).cast(d)
+    y = F.col(y_col).cast(d)
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            F.sum(x).cast("decimal(38,0)").alias("_sx"),
+            F.sum(y).cast("decimal(38,0)").alias("_sy"),
+            F.sum(x * y).cast("decimal(38,0)").alias("_sxy"),
+            F.sum(x * x).cast("decimal(38,0)").alias("_sxx"),
+            F.sum(y * y).cast("decimal(38,0)").alias("_syy"),
+        )
+    )
+    num = F.expr("_n * _sxy - _sx * _sy")
+    denx = F.expr("_n * _sxx - _sx * _sx")
+    deny = F.expr("_n * _syy - _sy * _sy")
+    slope = F.expr(
+        "CASE WHEN (_n * _sxx - _sx * _sx) = 0 THEN NULL ELSE "
+        "(CAST(1000000 AS DECIMAL(38,0)) * (_n * _sxy - _sx * _sy)) "
+        "DIV (_n * _sxx - _sx * _sx) END"
+    )
+    r2 = F.expr(
+        "CASE WHEN (_n * _sxx - _sx * _sx) = 0 "
+        "OR (_n * _syy - _sy * _sy) = 0 THEN NULL ELSE "
+        "(((CAST(1000000 AS DECIMAL(38,0)) * (_n * _sxy - _sx * _sy)) "
+        "DIV (_n * _sxx - _sx * _sx)) * (_n * _sxy - _sx * _sy)) "
+        "DIV (_n * _syy - _sy * _sy) END"
+    )
+    return agg.select(
+        F.col(group_col),
+        F.col("_n").cast("bigint").alias("n"),
+        slope.cast("bigint").alias("slope_ppm"),
+        r2.cast("bigint").alias("r2_ppm"),
+    ).orderBy(group_col)

@@ -79,3 +79,44 @@ def test_mad_pandas_udaf_matches_pandas(tables):
     for etype, grp in pdf.groupby("event_type"):
         v = grp["value"]
         assert abs(got[etype] - float((v - v.median()).abs().median())) < 1e-9
+
+
+def test_group_trend_exact_ols(spark):
+    """Exact integer OLS: perfect positive/negative lines give
+    slope_ppm = ±k·1e6 and r2_ppm = 1e6 exactly; a constant-y group
+    gives slope 0 with NULL r2 (deny = 0); constant-x and singleton
+    groups give NULL slope; the integer recipe matches a Python
+    replay including truncation-toward-zero on negatives."""
+    from data_pengadaan_agent_spark.operators import aggregates as A
+
+    rows = []
+    rows += [("up", i, 3 * i + 7) for i in range(50)]  # slope 3, r2 1
+    rows += [("down", i, 1000 - 2 * i) for i in range(50)]  # slope -2, r2 1
+    rows += [("flat", i, 42) for i in range(50)]  # slope 0, deny 0
+    rows += [("constx", 5, i) for i in range(10)]  # denx 0
+    rows += [("single", 1, 1)]
+    rows += [("noisy", i, (i * 7) % 13 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g STRING, x LONG, y LONG")
+    got = {r["g"]: r for r in A.group_trend(df, "g", "x", "y").collect()}
+    assert (got["up"]["slope_ppm"], got["up"]["r2_ppm"]) == (3_000_000, 1_000_000)
+    assert (got["down"]["slope_ppm"], got["down"]["r2_ppm"]) == (-2_000_000, 1_000_000)
+    assert got["flat"]["slope_ppm"] == 0 and got["flat"]["r2_ppm"] is None
+    assert got["constx"]["slope_ppm"] is None
+    assert got["single"]["slope_ppm"] is None
+
+    # python replay of the exact staged recipe for the noisy group
+    pts = [(x, y) for g, x, y in rows if g == "noisy"]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+
+    def tdiv(a, b):  # truncation toward zero, the DIV/(//) semantic pinned
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    assert got["noisy"]["slope_ppm"] == tdiv(1_000_000 * num, denx)
+    assert got["noisy"]["r2_ppm"] == tdiv(tdiv(1_000_000 * num, denx) * num, deny)

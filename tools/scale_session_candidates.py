@@ -221,5 +221,20 @@ lap(
     ).count(),
 )
 
+# --- exact OLS trend: one partial-aggregated exchange ---
+from data_pengadaan_agent_spark.operators import aggregates as AG  # noqa: E402
+
+lap(
+    "group_trend",
+    lambda k: AG.group_trend(
+        docs[k].select(
+            "lang",
+            (F.col("doc_id") % 10000).alias("x"),
+            F.col("n_chars").alias("y"),
+        ),
+        "lang", "x", "y",
+    ).count(),
+)
+
 print({n: v for n, v in res.items()}, flush=True)
 spark.stop()

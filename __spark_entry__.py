@@ -6262,6 +6262,45 @@ FROM a ORDER BY o_orderpriority
 """
 
 
+def _q_collocations(spark, sf):
+    """Exact-lift collocation mining (operators/textan.collocations):
+    top-20 adjacent bigrams by 10⁶·N·c(w1w2) DIV (c(w1)·c(w2)) with
+    min_count 3 — PMI's ranking without PMI's log, so the twin is
+    bit-exact integer arithmetic. ROUND-13-pool candidate."""
+    docs = load_table(spark, sf, "documents")
+    return X.collocations(docs, k=20, min_count=3)
+
+
+_COLLOCATIONS_SQL = f"""
+WITH tk AS (
+  SELECT unnest({_DUCK_TOKS}) AS w FROM documents
+),
+n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM tk),
+c1 AS (SELECT w, CAST(count(*) AS HUGEINT) AS c FROM tk GROUP BY w),
+bg AS (
+  SELECT b AS bigram, CAST(count(*) AS HUGEINT) AS cnt
+  FROM (
+    SELECT array_to_string(toks[CAST(i AS INT):CAST(i + 1 AS INT)], ' ') AS b
+    FROM (SELECT {_DUCK_TOKS} AS toks FROM documents),
+         unnest(range(1, greatest(len(toks), 1))) AS u(i)
+  )
+  GROUP BY b HAVING count(*) >= 3
+),
+lifted AS (
+  SELECT bg.bigram, CAST(bg.cnt AS BIGINT) AS cnt,
+         CAST((1000000 * n.n * bg.cnt) // (a.c * b.c) AS BIGINT) AS lift_ppm
+  FROM bg
+  JOIN c1 a ON a.w = string_split(bg.bigram, ' ')[1]
+  JOIN c1 b ON b.w = string_split(bg.bigram, ' ')[2]
+  CROSS JOIN n
+)
+SELECT bigram, cnt, lift_ppm,
+       CAST(row_number() OVER (ORDER BY lift_ppm DESC, bigram) AS INT) AS rank
+FROM lifted
+ORDER BY lift_ppm DESC, bigram LIMIT 20
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6334,6 +6373,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_quantiles": _q_exact_quantiles,
         "skyline": _q_skyline,
         "group_trend": _q_group_trend,
+        "collocations": _q_collocations,
     }
 
 
@@ -6375,6 +6415,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "exact_quantiles": _EXACT_QUANTILES_SQL,
         "skyline": _SKYLINE_SQL,
         "group_trend": _GROUP_TREND_SQL,
+        "collocations": _COLLOCATIONS_SQL,
     }
 
 

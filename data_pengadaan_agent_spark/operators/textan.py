@@ -2235,3 +2235,59 @@ def quality_classifier_stateless(
         "keep",
         *[F.col(c) for c in carry],
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 3,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by exact integer lift —
+    the phrase-mining primitive (classically PMI; lift is PMI's
+    argument before the log, so the RANKING is identical and the
+    arithmetic stays exact):
+
+        lift_ppm = 10⁶ · N · c(w1w2)  DIV  (c(w1) · c(w2))
+
+    N = total tokens, counts from one explode each of the unigram and
+    bigram streams (``word_ngrams`` verbatim, so the oracle replays
+    the same construction). ``min_count`` guards the classic PMI
+    pathology (a pair of two hapaxes scores maximal lift); ties break
+    on the bigram string. All products fold through DECIMAL(38,0) —
+    day-one int64 would overflow at 10⁶·N·c ≈ 10²⁰ on a 10-TB corpus.
+    The count joins are pinned shuffle_hash (explode-derived garbage
+    estimates — the ngram_lm_score rule). Returns
+    (bigram, cnt, lift_ppm, rank)."""
+    if k < 1 or min_count < 1:
+        raise ValueError("collocations: need k >= 1 and min_count >= 1")
+    toks = df.select(F.explode(tokens(text_col)).alias("w"))
+    c1 = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n_total = toks.count()
+    bg = (
+        df.select(F.explode(word_ngrams(text_col, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= int(min_count))
+        .withColumn("_w1", F.split("bigram", " ").getItem(0))
+        .withColumn("_w2", F.split("bigram", " ").getItem(1))
+    )
+    joined = (
+        bg.join(c1.hint("shuffle_hash"), bg["_w1"] == c1["w"])
+        .select("bigram", "cnt", "_w2", F.col("c").alias("_c1"))
+        .join(c1.hint("shuffle_hash"), F.col("_w2") == c1["w"])
+        .select("bigram", "cnt", "_c1", F.col("c").alias("_c2"))
+    )
+    lift = F.expr(
+        f"(CAST(1000000 AS DECIMAL(38,0)) * CAST({int(n_total)} AS DECIMAL(38,0))"
+        " * CAST(cnt AS DECIMAL(38,0)))"
+        " DIV (CAST(_c1 AS DECIMAL(38,0)) * CAST(_c2 AS DECIMAL(38,0)))"
+    )
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("bigram"))
+    return (
+        joined.withColumn("lift_ppm", lift.cast("bigint"))
+        .orderBy(F.desc("lift_ppm"), F.asc("bigram"))
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("bigram", "cnt", "lift_ppm", "rank")
+    )

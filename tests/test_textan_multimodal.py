@@ -1001,3 +1001,46 @@ def test_bpe_return_vocab_segmentation(spark):
                 i += 1
         syms = out
     assert vocab["low"][1] == syms
+
+
+def test_collocations_exact_lift_and_guards(spark):
+    """Hand-checked lift: a bigram that ALWAYS co-occurs scores
+    1e6·N/(c1·c2) exactly; min_count drops hapax pairs (the PMI
+    pathology); ties break on the bigram string; python replay of the
+    integer recipe."""
+    from data_pengadaan_agent_spark.operators import textan as X
+
+    rows = [
+        (1, "new york new york new york"),
+        (2, "san francisco san francisco"),
+        (3, "york new san the the the the"),
+        (4, "rare pair"),  # hapax bigram: min_count must drop it
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = X.collocations(df, k=10, min_count=2).collect()
+    by_bg = {r["bigram"]: r for r in got}
+    assert "rare pair" not in by_bg
+    # python replay
+    toks = [t for _, s in rows for t in s.split()]
+    n = len(toks)
+    c1 = {}
+    for t in toks:
+        c1[t] = c1.get(t, 0) + 1
+    bg_counts = {}
+    for _, s in rows:
+        ws = s.split()
+        for i in range(len(ws) - 1):
+            b = f"{ws[i]} {ws[i+1]}"
+            bg_counts[b] = bg_counts.get(b, 0) + 1
+    for b, r in by_bg.items():
+        w1, w2 = b.split(" ")
+        want = (1_000_000 * n * bg_counts[b]) // (c1[w1] * c1[w2])
+        assert (r["cnt"], r["lift_ppm"]) == (bg_counts[b], want), b
+    # ranking is (lift desc, bigram asc), ranks contiguous
+    lifts = [(r["lift_ppm"], r["bigram"]) for r in got]
+    assert lifts == sorted(lifts, key=lambda t: (-t[0], t[1]))
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        X.collocations(df, k=0)

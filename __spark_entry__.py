@@ -6301,6 +6301,103 @@ ORDER BY lift_ppm DESC, bigram LIMIT 20
 """
 
 
+def _q_trgm_ingest_stream(spark, sf):
+    """Streaming trigram-index ingest, hash-certified end to end (the
+    SIXTH streaming form as a driver row, the ann_ingest_stream_codes
+    pattern on the lexical side): the index is built on the
+    doc_id%3!=0 base slice, the %3==0 remainder arrives through
+    foreach_batch_trgm_sink, and the query is substring_search over
+    the union — whose oracle twin is the DIRECT substring scan over
+    ALL documents, so the hash-match certifies build + streamed
+    append + pruned search in one row. ROUND-13-pool candidate."""
+    import shutil
+    import tempfile
+
+    from data_pengadaan_agent_spark.operators import trgm as TG
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    rest = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    idx = _warehouse_path(spark, sf, "stream_trgm")
+    ack = _warehouse_path(spark, sf, "stream_trgm_ack")
+    shutil.rmtree(ack, ignore_errors=True)
+    TG.build_trgm_index(base, idx, n_buckets=64)
+    srcdir = tempfile.mkdtemp(prefix="trgm_ingest_src_")
+    rest.coalesce(1).write.mode("overwrite").parquet(srcdir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .load(srcdir)
+    )
+    q = SW.foreach_batch_trgm_sink(
+        stream, idx, ack, tempfile.mkdtemp(prefix="trgm_ingest_ckpt_")
+    )
+    q.processAllAvailable()
+    q.stop()
+    return TG.substring_search(spark, idx, docs, ["window window"])
+
+
+_TRGM_INGEST_STREAM_SQL = """
+SELECT 'window window' AS pattern, doc_id
+FROM documents
+WHERE contains(lower(text), 'window window')
+ORDER BY doc_id
+"""
+
+
+def _q_hist_cube_stream(spark, sf):
+    """Streaming histogram-cube ingest, hash-certified end to end (the
+    EIGHTH streaming form as a driver row): cube built on the
+    event_id%3!=0 base, the remainder streamed through
+    foreach_batch_hist_cube_sink (epoch-id batch registry =
+    exactly-once counts), rollup read back — the twin is direct
+    bucketing over ALL events, exact integers. ROUND-13-pool
+    candidate."""
+    import shutil
+    import tempfile
+
+    from data_pengadaan_agent_spark.operators import histcube as HC
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") % 3 != 0)
+    rest = ev.filter(F.col("event_id") % 3 == 0)
+    path = _warehouse_path(spark, sf, "stream_hist_cube")
+    shutil.rmtree(path, ignore_errors=True)
+    HC.build_hist_cube(
+        base, path, dims=["event_type"], value_col="value",
+        lo=0.0, hi=500.0, n_bins=50,
+    )
+    srcdir = tempfile.mkdtemp(prefix="histcube_src_")
+    rest.coalesce(1).write.mode("overwrite").parquet(srcdir)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .format("parquet")
+        .load(srcdir)
+    )
+    q = SW.foreach_batch_hist_cube_sink(
+        stream, path, tempfile.mkdtemp(prefix="histcube_ckpt_")
+    )
+    q.processAllAvailable()
+    q.stop()
+    return HC.hist_rollup(spark, path, ["event_type"])
+
+
+_HIST_CUBE_STREAM_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(greatest(0, least(49,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 10.0) AS BIGINT)
+         )) AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
+ORDER BY event_type, bin
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6374,6 +6471,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": _q_skyline,
         "group_trend": _q_group_trend,
         "collocations": _q_collocations,
+        "trgm_ingest_stream": _q_trgm_ingest_stream,
+        "hist_cube_stream": _q_hist_cube_stream,
     }
 
 
@@ -6416,6 +6515,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "skyline": _SKYLINE_SQL,
         "group_trend": _GROUP_TREND_SQL,
         "collocations": _COLLOCATIONS_SQL,
+        "trgm_ingest_stream": _TRGM_INGEST_STREAM_SQL,
+        "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
     }
 
 

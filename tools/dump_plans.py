@@ -87,6 +87,9 @@ HEADLINERS = {
     "heavy_hitters": "MG sketch pass (Arrow kernel), broadcast semi-join gates the exact recount — the exchange carries candidate-key rows only",
     "skyline": "distinct-x collapse, range-partitioned LOCAL running max + boundary-prefix broadcast — no one-partition global window",
     "exact_quantiles": "iterative selection: per-pass counter aggregates (parameter-sized), residual-slice sort only",
+    "group_trend": "exact OLS: one order-free DECIMAL(38,0) partial-aggregated exchange, integer slope/r2 recipes",
+    "collocations": "exact-lift bigrams: two explode aggregates, shuffle_hash-pinned count joins, TakeOrdered top-k",
+    "hist_quantiles": "cube-only quantile bins: integer cum-sum windows over <= dims x bins rows",
 }
 
 

@@ -6398,6 +6398,107 @@ ORDER BY event_type, bin
 """
 
 
+def _bloom_index_path(spark, sf):
+    """Shared ingest-once bloom index over the 80%-corpus slice of
+    documents, keyed on the ARITHMETIC content fingerprint (so the
+    filter answers "is this CONTENT already ingested", not "this id").
+    Geometry 8×4096×63 bits holds <20% fill at sf0.1."""
+    from data_pengadaan_agent_spark.operators import bloom as BL
+    from data_pengadaan_agent_spark.operators import textan as X
+
+    docs = load_table(spark, sf, "documents")
+    corpus = X.fingerprint_arith(docs.filter(F.col("doc_id") % 10 < 8))
+    path = _warehouse_path(spark, sf, "bloom_index")
+    expected = corpus.select("fingerprint").distinct().count()
+    try:
+        fresh = (
+            spark.read.parquet(f"{path}/keys").distinct().count() == expected
+            and BL._read_meta(spark, path) == (8, 4096, 7)
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        BL.build_bloom_index(
+            corpus, path, key_col="fingerprint", n_buckets=8, n_words=4096, k=7
+        )
+    return path, docs
+
+
+def _q_bloom_new_rows(spark, sf):
+    """Ingest-dedup through the MATERIALIZED bloom index
+    (operators/bloom.bloom_new_rows): batch rows whose content
+    fingerprint the filter rules out are new with ZERO contact with
+    the corpus key table; only the maybe sliver takes the exact
+    anti-join. The oracle twin is the DIRECT fingerprint anti-join —
+    the certified equality IS the no-false-negative invariant plus
+    the probe law plus the verify, in one row. ROUND-13-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import bloom as BL
+    from data_pengadaan_agent_spark.operators import textan as X
+
+    path, docs = _bloom_index_path(spark, sf)
+    batch = X.fingerprint_arith(docs)
+    return (
+        BL.bloom_new_rows(spark, path, batch, key_col="fingerprint")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_new_rows_sql() -> str:
+    fp = _fingerprint_sql()
+    return f"""
+WITH fp AS ({fp}),
+corpus AS (SELECT DISTINCT fingerprint FROM fp JOIN documents USING (doc_id)
+           WHERE doc_id % 10 < 8)
+SELECT f.doc_id, f.fingerprint
+FROM fp f
+WHERE f.fingerprint NOT IN (SELECT fingerprint FROM corpus)
+ORDER BY f.doc_id
+"""
+
+
+def _q_bloom_fill_report(spark, sf):
+    """Per-bucket filter saturation (operators/bloom.bloom_fill_report):
+    registered keys, popcount of the bit_or-grouped words, integer
+    fill ppm. The twin recomputes the ENTIRE bit state in DuckDB —
+    fold, Knuth/xxhash-prime mixes, Kirsch–Mitzenmacher positions,
+    1<<bit masks, bit_or words, bit_count — so a green row certifies
+    the persisted filter bit-for-bit (pure-integer class, no rounding
+    probes needed). ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import bloom as BL
+
+    path, _ = _bloom_index_path(spark, sf)
+    return BL.bloom_fill_report(spark, path, key_col="fingerprint")
+
+
+def _bloom_fill_sql(n_buckets: int = 8, n_words: int = 4096, k: int = 7) -> str:
+    m = n_words * 63
+    fp = _fingerprint_sql()
+    return f"""
+WITH fp AS ({fp}),
+keys AS (SELECT DISTINCT fingerprint AS key FROM fp JOIN documents USING (doc_id)
+         WHERE doc_id % 10 < 8),
+f AS (SELECT key, ((key % 2147483648) + 2147483648) % 2147483648 AS fold FROM keys),
+h AS (SELECT key,
+             (fold * 2654435761) % 4294967296 AS h1,
+             ((fold + 1) * 2246822519) % 4294967296 * 2 + 1 AS h2,
+             CAST(((fold * 3266489917) % 4294967296) % {n_buckets} AS INT) AS bucket
+      FROM f),
+pr AS (SELECT bucket, (h1 + t.i * h2) % {m} AS pos FROM h, range({k}) t(i)),
+words AS (SELECT bucket, CAST(pos // 63 AS INT) AS word_idx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+          FROM pr GROUP BY 1, 2),
+nk AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_keys FROM h GROUP BY 1),
+sb AS (SELECT bucket, CAST(sum(bit_count(word)) AS BIGINT) AS set_bits
+       FROM words GROUP BY 1)
+SELECT nk.bucket, nk.n_keys, sb.set_bits,
+       CAST(sb.set_bits * 1000000 // {m} AS BIGINT) AS fill_ppm
+FROM nk JOIN sb USING (bucket)
+ORDER BY nk.bucket
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6473,6 +6574,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "trgm_ingest_stream": _q_trgm_ingest_stream,
         "hist_cube_stream": _q_hist_cube_stream,
+        "bloom_new_rows": _q_bloom_new_rows,
+        "bloom_fill_report": _q_bloom_fill_report,
     }
 
 
@@ -6517,6 +6620,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "collocations": _COLLOCATIONS_SQL,
         "trgm_ingest_stream": _TRGM_INGEST_STREAM_SQL,
         "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
+        "bloom_new_rows": _bloom_new_rows_sql(),
+        "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
     }
 
 

@@ -797,3 +797,45 @@ def foreach_batch_hist_cube_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_bloom_sink(
+    stream_df,
+    index_path: str,
+    ack_path: str,
+    checkpoint: str,
+    key_col: str = "key",
+):
+    """Streaming dedup-ingest through the bloom index — the NINTH
+    streaming form: each micro-batch runs
+    ``bloom.ingest_bloom_batch`` (bloom-negative rows are new with
+    zero corpus contact; the maybe sliver takes the exact anti-join;
+    words append FIRST, keys LAST) and acknowledges an epoch-stamped
+    (batch_id, n_new) row.
+
+    Exactly-once for the INDEX without any epoch registry: a replayed
+    batch converges by the module's algebra — its word rows are
+    absorbed by bit_or (idempotent), its keys re-anti-join to nothing
+    — so the filter and key registry are bit-identical however many
+    times an epoch fires. The ack log is the one at-least-once
+    surface (epoch-keyed for idempotent reads): a replayed epoch
+    re-acks with n_new = 0.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import bloom as BL
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        n_new = BL.ingest_bloom_batch(spark, index_path, batch_df, key_col)
+        spark.createDataFrame(
+            [(int(epoch_id), int(n_new))], "batch_id bigint, n_new bigint"
+        ).coalesce(1).write.mode("append").parquet(ack_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

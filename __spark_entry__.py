@@ -6499,6 +6499,80 @@ ORDER BY nk.bucket
 """
 
 
+# shared edge-derivation CTE for the graph-family twins: distinct
+# (order, part) incidence → canonical u<v pairs with co-order support
+# >= 2 (the sparsifier that keeps a basket graph analytic-sized).
+_GRAPH_EDGES_CTE = """
+pp AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+ed AS (SELECT a.p u, b.p v FROM pp a JOIN pp b USING (o)
+       WHERE a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS degree FROM
+        (SELECT u AS vertex FROM ed UNION ALL SELECT v FROM ed) GROUP BY 1)
+"""
+
+
+def _q_graph_triangles(spark, sf):
+    """Per-vertex exact triangle census of the co-purchase graph
+    (operators/graph.triangle_stats over copurchase_edges):
+    degree-ordered orientation bounds every vertex's wedge fan-out by
+    O(sqrt(m)) — the skew-proof triangle plan — and the twin counts
+    the SAME triangles via the orientation-free id-ordered closure,
+    so the equality also proves the orientation enumerates each
+    triangle exactly once. Pure-integer clustering ppm. ROUND-13-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import graph as G
+
+    edges = G.copurchase_edges(load_table(spark, sf, "lineitem"), min_co=2)
+    return G.triangle_stats(edges)
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+WITH {_GRAPH_EDGES_CTE},
+tr AS (SELECT e1.u x, e1.v y, e2.v z
+       FROM ed e1 JOIN ed e2 ON e2.u = e1.v
+            JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+pv AS (SELECT vertex, CAST(count(*) AS BIGINT) AS triangles FROM
+       (SELECT x AS vertex FROM tr UNION ALL SELECT y FROM tr
+        UNION ALL SELECT z FROM tr) GROUP BY 1)
+SELECT pv.vertex, deg.degree, pv.triangles,
+       CAST(2 * pv.triangles * 1000000 // (deg.degree * (deg.degree - 1))
+            AS BIGINT) AS clustering_ppm
+FROM pv JOIN deg USING (vertex)
+ORDER BY pv.triangles DESC, pv.vertex
+"""
+
+
+def _q_graph_pagerank(spark, sf):
+    """Deterministic integer PageRank, 2 iterations, top 20
+    (operators/graph.pagerank_int): micro-unit ranks, rank DIV degree
+    contributions, 150000 + 85·sum DIV 100 damping — bit-identical on
+    any engine/partitioning because no float ever enters. The twin
+    unrolls both iterations in SQL (the kmeans-twin pattern).
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import graph as G
+
+    edges = G.copurchase_edges(load_table(spark, sf, "lineitem"), min_co=2)
+    return G.pagerank_int(edges, iters=2, top_k=20)
+
+
+_GRAPH_PAGERANK_SQL = f"""
+WITH {_GRAPH_EDGES_CTE},
+dirs AS (SELECT u s, v d FROM ed UNION ALL SELECT v, u FROM ed),
+r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS rank_ppm FROM deg),
+c1 AS (SELECT d.d vertex, sum(r0.rank_ppm // deg.degree) s
+       FROM r0 JOIN deg USING (vertex) JOIN dirs d ON d.s = r0.vertex GROUP BY 1),
+r1 AS (SELECT deg.vertex,
+              CAST(150000 + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS rank_ppm
+       FROM deg LEFT JOIN c1 USING (vertex)),
+c2 AS (SELECT d.d vertex, sum(r1.rank_ppm // deg.degree) s
+       FROM r1 JOIN deg USING (vertex) JOIN dirs d ON d.s = r1.vertex GROUP BY 1),
+r2 AS (SELECT deg.vertex,
+              CAST(150000 + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS rank_ppm
+       FROM deg LEFT JOIN c2 USING (vertex))
+SELECT vertex, rank_ppm FROM r2 ORDER BY rank_ppm DESC, vertex LIMIT 20
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6576,6 +6650,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_cube_stream": _q_hist_cube_stream,
         "bloom_new_rows": _q_bloom_new_rows,
         "bloom_fill_report": _q_bloom_fill_report,
+        "graph_triangles": _q_graph_triangles,
+        "graph_pagerank": _q_graph_pagerank,
     }
 
 
@@ -6622,6 +6698,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
         "bloom_new_rows": _bloom_new_rows_sql(),
         "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
+        "graph_triangles": _GRAPH_TRIANGLES_SQL,
+        "graph_pagerank": _GRAPH_PAGERANK_SQL,
     }
 
 

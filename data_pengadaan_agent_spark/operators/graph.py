@@ -1,0 +1,206 @@
+"""Exact integer graph analytics over derived co-occurrence graphs.
+
+A curation pipeline keeps meeting graphs: near-dup pair graphs (whose
+connected components operators/dedup.py already closes), co-purchase /
+co-occurrence graphs, link graphs for quality propagation. This module
+adds the next analytics tier — degree structure, exact triangle
+counting, clustering coefficients, and a deterministic integer
+PageRank — all in the repo's exact-arithmetic class (BIGINT
+end-to-end, integer DIV for every ratio), so DuckDB twins certify
+them value-for-value with no rounding probes.
+
+Spark-first scale design:
+
+- Edges are a plain DataFrame (u, v) in canonical u < v form — one
+  distinct-groupBy shuffle to build, bucketable by u for standing
+  graphs.
+- ``triangle_count`` uses the degree-ordered orientation (Cohen 2009 /
+  Suri–Vassilvitskii WWW'11 pattern): orient each undirected edge
+  from its (degree, id)-smaller endpoint to the larger, enumerate
+  wedges only among each vertex's OUT-neighbors, and close them
+  against oriented edges. Out-degree under this orientation is
+  O(sqrt(m)), so the wedge exchange is bounded even on skewed
+  power-law graphs — THE difference between a plan that survives a
+  100 TB link graph and one that explodes on its hottest hub. Every
+  triangle is produced exactly once (its vertices are totally ordered
+  by (degree, id)), so counts need no post-deduplication.
+- ``pagerank_int`` runs in pure micro-unit integers: ranks start at
+  10^6, each step is rank DIV degree contributions summed per
+  neighbor, then 150_000 + 85·sum DIV 100 (d = 0.85 exactly, in
+  percent arithmetic). Truncation leaks tiny mass (documented —
+  deterministic bias, not noise) in exchange for bit-identical
+  results on any engine, any partitioning, any iteration order. The
+  driver twin unrolls the iterations in SQL, the kmeans-twin pattern.
+
+Reference parity note: the reference has no graph operators
+(SURVEY.md §2 extensions) — this family extends the engine the same
+way joins/windows did, with the training-data use case (dup-graph
+structure quality, link-based scoring) as the target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_PPM = 1_000_000
+
+
+def copurchase_edges(lineitem: DataFrame, min_co: int = 2) -> DataFrame:
+    """Undirected co-purchase edges over parts: {u, v} iff parts u and
+    v appear in the SAME order in >= min_co distinct orders. Canonical
+    u < v. The per-order self-join explodes at most C(order_size, 2)
+    pairs (TPC-H order size <= 7), then one groupBy counts support —
+    min_co is the sparsifier that keeps the graph analytic-sized
+    (min_co=1 on a 100 TB basket table is a deliberate foot-gun;
+    support thresholds are how co-occurrence graphs are actually
+    built)."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= int(min_co))
+        .select("u", "v")
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(vertex, degree) — each undirected edge counts once per side."""
+    return (
+        edges.select(F.col("u").alias("vertex"))
+        .unionAll(edges.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_vertices) — the structure-at-a-glance rollup."""
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
+        .orderBy("degree")
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation: (src, dst) with (deg, id) of src
+    strictly below dst — a total order, so every undirected edge gets
+    exactly one direction and every triangle exactly one ordered
+    (x, y, z) realization."""
+    deg = degrees(edges)
+    e = (
+        edges.join(deg.withColumnRenamed("vertex", "u"), "u")
+        .withColumnRenamed("degree", "du")
+        .join(deg.withColumnRenamed("vertex", "v"), "v")
+        .withColumnRenamed("degree", "dv")
+    )
+    u_first = F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("sdeg"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """All triangles, one row (x, y, z) each, x→y→z in degree order.
+    Wedges pair each vertex's out-neighbors ((deg,id) of y below z),
+    then close against the oriented edge set — the bounded-out-degree
+    plan described in the module docstring."""
+    o = _oriented(edges)
+    w1 = o.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("y"),
+        F.col("ddeg").alias("ydeg"),
+    )
+    w2 = o.select(
+        F.col("src").alias("x"),
+        F.col("dst").alias("z"),
+        F.col("ddeg").alias("zdeg"),
+    )
+    wedges = w1.join(w2, "x").filter(
+        F.struct(F.col("ydeg"), F.col("y")) < F.struct(F.col("zdeg"), F.col("z"))
+    )
+    closer = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    return wedges.join(closer, ["y", "z"], "left_semi").select("x", "y", "z")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-vertex (vertex, degree, triangles, clustering_ppm) for
+    vertices on >= 1 triangle. clustering_ppm = 10^6·2·tri DIV
+    (deg·(deg−1)) — the local clustering coefficient as exact integer
+    ppm (every vertex here has deg >= 2: it closes a triangle)."""
+    tri = triangles(edges)
+    per_vertex = (
+        tri.select(F.col("x").alias("vertex"))
+        .unionAll(tri.select(F.col("y").alias("vertex")))
+        .unionAll(tri.select(F.col("z").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return (
+        per_vertex.join(degrees(edges), "vertex")
+        .select(
+            "vertex",
+            "degree",
+            "triangles",
+            F.expr("2 * triangles * 1000000 DIV (degree * (degree - 1))")
+            .cast("bigint")
+            .alias("clustering_ppm"),
+        )
+        .orderBy(F.desc("triangles"), "vertex")
+    )
+
+
+def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> DataFrame:
+    """Deterministic integer PageRank over the undirected graph
+    (edges doubled into both directions). Micro-unit arithmetic:
+
+        rank_0(v)   = 10^6
+        contrib(v)  = rank(v) DIV degree(v)
+        rank_{t+1}  = 150_000 + 85 · Σ_{u→v} contrib(u) DIV 100
+
+    i.e. d = 0.85 computed exactly in percent integers; DIV truncates
+    toward zero on both engines (all quantities nonnegative). The
+    truncation loses < 1 micro-unit per contribution — a deterministic
+    bias every engine reproduces bit-for-bit, which is the point:
+    rank SUMS over doubles would be partition-order-dependent.
+    Returns (vertex, rank_ppm) ordered by rank desc, vertex."""
+    if iters < 1:
+        raise ValueError("pagerank_int: iters must be >= 1")
+    deg = degrees(edges)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    rank = deg.select("vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm"))
+    for _ in range(int(iters)):
+        contrib = (
+            rank.join(deg, "vertex")
+            .select(
+                F.col("vertex").alias("src"),
+                F.expr("rank_ppm DIV degree").cast("bigint").alias("c"),
+            )
+            .join(directed, "src")
+            .groupBy(F.col("dst").alias("vertex"))
+            .agg(F.sum("c").cast("bigint").alias("in_sum"))
+        )
+        rank = (
+            deg.select("vertex")
+            .join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(150_000).cast("bigint")
+                    + F.expr("85 * coalesce(in_sum, 0) DIV 100").cast("bigint")
+                ).alias("rank_ppm"),
+            )
+        )
+    out = rank.orderBy(F.desc("rank_ppm"), "vertex")
+    return out.limit(int(top_k)) if top_k else out

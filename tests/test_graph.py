@@ -1,0 +1,134 @@
+"""Graph family: edge derivation (canonical form + support
+sparsifier), exact triangle enumeration under the degree-ordered
+orientation (once-only, orientation-independent counts vs brute
+force), integer clustering coefficients, and the deterministic
+integer PageRank (hand-computed reference, partitioning invariance,
+damping arithmetic)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "u LONG, v LONG"
+    )
+
+
+def _brute_triangles(pairs):
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    verts = sorted({x for e in es for x in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(verts, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+
+
+def test_copurchase_edges_canonical_and_thresholded(spark):
+    rows = []
+    # parts 1,2 co-occur in orders 10 and 11; parts 1,3 only in order 10
+    for o, parts in [(10, [1, 2, 3]), (11, [2, 1]), (12, [3])]:
+        rows += [(o, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    got = sorted(map(tuple, G.copurchase_edges(li, min_co=2).collect()))
+    assert got == [(1, 2)]
+    got1 = sorted(map(tuple, G.copurchase_edges(li, min_co=1).collect()))
+    assert got1 == [(1, 2), (1, 3), (2, 3)]
+
+
+def test_triangles_exact_on_known_graphs(spark):
+    # K4: 4 triangles; square with one diagonal: 2; pure ring: 0
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    assert G.triangles(_edges(spark, k4)).count() == 4
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    assert G.triangles(_edges(spark, sq)).count() == 2
+    ring = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    assert G.triangles(_edges(spark, ring)).count() == 0
+
+
+def test_triangles_once_only_under_skewed_hub(spark):
+    """A hub joined to a ring: every ring edge closes exactly one
+    triangle through the hub. The degree-ordered orientation must
+    produce each exactly once even though the hub dominates every
+    edge's endpoint pair."""
+    n = 12
+    ring = [(i, i % n + 1) for i in range(1, n + 1)]
+    hub = [(0, i) for i in range(1, n + 1)]
+    tri = G.triangles(_edges(spark, ring + hub))
+    rows = [tuple(r) for r in tri.collect()]
+    assert len(rows) == len(set(rows)) == n
+    assert G.triangles(_edges(spark, ring + hub)).count() == _brute_triangles(
+        ring + hub
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_triangles_match_brute_force_random(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(20), rng.randrange(20)) for _ in range(60)
+        )
+        if a != b
+    }
+    assert G.triangles(_edges(spark, pairs)).count() == _brute_triangles(pairs)
+
+
+def test_triangle_stats_values(spark):
+    # square + diagonal (1,3): deg(1)=deg(3)=3, deg(2)=deg(4)=2
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    rows = {r.vertex: r for r in G.triangle_stats(_edges(spark, sq)).collect()}
+    assert rows[1].triangles == 2 and rows[3].triangles == 2
+    assert rows[2].triangles == 1 and rows[4].triangles == 1
+    # vertex 1: 2·2·1e6 DIV (3·2) = 666_666; vertex 2: 2·1·1e6 DIV 2 = 1e6
+    assert rows[1].clustering_ppm == 666_666
+    assert rows[2].clustering_ppm == 1_000_000
+    # ordered by triangles desc then vertex
+    ordered = [r.vertex for r in G.triangle_stats(_edges(spark, sq)).collect()]
+    assert ordered == [1, 3, 2, 4]
+
+
+def test_degree_histogram(spark):
+    sq = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    got = {r.degree: r.n_vertices for r in
+           G.degree_histogram(_edges(spark, sq)).collect()}
+    assert got == {2: 2, 3: 2}
+
+
+def test_pagerank_hand_reference_path3(spark):
+    """P3 (1-2-3), one iteration: deg = (1,2,1), all ranks start 1e6.
+    contrib: ends 1e6, middle 5e5 each way.
+    rank(1) = rank(3) = 150000 + 85·500000 DIV 100 = 575000
+    rank(2) = 150000 + 85·2000000 DIV 100 = 1850000"""
+    pr = {r.vertex: r.rank_ppm for r in
+          G.pagerank_int(_edges(spark, [(1, 2), (2, 3)]), iters=1).collect()}
+    assert pr == {1: 575_000, 2: 1_850_000, 3: 575_000}
+
+
+def test_pagerank_partitioning_invariance_and_ties(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    e1 = _edges(spark, pairs)
+    e2 = e1.repartition(7, "v")
+    a = [tuple(r) for r in G.pagerank_int(e1, iters=3).collect()]
+    b = [tuple(r) for r in G.pagerank_int(e2, iters=3).collect()]
+    assert a == b
+    # symmetric vertices 2 and 4 tie exactly; order breaks by id
+    ranks = dict(a)
+    assert ranks[2] == ranks[4]
+    order = [v for v, _ in a]
+    assert order.index(2) < order.index(4)
+
+
+def test_pagerank_rejects_bad_iters(spark):
+    with pytest.raises(ValueError, match="iters"):
+        G.pagerank_int(_edges(spark, [(1, 2)]), iters=0)

@@ -6573,6 +6573,73 @@ SELECT vertex, rank_ppm FROM r2 ORDER BY rank_ppm DESC, vertex LIMIT 20
 """
 
 
+def _q_dq_report(spark, sf):
+    """Declarative data-quality suite over orders (operators/dq):
+    seven constraints — null, uniqueness, value domain, range, regex,
+    SQL predicate, referential to customer — compiled into ONE scan
+    for all row-local rules (single partial+final agg) + one exchange
+    for the uniqueness key + one broadcast anti-join for the FK. The
+    domain/range/regex rules deliberately flag real fixture rows so
+    non-zero violation counts are value-checked, not just zeros.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import dq as DQ
+
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    rules = [
+        DQ.not_null("o_custkey"),
+        DQ.unique("o_orderkey"),
+        DQ.accepted_values("o_orderstatus", ["O", "F"]),
+        DQ.in_range("o_totalprice", 0.0, 250000.0),
+        DQ.matches_regex("o_orderpriority", "^[1-3]-"),
+        DQ.satisfies("o_orderdate IS NOT NULL", "has_orderdate"),
+        DQ.referential("o_custkey", customer, "c_custkey"),
+    ]
+    return DQ.dq_check(orders, rules)
+
+
+_DQ_REPORT_SQL = """
+WITH t AS (SELECT * FROM orders)
+SELECT rule, violations, checked FROM (
+  SELECT 'not_null(o_custkey)' AS rule,
+         CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations,
+         CAST(count(*) AS BIGINT) AS checked FROM t
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         CAST(coalesce((SELECT sum(c) FROM (
+           SELECT count(*) c FROM t GROUP BY o_orderkey HAVING count(*) > 1
+         )), 0) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F')) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'in_range(o_totalprice)',
+         CAST(count(*) FILTER (o_totalprice IS NOT NULL
+              AND (o_totalprice < 0.0 OR o_totalprice > 250000.0)) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'matches_regex(o_orderpriority)',
+         CAST(count(*) FILTER (o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-')) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'has_orderdate',
+         CAST(count(*) FILTER (NOT coalesce(o_orderdate IS NOT NULL, FALSE))
+              AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM t
+  UNION ALL
+  SELECT 'referential(o_custkey)',
+         CAST((SELECT count(*) FROM t WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+         CAST(count(*) FILTER (o_custkey IS NOT NULL) AS BIGINT) FROM t
+)
+ORDER BY rule
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6652,6 +6719,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fill_report": _q_bloom_fill_report,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
+        "dq_report": _q_dq_report,
     }
 
 
@@ -6700,6 +6768,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
         "graph_triangles": _GRAPH_TRIANGLES_SQL,
         "graph_pagerank": _GRAPH_PAGERANK_SQL,
+        "dq_report": _DQ_REPORT_SQL,
     }
 
 

@@ -1,0 +1,119 @@
+"""Data-quality suite: every rule kind flags exactly the planted
+violations, NULL semantics match the dbt/Deequ conventions
+(accepted_values/in_range/regex skip NULLs; satisfies treats NULL as
+violation; referential skips NULL fks), the row-local compilation is
+ONE scan however many rules, uniqueness counts group multiplicities,
+and the drill-down returns the offending rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import dq as DQ
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        # id, status, price, code, ref
+        (1, "O", 100.0, "1-HI", 10),
+        (2, "F", -5.0, "2-MED", 10),      # price out of range
+        (3, "X", 50.0, "9-BAD", 20),      # bad status, bad code, orphan ref
+        (3, "O", 60.0, "3-LO", None),     # dup id, NULL ref
+        (None, None, None, None, 10),     # NULL id/status/price/code
+    ]
+    return spark.createDataFrame(
+        rows, "id LONG, status STRING, price DOUBLE, code STRING, ref LONG"
+    )
+
+
+@pytest.fixture()
+def dim(spark):
+    return spark.createDataFrame([(10,), (30,)], "pk LONG")
+
+
+def _report(df, rules):
+    return {r.rule: (r.violations, r.checked) for r in DQ.dq_check(df, rules).collect()}
+
+
+def test_each_rule_kind_counts_planted_violations(frame, dim):
+    got = _report(
+        frame,
+        [
+            DQ.not_null("id"),
+            DQ.unique("id"),
+            DQ.accepted_values("status", ["O", "F"]),
+            DQ.in_range("price", 0.0, 1000.0),
+            DQ.matches_regex("code", "^[1-5]-"),
+            DQ.satisfies("price IS NOT NULL AND price > 0", "positive_price"),
+            DQ.referential("ref", dim, "pk"),
+        ],
+    )
+    assert got["not_null(id)"] == (1, 5)
+    assert got["unique(id)"] == (2, 5)  # the duplicated group counts BOTH rows
+    assert got["accepted_values(status)"] == (1, 5)  # NULL status not counted
+    assert got["in_range(price)"] == (1, 5)  # NULL price not counted
+    assert got["matches_regex(code)"] == (1, 5)
+    assert got["positive_price"] == (2, 5)  # NULL predicate = violation
+    assert got["referential(ref)"] == (1, 4)  # NULL fk excluded from checked
+
+
+def test_row_local_rules_compile_to_one_scan(spark, tmp_path, frame):
+    src = str(tmp_path / "t")
+    frame.write.parquet(src)
+    df = spark.read.parquet(src)
+    rep = DQ.dq_check(
+        df,
+        [
+            DQ.not_null("id"),
+            DQ.accepted_values("status", ["O", "F"]),
+            DQ.in_range("price", 0.0, 1000.0),
+            DQ.matches_regex("code", "^[1-5]-"),
+            DQ.satisfies("price > 0", "pos"),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert rep.count() == 5
+
+
+def test_referential_broadcasts_dimension(frame, dim):
+    rep = DQ.dq_check(frame, [DQ.referential("ref", dim, "pk")])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_clean_table_all_zero(spark):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    got = _report(df, [DQ.not_null("id"), DQ.unique("id"), DQ.in_range("g", 0, 2)])
+    assert all(v == 0 and n == 100 for v, n in got.values())
+
+
+def test_multi_column_unique(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a")], "k LONG, s STRING"
+    )
+    got = _report(df, [DQ.unique(["k", "s"])])
+    assert got["unique(k,s)"] == (2, 4)
+
+
+def test_violation_rows_drilldown(frame, dim):
+    bad_status = DQ.accepted_values("status", ["O", "F"])
+    assert [r.id for r in DQ.dq_violation_rows(frame, bad_status).collect()] == [3]
+    dup = DQ.unique("id")
+    rows = DQ.dq_violation_rows(frame, dup).collect()
+    assert [(r.id, r.multiplicity) for r in rows] == [(3, 2)]
+    orphan = DQ.referential("ref", dim, "pk")
+    assert [r.ref for r in DQ.dq_violation_rows(frame, orphan).collect()] == [20]
+
+
+def test_rejects_bad_suites(frame):
+    with pytest.raises(ValueError, match="empty"):
+        DQ.dq_check(frame, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        DQ.dq_check(frame, [DQ.not_null("id"), DQ.not_null("id")])
+    with pytest.raises(ValueError, match="quotes"):
+        DQ.dq_check(frame, [DQ.satisfies("1=1", "it's bad")])
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        DQ.dq_check(frame, [DQ.Rule("x", "nonsense")])

@@ -6640,6 +6640,61 @@ ORDER BY rule
 """
 
 
+def _q_retention_cohorts(spark, sf):
+    """Daily cohort retention matrix over events
+    (operators/relational.retention_cohorts, grain='day'): integer
+    epoch-day arithmetic, distinct (user, day) then min-day per user
+    — both exchanges on the user key. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import relational as R
+
+    return R.retention_cohorts(load_table(spark, sf, "events"), grain="day")
+
+
+_RETENTION_COHORTS_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id u,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) m
+  FROM events
+),
+first AS (SELECT u, min(m) c FROM active GROUP BY 1)
+SELECT DATE '1970-01-01' + CAST(c AS INT) AS cohort_start,
+       CAST(m - c AS BIGINT) AS offset_periods,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (u)
+GROUP BY 1, 2
+ORDER BY cohort_start, offset_periods
+"""
+
+
+def _q_event_transitions(spark, sf):
+    """First-order behavior transition matrix
+    (operators/relational.event_transitions): per-user lag under the
+    total (ts, event_id) order, exact integer outgoing-share ppm.
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import relational as R
+
+    return R.event_transitions(load_table(spark, sf, "events"))
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS prob_ppm
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6720,6 +6775,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
         "dq_report": _q_dq_report,
+        "retention_cohorts": _q_retention_cohorts,
+        "event_transitions": _q_event_transitions,
     }
 
 
@@ -6769,6 +6826,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "graph_triangles": _GRAPH_TRIANGLES_SQL,
         "graph_pagerank": _GRAPH_PAGERANK_SQL,
         "dq_report": _DQ_REPORT_SQL,
+        "retention_cohorts": _RETENTION_COHORTS_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
     }
 
 

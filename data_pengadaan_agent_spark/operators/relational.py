@@ -1254,3 +1254,87 @@ def skyline_2d(
         .select(F.col("_x").alias(x_col), F.col("_my").alias(y_col))
     )
     return df.join(sky, [x_col, y_col], "left_semi")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-active period,
+    counted in every period-offset they were active. All calendar
+    arithmetic is integer — day index = datediff(epoch), week =
+    day DIV 7 (epoch-anchored weeks), month = year·12 + month — so
+    the matrix is exact on any engine. Two exchanges — distinct
+    (user, period) then the min-period per user — both on the user
+    key, so the second reuses the first's partitioning. Output:
+    (cohort_start DATE = first day of the cohort period,
+    offset_periods, n_users)."""
+    day = F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date"))
+    if grain == "day":
+        m, back = day.cast("bigint"), "CAST(_c AS INT)"
+    elif grain == "week":
+        m = F.expr(
+            f"CAST(datediff(to_date({ts_col}), DATE '1970-01-01') DIV 7 AS BIGINT)"
+        )
+        back = "CAST(_c * 7 AS INT)"
+    elif grain == "month":
+        m = (F.year(ts_col) * F.lit(12) + F.month(ts_col)).cast("bigint")
+        back = (
+            "CAST(datediff(make_date(CAST((_c - 1) DIV 12 AS INT), "
+            "CAST((_c - 1) % 12 + 1 AS INT), 1), DATE '1970-01-01') AS INT)"
+        )
+    else:
+        raise ValueError(f"retention_cohorts: unknown grain {grain!r}")
+    active = events.select(F.col(user_col).alias("_u"), m.alias("_m")).distinct()
+    first = active.groupBy("_u").agg(F.min("_m").alias("_c"))
+    return (
+        active.join(first, "_u")
+        .groupBy(
+            F.expr(f"date_add(DATE '1970-01-01', {back})").alias("cohort_start"),
+            (F.col("_m") - F.col("_c")).cast("bigint").alias("offset_periods"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("cohort_start", "offset_periods")
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order behavioral transition matrix: per user, consecutive
+    event-type pairs under a TOTAL order (ts, tiebreak) — equal
+    timestamps cannot reorder across engines or partitionings — then
+    (from_type, to_type, n, prob_ppm) with prob_ppm the exact integer
+    share of the from-type's outgoing transitions (n·10^6 DIV
+    row-total). One window shuffle on the user key + one small
+    groupBy."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(type_col).alias("to_type"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("_tot", F.sum("n").over(wf))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 DIV _tot").cast("bigint").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -6695,6 +6695,74 @@ ORDER BY from_type, to_type
 """
 
 
+_CMS_KEYS = ["data", "model", "nosuchtoken", "query", "spark"]
+
+
+def _q_cms_freq(spark, sf):
+    """Count-Min frequency cube (operators/cmscube — the third
+    mergeable sketch: HLL=distinct, hist=quantiles, CMS=point
+    frequencies): per-lang token sketches at d=4 × w=512 under the
+    arithmetic poly-hash + LCG universal-hash law, point estimates
+    for a literal key list (slots computed driver-side → the counter
+    scan is literal-filtered). The twin recomputes EVERY counter in
+    DuckDB — pure-integer class, the sketch state itself is
+    value-certified. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import cmscube as CM
+    from data_pengadaan_agent_spark.operators import textan as X
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "lang", F.explode(X.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    path = _warehouse_path(spark, sf, "cms_cube")
+    try:
+        fresh = CM._read_meta(spark, path) == (["lang"], "tok", 4, 512, 424242)
+    except Exception:
+        fresh = False
+    if not fresh:
+        CM.build_cms_cube(toks, path, dims=["lang"], key_col="tok", d=4, w=512)
+    return CM.cms_estimate(spark, path, _CMS_KEYS, ["lang"])
+
+
+def _cms_freq_sql(d: int = 4, w: int = 512, seed: int = 424242) -> str:
+    from data_pengadaan_agent_spark.operators.cmscube import py_slots
+    from data_pengadaan_agent_spark.operators.dedup import _lcg_coeffs
+
+    poly = _DUCK_POLY.format(s="tok", mult=131)
+    coef_rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_lcg_coeffs(d, seed))
+    )
+    slot_rows = ", ".join(
+        f"('{k}', {row}, {col})"
+        for k in _CMS_KEYS
+        for row, col in py_slots(k, d, w, seed)
+    )
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(
+    string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'),
+    t -> t <> '')) AS tok
+  FROM documents
+),
+coef(j, a, b) AS (VALUES {coef_rows}),
+counters AS (
+  SELECT lang, coef.j AS row,
+         CAST(((coef.a * ({poly}) + coef.b) % 2147483647) % {w} AS INT) AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM tok, coef GROUP BY 1, 2, 3
+),
+ks(key, row, col) AS (VALUES {slot_rows}),
+langs AS (SELECT DISTINCT lang FROM tok)
+SELECT langs.lang AS lang, ks.key AS key,
+       CAST(min(coalesce(counters.cnt, 0)) AS BIGINT) AS est
+FROM langs CROSS JOIN ks
+LEFT JOIN counters ON counters.lang = langs.lang
+  AND counters.row = ks.row AND counters.col = ks.col
+GROUP BY 1, 2
+ORDER BY langs.lang, ks.key
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6777,6 +6845,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_report": _q_dq_report,
         "retention_cohorts": _q_retention_cohorts,
         "event_transitions": _q_event_transitions,
+        "cms_freq": _q_cms_freq,
     }
 
 
@@ -6828,6 +6897,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "dq_report": _DQ_REPORT_SQL,
         "retention_cohorts": _RETENTION_COHORTS_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "cms_freq": _cms_freq_sql(d=4, w=512, seed=424242),
     }
 
 

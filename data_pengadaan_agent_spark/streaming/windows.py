@@ -839,3 +839,35 @@ def foreach_batch_bloom_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_cms_sink(
+    stream_df,
+    cube_path: str,
+    checkpoint: str,
+):
+    """Streaming frequency-sketch ingest — the TENTH streaming form,
+    completing the sketch-cube trio's streaming side (HLL cube =
+    algebraic exactly-once, hist cube = epoch-registry exactly-once;
+    the CMS cube is count-bearing like the hist cube, so the epoch id
+    IS the batch-registry key): each micro-batch is sketched under
+    the cube's frozen (d, w, seed) law and appended
+    (``cmscube.append_cms_cube``); a replayed epoch finds its id
+    registered and appends nothing — exactly-once counters on
+    at-least-once foreachBatch. Point estimates (``cms_estimate``)
+    are readable mid-stream and only ever grow toward the union's.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import cmscube as CM
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        CM.append_cms_cube(batch_df, cube_path, batch_id=f"epoch_{epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

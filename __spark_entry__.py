@@ -6763,6 +6763,85 @@ ORDER BY langs.lang, ks.key
 """
 
 
+def _q_event_ngrams(spark, sf):
+    """Behavioral sequence mining, n-gram tier
+    (operators/relational.event_ngrams): contiguous 3-step event-type
+    sequences per user under the total (ts, event_id) order, support
+    >= 2. One user-keyed window pass (two leads) + one small count.
+    Pattern emitted as 'a>b>c' for the driver hash (the op returns
+    the array). ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import relational as R
+
+    out = R.event_ngrams(load_table(spark, sf, "events"), n=3, min_support=2)
+    return out.select(
+        F.array_join("pattern", ">").alias("pattern"), "support"
+    ).orderBy(F.desc("support"), "pattern")
+
+
+_EVENT_NGRAMS_SQL = """
+WITH seq AS (
+  SELECT event_type t0,
+         lead(event_type, 1) OVER w t1,
+         lead(event_type, 2) OVER w t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t0 || '>' || t1 || '>' || t2 AS pattern,
+       CAST(count(*) AS BIGINT) AS support
+FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 2
+ORDER BY support DESC, pattern
+"""
+
+
+def _q_peak_concurrency(spark, sf):
+    """Exact interval-overlap sweep
+    (operators/relational.concurrency_timeline): each event holds a
+    5-minute half-open activity interval; +1/−1 deltas cumulative-sum
+    per event_type (one window shuffle, O(2·rows) points — never a
+    per-minute explode); reported as peak simultaneous activity per
+    type. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import relational as R
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"),
+    )
+    tl = R.concurrency_timeline(ev, "start", "end", ["event_type"])
+    return (
+        tl.groupBy("event_type")
+        .agg(
+            F.max("concurrent").cast("bigint").alias("peak_concurrent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PEAK_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT event_type, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+),
+pts AS (
+  SELECT event_type, s AS ts, 1 AS d FROM iv
+  UNION ALL SELECT event_type, e, -1 FROM iv
+),
+merged AS (
+  SELECT event_type, ts, sum(d) AS delta FROM pts GROUP BY 1, 2
+),
+tl AS (
+  SELECT event_type, ts,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS concurrent
+  FROM merged
+)
+SELECT event_type, CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM tl GROUP BY 1 ORDER BY event_type
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6846,6 +6925,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "event_transitions": _q_event_transitions,
         "cms_freq": _q_cms_freq,
+        "event_ngrams": _q_event_ngrams,
+        "peak_concurrency": _q_peak_concurrency,
     }
 
 
@@ -6898,6 +6979,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "retention_cohorts": _RETENTION_COHORTS_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cms_freq": _cms_freq_sql(d=4, w=512, seed=424242),
+        "event_ngrams": _EVENT_NGRAMS_SQL,
+        "peak_concurrency": _PEAK_CONCURRENCY_SQL,
     }
 
 

@@ -1338,3 +1338,76 @@ def event_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def event_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_support: int = 1,
+) -> DataFrame:
+    """Sequential pattern mining, n-gram tier: contiguous length-n
+    event-type sequences per user under the total (ts, tiebreak)
+    order, counted corpus-wide with a support threshold. The lead
+    chain is one window pass (n−1 leads over the same user-keyed
+    window — one shuffle), the count one small groupBy; PrefixSpan-
+    style gap patterns are deliberately out of scope (contiguous
+    n-grams are the honest one-pass tier, the textan n-gram story
+    applied to behavior). Returns (pattern array<string>, support)
+    ordered by support desc, pattern."""
+    if n < 2:
+        raise ValueError("event_ngrams: n must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, int(n))
+    ]
+    pat = F.array(*cols)
+    return (
+        events.select(pat.alias("pattern"))
+        .filter(F.forall("pattern", lambda x: x.isNotNull()))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= int(min_support))
+        .orderBy(F.desc("support"), "pattern")
+    )
+
+
+def concurrency_timeline(
+    intervals: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact interval-overlap sweep: +1 at each start, −1 at each end
+    (half-open [start, end) — an interval ending exactly when another
+    begins does NOT overlap it), cumulative-sum over the event points
+    per group. One window shuffle on (group, ts); the output is the
+    exact concurrency step function (ts, concurrent), the classic
+    'peak simultaneous sessions' primitive — never a per-timestamp
+    explode, so cost is O(2·intervals), not O(span/resolution).
+    Equal-timestamp starts and ends collapse into one point whose
+    delta sums both (ends apply before the point's reading would
+    double-count: summing deltas at the SAME ts yields the value
+    holding from that instant on)."""
+    group_cols = list(group_cols or [])
+    pts = intervals.select(
+        *group_cols, F.col(start_col).alias("ts"), F.lit(1).alias("_d")
+    ).unionAll(
+        intervals.select(
+            *group_cols, F.col(end_col).alias("ts"), F.lit(-1).alias("_d")
+        )
+    )
+    merged = pts.groupBy(*group_cols, "ts").agg(F.sum("_d").alias("_delta"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return merged.select(
+        *group_cols,
+        "ts",
+        F.sum("_delta").over(w).cast("bigint").alias("concurrent"),
+    ).orderBy(*group_cols, "ts")

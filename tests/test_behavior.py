@@ -118,3 +118,54 @@ def test_transitions_tiebreak_is_total_order(spark):
         for r in R.event_transitions(ev.repartition(5)).collect()
     }
     assert got == got2
+
+
+def test_event_ngrams_counts_and_boundaries(spark):
+    ev = _events(
+        spark,
+        [
+            (1, "2024-03-01T10:00:00", 1, "A"),
+            (2, "2024-03-01T11:00:00", 1, "B"),
+            (3, "2024-03-01T12:00:00", 1, "C"),
+            (4, "2024-03-01T13:00:00", 1, "A"),
+            (5, "2024-03-01T10:00:00", 2, "A"),
+            (6, "2024-03-01T11:00:00", 2, "B"),
+            (7, "2024-03-01T12:00:00", 2, "C"),
+            (8, "2024-03-01T10:00:00", 3, "X"),  # too short for n=3
+        ],
+    )
+    got = {tuple(r.pattern): r.support for r in R.event_ngrams(ev, n=3).collect()}
+    # user boundaries never bridge; short users contribute nothing
+    assert got == {("A", "B", "C"): 2, ("B", "C", "A"): 1}
+    sup2 = {tuple(r.pattern): r.support
+            for r in R.event_ngrams(ev, n=3, min_support=2).collect()}
+    assert sup2 == {("A", "B", "C"): 2}
+    with pytest.raises(ValueError, match="n must be"):
+        R.event_ngrams(ev, n=1)
+
+
+def test_concurrency_timeline_half_open_sweep(spark):
+    iv = spark.createDataFrame(
+        [
+            ("g", 1, 5),
+            ("g", 3, 7),
+            ("g", 5, 6),   # starts exactly when the first ends: no overlap
+            ("h", 1, 2),
+        ],
+        "grp STRING, start LONG, end LONG",
+    )
+    got = [
+        (r.grp, r.ts, r.concurrent)
+        for r in R.concurrency_timeline(iv, "start", "end", ["grp"]).collect()
+    ]
+    assert got == [
+        ("g", 1, 1),
+        ("g", 3, 2),
+        ("g", 5, 2),  # -1 (end of first) +1 (start of third) at the same ts
+        ("g", 6, 1),
+        ("g", 7, 0),
+        ("h", 1, 1),
+        ("h", 2, 0),
+    ]
+    peak = max(c for g, _, c in got if g == "g")
+    assert peak == 2

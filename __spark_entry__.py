@@ -6842,6 +6842,40 @@ FROM tl GROUP BY 1 ORDER BY event_type
 """
 
 
+def _q_incremental_components(spark, sf):
+    """Incremental connected-components maintenance
+    (operators/graph.merge_components): CC over the first-150-docs
+    near-dup pairs, then the remaining pairs + docs folded in via
+    label contraction — distinct label-pair graph closed by a
+    driver-side min-root union-find, relabel broadcast back. The twin
+    is the BATCH closure over all 200 docs (the registered
+    dedup_clusters oracle verbatim), so the certified equality is
+    incremental ≡ full recompute. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import graph as G
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    pairs = (
+        D.ngram_jaccard_pairs(docs, n=3, threshold=0.12)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    base_pairs = pairs.filter((F.col("id_a") < 150) & (F.col("id_b") < 150))
+    new_pairs = pairs.filter((F.col("id_a") >= 150) | (F.col("id_b") >= 150))
+    base = D.dedup_clusters(docs.filter(F.col("doc_id") < 150), base_pairs).select(
+        F.col("doc_id").alias("node"), F.col("cluster_rep").alias("label")
+    )
+    merged = G.merge_components(
+        base,
+        new_pairs.withColumnRenamed("id_a", "u").withColumnRenamed("id_b", "v"),
+        new_nodes=docs.filter(F.col("doc_id") >= 150).select(
+            F.col("doc_id").alias("node")
+        ),
+    )
+    return merged.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6927,6 +6961,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_freq": _q_cms_freq,
         "event_ngrams": _q_event_ngrams,
         "peak_concurrency": _q_peak_concurrency,
+        "incremental_components": _q_incremental_components,
     }
 
 
@@ -6981,6 +7016,40 @@ def candidate_oracle_sql() -> dict[str, str]:
         "cms_freq": _cms_freq_sql(d=4, w=512, seed=424242),
         "event_ngrams": _EVENT_NGRAMS_SQL,
         "peak_concurrency": _PEAK_CONCURRENCY_SQL,
+        "incremental_components": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+              FROM documents WHERE doc_id < 200
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, greatest(len(toks) - 3, 0) + 2),
+                                      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+              FROM d
+            ), sz AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.12
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            )
+            SELECT dd.doc_id, least(dd.doc_id, coalesce(min(r.b), dd.doc_id)) AS cluster_rep
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) dd
+            LEFT JOIN reach r ON r.a = dd.doc_id
+            GROUP BY dd.doc_id ORDER BY dd.doc_id
+        """,
     }
 
 

@@ -204,3 +204,97 @@ def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> 
         )
     out = rank.orderBy(F.desc("rank_ppm"), "vertex")
     return out.limit(int(top_k)) if top_k else out
+
+
+def merge_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    node_col: str = "node",
+    label_col: str = "label",
+    u_col: str = "u",
+    v_col: str = "v",
+    max_label_pairs: int = 100_000,
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of
+    NEW edges (and optional new nodes) into an existing min-id
+    labeling without re-running CC over the full edge set — the
+    label-CONTRACTION pattern: map each new edge's endpoints through
+    the current labeling (unlabeled endpoints become their own
+    singleton label), reduce to the DISTINCT label-pair graph, close
+    it with a driver-side union-find (min root wins), and broadcast
+    the relabel map back over the labeling.
+
+    Why this scales where re-running CC does not: the iterative part
+    touches only distinct label pairs — bounded by the BATCH's
+    distinct component adjacencies, never by corpus size or history
+    — and the corpus-sized work is one broadcast-map projection.
+    ``max_label_pairs`` guards the driver collect: exceeding it means
+    the batch merges more distinct components than a sane increment
+    and the caller should fall back to full CC (fails loud, never
+    silently truncates).
+
+    Canonical invariant: if the input labels are min-reachable-id
+    (dedup_clusters' contract), the output is too — union-find roots
+    at the minimum label, and the minimum over a union of min-ids is
+    the global min. So `merge_components(CC(base), new)` equals
+    `CC(base ∪ new)` exactly — the property the oracle twin
+    certifies."""
+    lab = labels.select(F.col(node_col).alias("node"), F.col(label_col).alias("label"))
+    edges = new_edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    endpoint_nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    extra = endpoint_nodes
+    if new_nodes is not None:
+        extra = extra.unionAll(new_nodes.select(F.col(node_col).alias("node")))
+    singletons = (
+        extra.distinct()
+        .join(lab.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    all_labels = lab.unionByName(singletons).localCheckpoint(eager=True)
+
+    lu = all_labels.withColumnRenamed("node", "u").withColumnRenamed("label", "la")
+    lv = all_labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lb")
+    comp_pairs = (
+        edges.join(lu, "u").join(lv, "v")
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb")
+        .distinct()
+    )
+    rows = comp_pairs.limit(int(max_label_pairs) + 1).collect()
+    if len(rows) > max_label_pairs:
+        raise ValueError(
+            f"merge_components: batch merges > {max_label_pairs} distinct "
+            "label pairs — fall back to full CC (dedup_clusters) for this "
+            "batch or raise max_label_pairs"
+        )
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r.la), find(r.lb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    remap = [(x, find(x)) for x in list(parent)]
+    if not remap:
+        return all_labels.select(
+            F.col("node").alias(node_col), F.col("label").alias(label_col)
+        )
+    spark = labels.sparkSession
+    m = spark.createDataFrame(remap, "label long, new_label long")
+    return (
+        all_labels.join(F.broadcast(m), "label", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce("new_label", "label").alias(label_col),
+        )
+    )

@@ -132,3 +132,73 @@ def test_pagerank_partitioning_invariance_and_ties(spark):
 def test_pagerank_rejects_bad_iters(spark):
     with pytest.raises(ValueError, match="iters"):
         G.pagerank_int(_edges(spark, [(1, 2)]), iters=0)
+
+
+def _py_cc(pairs, nodes):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {n: find(n) for n in nodes}
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_merge_components_equals_batch_cc(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(30))
+    all_pairs = sorted({
+        tuple(sorted((rng.randrange(30), rng.randrange(30))))
+        for _ in range(25)
+    } - {(i, i) for i in range(30)})
+    base_pairs = [p for p in all_pairs if max(p) < 20]
+    new_pairs = [p for p in all_pairs if max(p) >= 20]
+    base_lab = _py_cc(base_pairs, range(20))
+    labels = spark.createDataFrame(
+        sorted(base_lab.items()), "node LONG, label LONG"
+    )
+    merged = G.merge_components(
+        labels,
+        spark.createDataFrame(new_pairs or [(0, 0)], "u LONG, v LONG").filter(
+            "u <> v" if new_pairs else "u <> u"
+        ),
+        new_nodes=spark.createDataFrame([(n,) for n in range(20, 30)], "node LONG"),
+    )
+    got = {r.node: r.label for r in merged.collect()}
+    assert got == _py_cc(all_pairs, nodes)
+
+
+def test_merge_components_noop_and_singletons(spark):
+    labels = spark.createDataFrame([(1, 1), (2, 1), (5, 5)], "node LONG, label LONG")
+    out = G.merge_components(
+        labels,
+        spark.createDataFrame([], "u LONG, v LONG"),
+        new_nodes=spark.createDataFrame([(9,)], "node LONG"),
+    )
+    got = {r.node: r.label for r in out.collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 9: 9}
+    # unlabeled edge endpoints become singletons then merge
+    out2 = G.merge_components(
+        labels, spark.createDataFrame([(7, 8), (8, 2)], "u LONG, v LONG")
+    )
+    got2 = {r.node: r.label for r in out2.collect()}
+    assert got2 == {1: 1, 2: 1, 5: 5, 7: 1, 8: 1}
+
+
+def test_merge_components_guard_rails(spark):
+    labels = spark.createDataFrame([(i, i) for i in range(10)], "node LONG, label LONG")
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "u LONG, v LONG")
+    with pytest.raises(ValueError, match="label pairs"):
+        G.merge_components(labels, edges, max_label_pairs=3)
+    out = {r.node: r.label for r in G.merge_components(labels, edges).collect()}
+    assert set(out.values()) == {0}

@@ -6876,6 +6876,57 @@ def _q_incremental_components(spark, sf):
     ).orderBy("doc_id")
 
 
+def _zonemap_table_path(spark, sf):
+    """Ingest-once: orders range-clustered on o_totalprice into 16
+    files + a persisted zone map over that column (the layout that
+    makes a price box skip most files)."""
+    from data_pengadaan_agent_spark.operators import zonemap as ZM
+
+    orders = load_table(spark, sf, "orders")
+    data_p = _warehouse_path(spark, sf, "orders_ranged")
+    zm_p = _warehouse_path(spark, sf, "orders_zonemap")
+    n = orders.count()
+    try:
+        fresh = (
+            spark.read.parquet(data_p).count() == n
+            and ZM._read_meta(spark, zm_p) == ["o_totalprice"]
+            and ZM.audit_zonemap(spark, data_p, zm_p).count() == 0
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        orders.repartitionByRange(16, "o_totalprice").write.mode(
+            "overwrite"
+        ).parquet(data_p)
+        ZM.build_zonemap(spark, data_p, zm_p, ["o_totalprice"])
+    return data_p, zm_p
+
+
+def _q_zonemap_scan(spark, sf):
+    """Zone-map pruned box scan (operators/zonemap — the NINTH index
+    family: file-level data skipping as a persisted stats TABLE; the
+    pruned file list comes from kilobytes of zone rows, and only the
+    surviving range-clustered files are opened). The twin is the
+    DIRECT filtered scan of the base table — lossless-skipping is the
+    certified equality (semantic-twin class). ROUND-13-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import zonemap as ZM
+
+    data_p, zm_p = _zonemap_table_path(spark, sf)
+    out = ZM.zonemap_pruned_scan(
+        spark, data_p, zm_p, {"o_totalprice": (400_000.0, 450_000.0)}
+    )
+    return out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+_ZONEMAP_SCAN_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 400000.0 AND o_totalprice <= 450000.0
+ORDER BY o_orderkey
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -6962,6 +7013,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_ngrams": _q_event_ngrams,
         "peak_concurrency": _q_peak_concurrency,
         "incremental_components": _q_incremental_components,
+        "zonemap_scan": _q_zonemap_scan,
     }
 
 
@@ -7050,6 +7102,7 @@ def candidate_oracle_sql() -> dict[str, str]:
             LEFT JOIN reach r ON r.a = dd.doc_id
             GROUP BY dd.doc_id ORDER BY dd.doc_id
         """,
+        "zonemap_scan": _ZONEMAP_SCAN_SQL,
     }
 
 

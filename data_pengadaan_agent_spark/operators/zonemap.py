@@ -1,0 +1,229 @@
+"""Persisted zone-map index: file-level data skipping the ENGINE can
+act on before a scan is even planned.
+
+Parquet already carries row-group min/max stats, and Spark prunes row
+groups AFTER a file is opened — but the driver still lists, opens and
+footers every file of the table. A zone map (Moerkotte's small
+materialized aggregates; Snowflake/Redshift zone maps; Delta/Iceberg
+file stats) lifts those stats into a TABLE: (file, column, min, max,
+rows). A box query then selects the surviving FILE LIST from the
+zone map — kilobytes — and the scan is constructed over only those
+files. On a 100 TB table with 10^5 files, a selective predicate over
+a clustered column turns "open every footer" into "read a 100-row
+stats table, open 3 files" — and composes with the layout module's
+Z-ORDER writes, which are what make multi-column boxes skippable in
+the first place.
+
+Spark-first mechanics:
+
+- ``build_zonemap``: file list → one row per file, footer stats read
+  ON THE EXECUTORS via an Arrow-batched mapInPandas over the file
+  names (the driver never opens a data file; at 10^5 files the
+  footer sweep is an embarrassingly parallel metadata job). Meta
+  commit marker LAST, as in every index family here.
+- ``zonemap_pruned_scan``: read the zone map, keep files whose
+  [min, max] box intersects the query box (NULL stats = cannot
+  prune, keep), `spark.read.parquet(*survivors)` + the residual
+  filter — the result is EXACTLY the direct filtered scan (skipping
+  is lossless by the interval argument: a file whose stats exclude
+  the box cannot hold a matching row). The twin for the driver
+  candidate is that direct scan — the semantic-twin class
+  (trgm_search / bloom_new_rows).
+- ``audit_zonemap``: files on disk missing from the map (stale map →
+  under-scan = WRONG results: flagged loudly, scan refuses) and map
+  entries whose file vanished (over-scan impossible; flagged as
+  debris). The scan validates freshness BEFORE pruning — a zone map
+  is an optimization only while it is complete.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _paths(path: str) -> tuple[str, str]:
+    p = path.rstrip("/")
+    return f"{p}/zones", f"{p}/meta"
+
+
+def _data_files(data_path: str) -> list[str]:
+    return sorted(
+        os.path.join(data_path, f)
+        for f in os.listdir(data_path)
+        if f.endswith(".parquet")
+    )
+
+
+def _read_meta(spark: SparkSession, path: str) -> list[str]:
+    _, meta_p = _paths(path)
+    try:
+        row = spark.read.parquet(meta_p).collect()
+    except Exception as exc:  # noqa: BLE001 - absent/corrupt meta = invalid map
+        raise ValueError(
+            f"zonemap at {path!r} has no readable meta table — absent, corrupt, "
+            "or a build crashed before commit; rebuild with build_zonemap"
+        ) from exc
+    if len(row) != 1:
+        raise ValueError(f"zonemap meta at {path!r} must be exactly 1 row")
+    return list(row[0]["cols"])
+
+
+def build_zonemap(
+    spark: SparkSession, data_path: str, zm_path: str, cols: list[str]
+) -> int:
+    """One zone row per (file, column): min/max/rows from the parquet
+    footer, read on the EXECUTORS (mapInPandas over the file list —
+    metadata-only I/O, no row data). Stats stored as DOUBLE (numeric
+    columns only — the clustered/skippable case; string zone maps
+    need collation care and are out of scope). Meta commits LAST.
+    Returns number of files mapped."""
+    if not cols:
+        raise ValueError("build_zonemap: need at least one column")
+    files = _data_files(data_path)
+    if not files:
+        raise ValueError(f"build_zonemap: no parquet files at {data_path!r}")
+    zones_p, meta_p = _paths(zm_path)
+    want = list(cols)
+
+    def footer_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = {"file": [], "col": [], "zmin": [], "zmax": [], "n_rows": []}
+            for fname in b["file"]:
+                md = pq.ParquetFile(fname).metadata
+                lo: dict[str, float] = {}
+                hi: dict[str, float] = {}
+                nrows = md.num_rows
+                ok: set[str] = set()
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        if name in want and c.statistics is not None:
+                            st = c.statistics
+                            lo[name] = min(lo.get(name, st.min), st.min)
+                            hi[name] = max(hi.get(name, st.max), st.max)
+                            ok.add(name)
+                for name in want:
+                    out["file"].append(fname)
+                    out["col"].append(name)
+                    out["zmin"].append(float(lo[name]) if name in ok else None)
+                    out["zmax"].append(float(hi[name]) if name in ok else None)
+                    out["n_rows"].append(nrows)
+            yield pd.DataFrame(out)
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    meta_fs = jvm_path(meta_p)
+    fs = meta_fs.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_fs):
+        fs.delete(meta_fs, True)
+
+    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 32)
+    )
+    zones = flist.mapInPandas(
+        footer_stats,
+        schema="file string, col string, zmin double, zmax double, n_rows bigint",
+    )
+    zones.write.mode("overwrite").parquet(zones_p)
+    spark.createDataFrame([(list(cols),)], "cols array<string>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(meta_p)
+    return len(files)
+
+
+def audit_zonemap(spark: SparkSession, data_path: str, zm_path: str) -> DataFrame:
+    """(file, state) for every inconsistency: 'unmapped' = a data file
+    the map does not know (pruning with a stale map would WRONGLY
+    skip it — the one dangerous state), 'vanished' = a map entry
+    whose file is gone (harmless debris; compact by rebuilding)."""
+    _read_meta(spark, zm_path)
+    zones_p, _ = _paths(zm_path)
+    on_disk = spark.createDataFrame(
+        [(f,) for f in _data_files(data_path)], "file string"
+    )
+    mapped = spark.read.parquet(zones_p).select("file").distinct()
+    unmapped = on_disk.join(mapped, "file", "left_anti").select(
+        "file", F.lit("unmapped").alias("state")
+    )
+    vanished = mapped.join(on_disk, "file", "left_anti").select(
+        "file", F.lit("vanished").alias("state")
+    )
+    return unmapped.unionByName(vanished)
+
+
+def zonemap_pruned_files(
+    spark: SparkSession,
+    data_path: str,
+    zm_path: str,
+    predicates: dict[str, tuple[float, float]],
+) -> list[str]:
+    """The surviving file list for a conjunctive box query: drop a
+    file iff SOME predicate column's zone excludes the box
+    (zmax < lo or zmin > hi); NULL stats cannot prune. Refuses a
+    stale map (unmapped files) — correctness first. Driver-side
+    output is the file list (bounded by file count, the same thing
+    the scan planner materializes anyway)."""
+    cols = _read_meta(spark, zm_path)
+    bad = [c for c in predicates if c not in cols]
+    if bad:
+        raise ValueError(f"zonemap_pruned_files: {bad!r} not in zonemap cols {cols!r}")
+    stale = (
+        audit_zonemap(spark, data_path, zm_path)
+        .filter(F.col("state") == "unmapped")
+        .limit(1)
+        .count()
+    )
+    if stale:
+        raise ValueError(
+            "zonemap_pruned_files: data files exist that the zonemap does not "
+            "cover — pruning would wrongly skip them; rebuild the zonemap"
+        )
+    zones_p, _ = _paths(zm_path)
+    zones = spark.read.parquet(zones_p)
+    prunable = None
+    for c, (lo, hi) in predicates.items():
+        cond = (
+            (F.col("col") == c)
+            & F.col("zmin").isNotNull()
+            & ((F.col("zmax") < float(lo)) | (F.col("zmin") > float(hi)))
+        )
+        prunable = cond if prunable is None else (prunable | cond)
+    dropped = zones.filter(prunable).select("file").distinct()
+    keep = (
+        zones.select("file")
+        .distinct()
+        .join(dropped, "file", "left_anti")
+        .collect()
+    )
+    survivors = sorted(r.file for r in keep)
+    on_disk = set(_data_files(data_path))
+    return [f for f in survivors if f in on_disk]
+
+
+def zonemap_pruned_scan(
+    spark: SparkSession,
+    data_path: str,
+    zm_path: str,
+    predicates: dict[str, tuple[float, float]],
+) -> DataFrame:
+    """The pruned box scan: read ONLY the surviving files, then apply
+    the exact residual filter — result equals the direct filtered
+    scan of the whole table (lossless skipping by the interval
+    argument; the driver twin certifies exactly this). An all-pruned
+    query returns an empty frame with the table's schema (one footer
+    read, zero data files scanned)."""
+    files = zonemap_pruned_files(spark, data_path, zm_path, predicates)
+    all_files = _data_files(data_path)
+    df = spark.read.parquet(*(files if files else all_files[:1]))
+    cond = None
+    for c, (lo, hi) in predicates.items():
+        this = (F.col(c) >= float(lo)) & (F.col(c) <= float(hi))
+        cond = this if cond is None else (cond & this)
+    out = df.filter(cond)
+    return out.limit(0) if not files else out

@@ -1,0 +1,87 @@
+"""Zone-map index: lossless file skipping (pruned scan == direct
+filtered scan, including interval boundaries), pruning actually drops
+files on range-clustered layout, all-pruned queries return empty with
+schema, the stale-map refusal (correctness before optimization), and
+the audit's two states."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pengadaan_agent_spark.operators import zonemap as Z
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    data = str(tmp_path / "data")
+    zm = str(tmp_path / "zm")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    df.repartitionByRange(8, "v").write.parquet(data)
+    n = Z.build_zonemap(spark, data, zm, ["v"])
+    assert n == len([f for f in os.listdir(data) if f.endswith(".parquet")])
+    return data, zm
+
+
+def test_pruned_scan_equals_direct(spark, table):
+    data, zm = table
+    direct = spark.read.parquet(data)
+    for box in [(100.0, 220.0), (0.0, 999.0), (995.0, 2000.0), (-5.0, 0.0)]:
+        got = sorted(
+            r.id for r in Z.zonemap_pruned_scan(spark, data, zm, {"v": box}).collect()
+        )
+        want = sorted(
+            r.id
+            for r in direct.filter(
+                (F.col("v") >= box[0]) & (F.col("v") <= box[1])
+            ).collect()
+        )
+        assert got == want and (len(want) > 0 or box[0] < 0 or box[0] > 999)
+
+
+def test_pruning_actually_drops_files(spark, table):
+    data, zm = table
+    all_files = Z._data_files(data)
+    kept = Z.zonemap_pruned_files(spark, data, zm, {"v": (100.0, 220.0)})
+    assert 0 < len(kept) < len(all_files)
+    full = Z.zonemap_pruned_files(spark, data, zm, {"v": (0.0, 999.0)})
+    assert len(full) == len(all_files)
+
+
+def test_all_pruned_is_empty_with_schema(spark, table):
+    data, zm = table
+    out = Z.zonemap_pruned_scan(spark, data, zm, {"v": (5000.0, 6000.0)})
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "v"}
+
+
+def test_stale_map_refuses_and_audit_flags(spark, table, tmp_path):
+    data, zm = table
+    # a new data file the map does not cover
+    extra = spark.createDataFrame([(9999, 1.0)], "id LONG, v DOUBLE")
+    extra.coalesce(1).write.mode("append").parquet(data)
+    audit = {r.state for r in Z.audit_zonemap(spark, data, zm).collect()}
+    assert audit == {"unmapped"}
+    with pytest.raises(ValueError, match="does not cover"):
+        Z.zonemap_pruned_files(spark, data, zm, {"v": (0.0, 1.0)})
+    # rebuild heals; then a vanished file flags the other state
+    Z.build_zonemap(spark, data, zm, ["v"])
+    assert Z.audit_zonemap(spark, data, zm).count() == 0
+    victim = Z._data_files(data)[0]
+    os.remove(victim)
+    states = {r.state for r in Z.audit_zonemap(spark, data, zm).collect()}
+    assert states == {"vanished"}
+
+
+def test_validation_errors(spark, table, tmp_path):
+    data, zm = table
+    with pytest.raises(ValueError, match="not in zonemap cols"):
+        Z.zonemap_pruned_files(spark, data, zm, {"nope": (0.0, 1.0)})
+    with pytest.raises(ValueError, match="no readable meta"):
+        Z.zonemap_pruned_files(spark, data, str(tmp_path / "missing"), {"v": (0.0, 1.0)})
+    with pytest.raises(ValueError, match="at least one column"):
+        Z.build_zonemap(spark, data, zm, [])

@@ -6927,6 +6927,93 @@ ORDER BY o_orderkey
 """
 
 
+def _q_change_point(spark, sf):
+    """Offline CUSUM change-point per event_type
+    (operators/drift.change_point): argmax_k |n·prefix_k − k·S| over
+    the milli-gridded value series under the total (ts, event_id)
+    order — the cumulative deviation kept in cross-multiplied BIGINT
+    form so no mean is ever divided; earliest k wins ties. One window
+    shuffle per group. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import drift as DR
+
+    return DR.change_point(
+        load_table(spark, sf, "events"), ["event_type"], "ts", "value", "event_id"
+    )
+
+
+_CHANGE_POINT_SQL = """
+WITH g AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, ts, event_id, x,
+         row_number() OVER w AS k,
+         sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS prefix,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(x) OVER (PARTITION BY event_type) AS s
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+d AS (
+  SELECT event_type, ts, k, n, abs(n * prefix - k * s) AS dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * prefix - k * s) DESC, k) AS pick
+  FROM r
+)
+SELECT event_type, ts AS cp_ts, CAST(k AS BIGINT) AS cp_k,
+       CAST(n AS BIGINT) AS n, CAST(dev AS BIGINT) AS score
+FROM d WHERE pick = 1
+ORDER BY event_type
+"""
+
+
+def _q_hist_drift(spark, sf):
+    """Exact-integer distribution drift (operators/drift.
+    histogram_drift): L1 distance between the click- and view-event
+    value share vectors over 20 structural bins — the PSI/KL question
+    without the log (0 = identical shape, 2·10^6 = disjoint).
+    ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import drift as DR
+
+    ev = load_table(spark, sf, "events")
+    return DR.histogram_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+        lo=0.0,
+        hi=400.0,
+        n_bins=20,
+    )
+
+
+_HIST_DRIFT_SQL = """
+WITH a AS (
+  SELECT CAST(greatest(0, least(19,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS BIGINT)
+         )) AS INT) AS bin, count(*) AS cnt
+  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT CAST(greatest(0, least(19,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 20.0) AS BIGINT)
+         )) AS INT) AS bin, count(*) AS cnt
+  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+  FROM a FULL JOIN b USING (bin)
+),
+t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM j)
+SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+       CAST(sum(abs(j.ca * 1000000 // t.na - j.cb * 1000000 // t.nb))
+            AS BIGINT) AS drift_ppm
+FROM j, t GROUP BY t.na, t.nb
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -7014,6 +7101,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": _q_peak_concurrency,
         "incremental_components": _q_incremental_components,
         "zonemap_scan": _q_zonemap_scan,
+        "change_point": _q_change_point,
+        "hist_drift": _q_hist_drift,
     }
 
 
@@ -7103,6 +7192,8 @@ def candidate_oracle_sql() -> dict[str, str]:
             GROUP BY dd.doc_id ORDER BY dd.doc_id
         """,
         "zonemap_scan": _ZONEMAP_SCAN_SQL,
+        "change_point": _CHANGE_POINT_SQL,
+        "hist_drift": _HIST_DRIFT_SQL,
     }
 
 

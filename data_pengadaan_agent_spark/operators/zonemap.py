@@ -70,22 +70,8 @@ def _read_meta(spark: SparkSession, path: str) -> list[str]:
     return list(row[0]["cols"])
 
 
-def build_zonemap(
-    spark: SparkSession, data_path: str, zm_path: str, cols: list[str]
-) -> int:
-    """One zone row per (file, column): min/max/rows from the parquet
-    footer, read on the EXECUTORS (mapInPandas over the file list —
-    metadata-only I/O, no row data). Stats stored as DOUBLE (numeric
-    columns only — the clustered/skippable case; string zone maps
-    need collation care and are out of scope). Meta commits LAST.
-    Returns number of files mapped."""
-    if not cols:
-        raise ValueError("build_zonemap: need at least one column")
-    files = _data_files(data_path)
-    if not files:
-        raise ValueError(f"build_zonemap: no parquet files at {data_path!r}")
-    zones_p, meta_p = _paths(zm_path)
-    want = list(cols)
+def _footer_sweep(spark: SparkSession, files: list[str], want: list[str]) -> DataFrame:
+    """Executor-side footer sweep: one zone row per (file, want-col)."""
 
     def footer_stats(batches):
         import pandas as pd
@@ -97,7 +83,6 @@ def build_zonemap(
                 md = pq.ParquetFile(fname).metadata
                 lo: dict[str, float] = {}
                 hi: dict[str, float] = {}
-                nrows = md.num_rows
                 ok: set[str] = set()
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
@@ -114,8 +99,33 @@ def build_zonemap(
                     out["col"].append(name)
                     out["zmin"].append(float(lo[name]) if name in ok else None)
                     out["zmax"].append(float(hi[name]) if name in ok else None)
-                    out["n_rows"].append(nrows)
+                    out["n_rows"].append(md.num_rows)
             yield pd.DataFrame(out)
+
+    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 32)
+    )
+    return flist.mapInPandas(
+        footer_stats,
+        schema="file string, col string, zmin double, zmax double, n_rows bigint",
+    )
+
+
+def build_zonemap(
+    spark: SparkSession, data_path: str, zm_path: str, cols: list[str]
+) -> int:
+    """One zone row per (file, column): min/max/rows from the parquet
+    footer, read on the EXECUTORS (mapInPandas over the file list —
+    metadata-only I/O, no row data). Stats stored as DOUBLE (numeric
+    columns only — the clustered/skippable case; string zone maps
+    need collation care and are out of scope). Meta commits LAST.
+    Returns number of files mapped."""
+    if not cols:
+        raise ValueError("build_zonemap: need at least one column")
+    files = _data_files(data_path)
+    if not files:
+        raise ValueError(f"build_zonemap: no parquet files at {data_path!r}")
+    zones_p, meta_p = _paths(zm_path)
 
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     meta_fs = jvm_path(meta_p)
@@ -123,13 +133,7 @@ def build_zonemap(
     if fs.exists(meta_fs):
         fs.delete(meta_fs, True)
 
-    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        min(len(files), 32)
-    )
-    zones = flist.mapInPandas(
-        footer_stats,
-        schema="file string, col string, zmin double, zmax double, n_rows bigint",
-    )
+    zones = _footer_sweep(spark, files, list(cols))
     zones.write.mode("overwrite").parquet(zones_p)
     spark.createDataFrame([(list(cols),)], "cols array<string>").coalesce(
         1
@@ -227,3 +231,29 @@ def zonemap_pruned_scan(
         cond = this if cond is None else (cond & this)
     out = df.filter(cond)
     return out.limit(0) if not files else out
+
+
+def repair_zonemap(spark: SparkSession, data_path: str, zm_path: str) -> int:
+    """Heal the audit's ``unmapped`` state incrementally: footer-sweep
+    ONLY the unmapped files (executor-side, same law as the build)
+    and append their zone rows — the daily-append loop's path: new
+    data files land, repair maps them, pruned scans resume, and the
+    full rebuild is reserved for changing the column set. Vanished
+    entries are left in place (they can never cause a wrong result —
+    pruning keeps a superset and the scan reads only files on disk).
+    Convergent: a repair that crashes mid-append leaves some files
+    mapped (their rows are read-side deduplicated by file identity —
+    zone rows are per-file facts, duplicates agree) and the rest
+    still flagged. Returns files mapped."""
+    cols = _read_meta(spark, zm_path)
+    zones_p, _ = _paths(zm_path)
+    todo = [
+        r.file
+        for r in audit_zonemap(spark, data_path, zm_path)
+        .filter(F.col("state") == "unmapped")
+        .collect()
+    ]
+    if not todo:
+        return 0
+    _footer_sweep(spark, todo, list(cols)).write.mode("append").parquet(zones_p)
+    return len(todo)

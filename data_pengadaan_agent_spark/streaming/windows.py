@@ -871,3 +871,55 @@ def foreach_batch_cms_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_dq_gate_sink(
+    stream_df,
+    rules_factory,
+    clean_path: str,
+    quarantine_path: str,
+    report_path: str,
+    checkpoint: str,
+):
+    """Streaming quality-gated ingest — the ELEVENTH streaming form:
+    each micro-batch runs the declarative constraint suite
+    (``dq.dq_check``; ``rules_factory(batch_df)`` builds the rules so
+    referential dims can bind per batch) and routes the WHOLE batch:
+    zero violations → append to clean/, any violation → append to
+    quarantine/ (all-or-nothing per batch: a constraint violation is
+    evidence the batch's SOURCE is wrong, and half-ingesting a bad
+    batch destroys the audit trail). The per-rule report appends
+    epoch-stamped either way — the gate's decision is replayable
+    evidence, not a log line.
+
+    Exactly-once rides foreachBatch's epoch replay: a replayed epoch
+    re-evaluates the same deterministic suite on the same rows and
+    re-appends the same parquet rows; readers of clean/ and
+    quarantine/ deduplicate by epoch (the ack-log convention).
+
+    Returns the started StreamingQuery; callers stop it."""
+    from pyspark.sql import functions as FF
+
+    from data_pengadaan_agent_spark.operators import dq as DQ
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.localCheckpoint(eager=True)
+        report = DQ.dq_check(b, rules_factory(b)).withColumn(
+            "_epoch", FF.lit(int(epoch_id))
+        )
+        report = report.localCheckpoint(eager=True)
+        n_bad = report.filter(FF.col("violations") > 0).count()
+        report.coalesce(1).write.mode("append").parquet(report_path)
+        target = quarantine_path if n_bad else clean_path
+        b.withColumn("_epoch", FF.lit(int(epoch_id))).write.mode("append").parquet(
+            target
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

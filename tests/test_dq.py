@@ -117,3 +117,63 @@ def test_rejects_bad_suites(frame):
         DQ.dq_check(frame, [DQ.satisfies("1=1", "it's bad")])
     with pytest.raises(ValueError, match="unknown rule kind"):
         DQ.dq_check(frame, [DQ.Rule("x", "nonsense")])
+
+
+def test_streaming_dq_gate_routes_batches(spark, tmp_path):
+    """ELEVENTH streaming form: a clean epoch lands in clean/, a
+    violating epoch lands WHOLE in quarantine/, and the per-rule
+    report records both decisions epoch-stamped."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, ids, vals, mtime):
+        p = os.path.join(src, name)
+        papq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "price": pa.array(vals, pa.float64()),
+            }),
+            p,
+        )
+        os.utime(p, (mtime, mtime))
+
+    write_file("f1.parquet", [1, 2, 3], [10.0, 20.0, 30.0], 1_700_000_000)
+    write_file("f2.parquet", [4, 4, 5], [40.0, -1.0, 50.0], 1_700_000_100)
+
+    stream = (
+        spark.readStream.schema("id long, price double")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quar")
+    rep = str(tmp_path / "rep")
+
+    def rules(_batch):
+        return [DQ.not_null("id"), DQ.unique("id"), DQ.in_range("price", 0.0, 100.0)]
+
+    q = SW.foreach_batch_dq_gate_sink(
+        stream, rules, clean, quar, rep, str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    clean_ids = sorted(r.id for r in spark.read.parquet(clean).collect())
+    quar_ids = sorted(r.id for r in spark.read.parquet(quar).collect())
+    assert clean_ids == [1, 2, 3]
+    assert quar_ids == [4, 4, 5]  # all-or-nothing: the whole bad batch
+    report = spark.read.parquet(rep)
+    assert report.filter("_epoch = 0").filter("violations > 0").count() == 0
+    bad = {
+        r.rule: r.violations
+        for r in report.filter("_epoch = 1").filter("violations > 0").collect()
+    }
+    assert bad == {"unique(id)": 2, "in_range(price)": 1}

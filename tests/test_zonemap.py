@@ -85,3 +85,27 @@ def test_validation_errors(spark, table, tmp_path):
         Z.zonemap_pruned_files(spark, data, str(tmp_path / "missing"), {"v": (0.0, 1.0)})
     with pytest.raises(ValueError, match="at least one column"):
         Z.build_zonemap(spark, data, zm, [])
+
+
+def test_repair_maps_only_new_files_incrementally(spark, table):
+    data, zm = table
+    before_rows = spark.read.parquet(f"{zm}/zones").count()
+    extra = spark.createDataFrame(
+        [(5000 + i, 5000.0 + i) for i in range(10)], "id LONG, v DOUBLE"
+    )
+    extra.coalesce(2).write.mode("append").parquet(data)
+    assert Z.repair_zonemap(spark, data, zm) == 2  # two new files mapped
+    assert Z.repair_zonemap(spark, data, zm) == 0  # clean audit = no-op
+    assert Z.audit_zonemap(spark, data, zm).count() == 0
+    # old zone rows untouched (incremental, not rebuild)
+    assert spark.read.parquet(f"{zm}/zones").count() == before_rows + 2
+    # the new range is immediately queryable and prunable
+    got = sorted(
+        r.id
+        for r in Z.zonemap_pruned_scan(
+            spark, data, zm, {"v": (5000.0, 5003.0)}
+        ).collect()
+    )
+    assert got == [5000, 5001, 5002, 5003]
+    kept = Z.zonemap_pruned_files(spark, data, zm, {"v": (5000.0, 5003.0)})
+    assert len(kept) <= 2

@@ -90,6 +90,20 @@ HEADLINERS = {
     "group_trend": "exact OLS: one order-free DECIMAL(38,0) partial-aggregated exchange, integer slope/r2 recipes",
     "collocations": "exact-lift bigrams: two explode aggregates, shuffle_hash-pinned count joins, TakeOrdered top-k",
     "hist_quantiles": "cube-only quantile bins: integer cum-sum windows over <= dims x bins rows",
+    "bloom_new_rows": "bloom pre-filter: broadcast grouped words into the probe, only the maybe-sliver reaches the exact anti-join",
+    "bloom_fill_report": "filter saturation: bit_or group + bit_count fold over geometry-sized word rows, never the corpus",
+    "graph_triangles": "degree-ordered triangle census: oriented wedge join bounded by out-degree O(sqrt m), left-semi closure",
+    "graph_pagerank": "integer PageRank: two contribution shuffles on the vertex key, rank DIV degree — no float anywhere",
+    "dq_report": "constraint suite: ONE scan for all row-local rules (stack over a single agg), one unique exchange, one broadcast FK anti-join",
+    "cms_freq": "Count-Min point lookups: driver-side slots -> literal-filtered counter scan, min-over-rows fold",
+    "retention_cohorts": "cohort matrix: distinct (user,period) + min-period, both exchanges on the user key",
+    "event_transitions": "transition matrix: one user-keyed lag window + a tiny from-type share window",
+    "event_ngrams": "sequence n-grams: n-1 leads in one user-keyed window pass, small support count",
+    "peak_concurrency": "interval sweep: +1/-1 deltas, one (group, ts) cum-sum window over O(2 rows) points",
+    "incremental_components": "label contraction: distinct label-pair graph to a driver union-find, broadcast relabel map back",
+    "zonemap_scan": "file-level skipping: zone rows select the surviving file list; the scan opens only those files",
+    "change_point": "CUSUM: one group-keyed window carrying row_number + running sum + group totals, argmax pick window",
+    "hist_drift": "share-vector L1: two bin aggregates + a bins-sized full join, integer DIV shares",
 }
 
 

@@ -7014,6 +7014,59 @@ FROM j, t GROUP BY t.na, t.nb
 """
 
 
+def _q_kmv_distinct(spark, sf):
+    """KMV bottom-k distinct cube (operators/kmv — the HLL cube's
+    ORACLE-CERTIFIABLE sibling): k=64 smallest Knuth-hash values of
+    l_partkey per (returnflag, linestatus); coupon mode below k is
+    exact, at capacity est = (k−1)·2^32 DIV h_(k). The twin
+    recomputes the whole sketch state — hash, distinct, rank cut,
+    estimator — in DuckDB. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import kmv as KV
+
+    li = load_table(spark, sf, "lineitem")
+    path = _warehouse_path(spark, sf, "kmv_cube")
+    try:
+        fresh = KV._read_meta(spark, path) == (
+            ["l_returnflag", "l_linestatus"], "l_partkey", 64,
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        KV.build_kmv_cube(
+            li, path, dims=["l_returnflag", "l_linestatus"],
+            key_col="l_partkey", k=64,
+        )
+    return KV.kmv_distinct(spark, path, ["l_returnflag", "l_linestatus"])
+
+
+_KMV_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag, l_linestatus,
+         (((l_partkey % 2147483648) + 2147483648) % 2147483648
+          * 2654435761) % 4294967296 AS hv
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+r AS (
+  SELECT l_returnflag, l_linestatus, hv,
+         row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY hv) AS rk
+  FROM h
+),
+cut AS (SELECT * FROM r WHERE rk <= 64),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         max(CASE WHEN rk = 64 THEN hv END) AS hk
+  FROM cut GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n_samples,
+       CAST(CASE WHEN n_samples < 64 THEN n_samples
+                 ELSE 63 * 4294967296 // hk END AS BIGINT) AS est_distinct
+FROM agg
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -7103,6 +7156,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "change_point": _q_change_point,
         "hist_drift": _q_hist_drift,
+        "kmv_distinct": _q_kmv_distinct,
     }
 
 
@@ -7194,6 +7248,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "zonemap_scan": _ZONEMAP_SCAN_SQL,
         "change_point": _CHANGE_POINT_SQL,
         "hist_drift": _HIST_DRIFT_SQL,
+        "kmv_distinct": _KMV_DISTINCT_SQL,
     }
 
 

@@ -923,3 +923,33 @@ def foreach_batch_dq_gate_sink(
         .outputMode("update")
         .start()
     )
+
+
+def foreach_batch_kmv_sink(
+    stream_df,
+    cube_path: str,
+    checkpoint: str,
+):
+    """Streaming bottom-k distinct ingest — the TWELFTH streaming
+    form, and the second with the pure-algebra replay contract: each
+    micro-batch's own k-cut sample rows append to the KMV cube
+    (``kmv.append_kmv_cube``); the sketch is a SET (readers
+    distinct-then-cut), so a replayed epoch re-appends rows a
+    DISTINCT absorbs — exactly-once estimates with zero bookkeeping,
+    like the HLL sink, but with a DuckDB-verifiable state. Estimates
+    are readable mid-stream and only move toward the union's.
+
+    Returns the started StreamingQuery; callers stop it."""
+    from data_pengadaan_agent_spark.operators import kmv as KV
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        KV.append_kmv_cube(batch_df, cube_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -7067,6 +7067,68 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def _q_kmv_overlap(spark, sf):
+    """Cross-group overlap FROM THE SKETCHES ALONE
+    (operators/kmv.kmv_overlap, Beyer et al. 2007): Jaccard /
+    intersection estimates between returnflag A's and N's part sets
+    read from ≤ 2k sample rows — the sketch tier of
+    cross_source_overlap (which pays a corpus-distinct join). The
+    twin replays the per-group cuts, the union re-cut, and the
+    integer estimators. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import kmv as KV
+
+    path, _ = _warehouse_path(spark, sf, "kmv_cube"), None
+    _q_kmv_distinct(spark, sf)  # ensures the cube is built/fresh
+    return KV.kmv_overlap(spark, path, "l_returnflag", "A", "N")
+
+
+_KMV_OVERLAP_SQL = """
+WITH h AS (
+  SELECT DISTINCT l_returnflag, l_linestatus,
+         (((l_partkey % 2147483648) + 2147483648) % 2147483648
+          * 2654435761) % 4294967296 AS hv
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+cut AS (
+  SELECT * FROM (
+    SELECT l_returnflag, l_linestatus, hv,
+           row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                              ORDER BY hv) AS rk
+    FROM h
+  ) WHERE rk <= 64
+),
+sides AS (
+  SELECT DISTINCT l_returnflag AS g, hv FROM cut
+  WHERE l_returnflag IN ('A', 'N')
+),
+u AS (
+  SELECT hv,
+         max(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS in_b
+  FROM sides GROUP BY 1
+),
+uc AS (
+  SELECT * FROM (
+    SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rk FROM u
+  ) WHERE rk <= 64
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union_samples,
+         CAST(sum(in_a * in_b) AS BIGINT) AS shared,
+         max(CASE WHEN rk = 64 THEN hv END) AS hk
+  FROM uc
+)
+SELECT n_union_samples, shared,
+       CAST(shared * 1000000 // n_union_samples AS BIGINT) AS jaccard_ppm,
+       CAST(CASE WHEN n_union_samples < 64 THEN n_union_samples
+                 ELSE 63 * 4294967296 // hk END AS BIGINT) AS est_union,
+       CAST(CASE WHEN n_union_samples < 64 THEN n_union_samples
+                 ELSE 63 * 4294967296 // hk END
+            * shared // n_union_samples AS BIGINT) AS est_intersection
+FROM agg
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -7157,6 +7219,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_point": _q_change_point,
         "hist_drift": _q_hist_drift,
         "kmv_distinct": _q_kmv_distinct,
+        "kmv_overlap": _q_kmv_overlap,
     }
 
 
@@ -7249,6 +7312,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "change_point": _CHANGE_POINT_SQL,
         "hist_drift": _HIST_DRIFT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
+        "kmv_overlap": _KMV_OVERLAP_SQL,
     }
 
 

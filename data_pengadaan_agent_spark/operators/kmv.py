@@ -185,3 +185,65 @@ def compact_kmv_cube(spark: SparkSession, path: str) -> int:
     fs.rename(jvm_path(staged), jvm_path(samples_p))
     spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return n
+
+
+def kmv_overlap(
+    spark: SparkSession,
+    path: str,
+    dim_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Set-overlap estimate between two groups' key sets FROM THE
+    SKETCHES ALONE — the KMV superpower (Beyer et al. 2007): merge
+    both samples, cut to the k smallest (the union's sketch); the
+    union members found in BOTH sides' samples estimate the Jaccard
+    as shared DIV k (here in exact ppm). The exact version of this
+    question costs a corpus-sized distinct join per pair of sources;
+    the sketch version reads ≤ 2k rows. Coupon-safe: if the union has
+    fewer than k samples, every member is observed on the sides that
+    contain it, so `shared` and the union count are EXACT (jaccard
+    exact too). Returns one row: (n_union_samples, shared,
+    jaccard_ppm, est_union, est_intersection)."""
+    dims, _, k = _read_meta(spark, path)
+    if dim_col not in dims:
+        raise ValueError(f"kmv_overlap: {dim_col!r} not in cube dims {dims!r}")
+    samples_p, _ = _paths(path)
+    raw = (
+        spark.read.parquet(samples_p)
+        .filter(F.col(dim_col).isin([group_a, group_b]))
+        .select(F.col(dim_col).alias("_g"), "hv")
+        .distinct()
+    )
+    w = Window.orderBy("hv")
+    union_cut = (
+        raw.groupBy("hv")
+        .agg(
+            F.max(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("_in_a"),
+            F.max(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("_in_b"),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+    )
+    agg = union_cut.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_union_samples"),
+        F.sum(F.col("_in_a") * F.col("_in_b")).cast("bigint").alias("shared"),
+        F.max(F.when(F.col("_r") == k, F.col("hv"))).alias("_hk"),
+    )
+    est_union = F.when(
+        F.col("n_union_samples") < k, F.col("n_union_samples")
+    ).otherwise(F.expr(f"({k} - 1) * {_HASH_SPACE} DIV _hk"))
+    return (
+        agg.withColumn("est_union", est_union.cast("bigint"))
+        .select(
+            "n_union_samples",
+            "shared",
+            F.expr("shared * 1000000 DIV n_union_samples")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+            "est_union",
+            F.expr("est_union * shared DIV n_union_samples")
+            .cast("bigint")
+            .alias("est_intersection"),
+        )
+    )

@@ -142,3 +142,27 @@ def test_streaming_kmv_sink_parity(spark, tmp_path):
     assert a == b
     est = {r.g: r.est_distinct for r in K.kmv_distinct(spark, streamed, ["g"]).collect()}
     assert est["b"] == 50  # coupon-exact for the new group
+
+
+def test_overlap_coupon_exact_and_estimates(spark, tmp_path):
+    """Two groups, union below k: shared / jaccard / union are EXACT.
+    Then a capacity-mode sanity band on bigger disjoint+overlap sets."""
+    path = str(tmp_path / "kmv_ov")
+    rows = [("A", i) for i in range(30)] + [("B", i + 20) for i in range(30)]
+    K.build_kmv_cube(_frame(spark, rows), path, dims=["g"], key_col="key", k=64)
+    r = K.kmv_overlap(spark, path, "g", "A", "B").collect()[0]
+    # |A|=30, |B|=30, |A∩B|=10, |A∪B|=50 — all under k: exact
+    assert (r.n_union_samples, r.shared, r.est_union, r.est_intersection) == (
+        50, 10, 50, 10,
+    )
+    assert r.jaccard_ppm == 10 * 1_000_000 // 50
+
+    big = str(tmp_path / "kmv_big")
+    rows = [("A", i) for i in range(4000)] + [("B", i + 2000) for i in range(4000)]
+    K.build_kmv_cube(_frame(spark, rows), big, dims=["g"], key_col="key", k=64)
+    r = K.kmv_overlap(spark, big, "g", "A", "B").collect()[0]
+    # true: union 6000, intersection 2000, jaccard 1/3
+    assert abs(r.est_union - 6000) / 6000 < 0.5
+    assert 0 < r.jaccard_ppm < 1_000_000
+    with pytest.raises(ValueError, match="not in cube dims"):
+        K.kmv_overlap(spark, big, "nope", "A", "B")

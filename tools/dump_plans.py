@@ -104,6 +104,8 @@ HEADLINERS = {
     "zonemap_scan": "file-level skipping: zone rows select the surviving file list; the scan opens only those files",
     "change_point": "CUSUM: one group-keyed window carrying row_number + running sum + group totals, argmax pick window",
     "hist_drift": "share-vector L1: two bin aggregates + a bins-sized full join, integer DIV shares",
+    "kmv_distinct": "bottom-k distinct: cube-only distinct + rank cut, integer estimator — never the corpus",
+    "kmv_overlap": "sketch-tier overlap: <= 2k sample rows, union re-cut, integer Jaccard ppm",
 }
 
 

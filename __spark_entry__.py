@@ -7129,6 +7129,75 @@ FROM agg
 """
 
 
+def _q_pit_join(spark, sf):
+    """Point-in-time join (operators/asof.point_in_time_join — the
+    feature-store read of scd2_history): each event, shifted 10
+    minutes forward, picks the user-state VERSION valid at that
+    instant — latest valid_from <= ts with ts < valid_to (NULL =
+    open). Union+window plan (one key exchange + one sort-window),
+    never a range/theta join. Leakage-free by construction: no
+    future version can match. ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import asof as AS
+    from data_pengadaan_agent_spark.operators import relational as R
+
+    ev = load_table(spark, sf, "events")
+    dim = R.scd2_history(ev)
+    facts = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts2"),
+    )
+    out = AS.point_in_time_join(
+        facts, dim, key="user_id", fact_ts="ts2", payload_cols=["state", "version"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts2",
+        F.col("state_dim").alias("state"),
+        F.col("version_dim").cast("bigint").alias("version"),
+    ).orderBy("event_id")
+
+
+_PIT_JOIN_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS v
+  FROM ordered
+),
+hist AS (
+  SELECT user_id, CAST(v AS INT) AS version, min(event_type) AS state,
+         min(ts) AS valid_from
+  FROM runs GROUP BY user_id, v
+),
+dim AS (
+  SELECT user_id, version, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM hist
+),
+facts AS (
+  SELECT event_id, user_id, ts + INTERVAL 10 MINUTE AS ts2 FROM events
+  WHERE event_id % 5 = 0
+)
+SELECT f.event_id, f.user_id, f.ts2, d.state,
+       CAST(d.version AS BIGINT) AS version
+FROM facts f
+LEFT JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from <= f.ts2
+ AND (d.valid_to IS NULL OR f.ts2 < d.valid_to)
+ORDER BY f.event_id
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -7220,6 +7289,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_drift": _q_hist_drift,
         "kmv_distinct": _q_kmv_distinct,
         "kmv_overlap": _q_kmv_overlap,
+        "pit_join": _q_pit_join,
     }
 
 
@@ -7313,6 +7383,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "hist_drift": _HIST_DRIFT_SQL,
         "kmv_distinct": _KMV_DISTINCT_SQL,
         "kmv_overlap": _KMV_OVERLAP_SQL,
+        "pit_join": _PIT_JOIN_SQL,
     }
 
 

@@ -142,3 +142,45 @@ def asof_join_backward_pandas(
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, schema=schema)
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    key: str,
+    fact_ts: str,
+    payload_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time (feature-store / time-travel) join: each fact row
+    picks the dimension VERSION that was valid at the fact's own
+    timestamp — the join that makes training features leakage-free
+    (a model trained on facts must never see a dimension state from
+    the future) and the read side of ``relational.scd2_history``.
+
+    Semantics: the version with the latest ``valid_from`` <=
+    fact_ts, provided fact_ts < ``valid_to`` (NULL = open current
+    version; half-open intervals, matching SCD2's contract). Facts
+    before any version, or falling in a GAP of a non-contiguous
+    history, get NULL payload (left-outer, never dropped).
+
+    Scale shape: built ON the as-of join's union+window plan — one
+    hash exchange on the key + one sort-window, never a range/theta
+    join that would explode per-key pairs; the expiry check is a
+    row-local filter after the window. SCD2 histories are contiguous
+    per key so the expiry branch only fires on gapped custom
+    histories — kept for generality, costs one comparison."""
+    right_cols = [*payload_cols, valid_from, valid_to]
+    joined = asof_join_backward(
+        facts, dim_history, fact_ts, valid_from, key, right_cols, suffix=suffix
+    )
+    vt = F.col(valid_to + suffix)
+    expired = vt.isNotNull() & (vt <= F.col(fact_ts))
+    out = joined
+    for c in right_cols:
+        out = out.withColumn(
+            c + suffix, F.when(expired, F.lit(None)).otherwise(F.col(c + suffix))
+        )
+    return out

@@ -963,3 +963,45 @@ def test_lsh_compact_preserves_answers(spark, tables, tmp_path):
         emb.filter(F.col("vec_id") >= 500), "embedding", 64, path, n_planes=4
     )
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_point_in_time_join_versions_and_gaps(spark):
+    """PIT semantics: latest valid_from <= ts with ts < valid_to;
+    NULL valid_to = open current; pre-history and GAP facts get NULL
+    payload (left-outer); half-open boundaries exact."""
+    import datetime as dt
+
+    from data_pengadaan_agent_spark.operators import asof as AS
+
+    def t(m):
+        return dt.datetime(2024, 3, 1, 10, m)
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", t(0), t(10)),
+            (1, "silver", t(10), t(20)),   # contiguous
+            (1, "gold", t(30), None),      # GAP 20..30, then open
+            (2, "basic", t(5), None),
+        ],
+        "user_id LONG, state STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(0)),    # boundary: valid_from inclusive -> bronze
+            (101, 1, t(10)),   # boundary: valid_to exclusive -> silver
+            (102, 1, t(25)),   # in the gap -> NULL
+            (103, 1, t(45)),   # open current -> gold
+            (104, 2, t(4)),    # before any version -> NULL
+            (105, 3, t(9)),    # unknown key -> NULL
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    out = AS.point_in_time_join(
+        facts, dim, key="user_id", fact_ts="ts", payload_cols=["state"]
+    )
+    got = {r.event_id: r.state_dim for r in out.collect()}
+    assert got == {
+        100: "bronze", 101: "silver", 102: None, 103: "gold",
+        104: None, 105: None,
+    }
+    assert out.count() == 6  # left-outer: nothing dropped

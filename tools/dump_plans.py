@@ -106,6 +106,7 @@ HEADLINERS = {
     "hist_drift": "share-vector L1: two bin aggregates + a bins-sized full join, integer DIV shares",
     "kmv_distinct": "bottom-k distinct: cube-only distinct + rank cut, integer estimator — never the corpus",
     "kmv_overlap": "sketch-tier overlap: <= 2k sample rows, union re-cut, integer Jaccard ppm",
+    "pit_join": "point-in-time join: union+window as-of plan (one key exchange), row-local expiry check — never a theta join",
 }
 
 

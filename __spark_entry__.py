@@ -7198,6 +7198,55 @@ ORDER BY f.event_id
 """
 
 
+def _q_valueset_scan(spark, sf):
+    """Categorical file-skipping through the value-set index
+    (operators/zonemap.valueset_pruned_scan — the zonemap's sibling
+    for UNCLUSTERED equality predicates: per-(file, value) existence
+    rows, an IN query keeps exactly the files containing any wanted
+    value). Twin = the direct filtered scan (lossless by the
+    existence argument; the pruning payoff is pinned in pytest on a
+    planted layout). ROUND-13-pool candidate."""
+    from data_pengadaan_agent_spark.operators import zonemap as ZM
+
+    data_p, _ = _zonemap_table_path(spark, sf)
+    vs_p = _warehouse_path(spark, sf, "orders_valueset")
+    try:
+        fresh = (
+            ZM._vs_read_meta(spark, vs_p) == "o_orderstatus"
+            and not [
+                f
+                for f in ZM._data_files(data_p)
+                if f
+                not in {
+                    r.file
+                    for r in spark.read.parquet(f"{vs_p}/values")
+                    .select("file")
+                    .distinct()
+                    .collect()
+                }
+            ]
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        ZM.build_valueset_index(spark, data_p, vs_p, "o_orderstatus")
+    out = ZM.valueset_pruned_scan(spark, data_p, vs_p, ["P"])
+    return (
+        out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+_VALUESET_SCAN_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus IN ('P')
+ORDER BY o_orderkey
+LIMIT 2000
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -7290,6 +7339,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "kmv_overlap": _q_kmv_overlap,
         "pit_join": _q_pit_join,
+        "valueset_scan": _q_valueset_scan,
     }
 
 
@@ -7384,6 +7434,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "kmv_distinct": _KMV_DISTINCT_SQL,
         "kmv_overlap": _KMV_OVERLAP_SQL,
         "pit_join": _PIT_JOIN_SQL,
+        "valueset_scan": _VALUESET_SCAN_SQL,
     }
 
 

@@ -257,3 +257,143 @@ def repair_zonemap(spark: SparkSession, data_path: str, zm_path: str) -> int:
         return 0
     _footer_sweep(spark, todo, list(cols)).write.mode("append").parquet(zones_p)
     return len(todo)
+
+
+# --- value-set index: file skipping for CATEGORICAL predicates --------------
+# Zone maps prune numeric boxes on CLUSTERED columns; an equality/IN
+# predicate on a low-cardinality UNCLUSTERED column (status, lang,
+# source) prunes nothing there — min/max spans everything. The
+# value-set index stores per (file, value) existence rows instead:
+# kilobytes for a low-cardinality column, and an IN-list query keeps
+# exactly the files that contain any wanted value. Build reads ONE
+# column per file (executor-side, column-pruned); same meta/commit and
+# stale-refusal discipline as the zone map.
+
+
+def _vs_paths(path: str) -> tuple[str, str]:
+    p = path.rstrip("/")
+    return f"{p}/values", f"{p}/meta"
+
+
+def _vs_read_meta(spark: SparkSession, path: str) -> str:
+    _, meta_p = _vs_paths(path)
+    try:
+        row = spark.read.parquet(meta_p).collect()
+    except Exception as exc:  # noqa: BLE001 - absent/corrupt meta = invalid index
+        raise ValueError(
+            f"value-set index at {path!r} has no readable meta table — absent, "
+            "corrupt, or a build crashed before commit; rebuild with "
+            "build_valueset_index"
+        ) from exc
+    if len(row) != 1:
+        raise ValueError(f"value-set index meta at {path!r} must be exactly 1 row")
+    return str(row[0]["col"])
+
+
+def _value_rows(spark: SparkSession, files: list[str], col: str) -> DataFrame:
+    """(file, value) existence rows, read executor-side with column
+    pruning (pyarrow reads ONLY ``col``); NULL presence is recorded as
+    a NULL value row so IS NULL predicates could prune too."""
+
+    def sweep(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = {"file": [], "value": []}
+            for fname in b["file"]:
+                t = pq.read_table(fname, columns=[col])
+                vals = set(t.column(0).to_pylist())
+                for v in sorted((str(x) for x in vals if x is not None)):
+                    out["file"].append(fname)
+                    out["value"].append(v)
+                if any(x is None for x in t.column(0).to_pylist()):
+                    out["file"].append(fname)
+                    out["value"].append(None)
+            yield pd.DataFrame(out)
+
+    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 32)
+    )
+    return flist.mapInPandas(sweep, schema="file string, value string")
+
+
+def build_valueset_index(
+    spark: SparkSession, data_path: str, vs_path: str, col: str
+) -> int:
+    """One existence row per (file, distinct value). Intended for
+    LOW-cardinality columns (the index is files × ndv rows — build
+    refuses nothing, but the read-side pruning only pays when ndv is
+    small). Meta commits LAST. Returns files indexed."""
+    files = _data_files(data_path)
+    if not files:
+        raise ValueError(f"build_valueset_index: no parquet files at {data_path!r}")
+    values_p, meta_p = _vs_paths(vs_path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    meta_fs = jvm_path(meta_p)
+    fs = meta_fs.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_fs):
+        fs.delete(meta_fs, True)
+    _value_rows(spark, files, col).write.mode("overwrite").parquet(values_p)
+    spark.createDataFrame([(str(col),)], "col string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(meta_p)
+    return len(files)
+
+
+def valueset_pruned_scan(
+    spark: SparkSession,
+    data_path: str,
+    vs_path: str,
+    wanted: list[str],
+) -> DataFrame:
+    """Equality/IN scan through the value-set index: keep exactly the
+    files containing ANY wanted value, read only those, apply the
+    exact residual IN filter. Lossless by construction (a file with
+    no existence row for any wanted value cannot hold a matching
+    row). Refuses a stale index (unmapped data files) — the zonemap
+    correctness-first rule."""
+    col = _vs_read_meta(spark, vs_path)
+    if not wanted:
+        raise ValueError("valueset_pruned_scan: empty wanted list")
+    values_p, _ = _vs_paths(vs_path)
+    on_disk = _data_files(data_path)
+    mapped = {
+        r.file for r in spark.read.parquet(values_p).select("file").distinct().collect()
+    }
+    stale = [f for f in on_disk if f not in mapped]
+    if stale:
+        raise ValueError(
+            "valueset_pruned_scan: data files exist that the index does not "
+            "cover — pruning would wrongly skip them; rebuild or repair"
+        )
+    keep = sorted(
+        r.file
+        for r in spark.read.parquet(values_p)
+        .filter(F.col("value").isin([str(w) for w in wanted]))
+        .select("file")
+        .distinct()
+        .collect()
+        if r.file in set(on_disk)
+    )
+    df = spark.read.parquet(*(keep if keep else on_disk[:1]))
+    out = df.filter(F.col(col).isin(list(wanted)))
+    return out.limit(0) if not keep else out
+
+
+def repair_valueset_index(
+    spark: SparkSession, data_path: str, vs_path: str
+) -> int:
+    """Map only the not-yet-indexed files (the daily-append path),
+    appending their existence rows — same incremental contract as
+    repair_zonemap. Returns files mapped."""
+    col = _vs_read_meta(spark, vs_path)
+    values_p, _ = _vs_paths(vs_path)
+    mapped = {
+        r.file for r in spark.read.parquet(values_p).select("file").distinct().collect()
+    }
+    todo = [f for f in _data_files(data_path) if f not in mapped]
+    if not todo:
+        return 0
+    _value_rows(spark, todo, col).write.mode("append").parquet(values_p)
+    return len(todo)

@@ -109,3 +109,47 @@ def test_repair_maps_only_new_files_incrementally(spark, table):
     assert got == [5000, 5001, 5002, 5003]
     kept = Z.zonemap_pruned_files(spark, data, zm, {"v": (5000.0, 5003.0)})
     assert len(kept) <= 2
+
+
+def test_valueset_index_prunes_planted_layout(spark, tmp_path):
+    """Data laid out one status per file: an IN query through the
+    value-set index opens exactly the matching files, result equals
+    the direct filter, NULL-bearing files are tracked, and the
+    stale-index refusal + incremental repair mirror the zonemap
+    contract."""
+    from pyspark.sql import functions as FF
+
+    data = str(tmp_path / "vs_data")
+    for i, status in enumerate(["A", "B", "C"]):
+        spark.createDataFrame(
+            [(i * 100 + j, status if j else None) for j in range(50)],
+            "id LONG, status STRING",
+        ).coalesce(1).write.mode("append").parquet(data)
+    vs = str(tmp_path / "vs_idx")
+    assert Z.build_valueset_index(spark, data, vs, "status") == 3
+
+    out = Z.valueset_pruned_scan(spark, data, vs, ["B"])
+    direct = spark.read.parquet(data).filter(FF.col("status").isin(["B"]))
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in direct.collect()
+    )
+    # pruning actually happened: only one file read
+    vals = spark.read.parquet(f"{vs}/values")
+    b_files = {r.file for r in vals.filter("value = 'B'").collect()}
+    assert len(b_files) == 1
+    # no match at all: empty with schema, zero files
+    assert Z.valueset_pruned_scan(spark, data, vs, ["Z"]).count() == 0
+
+    # stale refusal + incremental repair
+    spark.createDataFrame([(999, "D")], "id LONG, status STRING").coalesce(
+        1
+    ).write.mode("append").parquet(data)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="does not cover"):
+        Z.valueset_pruned_scan(spark, data, vs, ["D"])
+    assert Z.repair_valueset_index(spark, data, vs) == 1
+    assert Z.repair_valueset_index(spark, data, vs) == 0
+    assert [r.id for r in Z.valueset_pruned_scan(spark, data, vs, ["D"]).collect()] == [999]
+    with _pt.raises(ValueError, match="empty wanted"):
+        Z.valueset_pruned_scan(spark, data, vs, [])

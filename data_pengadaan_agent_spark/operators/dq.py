@@ -229,3 +229,60 @@ def dq_violation_rows(df: DataFrame, rule: Rule, limit: int = 100) -> DataFrame:
             .limit(limit)
         )
     raise ValueError(f"dq_violation_rows: unknown rule kind {rule.kind!r}")
+
+
+def replay_quarantine(
+    spark,
+    quarantine_path: str,
+    rules_factory,
+    clean_path: str,
+    report_path: str,
+    epoch_col: str = "_epoch",
+):
+    """The quarantine's way OUT — without it the dq gate is a
+    dead-letter queue. After the upstream defect is fixed (source
+    repaired, rule corrected via ``rules_factory``), re-evaluate each
+    quarantined epoch in isolation: epochs that now pass move to
+    clean/ (appended with their original epoch stamp, so downstream
+    epoch-dedup readers treat them exactly like first-time arrivals);
+    epochs that still violate STAY — replay never discards evidence.
+    A re-verdict row per epoch/rule appends to the report either way.
+
+    Idempotent by the readers' epoch-dedup convention: a crash after
+    the clean append but before quarantine rewrite leaves the epoch
+    in both places, and epoch-keyed readers take one copy; the next
+    replay re-moves nothing (it re-passes, re-appends the same rows,
+    and the rewrite completes). Returns (epochs_released,
+    epochs_retained)."""
+    from pyspark.sql import functions as F
+
+    try:
+        quarantined = spark.read.parquet(quarantine_path)
+    except Exception:
+        return (0, 0)
+    epochs = sorted(
+        r[0] for r in quarantined.select(epoch_col).distinct().collect()
+    )
+    released, retained = [], []
+    for ep in epochs:
+        batch = quarantined.filter(F.col(epoch_col) == ep).drop(epoch_col)
+        batch = batch.localCheckpoint(eager=True)
+        report = dq_check(batch, rules_factory(batch)).withColumn(
+            epoch_col, F.lit(ep)
+        ).withColumn("_replay", F.lit(True))
+        report = report.localCheckpoint(eager=True)
+        n_bad = report.filter(F.col("violations") > 0).count()
+        report.coalesce(1).write.mode("append").parquet(report_path)
+        if n_bad:
+            retained.append(ep)
+        else:
+            batch.withColumn(epoch_col, F.lit(ep)).write.mode("append").parquet(
+                clean_path
+            )
+            released.append(ep)
+    if released:
+        keep = quarantined.filter(
+            ~F.col(epoch_col).isin([int(e) for e in released])
+        ).localCheckpoint(eager=True)
+        keep.write.mode("overwrite").parquet(quarantine_path)
+    return (len(released), len(retained))

@@ -177,3 +177,38 @@ def test_streaming_dq_gate_routes_batches(spark, tmp_path):
         for r in report.filter("_epoch = 1").filter("violations > 0").collect()
     }
     assert bad == {"unique(id)": 2, "in_range(price)": 1}
+
+
+def test_replay_quarantine_releases_fixed_epochs(spark, tmp_path):
+    """After a rule fix, passing epochs move to clean/ with their
+    original epoch stamp; still-violating epochs stay; the report
+    carries replay re-verdicts; a second replay is a no-op."""
+    quar = str(tmp_path / "quar")
+    clean = str(tmp_path / "clean")
+    rep = str(tmp_path / "rep")
+    # epoch 1: violates only the OLD too-tight range; epoch 2: real dup
+    spark.createDataFrame(
+        [(4, 140.0, 1), (5, 150.0, 1), (7, 7.0, 2), (7, 8.0, 2)],
+        "id LONG, price DOUBLE, _epoch LONG",
+    ).write.parquet(quar)
+
+    def fixed_rules(_b):
+        return [DQ.not_null("id"), DQ.unique("id"), DQ.in_range("price", 0.0, 200.0)]
+
+    released, retained = DQ.replay_quarantine(
+        spark, quar, fixed_rules, clean, rep
+    )
+    assert (released, retained) == (1, 1)
+    clean_rows = spark.read.parquet(clean)
+    assert sorted(r.id for r in clean_rows.collect()) == [4, 5]
+    assert {r._epoch for r in clean_rows.collect()} == {1}
+    still = spark.read.parquet(quar)
+    assert sorted(r.id for r in still.collect()) == [7, 7]
+    replays = spark.read.parquet(rep).filter("_replay")
+    assert replays.filter("_epoch = 2 AND violations > 0").count() == 1
+    # idempotent second pass: nothing new released
+    assert DQ.replay_quarantine(spark, quar, fixed_rules, clean, rep) == (0, 1)
+    # empty/missing quarantine is a clean no-op
+    assert DQ.replay_quarantine(
+        spark, str(tmp_path / "nope"), fixed_rules, clean, rep
+    ) == (0, 0)

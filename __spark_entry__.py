@@ -7247,6 +7247,56 @@ LIMIT 2000
 """
 
 
+def _q_zorder_zonemap_scan(spark, sf):
+    """The layout + skipping COMPOSITION, end to end as one certified
+    row: lineitem written Z-ORDERED on (l_partkey, l_suppkey)
+    (layout.write_zordered — each file covers a compact Morton cell,
+    so BOTH columns' per-file ranges are narrow), zone-mapped on both
+    columns, then a 2-D box answered through the pruned scan. A
+    linear sort would prune only its leading column; the Morton
+    layout is what makes the second predicate prune too
+    (layout.file_skip_fraction measured it; this row certifies the
+    composed RESULT against the direct scan). ROUND-13-pool
+    candidate."""
+    from data_pengadaan_agent_spark.operators import layout as LY
+    from data_pengadaan_agent_spark.operators import zonemap as ZM
+
+    li = load_table(spark, sf, "lineitem")
+    data_p = _warehouse_path(spark, sf, "lineitem_zordered")
+    zm_p = _warehouse_path(spark, sf, "lineitem_zm2d")
+    n = li.count()
+    try:
+        fresh = (
+            spark.read.parquet(data_p).count() == n
+            and ZM._read_meta(spark, zm_p) == ["l_partkey", "l_suppkey"]
+            and ZM.audit_zonemap(spark, data_p, zm_p).count() == 0
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        LY.write_zordered(li, data_p, ["l_partkey", "l_suppkey"], n_files=16)
+        ZM.build_zonemap(spark, data_p, zm_p, ["l_partkey", "l_suppkey"])
+    out = ZM.zonemap_pruned_scan(
+        spark, data_p, zm_p,
+        {"l_partkey": (50.0, 150.0), "l_suppkey": (1.0, 8.0)},
+    )
+    return (
+        out.select("l_orderkey", "l_partkey", "l_suppkey")
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey")
+        .limit(2000)
+    )
+
+
+_ZORDER_ZONEMAP_SQL = """
+SELECT l_orderkey, l_partkey, l_suppkey
+FROM lineitem
+WHERE l_partkey BETWEEN 50 AND 150
+  AND l_suppkey BETWEEN 1 AND 8
+ORDER BY l_orderkey, l_partkey, l_suppkey
+LIMIT 2000
+"""
+
+
 def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration CANDIDATES for future rounds: fully built entries
     with bit-exact DuckDB twins, held out of queries() only because
@@ -7340,6 +7390,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "pit_join": _q_pit_join,
         "valueset_scan": _q_valueset_scan,
+        "zorder_zonemap_scan": _q_zorder_zonemap_scan,
     }
 
 
@@ -7435,6 +7486,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "kmv_overlap": _KMV_OVERLAP_SQL,
         "pit_join": _PIT_JOIN_SQL,
         "valueset_scan": _VALUESET_SCAN_SQL,
+        "zorder_zonemap_scan": _ZORDER_ZONEMAP_SQL,
     }
 
 

@@ -153,3 +153,33 @@ def test_valueset_index_prunes_planted_layout(spark, tmp_path):
     assert [r.id for r in Z.valueset_pruned_scan(spark, data, vs, ["D"]).collect()] == [999]
     with _pt.raises(ValueError, match="empty wanted"):
         Z.valueset_pruned_scan(spark, data, vs, [])
+
+
+def test_zorder_composition_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered layout + 2-D zonemap: a box on BOTH columns prunes
+    files (a linear sort would only prune its leading column), and
+    the pruned result equals the direct filter exactly."""
+    from pyspark.sql import functions as FF
+
+    from data_pengadaan_agent_spark.operators import layout as LY
+
+    df = spark.range(0, 4096).select(
+        (FF.col("id") % 64).alias("x"), (FF.col("id") / 64).cast("long").alias("y")
+    )
+    data = str(tmp_path / "zdata")
+    LY.write_zordered(df, data, ["x", "y"], n_files=16)
+    zm = str(tmp_path / "zzm")
+    Z.build_zonemap(spark, data, zm, ["x", "y"])
+    box = {"x": (8.0, 15.0), "y": (8.0, 15.0)}
+    kept = Z.zonemap_pruned_files(spark, data, zm, box)
+    assert 0 < len(kept) < len(Z._data_files(data))
+    got = sorted(
+        (r.x, r.y) for r in Z.zonemap_pruned_scan(spark, data, zm, box).collect()
+    )
+    want = sorted(
+        (r.x, r.y)
+        for r in spark.read.parquet(data)
+        .filter("x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15")
+        .collect()
+    )
+    assert got == want and len(want) == 64

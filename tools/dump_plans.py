@@ -107,6 +107,8 @@ HEADLINERS = {
     "kmv_distinct": "bottom-k distinct: cube-only distinct + rank cut, integer estimator — never the corpus",
     "kmv_overlap": "sketch-tier overlap: <= 2k sample rows, union re-cut, integer Jaccard ppm",
     "pit_join": "point-in-time join: union+window as-of plan (one key exchange), row-local expiry check — never a theta join",
+    "valueset_scan": "categorical file skipping: (file, value) existence rows pick the file list, residual IN filter",
+    "zorder_zonemap_scan": "z-order + 2-D zonemap composition: both box predicates prune files before the scan",
 }
 
 

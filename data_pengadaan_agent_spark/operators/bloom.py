@@ -233,6 +233,11 @@ def bloom_new_rows(
     takes the exact LEFT ANTI against keys/. The oracle twin is the
     direct anti-join, so a green row certifies the invariant, the
     probe law, and the verify in one equality."""
+    # NULL keys carry no identity: a NULL can never be registered (its
+    # probe rows explode to nothing, so its bits are never set) and
+    # would be re-classified "new" on every ingest forever — drop them
+    # up front, the same NULL contract as the cube key columns.
+    batch = batch.filter(F.col(key_col).isNotNull())
     probed = probe_bloom(spark, path, batch, key_col)
     _, keys_p, _ = _paths(path)
     keys = spark.read.parquet(keys_p).select(F.col(key_col)).distinct()

@@ -81,13 +81,17 @@ def unique(cols: list[str] | str, name: str | None = None) -> Rule:
 
 
 def referential(
-    fk_col: str, dim: DataFrame, pk_col: str, name: str | None = None
+    fk_col: str, dim: DataFrame, pk_col: str, name: str | None = None,
+    broadcast_dim: bool = True,
 ) -> Rule:
     """Every non-NULL fk value must exist in dim.pk (orphans violate;
-    NULL fks are not violations — compose with not_null)."""
+    NULL fks are not violations — compose with not_null).
+    ``broadcast_dim`` hints the anti-join (the common
+    dimension-table case); pass False for a dimension too large to
+    broadcast — the check becomes a shuffle anti-join."""
     return Rule(
         name or f"referential({fk_col})", "referential", fk_col,
-        {"dim": dim, "pk": pk_col},
+        {"dim": dim, "pk": pk_col, "broadcast": bool(broadcast_dim)},
     )
 
 
@@ -170,7 +174,9 @@ def dq_check(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 .select(F.col(r.payload["pk"]).alias(r.col))
                 .distinct()
             )
-            orphans = fk.join(F.broadcast(dim_keys), r.col, "left_anti").agg(
+            if r.payload.get("broadcast", True):
+                dim_keys = F.broadcast(dim_keys)
+            orphans = fk.join(dim_keys, r.col, "left_anti").agg(
                 F.count(F.lit(1)).cast("bigint").alias("violations")
             )
             total = fk.agg(F.count(F.lit(1)).cast("bigint").alias("checked"))
@@ -223,9 +229,11 @@ def dq_violation_rows(df: DataFrame, rule: Rule, limit: int = 100) -> DataFrame:
             .select(F.col(rule.payload["pk"]).alias(rule.col))
             .distinct()
         )
+        if rule.payload.get("broadcast", True):
+            dim_keys = F.broadcast(dim_keys)
         return (
             df.filter(F.col(rule.col).isNotNull())
-            .join(F.broadcast(dim_keys), rule.col, "left_anti")
+            .join(dim_keys, rule.col, "left_anti")
             .limit(limit)
         )
     raise ValueError(f"dq_violation_rows: unknown rule kind {rule.kind!r}")

@@ -227,22 +227,28 @@ def kmv_overlap(
     )
     agg = union_cut.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_union_samples"),
-        F.sum(F.col("_in_a") * F.col("_in_b")).cast("bigint").alias("shared"),
+        F.coalesce(F.sum(F.col("_in_a") * F.col("_in_b")), F.lit(0))
+        .cast("bigint")
+        .alias("shared"),
         F.max(F.when(F.col("_r") == k, F.col("hv"))).alias("_hk"),
     )
     est_union = F.when(
         F.col("n_union_samples") < k, F.col("n_union_samples")
     ).otherwise(F.expr(f"({k} - 1) * {_HASH_SPACE} DIV _hk"))
+    # an empty union (neither group in the cube) divides by zero in
+    # the share expressions — report an explicit all-zero row instead
     return (
         agg.withColumn("est_union", est_union.cast("bigint"))
         .select(
             "n_union_samples",
             "shared",
-            F.expr("shared * 1000000 DIV n_union_samples")
+            F.expr("CASE WHEN n_union_samples = 0 THEN 0 "
+                   "ELSE shared * 1000000 DIV n_union_samples END")
             .cast("bigint")
             .alias("jaccard_ppm"),
             "est_union",
-            F.expr("est_union * shared DIV n_union_samples")
+            F.expr("CASE WHEN n_union_samples = 0 THEN 0 "
+                   "ELSE est_union * shared DIV n_union_samples END")
             .cast("bigint")
             .alias("est_intersection"),
         )

@@ -304,10 +304,10 @@ def _value_rows(spark: SparkSession, files: list[str], col: str) -> DataFrame:
             for fname in b["file"]:
                 t = pq.read_table(fname, columns=[col])
                 vals = set(t.column(0).to_pylist())
-                for v in sorted((str(x) for x in vals if x is not None)):
+                for v in sorted(str(x) for x in vals if x is not None):
                     out["file"].append(fname)
                     out["value"].append(v)
-                if any(x is None for x in t.column(0).to_pylist()):
+                if None in vals:
                     out["file"].append(fname)
                     out["value"].append(None)
             yield pd.DataFrame(out)

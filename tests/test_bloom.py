@@ -264,3 +264,15 @@ def test_streaming_bloom_sink_parity_and_replay(spark, tmp_path):
     assert acks.count() == 2
     assert {r.batch_id: r.n_new for r in acks.collect()} == {0: 2, 1: 1}
     assert B.audit_bloom_index(spark, streamed, "key").count() == 0
+
+
+def test_null_keys_are_dropped_not_churned(spark, idx):
+    """A NULL key has no identity: its probe rows explode to nothing,
+    so it could never be registered and would re-classify as 'new' on
+    every ingest forever — the ingest path drops NULLs up front."""
+    path, _ = idx
+    batch = spark.createDataFrame([(None,), (500,)], "key LONG")
+    assert B.ingest_bloom_batch(spark, path, batch, "key") == 1
+    assert B.ingest_bloom_batch(spark, path, batch, "key") == 0  # no NULL churn
+    keys = spark.read.parquet(f"{path}/keys")
+    assert keys.filter("key IS NULL").count() == 0

@@ -212,3 +212,12 @@ def test_replay_quarantine_releases_fixed_epochs(spark, tmp_path):
     assert DQ.replay_quarantine(
         spark, str(tmp_path / "nope"), fixed_rules, clean, rep
     ) == (0, 0)
+
+
+def test_referential_big_dim_can_shuffle(frame, dim):
+    rep = DQ.dq_check(
+        frame, [DQ.referential("ref", dim, "pk", broadcast_dim=False)]
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert {r.violations for r in rep.collect()} == {1}

@@ -166,3 +166,10 @@ def test_overlap_coupon_exact_and_estimates(spark, tmp_path):
     assert 0 < r.jaccard_ppm < 1_000_000
     with pytest.raises(ValueError, match="not in cube dims"):
         K.kmv_overlap(spark, big, "nope", "A", "B")
+
+
+def test_overlap_empty_union_is_zero_row(spark, tmp_path):
+    path = str(tmp_path / "kmv_empty")
+    K.build_kmv_cube(_frame(spark, [("X", 1)]), path, dims=["g"], key_col="key", k=8)
+    r = K.kmv_overlap(spark, path, "g", "A", "B").collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0)

@@ -1044,3 +1044,46 @@ def test_collocations_exact_lift_and_guards(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         X.collocations(df, k=0)
+
+
+def test_payload_byte_stats_matches_python_reference(spark):
+    """The one multimodal kernel that runs for REAL (no codec): numpy
+    byte histogram per payload, pinned bit-for-bit against a pure
+    Python reference including tie-break (smallest modal byte wins),
+    empty payloads, and non-ASCII bytes."""
+    from collections import Counter
+
+    from data_pengadaan_agent_spark.operators import multimodal as MM
+
+    payloads = {
+        1: b"aabbb  cc\x00\x00",
+        2: b"",
+        3: bytes(range(256)) * 2,
+        4: "héllo".encode("utf-8"),
+        5: b"\x01\x02\x01\x02",  # 1 and 2 tie: modal_byte must be 1
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id LONG, payload BINARY",
+    )
+    got = {r.media_id: r for r in MM.payload_byte_stats(df).collect()}
+    for mid, raw in payloads.items():
+        r = got[mid]
+        assert r.n_bytes == len(raw)
+        if not raw:
+            assert (r.distinct_bytes, r.modal_byte, r.modal_count,
+                    r.printable_ppm) == (0, -1, 0, 0)
+            continue
+        c = Counter(raw)
+        assert r.distinct_bytes == len(c)
+        best = min(sorted(c), key=lambda b: (-c[b], b))
+        assert (r.modal_byte, r.modal_count) == (best, c[best])
+        printable = sum(v for b, v in c.items() if 0x20 <= b <= 0x7E)
+        assert r.printable_ppm == printable * 1_000_000 // len(raw)
+    # the text-derived media table: utf-8 payloads look like text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.media_from_documents(docs.limit(50))
+    stats = MM.payload_byte_stats(media)
+    rows = stats.collect()
+    assert all(r.printable_ppm > 800_000 for r in rows)
+    assert all(r.n_bytes > 0 for r in rows)

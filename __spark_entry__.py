@@ -2752,6 +2752,33 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 12 (promoted from candidate_queries(); the
+        # 2-in/1-out triage written and simulator-verified in round 11
+        # — NOTES.md "Round 12 registration triage" — paired with
+        # retiring lateral_topk from r12's due set, see _RETIRED_TIER3.
+        # ivfpq_adc_batch hashes the union-of-probed-lists literal
+        # PartitionFilter, the per-qid probe ranking, the per-
+        # (qid, list) residual LUT selection AND the partition-cut
+        # batch kernel in one row (its |Q|=1 and flat-geometry special
+        # cases ivfpq_adc_topk / pq_adc_batch stay candidates);
+        # ann_ingest_stream_codes is the streaming IVF-PQ append
+        # contract — no other row hashes a foreachBatch sink writing
+        # into a frozen-geometry ANN index.) ---
+        "ivfpq_adc_batch": _q_ivfpq_adc_batch,
+        "ann_ingest_stream_codes": _q_ann_ingest_stream_codes,
+        # --- ALSO NEW in round 12 (the backlog-drain wave VERDICT r11
+        # ask #2 called for — funded by retiring text_top_terms +
+        # sample_per_group, both in r12's due set, see _RETIRED_TIER3.
+        # The two strongest candidates from the r13 shortlist, pulled
+        # forward: each is the semantic-twin class where one green row
+        # certifies an entire index family — trgm_search's twin is the
+        # DIRECT contains() scan (candidate superset lossless by the
+        # gram-containment argument), bloom_new_rows' twin the DIRECT
+        # fingerprint anti-join (only the maybe-sliver ever reaches
+        # the exact check; words-first crash ordering forbids false
+        # negatives).) ---
+        "trgm_search": _q_trgm_search,
+        "bloom_new_rows": _q_bloom_new_rows,
         # --- NEW in round 11 (promoted from candidate_queries(); the
         # 4-in/3-out triage written and simulator-verified in round 10
         # — NOTES.md "Round 11 registration triage" — paired with
@@ -3780,6 +3807,28 @@ _RETIRED_TIER3 = frozenset(
         # count→broadcast-rate shape via its registered sibling
         # corpus_mix_tokens (same module, same group frame).
         "corpus_mix",
+        # round-12 retirement (the pre-verified 2-in/1-out triage
+        # written in round 11 — NOTES.md; in r12's due set, the
+        # r9-green cohort):
+        # lateral_topk: LATERAL correlated top-2 per group — Catalyst
+        # rewrites it to exactly the ranked-window join that registered
+        # window_topk_per_group (r10-green) hashes, and the
+        # correlated-subquery surface keeps its own driver row via
+        # registered correlated_subquery (same due set).
+        "lateral_topk",
+        # round-12 drain-wave retirements (VERDICT r11 ask #2 — fund
+        # pulling the r13 shortlist's top two forward; both in r12's
+        # due set, the r9-green cohort):
+        # text_top_terms: per-doc top-k TF terms — the tf ranking is
+        # inside registered tfidf_top_terms (r11-green) and the
+        # per-group rank shape is window_topk_per_group (r10-green).
+        "text_top_terms",
+        # sample_per_group: per-group smallest-Knuth-hash selection ≡
+        # the registered train_test_split + stratified_sample family
+        # (same knuth_hash ordering, same per-group window cut), and
+        # the weighted generalization weighted_sample[_per_group] sits
+        # value-checked in the candidate pool.
+        "sample_per_group",
     }
 )
 
@@ -7349,10 +7398,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_topk": _q_ivfpq_adc_topk,
         "bpe_encode_vocab": _q_bpe_encode_vocab,
         "bm25_components_probe": _q_bm25_components_probe,
-        "ann_ingest_stream_codes": _q_ann_ingest_stream_codes,
         "pq_adc_batch": _q_pq_adc_batch,
         "pq_quant_report": _q_pq_quant_report,
-        "ivfpq_adc_batch": _q_ivfpq_adc_batch,
         "sq_topk": _q_sq_topk,
         "sq_quant_report": _q_sq_quant_report,
         "bq_topk": _q_bq_topk,
@@ -7360,7 +7407,6 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset": _q_kcenter_coreset,
         "kcenter_coverage": _q_kcenter_coverage,
         "bq_topk_batch": _q_bq_topk_batch,
-        "trgm_search": _q_trgm_search,
         "trgm_similar": _q_trgm_similar,
         "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "weighted_sample": _q_weighted_sample,
@@ -7372,7 +7418,6 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "trgm_ingest_stream": _q_trgm_ingest_stream,
         "hist_cube_stream": _q_hist_cube_stream,
-        "bloom_new_rows": _q_bloom_new_rows,
         "bloom_fill_report": _q_bloom_fill_report,
         "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
@@ -7408,12 +7453,8 @@ def candidate_oracle_sql() -> dict[str, str]:
         "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
         "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
         "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
-        "ann_ingest_stream_codes": _ann_ingest_codes_sql(),
         "pq_adc_batch": _pq_adc_batch_sql(m=4, ksub=4, dim=64, k=5),
         "pq_quant_report": _pq_quant_report_sql(m=4, ksub=4, dim=64),
-        "ivfpq_adc_batch": _ivfpq_adc_batch_sql(
-            kc=4, m=4, ksub=4, dim=64, k=5, n_probe=2
-        ),
         "sq_topk": _sq_topk_sql(dim=64, k=10),
         "sq_quant_report": _sq_quant_report_sql(dim=64),
         "bq_topk": _bq_topk_sql(dim=64, k=10),
@@ -7421,7 +7462,6 @@ def candidate_oracle_sql() -> dict[str, str]:
         "kcenter_coreset": _kcenter_sql(k=5, dim=64),
         "kcenter_coverage": _kcenter_coverage_sql(k=4, sample_frac=0.25),
         "bq_topk_batch": _bq_topk_batch_sql(dim=64, k=5),
-        "trgm_search": _TRGM_SEARCH_SQL,
         "trgm_similar": _trgm_similar_sql(
             "the fast key order sort table scan merge", 250_000
         ),
@@ -7435,7 +7475,6 @@ def candidate_oracle_sql() -> dict[str, str]:
         "collocations": _COLLOCATIONS_SQL,
         "trgm_ingest_stream": _TRGM_INGEST_STREAM_SQL,
         "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
-        "bloom_new_rows": _bloom_new_rows_sql(),
         "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
         "graph_triangles": _GRAPH_TRIANGLES_SQL,
         "graph_pagerank": _GRAPH_PAGERANK_SQL,
@@ -7492,6 +7531,13 @@ def candidate_oracle_sql() -> dict[str, str]:
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-12 registrations (promoted candidates) ---
+        "ivfpq_adc_batch": _ivfpq_adc_batch_sql(
+            kc=4, m=4, ksub=4, dim=64, k=5, n_probe=2
+        ),
+        "ann_ingest_stream_codes": _ann_ingest_codes_sql(),
+        "trgm_search": _TRGM_SEARCH_SQL,
+        "bloom_new_rows": _bloom_new_rows_sql(),
         # --- round-11 registrations (promoted candidates) ---
         "dup_spans": _dup_spans_sql(length=8, min_count=2),
         "dup_spans_incremental": _dup_spans_incremental_sql(

@@ -169,10 +169,20 @@ def main() -> None:
     trigger = rerun_trigger(anchor_spread, lap_factor)
     noisy_lap = trigger == "anchor_spread"
     rerun_times: dict[str, float] = {}
+    rerun_anchor_samples: list[float] = []
+    rerun_lap_factor = None
     if trigger and segment_factors:
         worst = max(segment_factors, key=lambda s: s["factor"])
         names = list(E.queries())
-        for name in names[worst["from_n"] : worst["to_n"]]:
+        # Self-labeling rerun (VERDICT r11 ask #5): the r11 rerun fired
+        # into a fresh load burst and recorded a 10 s time for a 0.6 s
+        # query with nothing saying so — so the rerun samples the
+        # anchor INSIDE itself (before, mid, after), exactly like the
+        # main lap, and carries its own lap_factor next to its numbers.
+        # A rerun time is only evidence at its own recorded pace.
+        rerun_anchor_samples.append(anchor_time()[0])
+        seg_names = names[worst["from_n"] : worst["to_n"]]
+        for j, name in enumerate(seg_names, start=1):
             t0 = time.time()
             try:
                 len(E.queries()[name](spark, sf_dir).collect())
@@ -180,6 +190,10 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 rerun_times[name] = -1.0
                 print(f"# rerun {name} FAILED: {e}", file=sys.stderr)
+            if j % ANCHOR_EVERY == 0 or j == len(seg_names):
+                rerun_anchor_samples.append(anchor_time()[0])
+        mid = sorted(rerun_anchor_samples)[len(rerun_anchor_samples) // 2]
+        rerun_lap_factor = round(mid / ANCHOR_REF_SEC, 3)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
@@ -203,6 +217,8 @@ def main() -> None:
         "noisy_lap": noisy_lap,
         "rerun_trigger": trigger,
         "worst_segment_rerun": rerun_times,
+        "rerun_anchor_samples": rerun_anchor_samples,
+        "rerun_lap_factor": rerun_lap_factor,
     }
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     try:

@@ -33,15 +33,24 @@ def asof_join_backward(
     by: str,
     right_cols: list[str],
     suffix: str = "_right",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: latest right row with right_on <= left_on,
     matched within `by`. Right payload columns arrive suffixed; rows
-    with no prior right row keep NULLs (left outer semantics)."""
+    with no prior right row keep NULLs (left outer semantics).
+
+    ``right_tiebreak`` (ADVICE r11): a right-side column name ordering
+    EQUAL-``right_on`` right rows deterministically — ascending with
+    NULLs last, so the row with the greatest tiebreak (NULL = +inf)
+    wins. Without it, which of several right rows sharing a timestamp
+    is picked is partitioning-dependent."""
     lcols = left.columns
+    tb_type = dict(right.dtypes)[right_tiebreak] if right_tiebreak else "int"
     tagged_l = left.select(
         F.col(by).alias("_by"),
         F.col(left_on).alias("_ts"),
         F.lit(1).alias("_is_left"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
         F.lit(None).cast("struct<" + ",".join(
             f"{c}:{dict(right.dtypes)[c]}" for c in right_cols
@@ -51,14 +60,19 @@ def asof_join_backward(
         F.col(by).alias("_by"),
         F.col(right_on).alias("_ts"),
         F.lit(0).alias("_is_left"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast(
+            tb_type
+        ).alias("_tb"),
         F.lit(None).cast(tagged_l.schema["_l"].dataType).alias("_l"),
         F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     # right rows sort BEFORE left rows at equal ts → a right row at
-    # exactly lt matches (<= semantics, like pd.merge_asof default)
+    # exactly lt matches (<= semantics, like pd.merge_asof default);
+    # the tiebreak orders only WITHIN right rows at one timestamp
+    # (left rows all carry NULL and are already separated by _is_left)
     w = (
         Window.partitionBy("_by")
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(F.col("_ts"), F.col("_is_left"), F.col("_tb").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = tagged_l.unionByName(tagged_r).withColumn(
@@ -171,10 +185,30 @@ def point_in_time_join(
     join that would explode per-key pairs; the expiry check is a
     row-local filter after the window. SCD2 histories are contiguous
     per key so the expiry branch only fires on gapped custom
-    histories — kept for generality, costs one comparison."""
+    histories — kept for generality, costs one comparison.
+
+    Equal-``valid_from`` versions (ADVICE r11 medium): SCD2 histories
+    built from equal-timestamp state changes can hold a ZERO-DURATION
+    version [t, t) alongside the survivor [t, next). A zero-length
+    version is valid at NO timestamp (half-open interval is empty), so
+    it is dropped up front — and the remaining equal-``valid_from``
+    rows (malformed custom histories only) resolve deterministically
+    to the latest-surviving one via the as-of tiebreak on ``valid_to``
+    ascending NULLs-last (NULL = open = greatest). Both rules match
+    the interval-predicate oracle exactly."""
     right_cols = [*payload_cols, valid_from, valid_to]
+    live = dim_history.filter(
+        F.col(valid_to).isNull() | (F.col(valid_to) != F.col(valid_from))
+    )
     joined = asof_join_backward(
-        facts, dim_history, fact_ts, valid_from, key, right_cols, suffix=suffix
+        facts,
+        live,
+        fact_ts,
+        valid_from,
+        key,
+        right_cols,
+        suffix=suffix,
+        right_tiebreak=valid_to,
     )
     vt = F.col(valid_to + suffix)
     expired = vt.isNotNull() & (vt <= F.col(fact_ts))

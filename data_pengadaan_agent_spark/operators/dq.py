@@ -289,8 +289,11 @@ def replay_quarantine(
             )
             released.append(ep)
     if released:
+        # raw collected epoch values, NOT int()-coerced (ADVICE r11:
+        # string/timestamp epoch columns were already read fine above;
+        # coercing here crashed the one type-specific line)
         keep = quarantined.filter(
-            ~F.col(epoch_col).isin([int(e) for e in released])
+            ~F.col(epoch_col).isin(list(released))
         ).localCheckpoint(eager=True)
         keep.write.mode("overwrite").parquet(quarantine_path)
     return (len(released), len(retained))

@@ -181,29 +181,94 @@ def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> 
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     rank = deg.select("vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm"))
     for _ in range(int(iters)):
-        contrib = (
-            rank.join(deg, "vertex")
-            .select(
-                F.col("vertex").alias("src"),
-                F.expr("rank_ppm DIV degree").cast("bigint").alias("c"),
-            )
-            .join(directed, "src")
-            .groupBy(F.col("dst").alias("vertex"))
-            .agg(F.sum("c").cast("bigint").alias("in_sum"))
-        )
-        rank = (
-            deg.select("vertex")
-            .join(contrib, "vertex", "left")
-            .select(
-                "vertex",
-                (
-                    F.lit(150_000).cast("bigint")
-                    + F.expr("85 * coalesce(in_sum, 0) DIV 100").cast("bigint")
-                ).alias("rank_ppm"),
-            )
-        )
+        rank = _pagerank_step(rank, deg, directed)
     out = rank.orderBy(F.desc("rank_ppm"), "vertex")
     return out.limit(int(top_k)) if top_k else out
+
+
+def _pagerank_step(rank: DataFrame, deg: DataFrame, directed: DataFrame) -> DataFrame:
+    """ONE exact-integer PageRank update — shared verbatim by the
+    fixed-iteration form (the certified twin) and the residual-stop
+    form, so converged(t iters) ≡ pagerank_int(iters=t) bit-for-bit."""
+    contrib = (
+        rank.join(deg, "vertex")
+        .select(
+            F.col("vertex").alias("src"),
+            F.expr("rank_ppm DIV degree").cast("bigint").alias("c"),
+        )
+        .join(directed, "src")
+        .groupBy(F.col("dst").alias("vertex"))
+        .agg(F.sum("c").cast("bigint").alias("in_sum"))
+    )
+    return (
+        deg.select("vertex")
+        .join(contrib, "vertex", "left")
+        .select(
+            "vertex",
+            (
+                F.lit(150_000).cast("bigint")
+                + F.expr("85 * coalesce(in_sum, 0) DIV 100").cast("bigint")
+            ).alias("rank_ppm"),
+        )
+    )
+
+
+def pagerank_int_converged(
+    edges: DataFrame,
+    tol_ppm: int = 1_000,
+    max_iters: int = 50,
+    top_k: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Residual-stop PageRank (VERDICT r11 "what's missing" #4): the
+    production form for a real ranking job, where the right iteration
+    count is a property of the GRAPH, not a parameter guess. Same
+    exact-integer update as ``pagerank_int`` (shared ``_pagerank_step``
+    — bit-identical trajectories), but each iteration localCheckpoints
+    the new ranks (the merge_components lineage-truncation pattern:
+    an unbounded iterative plan otherwise grows linearly and re-executes
+    the whole chain per action) and stops when the L1 residual
+    Σ|rank_t − rank_{t−1}| ≤ tol_ppm — one extra 1-row aggregate per
+    iteration, the unavoidable price of a data-dependent stop.
+
+    Returns (ranks ordered by rank desc, info) with info =
+    {"iters": t, "residual_ppm": r, "converged": bool}; hitting
+    ``max_iters`` without meeting tol reports converged=False rather
+    than raising (the partial ranks are still the exact t-step
+    answer)."""
+    if max_iters < 1:
+        raise ValueError("pagerank_int_converged: max_iters must be >= 1")
+    deg = degrees(edges)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    rank = deg.select(
+        "vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm")
+    ).localCheckpoint(eager=True)
+    residual = None
+    iters_run = 0
+    for _ in range(int(max_iters)):
+        new_rank = _pagerank_step(rank, deg, directed).localCheckpoint(eager=True)
+        iters_run += 1
+        residual = (
+            new_rank.withColumnRenamed("rank_ppm", "new_ppm")
+            .join(rank, "vertex")
+            .agg(
+                F.coalesce(
+                    F.sum(F.abs(F.col("new_ppm") - F.col("rank_ppm"))), F.lit(0)
+                ).cast("bigint")
+            )
+            .collect()[0][0]
+        )
+        rank = new_rank
+        if residual <= int(tol_ppm):
+            break
+    out = rank.orderBy(F.desc("rank_ppm"), "vertex")
+    info = {
+        "iters": iters_run,
+        "residual_ppm": int(residual),
+        "converged": residual <= int(tol_ppm),
+    }
+    return (out.limit(int(top_k)) if top_k else out), info
 
 
 def merge_components(

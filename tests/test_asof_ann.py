@@ -1005,3 +1005,61 @@ def test_point_in_time_join_versions_and_gaps(spark):
         104: None, 105: None,
     }
     assert out.count() == 6  # left-outer: nothing dropped
+
+
+def test_point_in_time_join_zero_duration_tiebreak(spark):
+    """ADVICE r11 (medium): equal-valid_from versions. scd2_history
+    can emit a zero-duration [t, t) version next to the survivor
+    [t, next) when two state changes share a timestamp; the as-of
+    union+window plan used to pick between them nondeterministically
+    (and NULL the payload whenever the expired one won). Pinned: the
+    zero-length version is valid at NO instant — the survivor always
+    wins, for every fact at or after t, and under adversarial
+    partitioning."""
+    import datetime as dt
+
+    from data_pengadaan_agent_spark.operators import asof as AS
+
+    def t(m):
+        return dt.datetime(2024, 3, 1, 10, m)
+
+    dim = spark.createDataFrame(
+        [
+            # user 1: v1 zero-duration at t(0), v2 survives [t0, t10),
+            # v3 open — the exact ADVICE shape
+            (1, "dead", 1, t(0), t(0)),
+            (1, "live", 2, t(0), t(10)),
+            (1, "next", 3, t(10), None),
+            # user 2: zero-duration version is the LAST row too
+            # (open survivor shares its valid_from)
+            (2, "ghost", 1, t(5), t(5)),
+            (2, "real", 2, t(5), None),
+        ],
+        "user_id LONG, state STRING, version LONG, "
+        "valid_from TIMESTAMP, valid_to TIMESTAMP",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t(0)),   # AT the shared valid_from -> live, never dead
+            (101, 1, t(5)),   # inside the survivor    -> live
+            (102, 1, t(10)),  # next version           -> next
+            (103, 2, t(5)),   # shared-from, open wins  -> real
+            (104, 2, t(4)),   # pre-history             -> NULL
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    # adversarial partitioning: scatter the dim rows so window-input
+    # order can't accidentally favor the survivor
+    for dim_in in (dim, dim.repartition(7), dim.orderBy(F.desc("state"))):
+        out = AS.point_in_time_join(
+            facts, dim_in, key="user_id", fact_ts="ts",
+            payload_cols=["state", "version"],
+        )
+        got = {r.event_id: (r.state_dim, r.version_dim) for r in out.collect()}
+        assert got == {
+            100: ("live", 2),
+            101: ("live", 2),
+            102: ("next", 3),
+            103: ("real", 2),
+            104: (None, None),
+        }

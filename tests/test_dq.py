@@ -214,6 +214,32 @@ def test_replay_quarantine_releases_fixed_epochs(spark, tmp_path):
     ) == (0, 0)
 
 
+def test_replay_quarantine_non_integer_epoch_column(spark, tmp_path):
+    """ADVICE r11 (low): the retained-epoch filter must use the raw
+    collected epoch values — a STRING epoch column (date-stamped
+    batches) used to crash on int() coercion in the one release line
+    even though the rest of replay is type-agnostic."""
+    quar = str(tmp_path / "squar")
+    clean = str(tmp_path / "sclean")
+    rep = str(tmp_path / "srep")
+    spark.createDataFrame(
+        [(1, 10.0, "2024-03-01"), (2, 20.0, "2024-03-01"),
+         (7, 7.0, "2024-03-02"), (7, 8.0, "2024-03-02")],
+        "id LONG, price DOUBLE, _epoch STRING",
+    ).write.parquet(quar)
+
+    def rules(_b):
+        return [DQ.not_null("id"), DQ.unique("id")]
+
+    assert DQ.replay_quarantine(spark, quar, rules, clean, rep) == (1, 1)
+    assert {r._epoch for r in spark.read.parquet(clean).collect()} == {
+        "2024-03-01"
+    }
+    assert {r._epoch for r in spark.read.parquet(quar).collect()} == {
+        "2024-03-02"
+    }
+
+
 def test_referential_big_dim_can_shuffle(frame, dim):
     rep = DQ.dq_check(
         frame, [DQ.referential("ref", dim, "pk", broadcast_dim=False)]

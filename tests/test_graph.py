@@ -132,6 +132,34 @@ def test_pagerank_partitioning_invariance_and_ties(spark):
 def test_pagerank_rejects_bad_iters(spark):
     with pytest.raises(ValueError, match="iters"):
         G.pagerank_int(_edges(spark, [(1, 2)]), iters=0)
+    with pytest.raises(ValueError, match="max_iters"):
+        G.pagerank_int_converged(_edges(spark, [(1, 2)]), max_iters=0)
+
+
+def test_pagerank_converged_matches_fixed_form_bit_exact(spark):
+    """VERDICT r11 #4: the residual-stop form shares _pagerank_step
+    with the certified fixed-iteration twin — converged-after-t ≡
+    pagerank_int(iters=t) bit-for-bit, the residual is the exact
+    integer L1 delta, and a too-small max_iters reports
+    converged=False with the exact t-step answer."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    e = _edges(spark, pairs)
+    out, info = G.pagerank_int_converged(e, tol_ppm=1_000, max_iters=30)
+    assert info["converged"] and 1 <= info["iters"] <= 30
+    assert info["residual_ppm"] <= 1_000
+    fixed = G.pagerank_int(e, iters=info["iters"])
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in fixed.collect()]
+    # regular graph (cycle): every vertex keeps rank 1e6 forever —
+    # residual 0 after one step, the earliest possible stop
+    cyc = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    _, info_c = G.pagerank_int_converged(cyc, tol_ppm=0, max_iters=10)
+    assert info_c == {"iters": 1, "residual_ppm": 0, "converged": True}
+    # honest non-convergence: max_iters hit, partial = exact t-step
+    out_p, info_p = G.pagerank_int_converged(e, tol_ppm=0, max_iters=2)
+    assert not info_p["converged"] and info_p["iters"] == 2
+    assert [tuple(r) for r in out_p.collect()] == [
+        tuple(r) for r in G.pagerank_int(e, iters=2).collect()
+    ]
 
 
 def _py_cc(pairs, nodes):

@@ -182,6 +182,34 @@ def test_survivor_manifest_is_a_dataframe_with_no_driver_collect(spark, table):
     assert judged2.filter("status = 'unmapped'").count() == 1
 
 
+def test_survivor_manifest_accepts_external_manifest_table(spark, table, tmp_path):
+    """The no-listing path for manifest-driven tables: a persisted
+    file-manifest TABLE (written, re-read, scrambled order) drives the
+    verdict instead of a directory listing — same survivors, and a
+    manifest row for a file the map does not know surfaces as
+    'unmapped' without any filesystem access."""
+    data, zm = table
+    box = {"v": (100.0, 220.0)}
+    mani_path = str(tmp_path / "manifest")
+    spark.createDataFrame(
+        [(f,) for f in Z._data_files(data)], "file string"
+    ).orderBy(F.desc("file")).write.parquet(mani_path)
+    mani = spark.read.parquet(mani_path)
+    via_table = Z.zonemap_survivor_manifest(spark, data, zm, box, manifest=mani)
+    via_listing = Z.zonemap_survivor_manifest(spark, data, zm, box)
+    assert sorted(map(tuple, via_table.collect())) == sorted(
+        map(tuple, via_listing.collect())
+    )
+    assert Z.zonemap_pruned_files(spark, data, zm, box, manifest=mani) == \
+        Z.zonemap_pruned_files(spark, data, zm, box)
+    # a manifest row the map doesn't cover = unmapped, no fs listing
+    ghost = mani.unionByName(
+        spark.createDataFrame([("file:/nowhere/ghost.parquet",)], "file string")
+    )
+    judged = Z.zonemap_survivor_manifest(spark, data, zm, box, manifest=ghost)
+    assert judged.filter("status = 'unmapped'").count() == 1
+
+
 def test_all_null_chunk_does_not_crash_build(spark, tmp_path):
     """ADVICE r11 (low): a column chunk whose statistics exist but
     carry no min/max (all-NULL chunk) must fall into the 'cannot

@@ -177,11 +177,16 @@ def main() -> None:
         # Self-labeling rerun (VERDICT r11 ask #5): the r11 rerun fired
         # into a fresh load burst and recorded a 10 s time for a 0.6 s
         # query with nothing saying so — so the rerun samples the
-        # anchor INSIDE itself (before, mid, after), exactly like the
-        # main lap, and carries its own lap_factor next to its numbers.
-        # A rerun time is only evidence at its own recorded pace.
+        # anchor INSIDE itself (before, mid, after — a segment is at
+        # most ANCHOR_EVERY queries, so the mid sample must key on the
+        # segment's own midpoint, not on ANCHOR_EVERY, or it never
+        # fires and the samples degenerate to endpoint-only, the exact
+        # round-4 failure mode documented above), and carries its own
+        # lap_factor next to its numbers. A rerun time is only
+        # evidence at its own recorded pace.
         rerun_anchor_samples.append(anchor_time()[0])
         seg_names = names[worst["from_n"] : worst["to_n"]]
+        mid_j = max(1, len(seg_names) // 2)
         for j, name in enumerate(seg_names, start=1):
             t0 = time.time()
             try:
@@ -190,10 +195,10 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 rerun_times[name] = -1.0
                 print(f"# rerun {name} FAILED: {e}", file=sys.stderr)
-            if j % ANCHOR_EVERY == 0 or j == len(seg_names):
+            if j == mid_j or j == len(seg_names):
                 rerun_anchor_samples.append(anchor_time()[0])
-        mid = sorted(rerun_anchor_samples)[len(rerun_anchor_samples) // 2]
-        rerun_lap_factor = round(mid / ANCHOR_REF_SEC, 3)
+        med = sorted(rerun_anchor_samples)[len(rerun_anchor_samples) // 2]
+        rerun_lap_factor = round(med / ANCHOR_REF_SEC, 3)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag

@@ -268,15 +268,27 @@ def replay_quarantine(
         quarantined = spark.read.parquet(quarantine_path)
     except Exception:
         return (0, 0)
-    epochs = sorted(
-        r[0] for r in quarantined.select(epoch_col).distinct().collect()
-    )
+    ep_type = quarantined.schema[epoch_col].dataType
+    vals = {r[0] for r in quarantined.select(epoch_col).distinct().collect()}
+    # NULL-stamped rows (a sink that forgot the epoch) are their own
+    # batch, LAST — and every filter below is null-safe: a plain
+    # isin()/== on a NULL epoch evaluates to NULL, which once upon a
+    # time would have silently dropped EVERY row from the rewrite and
+    # wiped the quarantine (the evidence the docstring promises never
+    # to discard).
+    epochs: list = sorted(vals - {None})
+    if None in vals:
+        epochs.append(None)
     released, retained = [], []
     for ep in epochs:
-        batch = quarantined.filter(F.col(epoch_col) == ep).drop(epoch_col)
+        pred = (
+            F.col(epoch_col).isNull() if ep is None else F.col(epoch_col) == ep
+        )
+        batch = quarantined.filter(pred).drop(epoch_col)
         batch = batch.localCheckpoint(eager=True)
+        stamp = F.lit(ep).cast(ep_type)
         report = dq_check(batch, rules_factory(batch)).withColumn(
-            epoch_col, F.lit(ep)
+            epoch_col, stamp
         ).withColumn("_replay", F.lit(True))
         report = report.localCheckpoint(eager=True)
         n_bad = report.filter(F.col("violations") > 0).count()
@@ -284,7 +296,7 @@ def replay_quarantine(
         if n_bad:
             retained.append(ep)
         else:
-            batch.withColumn(epoch_col, F.lit(ep)).write.mode("append").parquet(
+            batch.withColumn(epoch_col, stamp).write.mode("append").parquet(
                 clean_path
             )
             released.append(ep)
@@ -292,8 +304,13 @@ def replay_quarantine(
         # raw collected epoch values, NOT int()-coerced (ADVICE r11:
         # string/timestamp epoch columns were already read fine above;
         # coercing here crashed the one type-specific line)
-        keep = quarantined.filter(
-            ~F.col(epoch_col).isin(list(released))
-        ).localCheckpoint(eager=True)
+        non_null = [e for e in released if e is not None]
+        keep_nonnull = (
+            ~F.col(epoch_col).isin(non_null) if non_null else F.lit(True)
+        )
+        cond = (F.col(epoch_col).isNotNull() & keep_nonnull) | (
+            F.col(epoch_col).isNull() & F.lit(None not in released)
+        )
+        keep = quarantined.filter(cond).localCheckpoint(eager=True)
         keep.write.mode("overwrite").parquet(quarantine_path)
     return (len(released), len(retained))

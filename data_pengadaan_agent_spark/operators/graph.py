@@ -259,6 +259,11 @@ def pagerank_int_converged(
             )
             .collect()[0][0]
         )
+        # release the superseded checkpoint: new_rank is already
+        # materialized (eager) and the residual consumed the old one —
+        # without this, max_iters full rank copies stay pinned in
+        # executor storage for the session (self-review r12)
+        rank.unpersist()
         rank = new_rank
         if residual <= int(tol_ppm):
             break

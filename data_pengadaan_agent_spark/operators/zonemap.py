@@ -114,25 +114,41 @@ def _footer_sweep(spark: SparkSession, files: list[str], want: list[str]) -> Dat
                 md = pq.ParquetFile(fname).metadata
                 lo: dict[str, float] = {}
                 hi: dict[str, float] = {}
+                unknown: set[str] = set()
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
                         c = g.column(ci)
                         name = c.path_in_schema
+                        if name not in want:
+                            continue
                         st = c.statistics
-                        # has_min_max guard (ADVICE r11): an all-NULL
-                        # chunk carries statistics without min/max. Its
-                        # rows can never match a box predicate (NULL
-                        # fails any range test), so skipping it keeps
-                        # the zone exact over the matchable rows.
-                        if name in want and st is not None and st.has_min_max:
+                        # min/max guard (ADVICE r11 + self-review): a
+                        # chunk whose stats carry min/max accumulates;
+                        # a chunk PROVABLY all-NULL (null_count ==
+                        # num_values) can never match a box predicate
+                        # and is safely skipped; anything else —
+                        # missing stats, or stats without min/max on a
+                        # chunk that may hold values — poisons the
+                        # column to a NULL (cannot-prune) zone. A
+                        # narrowed zone built from only SOME chunks
+                        # would wrongly prune rows living in the
+                        # stats-less one.
+                        if st is not None and st.has_min_max:
                             lo[name] = min(lo.get(name, _low(st.min)), _low(st.min))
                             hi[name] = max(hi.get(name, _high(st.max)), _high(st.max))
+                        elif not (
+                            st is not None
+                            and st.has_null_count
+                            and st.null_count == c.num_values
+                        ):
+                            unknown.add(name)
                 for name in want:
+                    known = name in lo and name not in unknown
                     out["file"].append(fname)
                     out["col"].append(name)
-                    out["zmin"].append(lo.get(name))
-                    out["zmax"].append(hi.get(name))
+                    out["zmin"].append(lo[name] if known else None)
+                    out["zmax"].append(hi[name] if known else None)
                     out["n_rows"].append(md.num_rows)
             yield pd.DataFrame(out)
 
@@ -205,6 +221,17 @@ def _manifest_df(spark: SparkSession, data_path: str) -> DataFrame:
     return spark.createDataFrame(
         [(f,) for f in _data_files(data_path)], "file string"
     )
+
+
+def _schema_probe_files(
+    spark: SparkSession, data_path: str, manifest: DataFrame | None
+) -> list[str]:
+    """ONE file to read the table schema from when every file was
+    pruned — from the manifest when supplied (no listing), else from
+    the directory."""
+    if manifest is not None:
+        return [r.file for r in manifest.select("file").limit(1).collect()]
+    return _data_files(data_path)[:1]
 
 
 def zonemap_survivor_manifest(
@@ -291,16 +318,22 @@ def zonemap_pruned_scan(
     data_path: str,
     zm_path: str,
     predicates: dict[str, tuple[float, float]],
+    manifest: DataFrame | None = None,
 ) -> DataFrame:
     """The pruned box scan: read ONLY the surviving files, then apply
     the exact residual filter — result equals the direct filtered
     scan of the whole table (lossless skipping by the interval
     argument; the driver twin certifies exactly this). An all-pruned
     query returns an empty frame with the table's schema (one footer
-    read, zero data files scanned)."""
-    files = zonemap_pruned_files(spark, data_path, zm_path, predicates)
-    all_files = _data_files(data_path)
-    df = spark.read.parquet(*(files if files else all_files[:1]))
+    read, zero data files scanned). ``manifest``: optional external
+    file-manifest DataFrame (no directory listing anywhere on the
+    scan path — the all-pruned schema probe also reads from it)."""
+    files = zonemap_pruned_files(
+        spark, data_path, zm_path, predicates, manifest=manifest
+    )
+    df = spark.read.parquet(
+        *(files if files else _schema_probe_files(spark, data_path, manifest))
+    )
     cond = None
     for c, (lo, hi) in predicates.items():
         this = (F.col(c) >= float(lo)) & (F.col(c) <= float(hi))
@@ -434,7 +467,7 @@ def valueset_survivor_manifest(
     manifest-driven tables."""
     _vs_read_meta(spark, vs_path)
     if not wanted:
-        raise ValueError("valueset_pruned_scan: empty wanted list")
+        raise ValueError("valueset_survivor_manifest: empty wanted list")
     values_p, _ = _vs_paths(vs_path)
     verdict = (
         spark.read.parquet(values_p)
@@ -464,6 +497,7 @@ def valueset_pruned_scan(
     data_path: str,
     vs_path: str,
     wanted: list[str],
+    manifest: DataFrame | None = None,
 ) -> DataFrame:
     """Equality/IN scan through the value-set index: keep exactly the
     files containing ANY wanted value, read only those, apply the
@@ -471,9 +505,12 @@ def valueset_pruned_scan(
     no existence row for any wanted value cannot hold a matching
     row). Refuses a stale index (unmapped data files) — the zonemap
     correctness-first rule. Driver-side materialization: survivors
-    only (module docstring contract)."""
+    only (module docstring contract). ``manifest``: optional external
+    file-manifest DataFrame — no directory listing on the scan path."""
     col = _vs_read_meta(spark, vs_path)
-    judged = valueset_survivor_manifest(spark, data_path, vs_path, wanted)
+    judged = valueset_survivor_manifest(
+        spark, data_path, vs_path, wanted, manifest=manifest
+    )
     rows = judged.filter(F.col("status") != "pruned").collect()
     if any(r.status == "unmapped" for r in rows):
         raise ValueError(
@@ -481,7 +518,9 @@ def valueset_pruned_scan(
             "cover — pruning would wrongly skip them; rebuild or repair"
         )
     keep = sorted(r.file for r in rows)
-    df = spark.read.parquet(*(keep if keep else _data_files(data_path)[:1]))
+    df = spark.read.parquet(
+        *(keep if keep else _schema_probe_files(spark, data_path, manifest))
+    )
     out = df.filter(F.col(col).isin(list(wanted)))
     return out.limit(0) if not keep else out
 

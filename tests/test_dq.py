@@ -240,6 +240,43 @@ def test_replay_quarantine_non_integer_epoch_column(spark, tmp_path):
     }
 
 
+def test_replay_quarantine_null_epoch_never_wipes_evidence(spark, tmp_path):
+    """Self-review r12: NULL-stamped epochs. A violating NULL-epoch
+    batch must STAY quarantined (the old plain isin() rewrite
+    evaluated to NULL on these rows and silently overwrote the
+    quarantine EMPTY); a passing NULL batch releases with its NULL
+    stamp while non-NULL epochs are judged independently."""
+    quar = str(tmp_path / "nq")
+    clean = str(tmp_path / "nc")
+    rep = str(tmp_path / "nr")
+    # NULL epoch: real duplicate (violates); epoch 5: passes
+    spark.createDataFrame(
+        [(7, 7.0, None), (7, 8.0, None), (1, 1.0, 5), (2, 2.0, 5)],
+        "id LONG, price DOUBLE, _epoch LONG",
+    ).write.parquet(quar)
+
+    def rules(_b):
+        return [DQ.not_null("id"), DQ.unique("id")]
+
+    assert DQ.replay_quarantine(spark, quar, rules, clean, rep) == (1, 1)
+    # epoch 5 released; the NULL-epoch duplicates are still EVIDENCE
+    assert sorted(r.id for r in spark.read.parquet(clean).collect()) == [1, 2]
+    still = spark.read.parquet(quar).collect()
+    assert sorted(r.id for r in still) == [7, 7]
+    assert all(r._epoch is None for r in still)
+    # all-NULL passing quarantine: released with the NULL stamp, and
+    # the rewrite leaves an empty-but-consistent quarantine (not a wipe
+    # of unjudged rows)
+    quar2 = str(tmp_path / "nq2")
+    spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, None)], "id LONG, price DOUBLE, _epoch LONG"
+    ).write.parquet(quar2)
+    assert DQ.replay_quarantine(spark, quar2, rules, clean, rep) == (1, 0)
+    assert spark.read.parquet(quar2).count() == 0
+    released = spark.read.parquet(clean).filter("id IN (1,2)").collect()
+    assert len(released) >= 2
+
+
 def test_referential_big_dim_can_shuffle(frame, dim):
     rep = DQ.dq_check(
         frame, [DQ.referential("ref", dim, "pk", broadcast_dim=False)]

@@ -234,6 +234,35 @@ def test_all_null_chunk_does_not_crash_build(spark, tmp_path):
     assert got == list(range(10, 21))
 
 
+def test_statless_file_gets_null_zone_and_is_never_pruned(spark, tmp_path):
+    """Self-review r12: a chunk with NO usable min/max that may hold
+    values must POISON the column to a NULL (cannot-prune) zone — a
+    zone narrowed from only the chunks that do have stats would
+    wrongly prune rows living in the stats-less one. Pinned with a
+    file written entirely without statistics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = str(tmp_path / "nsdata")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id LONG, v DOUBLE"
+    ).coalesce(1).write.parquet(data)
+    # a second file with stats disabled, holding OUT-OF-RANGE values
+    t = pa.table({"id": pa.array([900, 901], pa.int64()),
+                  "v": pa.array([900.0, 901.0], pa.float64())})
+    pq.write_table(t, f"{data}/nostats.parquet", write_statistics=False)
+    zm = str(tmp_path / "nszm")
+    assert Z.build_zonemap(spark, data, zm, ["v"]) == 2
+    zones = {r.file: (r.zmin, r.zmax) for r in
+             spark.read.parquet(f"{zm}/zones").collect()}
+    assert zones[f"{data}/nostats.parquet"] == (None, None)
+    # the stats-less file survives every box and its rows are found
+    got = sorted(
+        r.id for r in Z.zonemap_pruned_scan(spark, data, zm, {"v": (899.0, 902.0)}).collect()
+    )
+    assert got == [900, 901]
+
+
 def test_int64_zone_bounds_are_conservative_past_2_53(spark, tmp_path):
     """ADVICE r11 (low): int64 values above 2^53 are not exactly
     representable as doubles; the stored zone must be rounded OUTWARD

@@ -81,6 +81,26 @@ def _fold(key: Column) -> Column:
     return F.pmod(key.cast("long"), F.lit(_M31))
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long", "short", "byte"}
+
+
+def _require_integral(df: DataFrame, key_col: str, fn: str) -> None:
+    """The probe law hashes via cast('long'). On ANSI-off deployments
+    a string key would cast to NULL silently — every such key probes
+    to nothing and is re-classified 'new' forever, the exact silent-
+    duplicate false negative this index exists to prevent (on this
+    repo's ANSI-on Spark it crashes mid-job instead). Fail loudly and
+    early at the entry points (self-review r12)."""
+    dt = dict(df.dtypes).get(key_col)
+    if dt is None:
+        raise ValueError(f"{fn}: no column {key_col!r} in frame")
+    if dt not in _INTEGRAL:
+        raise ValueError(
+            f"{fn}: key column {key_col!r} is {dt}; the probe law needs an "
+            "integral key — hash strings first (e.g. xxhash64)"
+        )
+
+
 def _bucket_col(key: Column, n_buckets: int) -> Column:
     """Bucket route — independent mix constant from the probe pair."""
     return F.pmod(
@@ -179,6 +199,7 @@ def build_bloom_index(
     see the module invariant (bits ⊇ keys at every reachable state)."""
     if n_buckets < 1 or n_words < 1 or not (1 <= k <= 16):
         raise ValueError("build_bloom_index: need n_buckets,n_words >= 1, 1 <= k <= 16")
+    _require_integral(df, key_col, "build_bloom_index")
     spark = df.sparkSession
     words_p, keys_p, meta_p = _paths(path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -187,7 +208,15 @@ def build_bloom_index(
     if fs.exists(meta_fs_path):
         fs.delete(meta_fs_path, True)
 
-    fresh = df.select(key_col).dropDuplicates([key_col])
+    # NULL keys carry no identity (the bloom_new_rows contract): their
+    # probe rows explode to nothing, so registering one writes a keys/
+    # row with NO bits — a permanent missing_bits audit alarm that
+    # repair can never converge away (self-review r12).
+    fresh = (
+        df.select(key_col)
+        .filter(F.col(key_col).isNotNull())
+        .dropDuplicates([key_col])
+    )
     _word_rows(fresh, key_col, n_buckets, n_words, k).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(words_p)
@@ -237,6 +266,7 @@ def bloom_new_rows(
     # probe rows explode to nothing, so its bits are never set) and
     # would be re-classified "new" on every ingest forever — drop them
     # up front, the same NULL contract as the cube key columns.
+    _require_integral(batch, key_col, "bloom_new_rows")
     batch = batch.filter(F.col(key_col).isNotNull())
     probed = probe_bloom(spark, path, batch, key_col)
     _, keys_p, _ = _paths(path)
@@ -335,9 +365,21 @@ def compact_bloom_index(spark: SparkSession, path: str, key_col: str = "key") ->
     meta_df = spark.read.parquet(meta_p).collect()
     fs.delete(jvm_path(meta_p), True)  # meta OUT: index invalid during swap
     fs.delete(jvm_path(words_p), True)
-    fs.rename(jvm_path(staged_w), jvm_path(words_p))
+    if not fs.rename(jvm_path(staged_w), jvm_path(words_p)):
+        # Hadoop rename reports failure by RETURNING false — writing a
+        # valid meta over a missing words/ would hand readers a
+        # healthy-looking index with its bits gone (self-review r12).
+        # Meta stays absent = loudly invalid; __staged keeps the data.
+        raise OSError(
+            f"compact_bloom_index: rename {staged_w} -> {words_p} failed; "
+            "meta left absent (index invalid), staged data preserved"
+        )
     fs.delete(jvm_path(keys_p), True)
-    fs.rename(jvm_path(staged_k), jvm_path(keys_p))
+    if not fs.rename(jvm_path(staged_k), jvm_path(keys_p)):
+        raise OSError(
+            f"compact_bloom_index: rename {staged_k} -> {keys_p} failed; "
+            "meta left absent (index invalid), staged data preserved"
+        )
     spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return n_rows
 

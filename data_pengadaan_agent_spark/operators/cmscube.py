@@ -202,16 +202,30 @@ def cms_estimate(
         for row, col in py_slots(str(key), d, w, seed)
     ]
     wanted = spark.createDataFrame(slot_rows, "key string, row int, col int")
-    counters = cms_rollup(spark, path, group_by)
+    # ONE materialization of the rollup: the distinct-group list and
+    # the join right side otherwise each re-scan + re-aggregate the
+    # whole cube (self-review r12)
+    counters = cms_rollup(spark, path, group_by).localCheckpoint(eager=True)
     full = (
         counters.select(*group_by).distinct().crossJoin(wanted)
         if group_by
         else wanted
     )
-    joined = full.join(counters, [*group_by, "row", "col"], "left").select(
-        *group_by,
-        "key",
-        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+    # null-safe group equality (self-review r12): _cube_rows keeps
+    # NULL-dim groups and their counters are real — a plain equi-join
+    # never matches NULL = NULL, which silently returned est = 0 for
+    # those groups and broke the 'est >= true count, always' bound.
+    cond = (F.col("l.row") == F.col("r.row")) & (F.col("l.col") == F.col("r.col"))
+    for g in group_by:
+        cond = cond & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    joined = (
+        full.alias("l")
+        .join(counters.alias("r"), cond, "left")
+        .select(
+            *[F.col(f"l.{g}").alias(g) for g in group_by],
+            F.col("l.key").alias("key"),
+            F.coalesce(F.col("r.cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+        )
     )
     return (
         joined.groupBy(*group_by, "key")

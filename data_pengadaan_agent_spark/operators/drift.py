@@ -44,8 +44,10 @@ def change_point(
     """Per group: (group..., cp_ts, cp_k, n, score) where score =
     max_k |n·prefix_k − k·S| over the series ordered by the TOTAL
     (ts, tiebreak) order, and cp is the earliest k attaining it.
-    A flat series scores 0 with cp at k=1; NULL values are dropped
-    before gridding (they carry no signal about level shifts)."""
+    A flat series scores 0 with cp at k=1; NULL **and NaN** values
+    are dropped before gridding — both carry no signal, and a NaN
+    would otherwise grid to 0 (floor(NaN·1000+0.5) = 0) and fabricate
+    a level shift (self-review r12)."""
     if not group_cols:
         raise ValueError("change_point: need at least one group column")
     xm = F.floor(F.col(value_col).cast("double") * F.lit(1000.0) + F.lit(0.5)).cast(
@@ -55,7 +57,10 @@ def change_point(
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wg = Window.partitionBy(*group_cols)
     rows = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .select(
             *group_cols,
             F.col(ts_col).alias("_ts"),
@@ -100,17 +105,23 @@ def histogram_drift(
     empty is an error (a share vector needs a denominator)."""
     def shares(df, side):
         return (
-            df.filter(F.col(value_col).isNotNull())
+            df.filter(
+                F.col(value_col).isNotNull()
+                & ~F.isnan(F.col(value_col).cast("double"))
+            )
             .withColumn("bin", bin_col(value_col, lo, hi, n_bins))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias(f"cnt_{side}"))
         )
 
     a, b = shares(df_a, "a"), shares(df_b, "b")
+    # one materialization: totals.collect() and the per-bin aggregate
+    # otherwise each re-run both snapshots' scans + the full join
+    # (self-review r12)
     joined = a.join(b, "bin", "full").select(
         F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),
         F.coalesce("cnt_b", F.lit(0)).cast("bigint").alias("cnt_b"),
-    )
+    ).localCheckpoint(eager=True)
     totals = joined.agg(
         F.sum("cnt_a").cast("bigint").alias("n_a"),
         F.sum("cnt_b").cast("bigint").alias("n_b"),

@@ -89,6 +89,12 @@ def build_kmv_cube(
         raise ValueError("build_kmv_cube: need at least one dim")
     if k < 2:
         raise ValueError("build_kmv_cube: k must be >= 2")
+    # split_hash_col hashes via cast('long'): a string key would cast
+    # to NULL on ANSI-off deployments and silently vanish from every
+    # sketch (self-review r12 — the bloom _require_integral contract)
+    from data_pengadaan_agent_spark.operators.bloom import _require_integral
+
+    _require_integral(df, key_col, "build_kmv_cube")
     samples_p, meta_p = _paths(path)
     spark = df.sparkSession
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
@@ -182,7 +188,13 @@ def compact_kmv_cube(spark: SparkSession, path: str) -> int:
     meta_df = spark.read.parquet(meta_p).collect()
     fs.delete(jvm_path(meta_p), True)  # meta OUT: cube invalid during swap
     fs.delete(jvm_path(samples_p), True)
-    fs.rename(jvm_path(staged), jvm_path(samples_p))
+    if not fs.rename(jvm_path(staged), jvm_path(samples_p)):
+        # Hadoop rename reports failure by returning false — never
+        # rewrite a valid meta over a missing samples/ (self-review r12)
+        raise OSError(
+            f"compact_kmv_cube: rename {staged} -> {samples_p} failed; "
+            "meta left absent (cube invalid), staged data preserved"
+        )
     spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return n
 

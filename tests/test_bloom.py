@@ -276,3 +276,24 @@ def test_null_keys_are_dropped_not_churned(spark, idx):
     assert B.ingest_bloom_batch(spark, path, batch, "key") == 0  # no NULL churn
     keys = spark.read.parquet(f"{path}/keys")
     assert keys.filter("key IS NULL").count() == 0
+
+
+def test_build_drops_null_keys_and_guards_key_type(spark, tmp_path):
+    """Self-review r12: (a) a NULL key registered at BUILD time (the
+    ingest path already dropped them) wrote a keys/ row with no bits —
+    a permanent missing_bits alarm repair could never converge away;
+    (b) a non-integral key column would hash to NULL silently on
+    ANSI-off deployments (every key 'definitely new' forever) — both
+    now refuse/drop loudly at the entry points."""
+    path = str(tmp_path / "bnull")
+    df = spark.createDataFrame([(1,), (None,), (2,)], "key LONG")
+    B.build_bloom_index(df, path, key_col="key", n_buckets=2, n_words=16, k=3)
+    keys = spark.read.parquet(f"{path}/keys")
+    assert keys.filter("key IS NULL").count() == 0
+    assert B.audit_bloom_index(spark, path, "key").count() == 0
+    assert B.repair_bloom_index(spark, path, "key") == 0  # converged, no-op
+    sdf = spark.createDataFrame([("abc",)], "key STRING")
+    with pytest.raises(ValueError, match="integral"):
+        B.build_bloom_index(sdf, str(tmp_path / "bstr"), key_col="key")
+    with pytest.raises(ValueError, match="integral"):
+        B.bloom_new_rows(spark, path, sdf, "key")

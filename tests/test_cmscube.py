@@ -161,3 +161,26 @@ def test_streaming_cms_sink_parity(spark, tmp_path):
     b = {(r.lang, r.row, r.col): r.cnt
          for r in C.cms_rollup(spark, batched, ["lang"]).collect()}
     assert a == b
+
+
+def test_estimate_null_dim_group_keeps_upper_bound(spark, tmp_path):
+    """Self-review r12: _cube_rows keeps NULL-dim groups (their
+    counters are real), but a plain equi-join in cms_estimate never
+    matched NULL = NULL — those groups silently estimated 0, breaking
+    the one guarantee the sketch sells (est >= true count, always).
+    Null-safe join pinned: the NULL group estimates exactly in the
+    collision-free regime."""
+    rows = [("en", t) for t in ["a", "a", "b"]] + [
+        (None, t) for t in ["a", "a", "a", "a", "c"]
+    ]
+    df = _toks(spark, rows)
+    path = str(tmp_path / "cms_null")
+    C.build_cms_cube(df, path, dims=["lang"], key_col="tok", d=4, w=2048)
+    got = {
+        (r.lang, r.key): r.est
+        for r in C.cms_estimate(spark, path, ["a", "b", "c"], ["lang"]).collect()
+    }
+    assert got[(None, "a")] == 4
+    assert got[(None, "c")] == 1
+    assert got[(None, "b")] == 0
+    assert got[("en", "a")] == 2 and got[("en", "b")] == 1

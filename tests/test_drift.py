@@ -68,3 +68,26 @@ def test_histogram_drift_extremes_and_exactness(spark):
     assert z.drift_ppm == 0
     with pytest.raises(ValueError, match="non-empty"):
         DR.histogram_drift(lo_half, lo_half.limit(0), "value", 0.0, 100.0)
+
+
+def test_nan_values_carry_no_signal(spark):
+    """Self-review r12: NaN passed the isNotNull filter and gridded to
+    0 (floor(NaN*1000+0.5) = 0), fabricating a level shift at the NaN
+    boundary and phantom bin-0 mass. NaN now drops exactly like NULL."""
+    import datetime as dt
+
+    clean_rows = [("g", dt.datetime(2024, 1, 1, 0, i), 100.0, i) for i in range(10)]
+    nan_rows = [("g", dt.datetime(2024, 1, 1, 1, i), float("nan"), 100 + i)
+                for i in range(5)]
+    schema = "g STRING, ts TIMESTAMP, value DOUBLE, event_id LONG"
+    clean = spark.createDataFrame(clean_rows, schema)
+    dirty = spark.createDataFrame(clean_rows + nan_rows, schema)
+    a = [tuple(r) for r in DR.change_point(clean, ["g"], "ts", "value", "event_id").collect()]
+    b = [tuple(r) for r in DR.change_point(dirty, ["g"], "ts", "value", "event_id").collect()]
+    assert a == b  # the NaN tail adds no rows, no shift, no score
+    flat = spark.createDataFrame([(float(v),) for v in range(50)], "value DOUBLE")
+    flat_nan = spark.createDataFrame(
+        [(float(v),) for v in range(50)] + [(float("nan"),)] * 20, "value DOUBLE"
+    )
+    r = DR.histogram_drift(flat, flat_nan, "value", 0.0, 50.0, n_bins=5).collect()[0]
+    assert (r.n_a, r.n_b, r.drift_ppm) == (50, 50, 0)

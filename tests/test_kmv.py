@@ -173,3 +173,12 @@ def test_overlap_empty_union_is_zero_row(spark, tmp_path):
     K.build_kmv_cube(_frame(spark, [("X", 1)]), path, dims=["g"], key_col="key", k=8)
     r = K.kmv_overlap(spark, path, "g", "A", "B").collect()[0]
     assert tuple(r) == (0, 0, 0, 0, 0)
+
+
+def test_build_rejects_non_integral_key(spark, tmp_path):
+    """Self-review r12: split_hash_col hashes via cast('long') — a
+    string key would cast to NULL on ANSI-off deployments and every
+    key would silently vanish from the sketch. Loud, early refusal."""
+    df = spark.createDataFrame([("g", "abc")], "g STRING, k STRING")
+    with pytest.raises(ValueError, match="integral"):
+        K.build_kmv_cube(df, str(tmp_path / "kv"), dims=["g"], key_col="k")

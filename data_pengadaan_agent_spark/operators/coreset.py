@@ -92,19 +92,34 @@ def kcenter_coreset(
     base = df.select(
         F.col(id_col).alias("vid"), micro_vec_col(vec_col, dp).alias("q")
     ).dropDuplicates(["vid"])
+    picked, _ = _kcenter_select(base, k)
+    return spark.createDataFrame(
+        picked, f"sel_rank int, {id_col} bigint, dist_micro bigint"
+    )
+
+
+def _kcenter_select(
+    base: DataFrame, k: int
+) -> tuple[list[tuple], list[list[int]]]:
+    """The greedy loop over a deduped (vid, q) frame: returns BOTH the
+    (sel_rank, vid, dist_micro) trajectory and the quantized center
+    vectors it actually selected, in selection order — consumers must
+    use THESE vectors, not a re-fetch by id from the raw frame, which
+    under duplicate ids can resolve to a vector the trajectory never
+    chose (self-review r12: nondeterministic coverage)."""
     seed = base.orderBy(F.asc("vid")).limit(1).collect()
     if not seed:
         raise ValueError("kcenter_coreset: empty input")
     seed = seed[0]
     picked = [(1, int(seed["vid"]), 0)]
-    newest = [int(v) for v in seed["q"]]
+    centers = [[int(v) for v in seed["q"]]]
     state = None
     for t in range(1, k):
         if state is None:
-            state = base.withColumn("mind", _dist_to(newest))
+            state = base.withColumn("mind", _dist_to(centers[-1]))
         else:
             state = state.withColumn(
-                "mind", F.least(F.col("mind"), _dist_to(newest))
+                "mind", F.least(F.col("mind"), _dist_to(centers[-1]))
             )
         state = state.localCheckpoint(eager=True)
         taken = [p[1] for p in picked]
@@ -121,10 +136,8 @@ def kcenter_coreset(
             )
         far = far[0]
         picked.append((t + 1, int(far["vid"]), int(far["mind"])))
-        newest = [int(v) for v in far["q"]]
-    return spark.createDataFrame(
-        picked, f"sel_rank int, {id_col} bigint, dist_micro bigint"
-    )
+        centers.append([int(v) for v in far["q"]])
+    return picked, centers
 
 
 def kcenter_coverage_sampled(
@@ -156,16 +169,15 @@ def kcenter_coverage_sampled(
         raise ValueError("kcenter_coverage_sampled: sample_frac in (0, 1]")
     thresh = int(sample_frac * _M32)
     sample = df.filter(split_hash_col(id_col) < F.lit(thresh))
-    sel = kcenter_coreset(sample, k, vec_col, id_col, dp)
+    # the trajectory's OWN quantized vectors, never a re-fetch by id
+    # from the raw frame (duplicate ids could resolve to a vector the
+    # greedy loop never selected — nondeterministic coverage,
+    # self-review r12)
+    sample_base = sample.select(
+        F.col(id_col).alias("vid"), micro_vec_col(vec_col, dp).alias("q")
+    ).dropDuplicates(["vid"])
+    _, centers = _kcenter_select(sample_base, k)
     n_sample = sample.count()
-    chosen = [int(r[id_col]) for r in sel.collect()]
-    center_rows = (
-        df.filter(F.col(id_col).isin(chosen))
-        .select(F.col(id_col).alias("vid"), micro_vec_col(vec_col, dp).alias("q"))
-        .collect()
-    )
-    by_id = {int(r["vid"]): [int(v) for v in r["q"]] for r in center_rows}
-    centers = [by_id[c] for c in chosen]  # selection order
     return coverage_report(df, centers, vec_col, id_col, dp).select(
         "n_points",
         F.lit(int(n_sample)).cast("bigint").alias("n_sample"),

@@ -44,8 +44,11 @@ def _mg_kernel(col_name: str, capacity: int):
         import pandas as pd
 
         counters: dict = {}
+        n = 0
         for pdf in batches:
-            vc = pdf[col_name].dropna().value_counts()
+            s = pdf[col_name].dropna()
+            n += int(len(s))
+            vc = s.value_counts()
             for val, cnt in vc.items():
                 counters[val] = counters.get(val, 0) + int(cnt)
             if len(counters) > capacity:
@@ -56,8 +59,14 @@ def _mg_kernel(col_name: str, capacity: int):
                 # <= n_partition/(capacity+1)
                 pivot = sorted(counters.values(), reverse=True)[capacity]
                 counters = {v: c - pivot for v, c in counters.items() if c > pivot}
-        if counters:
-            yield pd.DataFrame({"value": list(counters.keys())})
+        # survivors (value, _pn=0) + ONE partition row-count row
+        # (value=NULL, _pn=n): the sketch pass already reads every
+        # row, so N rides along instead of costing a third full scan
+        # (self-review r12)
+        vals = list(counters.keys())
+        yield pd.DataFrame(
+            {"value": vals + [None], "_pn": [0] * len(vals) + [n]}
+        )
 
     return fold
 
@@ -86,10 +95,13 @@ def heavy_hitters(
             "semantics; cast or bucket them first)"
         )
     vals = df.select(F.col(col)).filter(F.col(col).isNotNull())
-    cand = (
-        vals.mapInPandas(_mg_kernel(col, int(capacity)), schema=f"value {dtype}")
-        .distinct()
-    )
+    # one materialization of the tiny sketch output (≤ capacity+1 rows
+    # per partition): candidates AND the exact row count both come off
+    # it — two full passes total, as the docstring promises
+    sketch = vals.mapInPandas(
+        _mg_kernel(col, int(capacity)), schema=f"value {dtype}, _pn bigint"
+    ).localCheckpoint(eager=True)
+    cand = sketch.filter(F.col("value").isNotNull()).select("value").distinct()
     counted = (
         vals.join(F.broadcast(cand), vals[col] == cand["value"], "left_semi")
         .groupBy(col)
@@ -100,7 +112,9 @@ def heavy_hitters(
         counted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
     )
-    n_total = int(vals.count())
+    n_total = int(
+        sketch.agg(F.coalesce(F.sum("_pn"), F.lit(0))).collect()[0][0]
+    )
     # exact integer certification, ONE verdict stamped on every row:
     # a pruned (non-candidate) value has count <= N/(capacity+1), so
     # the result is provably the true top-k iff the k-th candidate

@@ -57,9 +57,13 @@ def exact_quantiles(
     if n_bins < 2 or max_passes < 1:
         raise ValueError("exact_quantiles: need n_bins >= 2, max_passes >= 1")
     spark = df.sparkSession
+    # NaN drops like NULL (self-review r12): Spark orders NaN greatest,
+    # so one NaN makes hi=NaN, width=NaN, every row bins to n_bins-1
+    # and refinement can never narrow — max_passes burns with zero
+    # progress and the "raise max_passes" advice can never help.
     vals = (
         df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
-        .filter(F.col("v").isNotNull())
+        .filter(F.col("v").isNotNull() & ~F.isnan(F.col("v")))
     )
     base = vals.localCheckpoint(eager=True)  # one materialization, P scans
     stats = {
@@ -99,9 +103,12 @@ def exact_quantiles(
 
     passes = 0
     while active and passes < max_passes:
-        # one scan buckets every active (group, q) slice at once
+        # one scan buckets every active (group, q) slice at once;
+        # eqNullSafe — groupBy emits a NULL group into stats/active,
+        # and plain equality would drop its rows here, firing the
+        # rank-unreachable assert on pass 1 (self-review r12)
         st = F.broadcast(state_df())
-        joined = base.join(st, base["g"] == st["g_s"]).filter(
+        joined = base.join(st, base["g"].eqNullSafe(st["g_s"])).filter(
             (F.col("v") >= F.col("lo"))
             & ((F.col("v") < F.col("hi")) | (F.col("inc") & (F.col("v") == F.col("hi"))))
         )
@@ -180,7 +187,7 @@ def exact_quantiles(
                 f"g_r {gtype}, q_r int, r bigint",
             )
         )
-        joined = base.join(st, base["g"] == st["g_s"]).filter(
+        joined = base.join(st, base["g"].eqNullSafe(st["g_s"])).filter(
             (F.col("v") >= F.col("lo"))
             & ((F.col("v") < F.col("hi")) | (F.col("inc") & (F.col("v") == F.col("hi"))))
         )
@@ -189,7 +196,7 @@ def exact_quantiles(
             joined.withColumn("_rn", F.row_number().over(w))
             .join(
                 rstate,
-                (F.col("g") == F.col("g_r"))
+                F.col("g").eqNullSafe(F.col("g_r"))
                 & (F.col("q_ppm") == F.col("q_r"))
                 & (F.col("_rn") == F.col("r")),
             )

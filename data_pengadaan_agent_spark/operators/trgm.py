@@ -141,6 +141,16 @@ def build_trgm_index(
     if fs.exists(meta_fs_path):
         fs.delete(meta_fs_path, True)
 
+    # delete the data dirs explicitly, not just meta: under
+    # spark.sql.sources.partitionOverwriteMode=dynamic (a common
+    # cluster default) a partitioned overwrite replaces only the
+    # buckets present in the NEW data, silently keeping stale
+    # partitions from the previous layout (self-review r12)
+    for p in (posts_p, docs_p):
+        fp = jvm_path(p)
+        if fs.exists(fp):
+            fs.delete(fp, True)
+
     fresh = spread(docs.dropDuplicates([id_col]), id_col)
     postings, registry = _gram_rows(fresh, text_col, id_col, n_buckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(posts_p)
@@ -188,24 +198,38 @@ def audit_trgm_index(
     spark: SparkSession, path: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """Integrity audit for the append crash contract: registered docs
-    with n_grams > 0 but no posting rows (an append whose second write
-    died — those docs are invisible to every query) and orphan
-    postings without a registry row (registry damage; rebuild-only).
-    Docs shorter than the gram length legitimately have zero postings
-    (n_grams = 0) and are never flagged. Two pruned-column scans."""
+    whose DISTINCT posting hashes fall short of their registered
+    n_grams — zero postings (an append whose second write died) AND
+    partially-committed postings (a crash mid job-commit, or
+    FileOutputCommitter v2 per-task visibility) both under-recall
+    silently, so the audit compares counts, not mere existence
+    (self-review r12) — plus orphan postings without a registry row
+    (registry damage; rebuild-only). Docs shorter than the gram
+    length legitimately have zero postings (n_grams = 0) and are
+    never flagged. Theoretical caveat: an in-doc xxhash64 collision
+    (p ~ n_grams²/2^64) would flag a healthy doc permanently; at
+    realistic doc sizes this is ~1e-13 and the repair it triggers is
+    harmless (duplicate posting rows, absorbed by the distinct-count
+    read laws)."""
     _read_meta(spark, path)
     posts_p, docs_p, _ = _paths(path)
     reg = (
         spark.read.parquet(docs_p)
         .filter(F.col("n_grams") > 0)
-        .select(id_col)
+        .select(id_col, "n_grams")
         .distinct()
     )
-    post_ids = spark.read.parquet(posts_p).select(id_col).distinct()
-    missing = reg.join(post_ids, id_col, "left_anti").select(
-        id_col, F.lit("missing_postings").alias("state")
+    per_doc = (
+        spark.read.parquet(posts_p)
+        .groupBy(id_col)
+        .agg(F.countDistinct("h").cast("bigint").alias("_have"))
     )
-    orphan = post_ids.join(
+    missing = (
+        reg.join(per_doc, id_col, "left")
+        .filter(F.col("_have").isNull() | (F.col("_have") < F.col("n_grams")))
+        .select(id_col, F.lit("missing_postings").alias("state"))
+    )
+    orphan = per_doc.select(id_col).join(
         spark.read.parquet(docs_p).select(id_col).distinct(), id_col, "left_anti"
     ).select(id_col, F.lit("orphan_postings").alias("state"))
     return missing.unionByName(orphan)
@@ -229,7 +253,7 @@ def repair_trgm_index(
     repaired."""
     spark = docs_source.sparkSession
     n_buckets = _read_meta(spark, path)
-    posts_p, _, _ = _paths(path)
+    posts_p, docs_p, _ = _paths(path)
     flagged = (
         audit_trgm_index(spark, path, id_col=id_col)
         .filter(F.col("state") == "missing_postings")
@@ -244,6 +268,28 @@ def repair_trgm_index(
         raise ValueError(
             "repair_trgm_index: source frame is missing flagged doc ids — "
             "repairing from a partial source would leave docs unsearchable"
+        )
+    # text-drift guard (self-review r12): a flagged doc whose source
+    # text was EDITED since ingest would get postings disagreeing with
+    # its registered n_grams — wrong similarity denominators and a
+    # broken _got/_need count. Cheap necessary check (gram COUNT
+    # equality; a same-count edit still slips through — rebuild is the
+    # honest path for mutated sources).
+    reg = spark.read.parquet(docs_p).select(id_col, "n_grams")
+    drifted = (
+        todo.select(
+            id_col, F.size(char_grams(text_col)).cast("bigint").alias("_now")
+        )
+        .join(reg, id_col)
+        .filter(F.col("_now") != F.col("n_grams"))
+        .limit(1)
+        .count()
+    )
+    if drifted:
+        raise ValueError(
+            "repair_trgm_index: source text for flagged ids no longer matches "
+            "the registered n_grams — the source drifted since ingest; "
+            "rebuild the index instead of repairing"
         )
     from data_pengadaan_agent_spark.sources.catalog import spread
 
@@ -362,13 +408,24 @@ def substring_search(
     cand = (
         posts.join(F.broadcast(pat_grams), "h")
         .groupBy("pattern", id_col)
+        # >= not ==: duplicated posting rows (a racing/retried append,
+        # or a partial-commit repair) would push _got past _need and
+        # the equality filter would silently drop a TRUE hit with no
+        # audit signal; >= is identical on clean data and the exact
+        # contains() verification restores precision either way
+        # (self-review r12)
         .agg(F.count(F.lit(1)).alias("_got"))
         .join(F.broadcast(need), "pattern")
-        .filter(F.col("_got") == F.col("_need"))
+        .filter(F.col("_got") >= F.col("_need"))
         .select("pattern", id_col)
     )
+    # cand is NOT broadcast: it is proportional to the corpus hit
+    # count (a frequent pattern at 100 TB = millions of rows), unlike
+    # the genuinely parameter-bounded pat_grams/need; AQE still
+    # broadcasts it at runtime when it turns out small
+    # (self-review r12)
     verified = (
-        docs.join(F.broadcast(cand), id_col)
+        docs.join(cand, id_col)
         .filter(F.contains(F.lower(F.col(text_col)), F.lower(F.col("pattern"))))
         .select("pattern", id_col)
     )
@@ -411,7 +468,11 @@ def trgm_similar(
             & F.col("h").isin([int(h) for h in hashes])
         )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        # countDistinct, not count: duplicate posting rows (racing
+        # appends / partial-commit repairs) must not inflate the
+        # intersection — identical on clean data where postings are
+        # distinct per doc (self-review r12)
+        .agg(F.countDistinct("h").cast("bigint").alias("inter"))
     )
     reg = spark.read.parquet(docs_p).select(id_col, "n_grams")
     sim = F.expr(f"(1000000 * inter) DIV (n_grams + {n_q} - inter)")

@@ -465,3 +465,23 @@ def test_coverage_report_argmin_ties_lowest_index(spark):
     assert rep["n_centers_used"] == 1
     with pytest.raises(ValueError):
         CS.coverage_report(df, [])
+
+
+def test_coverage_sampled_deterministic_under_duplicate_ids(spark):
+    """Self-review r12: coverage must be measured against the vectors
+    the greedy trajectory actually selected — a re-fetch by id from
+    the raw frame could resolve a DUPLICATE id to a different vector,
+    nondeterministically. Pinned: duplicate ids with different
+    embeddings give identical reports across partitionings."""
+    from data_pengadaan_agent_spark.operators import coreset as CS
+
+    rows = [(i, [float(i % 7), float(i % 5), 0.0, 1.0]) for i in range(60)]
+    rows += [(i, [9.0, 9.0, 9.0, 9.0]) for i in range(0, 60, 3)]  # dup ids
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    a = CS.kcenter_coverage_sampled(df, k=3, sample_frac=1.0).collect()
+    b = CS.kcenter_coverage_sampled(
+        df.repartition(11, "vec_id"), k=3, sample_frac=1.0
+    ).collect()
+    c = CS.kcenter_coverage_sampled(df.orderBy(F.desc("vec_id")), k=3,
+                                    sample_frac=1.0).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]

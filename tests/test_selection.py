@@ -101,3 +101,28 @@ def test_integer_group_keys(spark):
     for g in (0, 1, 2):
         vs = sorted(float(i) for i in range(99) if i % 3 == g)
         assert got[(g, 500_000)] == vs[-(-500_000 * len(vs) // 1_000_000) - 1]
+
+
+def test_null_group_and_nan_values(spark):
+    """Self-review r12: (a) a NULL group must refine like any other
+    (the plain-equality state join dropped its rows and fired the
+    rank-unreachable assert); (b) NaN drops like NULL instead of
+    making width=NaN and stalling every pass."""
+    rows = [("a", float(v)) for v in range(200)] + [
+        (None, float(v) * 3.0) for v in range(150)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    got = {
+        (r.g, r.q_ppm): r.value
+        for r in SEL.exact_quantiles(
+            df, "g", "v", [500_000], n_bins=8, final_slice_max=4
+        ).collect()
+    }
+    assert got[("a", 500_000)] == 99.0   # ceil(0.5*200)=100th of 0..199
+    assert got[(None, 500_000)] == 222.0  # 75th smallest of 0,3,..447
+    nan_rows = [("a", float(v)) for v in range(200)] + [("a", float("nan"))] * 10
+    got2 = SEL.exact_quantiles(
+        spark.createDataFrame(nan_rows, "g STRING, v DOUBLE"),
+        "g", "v", [500_000], n_bins=8, final_slice_max=4,
+    ).collect()
+    assert [(r.g, r.value, r.n) for r in got2] == [("a", 99.0, 200)]

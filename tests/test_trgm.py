@@ -320,3 +320,80 @@ def test_streaming_trgm_sink_matches_batch_appends(spark, tmp_path):
     acks = spark.read.parquet(str(tmp_path / "ack"))
     assert acks.select("_epoch").distinct().count() == 2
     assert acks.filter(F.col("doc_id") == 101).count() == 2  # at-least-once
+
+
+def test_duplicated_postings_never_lose_hits(spark, tmp_path):
+    """Self-review r12: duplicate posting rows (a racing/retried
+    append, or a partial-commit repair re-appending) must not break
+    queries — _got >= _need keeps true candidates (the old equality
+    silently dropped them when _got overshot), countDistinct keeps
+    trgm_similar's intersection exact, and the count-based audit
+    stays clean (duplicates are not missing postings)."""
+    docs = _mini_corpus(spark)
+    idx = str(tmp_path / "dupidx")
+    T.build_trgm_index(docs, idx, n_buckets=8)
+    before_search = [
+        tuple(r) for r in T.substring_search(spark, idx, docs, ["quick"]).collect()
+    ]
+    before_sim = [
+        tuple(r) for r in T.trgm_similar(spark, idx, "the quick brown fox", 100_000).collect()
+    ]
+    # duplicate EVERY posting row of doc 1 (worst case)
+    posts = spark.read.parquet(f"{idx}/postings").filter("doc_id = 1")
+    posts.write.mode("append").partitionBy("bucket").parquet(f"{idx}/postings")
+    assert T.audit_trgm_index(spark, idx).count() == 0
+    after_search = [
+        tuple(r) for r in T.substring_search(spark, idx, docs, ["quick"]).collect()
+    ]
+    after_sim = [
+        tuple(r) for r in T.trgm_similar(spark, idx, "the quick brown fox", 100_000).collect()
+    ]
+    assert after_search == before_search and 1 in {r[1] for r in after_search}
+    assert after_sim == before_sim
+
+
+def test_audit_flags_partial_postings_and_repair_heals(spark, tmp_path):
+    """Self-review r12: a PARTIALLY committed postings append (some
+    rows visible, not all) under-recalls silently; the audit compares
+    per-doc distinct hashes against the registered n_grams instead of
+    mere existence. Repair re-grams the flagged doc and search finds
+    it again."""
+    docs = _mini_corpus(spark)
+    idx = str(tmp_path / "partidx")
+    T.build_trgm_index(docs, idx, n_buckets=4)
+    # drop HALF of doc 2's posting rows (simulated partial commit)
+    posts = spark.read.parquet(f"{idx}/postings")
+    doc2_h = sorted(r.h for r in posts.filter("doc_id = 2").collect())
+    keep_h = set(doc2_h[: len(doc2_h) // 2])
+    pruned = posts.filter(
+        (F.col("doc_id") != 2) | F.col("h").isin([int(h) for h in keep_h])
+    ).localCheckpoint(eager=True)
+    pruned.write.mode("overwrite").partitionBy("bucket").parquet(f"{idx}/postings")
+    flagged = {(r.doc_id, r.state) for r in T.audit_trgm_index(spark, idx).collect()}
+    assert flagged == {(2, "missing_postings")}
+    assert T.repair_trgm_index(docs, idx) == 1
+    assert T.audit_trgm_index(spark, idx).count() == 0
+    got = {r.doc_id for r in T.substring_search(spark, idx, docs, ["quick"]).collect()}
+    assert 2 in got
+
+
+def test_repair_refuses_drifted_source_text(spark, tmp_path):
+    """Self-review r12: repairing a flagged doc from a source whose
+    text was EDITED since ingest would write postings disagreeing with
+    the registered n_grams — refused loudly (gram-count guard)."""
+    docs = _mini_corpus(spark)
+    idx = str(tmp_path / "driftidx")
+    T.build_trgm_index(docs, idx, n_buckets=4)
+    # lose ALL of doc 3's postings
+    posts = spark.read.parquet(f"{idx}/postings")
+    posts.filter("doc_id != 3").localCheckpoint(eager=True).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{idx}/postings")
+    drifted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("totally different and longer text"))
+        .otherwise(F.col("text")),
+    )
+    with pytest.raises(ValueError, match="drifted"):
+        T.repair_trgm_index(drifted, idx)
+    assert T.repair_trgm_index(docs, idx) == 1  # honest source heals

@@ -363,6 +363,7 @@ def compact_bloom_index(spark: SparkSession, path: str, key_col: str = "key") ->
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(meta_p).getFileSystem(spark._jsc.hadoopConfiguration())
     meta_df = spark.read.parquet(meta_p).collect()
+    _meta_schema = spark.read.parquet(meta_p).schema
     fs.delete(jvm_path(meta_p), True)  # meta OUT: index invalid during swap
     fs.delete(jvm_path(words_p), True)
     if not fs.rename(jvm_path(staged_w), jvm_path(words_p)):
@@ -380,7 +381,7 @@ def compact_bloom_index(spark: SparkSession, path: str, key_col: str = "key") ->
             f"compact_bloom_index: rename {staged_k} -> {keys_p} failed; "
             "meta left absent (index invalid), staged data preserved"
         )
-    spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    spark.createDataFrame(meta_df, _meta_schema).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return n_rows
 
 

@@ -292,13 +292,17 @@ def replay_quarantine(
         ).withColumn("_replay", F.lit(True))
         report = report.localCheckpoint(eager=True)
         n_bad = report.filter(F.col("violations") > 0).count()
-        report.coalesce(1).write.mode("append").parquet(report_path)
+        # epoch-partitioned like the streaming gate writes them, so a
+        # replayed/released epoch never mixes layouts in one directory
+        report.coalesce(1).write.mode("append").partitionBy(epoch_col).parquet(
+            report_path
+        )
         if n_bad:
             retained.append(ep)
         else:
-            batch.withColumn(epoch_col, stamp).write.mode("append").parquet(
-                clean_path
-            )
+            batch.withColumn(epoch_col, stamp).write.mode("append").partitionBy(
+                epoch_col
+            ).parquet(clean_path)
             released.append(ep)
     if released:
         # raw collected epoch values, NOT int()-coerced (ADVICE r11:
@@ -312,5 +316,7 @@ def replay_quarantine(
             F.col(epoch_col).isNull() & F.lit(None not in released)
         )
         keep = quarantined.filter(cond).localCheckpoint(eager=True)
-        keep.write.mode("overwrite").parquet(quarantine_path)
+        keep.write.mode("overwrite").partitionBy(epoch_col).parquet(
+            quarantine_path
+        )
     return (len(released), len(retained))

@@ -183,7 +183,9 @@ def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> 
     for _ in range(int(iters)):
         rank = _pagerank_step(rank, deg, directed)
     out = rank.orderBy(F.desc("rank_ppm"), "vertex")
-    return out.limit(int(top_k)) if top_k else out
+    # `is not None`, not truthiness: top_k=0 must mean limit(0), not
+    # the full ranking (self-review r12)
+    return out.limit(int(top_k)) if top_k is not None else out
 
 
 def _pagerank_step(rank: DataFrame, deg: DataFrame, directed: DataFrame) -> DataFrame:
@@ -237,10 +239,15 @@ def pagerank_int_converged(
     answer)."""
     if max_iters < 1:
         raise ValueError("pagerank_int_converged: max_iters must be >= 1")
-    deg = degrees(edges)
-    directed = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # deg and directed are read EVERY iteration — checkpoint them once
+    # so the per-iteration jobs don't rescan edges and re-run the
+    # degree shuffle up to max_iters times (self-review r12)
+    deg = degrees(edges).localCheckpoint(eager=True)
+    directed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     rank = deg.select(
         "vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm")
     ).localCheckpoint(eager=True)
@@ -273,7 +280,7 @@ def pagerank_int_converged(
         "residual_ppm": int(residual),
         "converged": residual <= int(tol_ppm),
     }
-    return (out.limit(int(top_k)) if top_k else out), info
+    return (out.limit(int(top_k)) if top_k is not None else out), info
 
 
 def merge_components(
@@ -360,7 +367,13 @@ def merge_components(
             F.col("node").alias(node_col), F.col("label").alias(label_col)
         )
     spark = labels.sparkSession
-    m = spark.createDataFrame(remap, "label long, new_label long")
+    # schema derived from the INPUT labeling, not hardcoded long:
+    # dedup_clusters (this function's contract source) is label-type-
+    # generic — string labels used to crash here and int labels
+    # silently widened to bigint, breaking later unions
+    # (self-review r12)
+    ltype = all_labels.schema["label"].dataType.simpleString()
+    m = spark.createDataFrame(remap, f"label {ltype}, new_label {ltype}")
     return (
         all_labels.join(F.broadcast(m), "label", "left")
         .select(

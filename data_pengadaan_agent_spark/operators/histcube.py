@@ -81,8 +81,15 @@ def bin_col(value_col: str, lo: float, hi: float, n_bins: int):
 def _cube_rows(
     df: DataFrame, dims: list[str], value_col: str, lo: float, hi: float, n_bins: int
 ) -> DataFrame:
+    # NaN drops like NULL (self-review r12): Spark's floor(NaN) casts
+    # to 0, so NaN mass used to land silently in bin 0 and corrupt
+    # every low quantile — unlike out-of-range values, whose clamped
+    # edge-bin mass is a documented signal.
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .withColumn("bin", bin_col(value_col, lo, hi, n_bins))
         .groupBy(*dims, "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

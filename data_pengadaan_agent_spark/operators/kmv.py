@@ -186,6 +186,7 @@ def compact_kmv_cube(spark: SparkSession, path: str) -> int:
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(meta_p).getFileSystem(spark._jsc.hadoopConfiguration())
     meta_df = spark.read.parquet(meta_p).collect()
+    _meta_schema = spark.read.parquet(meta_p).schema
     fs.delete(jvm_path(meta_p), True)  # meta OUT: cube invalid during swap
     fs.delete(jvm_path(samples_p), True)
     if not fs.rename(jvm_path(staged), jvm_path(samples_p)):
@@ -195,7 +196,7 @@ def compact_kmv_cube(spark: SparkSession, path: str) -> int:
             f"compact_kmv_cube: rename {staged} -> {samples_p} failed; "
             "meta left absent (cube invalid), staged data preserved"
         )
-    spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    spark.createDataFrame(meta_df, _meta_schema).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return n
 
 

@@ -169,11 +169,29 @@ def compact_distinct_cube(spark: SparkSession, path: str) -> int:
     )
     merged.write.mode("overwrite").parquet(tmp)
     meta_rows = spark.read.parquet(meta_p).collect()
+    meta_schema = spark.read.parquet(meta_p).schema
     fs.delete(jvm_path(meta_p), True)  # cube invalid until recommit
-    fs.rename(jvm_path(cube_p), jvm_path(old))
-    fs.rename(jvm_path(tmp), jvm_path(cube_p))
+    # Hadoop rename reports failure by RETURNING false: deleting the
+    # old copy after an unchecked failed rename would destroy the only
+    # surviving cube while the meta recommit marked it valid
+    # (self-review r12). On failure the swap aborts with the original
+    # restored and meta left absent (loudly invalid).
+    if not fs.rename(jvm_path(cube_p), jvm_path(old)):
+        raise OSError(
+            f"compact_distinct_cube: rename {cube_p} -> {old} failed; "
+            "cube data untouched, meta left absent (cube invalid)"
+        )
+    if not fs.rename(jvm_path(tmp), jvm_path(cube_p)):
+        fs.rename(jvm_path(old), jvm_path(cube_p))  # restore original
+        raise OSError(
+            f"compact_distinct_cube: rename {tmp} -> {cube_p} failed; "
+            "original cube restored, meta left absent (cube invalid)"
+        )
     fs.delete(jvm_path(old), True)
-    spark.createDataFrame(meta_rows).coalesce(1).write.mode("overwrite").parquet(
-        meta_p
-    )
+    # recommit with the READ schema, not inference: createDataFrame
+    # over Python ints would silently widen lg_k int -> bigint and
+    # drift the on-disk meta from the build schema (self-review r12)
+    spark.createDataFrame(meta_rows, meta_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(meta_p)
     return before - spark.read.parquet(cube_p).count()

@@ -322,11 +322,12 @@ def compact_trgm_index(
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(meta_p).getFileSystem(spark._jsc.hadoopConfiguration())
     meta_rows = spark.read.parquet(meta_p).collect()
+    _meta_schema = spark.read.parquet(meta_p).schema
     fs.delete(jvm_path(meta_p), True)  # index invalid until recommit
     removed = _compact_partitioned_table(
         spark, posts_p, "bucket", int(target_files_per_bucket), "h"
     )
-    spark.createDataFrame(meta_rows).coalesce(1).write.mode("overwrite").parquet(
+    spark.createDataFrame(meta_rows, _meta_schema).coalesce(1).write.mode("overwrite").parquet(
         meta_p
     )
     return removed

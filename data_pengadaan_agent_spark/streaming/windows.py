@@ -72,7 +72,12 @@ def session_windows_stream(events: DataFrame, gap: str = "30 minutes", watermark
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization via gaps-and-islands (lag + cumulative sum)
     — the SQL-expressible twin of session_window, so the oracle can
-    verify it. Sessions = per-user runs with inter-event gap ≤ gap."""
+    verify it. Sessions = per-user runs with inter-event gap <= gap,
+    INCLUSIVE at the boundary: an event at exactly prev + gap stays
+    in the session — which matches Spark's native ``session_window``
+    exactly (measured: the native operator MERGES touching windows,
+    it does not split on the half-open edge; pinned from both sides
+    of the boundary in tests)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts")
@@ -276,7 +281,15 @@ def foreach_batch_dup_span_sink(
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        # NULL-text rows carry no tokens: they contribute nothing to
+        # the gram index yet used to slip the gate with keep=true and
+        # n_tokens=NULL (greatest(NULL,1)=1 → dup_ppm=0) — dropped at
+        # the gate like streaming_dedup_near does (self-review r12)
+        b = (
+            batch_df.filter(F.col(text_col).isNotNull())
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
         if b.isEmpty():
             return
         DI.append_gram_counts(b, index_path, text_col=text_col, id_col=id_col)
@@ -892,10 +905,13 @@ def foreach_batch_dq_gate_sink(
     epoch-stamped either way — the gate's decision is replayable
     evidence, not a log line.
 
-    Exactly-once rides foreachBatch's epoch replay: a replayed epoch
-    re-evaluates the same deterministic suite on the same rows and
-    re-appends the same parquet rows; readers of clean/ and
-    quarantine/ deduplicate by epoch (the ack-log convention).
+    Exactly-once is the epoch-partitioned dynamic-overwrite recipe
+    (foreach_batch_parquet_sink): a replayed epoch re-evaluates the
+    same deterministic suite on the same rows and REWRITES its own
+    _epoch partition in clean/ (or quarantine/) and report/ instead
+    of appending a byte-identical second copy — replayed rows would
+    otherwise be indistinguishable from legitimate source duplicates
+    (self-review r12).
 
     Returns the started StreamingQuery; callers stop it."""
     from pyspark.sql import functions as FF
@@ -911,10 +927,20 @@ def foreach_batch_dq_gate_sink(
         )
         report = report.localCheckpoint(eager=True)
         n_bad = report.filter(FF.col("violations") > 0).count()
-        report.coalesce(1).write.mode("append").parquet(report_path)
+        (
+            report.coalesce(1)
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(report_path)
+        )
         target = quarantine_path if n_bad else clean_path
-        b.withColumn("_epoch", FF.lit(int(epoch_id))).write.mode("append").parquet(
-            target
+        (
+            b.withColumn("_epoch", FF.lit(int(epoch_id)))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(target)
         )
 
     return (

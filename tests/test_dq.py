@@ -222,9 +222,11 @@ def test_replay_quarantine_non_integer_epoch_column(spark, tmp_path):
     quar = str(tmp_path / "squar")
     clean = str(tmp_path / "sclean")
     rep = str(tmp_path / "srep")
+    # batch-stamped string epochs (non-date-like: partition-column
+    # type inference must read them back as strings)
     spark.createDataFrame(
-        [(1, 10.0, "2024-03-01"), (2, 20.0, "2024-03-01"),
-         (7, 7.0, "2024-03-02"), (7, 8.0, "2024-03-02")],
+        [(1, 10.0, "batch-a"), (2, 20.0, "batch-a"),
+         (7, 7.0, "batch-b"), (7, 8.0, "batch-b")],
         "id LONG, price DOUBLE, _epoch STRING",
     ).write.parquet(quar)
 
@@ -233,10 +235,10 @@ def test_replay_quarantine_non_integer_epoch_column(spark, tmp_path):
 
     assert DQ.replay_quarantine(spark, quar, rules, clean, rep) == (1, 1)
     assert {r._epoch for r in spark.read.parquet(clean).collect()} == {
-        "2024-03-01"
+        "batch-a"
     }
     assert {r._epoch for r in spark.read.parquet(quar).collect()} == {
-        "2024-03-02"
+        "batch-b"
     }
 
 
@@ -264,15 +266,15 @@ def test_replay_quarantine_null_epoch_never_wipes_evidence(spark, tmp_path):
     still = spark.read.parquet(quar).collect()
     assert sorted(r.id for r in still) == [7, 7]
     assert all(r._epoch is None for r in still)
-    # all-NULL passing quarantine: released with the NULL stamp, and
-    # the rewrite leaves an empty-but-consistent quarantine (not a wipe
-    # of unjudged rows)
+    # all-NULL passing quarantine: released with the NULL stamp; the
+    # rewrite leaves an EMPTY quarantine (a second replay is the
+    # documented clean no-op, not a wipe of unjudged rows)
     quar2 = str(tmp_path / "nq2")
     spark.createDataFrame(
         [(1, 1.0, None), (2, 2.0, None)], "id LONG, price DOUBLE, _epoch LONG"
     ).write.parquet(quar2)
     assert DQ.replay_quarantine(spark, quar2, rules, clean, rep) == (1, 0)
-    assert spark.read.parquet(quar2).count() == 0
+    assert DQ.replay_quarantine(spark, quar2, rules, clean, rep) == (0, 0)
     released = spark.read.parquet(clean).filter("id IN (1,2)").collect()
     assert len(released) >= 2
 

@@ -230,3 +230,22 @@ def test_merge_components_guard_rails(spark):
         G.merge_components(labels, edges, max_label_pairs=3)
     out = {r.node: r.label for r in G.merge_components(labels, edges).collect()}
     assert set(out.values()) == {0}
+
+
+def test_merge_components_string_labels_and_topk_zero(spark):
+    """Self-review r12: (a) the relabel map schema derives from the
+    input labeling — string labels (dedup_clusters is type-generic)
+    used to crash createDataFrame('label long, ...') on the first
+    merge; (b) top_k=0 means limit(0), not the full ranking."""
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "node STRING, label STRING"
+    )
+    new_edges = spark.createDataFrame([("b", "c")], "u STRING, v STRING")
+    merged = G.merge_components(labels, new_edges)
+    got = {r.node: r.label for r in merged.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+    assert dict(merged.dtypes)["label"] == "string"
+    e = _edges(spark, [(1, 2), (2, 3)])
+    assert G.pagerank_int(e, iters=1, top_k=0).count() == 0
+    out, _ = G.pagerank_int_converged(e, tol_ppm=0, max_iters=2, top_k=0)
+    assert out.count() == 0

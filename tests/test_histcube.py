@@ -182,3 +182,18 @@ def test_streaming_hist_cube_sink_counts_equal_batch(spark, tmp_path):
     qa = [tuple(r) for r in HC.hist_quantile_bins(spark, path, ["g"], [500_000, 990_000]).collect()]
     qb = [tuple(r) for r in HC.hist_quantile_bins(spark, full, ["g"], [500_000, 990_000]).collect()]
     assert qa == qb and len(qa) == 4
+
+
+def test_nan_values_do_not_pollute_bin_zero(spark, tmp_path):
+    """Self-review r12: floor(NaN) casts to 0 in Spark, so NaN mass
+    silently landed in bin 0 and corrupted every low quantile — NaN
+    now drops like NULL at the cube boundary."""
+    import data_pengadaan_agent_spark.operators.histcube as H
+
+    rows = [("g", float("nan"))] * 3 + [("g", 10.0)]
+    df = spark.createDataFrame(rows, "d STRING, v DOUBLE")
+    path = str(tmp_path / "nancube")
+    H.build_hist_cube(df, path, dims=["d"], value_col="v", lo=0.0, hi=100.0,
+                      n_bins=64)
+    cube = spark.read.parquet(f"{path}/cube").collect()
+    assert {(r.bin, r.cnt) for r in cube} == {(6, 1)}  # only the real 10.0

@@ -854,3 +854,43 @@ def test_dedup_eviction_single_start_max_files_per_trigger(spark, tmp_path):
         dt.datetime(2024, 1, 1, 10, 0),  # first sighting emitted
         dt.datetime(2024, 1, 1, 11, 5),  # re-emitted AFTER eviction
     ], by_id[1]  # 10:05 suppressed by live state; 11:02 by cleanup lag
+
+
+def test_sessionize_batch_boundary_matches_native(spark):
+    """Self-review r12 (candidate finding REFUTED by measurement): an
+    event at EXACTLY prev + gap. The reviewer hypothesized Spark's
+    native session_window splits there (half-open windows); measured,
+    Spark MERGES touching windows — one session [10:00, 11:00) — so
+    the batch form's inclusive boundary (ts > prev + gap starts a new
+    session) agrees with the native operator exactly. Pinned from
+    both sides, one event just inside the boundary and one on it."""
+    import datetime as dt
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    ev = spark.createDataFrame(
+        [(1, 100, dt.datetime(2024, 3, 1, 10, 0), 1.0),
+         (2, 100, dt.datetime(2024, 3, 1, 10, 30), 1.0)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    batch = SW.sessionize_batch(ev, gap_minutes=30).collect()
+    assert len(batch) == 1 and batch[0].n_events == 2  # inclusive: one session
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(native) == 1 and native[0]["count"] == 2  # native merges too
+    # one microsecond PAST the boundary: both split
+    ev2 = spark.createDataFrame(
+        [(1, 100, dt.datetime(2024, 3, 1, 10, 0), 1.0),
+         (2, 100, dt.datetime(2024, 3, 1, 10, 30, 0, 1), 1.0)],
+        "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE",
+    )
+    assert SW.sessionize_batch(ev2, gap_minutes=30).count() == 2
+    assert (
+        ev2.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .count()
+        .count()
+        == 2
+    )

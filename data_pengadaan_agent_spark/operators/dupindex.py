@@ -86,10 +86,21 @@ def _intents_path(path: str) -> str:
 def _intent_batches(spark: SparkSession, path: str) -> DataFrame | None:
     """Batch-id INTENTS declared by repair before it touches counts
     (absent on indexes that never ran a repair). See
-    ``repair_gram_counts`` for why they exist."""
+    ``repair_gram_counts`` for why they exist.
+
+    Only a MISSING intents table means "no repair ever ran" — a
+    transient read error on a REAL intents table must propagate
+    (self-review r12, the ivf codebook auto-detect rule): silently
+    ignoring it would hand a new append a crashed repair's batch id
+    and legitimize its partial negations, the exact ADVICE-r10
+    corruption the sidecar exists to prevent."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(_intents_path(path)).select("batch")
-    except Exception:  # noqa: BLE001 - no repair ever declared an intent
+    except AnalysisException as e:
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
         return None
 
 
@@ -434,8 +445,19 @@ def compact_gram_counts(
     )
     after_rows = spark.read.parquet(tmp).count()
     fs.delete(jvm_path(meta_p), True)  # index invalid until recommit
-    fs.rename(jvm_path(counts_p), jvm_path(old))
-    fs.rename(jvm_path(tmp), jvm_path(counts_p))
+    # rename returns false on failure (self-review r12): abort the swap
+    # with the original restored rather than deleting the live copy
+    if not fs.rename(jvm_path(counts_p), jvm_path(old)):
+        raise OSError(
+            f"compact_gram_counts: rename {counts_p} -> {old} failed; "
+            "counts untouched, meta left absent (index invalid)"
+        )
+    if not fs.rename(jvm_path(tmp), jvm_path(counts_p)):
+        fs.rename(jvm_path(old), jvm_path(counts_p))  # restore original
+        raise OSError(
+            f"compact_gram_counts: rename {tmp} -> {counts_p} failed; "
+            "original restored, meta left absent (index invalid)"
+        )
     fs.delete(jvm_path(old), True)
     # recommit meta with the ORIGINAL explicit schema — re-inferring
     # from collected Rows widened the int columns to bigint, silently

@@ -252,13 +252,28 @@ def compact_postings_index(
     )
     meta_fs = jvm_path(meta_p)
     meta_df = spark.read.parquet(meta_p).collect()
+    # recommit with the READ schema (not inference — it widened
+    # n_buckets int -> bigint, the dupindex lesson); check rename
+    # returns (Hadoop reports failure as false — an unchecked failure
+    # followed by the old-copy delete destroys the live postings)
+    # (self-review r12)
+    _meta_schema = spark.read.parquet(meta_p).schema
     fs.delete(meta_fs, True)  # index invalid from here until recommit
-    fs.rename(jvm_path(posts_p), jvm_path(old))
-    fs.rename(jvm_path(tmp), jvm_path(posts_p))
+    if not fs.rename(jvm_path(posts_p), jvm_path(old)):
+        raise OSError(
+            f"compact_postings_index: rename {posts_p} -> {old} failed; "
+            "postings untouched, meta left absent (index invalid)"
+        )
+    if not fs.rename(jvm_path(tmp), jvm_path(posts_p)):
+        fs.rename(jvm_path(old), jvm_path(posts_p))  # restore original
+        raise OSError(
+            f"compact_postings_index: rename {tmp} -> {posts_p} failed; "
+            "original restored, meta left absent (index invalid)"
+        )
     fs.delete(jvm_path(old), True)
-    spark.createDataFrame(meta_df).coalesce(1).write.mode("overwrite").parquet(
-        meta_p
-    )
+    spark.createDataFrame(meta_df, _meta_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(meta_p)
     return before - _n_files(posts_p)
 
 

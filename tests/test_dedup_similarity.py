@@ -285,3 +285,56 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         SA.weighted_sample(df, "w", 0)
     with pytest.raises(ValueError, match="k must be"):
         SA.weighted_sample_per_group(df, "w", "w", 0)
+
+
+def test_cosine_topk_pandas_zero_vectors_never_dominate(spark):
+    """Self-review r12: a zero-norm corpus vector gave 0/0 = NaN in
+    the BLAS path, and Spark ranks NaN above every real double — zero
+    vectors crowded real matches out of the top-k while the
+    expression twin returned NULL (sorts last). Guarded like
+    l2_normalize_pandas; the two paths now agree."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    rows += [(10 + i, [0.0, 0.0, 0.0, 0.0]) for i in range(5)]  # zero vectors
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = S.cosine_topk_pandas(df, "embedding", [1.0, 0.0, 0.0, 0.0], k=5)
+    ids = [r.vec_id for r in got.collect()]
+    assert ids == [0, 1, 2, 3, 4]  # the real matches, never the zeros
+    sims = [r.similarity for r in got.collect()]
+    assert all(not math.isnan(s) for s in sims)
+
+
+def test_kmeans_lloyd_lowest_k_ids_seed_sparse_ids(spark):
+    """Self-review r12: the init is the k LOWEST-id vectors as
+    documented — filter(id < k) required ids 0..k-1 to literally
+    exist and broke 1-based / sparse id spaces."""
+    rows = [(100 + 7 * i, [float(i % 4), float(i % 3), 0.0, 1.0])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = S.kmeans_lloyd(df, k=3, vec_col="embedding", id_col="vec_id", iters=2)
+    assert out.count() == 24
+    assert out.select("cluster").distinct().count() <= 3
+    with pytest.raises(ValueError, match="exceeds"):
+        S.kmeans_lloyd(df.limit(2), k=3, vec_col="embedding", id_col="vec_id")
+
+
+def test_banded_signatures_blas_rejects_string_ids(spark):
+    """Self-review r12: the Arrow kernel schema declares the id long;
+    a string id used to crash deep in the kernel with an opaque
+    conversion error — refused loudly up front instead."""
+    df = spark.createDataFrame(
+        [("a", [1.0] * 8)], "doc STRING, embedding ARRAY<FLOAT>"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        S.banded_signatures_blas(df, "embedding", 8, id_col="doc")
+
+
+def test_ivf_trained_probe_rejects_wrong_dim(spark, tmp_path):
+    """Self-review r12: probing a trained IVF table with a shorter
+    query used to rank partitions by a meaningless PREFIX distance —
+    silent recall collapse; now a loud geometry error."""
+    rows = [(i, [float(i % 5)] * 16) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    path = str(tmp_path / "ivf_dim")
+    S.build_ivf_table(df, "embedding", 16, path, n_centroids=2, train_iters=1)
+    with pytest.raises(ValueError, match="dim"):
+        S.ivf_topk_precomputed(spark, path, "embedding", [1.0] * 8, n_probe=1)

@@ -385,3 +385,27 @@ def test_intent_only_dead_repair_flagged_and_healed(spark, tmp_path):
     # rebuild clears stale intents — no phantom flags on the fresh index
     DI.build_gram_counts(base, path, length=8, n_buckets=8)
     assert DI.audit_gram_counts(spark, path).count() == 0
+
+
+def test_intents_read_error_propagates(spark, tmp_path):
+    """Self-review r12: only a MISSING intents table means 'no repair
+    ever ran' — a corrupt/unreadable intents table must raise, not
+    silently disable the batch-id collision protection (a new append
+    could otherwise legitimize a dead repair's partial negations)."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id LONG, text STRING",
+    )
+    idx = str(tmp_path / "gidx")
+    DI.build_gram_counts(docs, idx, length=4)
+    # corrupt intents: a directory with a non-parquet file
+    intents = f"{idx}/intents"
+    os.makedirs(intents, exist_ok=True)
+    with open(f"{intents}/garbage.txt", "w") as f:
+        f.write("not parquet")
+    more = spark.createDataFrame([(3, "k l m n o p q r s t")],
+                                 "doc_id LONG, text STRING")
+    with pytest.raises(Exception):
+        DI.append_gram_counts(more, idx)

@@ -8285,6 +8285,7 @@ def _oracle_sql_impls() -> dict[str, str]:
                    CAST(least(start + 200, n) AS INT) AS chunk_end,
                    substr(text, CAST(start + 1 AS INT), 200) AS chunk
             FROM s
+            WHERE start = 0 OR start + 50 < n
         """,
         "flagship_monthly_trend": """
             SELECT strftime(o_orderdate, '%Y-%m') AS bulan,
@@ -8427,7 +8428,9 @@ def _oracle_sql_impls() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT doc_id, lang, source, n_chars FROM documents
-            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             WHERE text IS NOT NULL GROUP BY text)
+               OR text IS NULL
         """,
         "duplicate_groups": """
             SELECT text, count(*) AS n_dups, min(doc_id) AS rep_id
@@ -9107,9 +9110,12 @@ def _oracle_sql_impls() -> dict[str, str]:
         "incremental_dedup": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE doc_id % 10 = 0
-              AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 <> 0)
-              AND doc_id IN (SELECT min(doc_id) FROM documents
-                             WHERE doc_id % 10 = 0 GROUP BY text)
+              AND ((text NOT IN (SELECT text FROM documents
+                                 WHERE doc_id % 10 <> 0 AND text IS NOT NULL)
+                    AND doc_id IN (SELECT min(doc_id) FROM documents
+                                   WHERE doc_id % 10 = 0 AND text IS NOT NULL
+                                   GROUP BY text))
+                   OR text IS NULL)
         """,
         "detect_pii": r"""
             WITH tickets AS (

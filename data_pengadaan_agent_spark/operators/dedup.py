@@ -28,20 +28,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def _validate_banding(n_hashes: int, bands: int, fn: str) -> None:
+    """bands must divide n_hashes with rows_per_band >= 1 (self-review
+    r12): bands > n_hashes made every band bucket the hash of an EMPTY
+    signature slice — all N docs collide in all bands and the
+    candidate join goes quadratic; a non-dividing bands silently
+    ignored the trailing signature hashes."""
+    if bands < 1 or n_hashes < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"{fn}: bands ({bands}) must divide n_hashes ({n_hashes}) with "
+            "at least one hash per band"
+        )
+
+
 # --- exact ------------------------------------------------------------------
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the min-id representative per distinct text.
     groupBy on the text hash keeps the shuffle narrow; the final join
-    recovers full rows only for survivors."""
+    recovers full rows only for survivors. NULL-text documents are all
+    KEPT (self-review r12): nothing is known about their content, and
+    the unguarded xxhash64(NULL) used to collapse every one of them
+    into a single 'duplicate' group — the hazard cross_source_overlap
+    in this file already guards."""
+    nonnull = df.filter(F.col(text_col).isNotNull())
     keep = (
-        df.select(F.xxhash64(F.col(text_col)).alias("_h"), F.col(id_col))
+        nonnull.select(F.xxhash64(F.col(text_col)).alias("_h"), F.col(id_col))
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return nonnull.join(keep, id_col, "left_semi").unionByName(
+        df.filter(F.col(text_col).isNull())
+    )
 
 
 def dedup_exact_content(
@@ -135,6 +155,7 @@ def minhash_lsh_pairs(
     rows-per-band blocks, bucket by (band_idx, hash(block)), emit pairs
     sharing any bucket. The only wide operation is an equi-join on the
     band hash — at 100 TB this is the standard shuffle-light LSH join."""
+    _validate_banding(n_hashes, bands, "minhash_lsh_pairs")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     banded = sig.select(
@@ -427,6 +448,7 @@ def minhash_lsh_pairs_arith(
     """LSH banding over the arithmetic signatures; band bucket = fold
     of the band's values (x·1000003 + v mod P31). Equi-join on
     (band, bucket) exactly as the xxhash64 variant."""
+    _validate_banding(n_hashes, bands, "minhash_lsh_pairs_arith")
     rows_per_band = n_hashes // bands
     sig = minhash_signatures_arith(df, text_col, id_col, n_hashes, shingle_n, seed)
     banded = sig.select(
@@ -732,12 +754,24 @@ def dedup_incremental(
     Every exchange carries 8-byte hashes, never text. At 100 TB
     ``seen_df`` is the content-hash index table the ingest job
     maintains (append the survivors' hashes after each batch) — the
-    full historical corpus is never rescanned."""
-    seen_h = seen_df.select(F.xxhash64(F.col(text_col)).alias("_h")).distinct()
-    new_h = new_df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    full historical corpus is never rescanned. NULL-text documents in
+    the batch are all kept (the dedup_exact NULL contract): a NULL in
+    seen_df used to hash-match and anti-join away every NULL-text new
+    document (self-review r12)."""
+    new_nonnull = new_df.filter(F.col(text_col).isNotNull())
+    seen_h = (
+        seen_df.filter(F.col(text_col).isNotNull())
+        .select(F.xxhash64(F.col(text_col)).alias("_h"))
+        .distinct()
+    )
+    new_h = new_nonnull.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h")
+    )
     fresh = new_h.join(seen_h, "_h", "left_anti")
     keep = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return new_df.join(keep, id_col, "left_semi")
+    return new_nonnull.join(keep, id_col, "left_semi").unionByName(
+        new_df.filter(F.col(text_col).isNull())
+    )
 
 
 def cluster_representatives(

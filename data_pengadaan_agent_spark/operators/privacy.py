@@ -32,10 +32,18 @@ def pseudonymize_customers(
     region: DataFrame,
     k: int = 5,
     bucket_width: int = 1000,
+    salt: str | None = None,
 ) -> DataFrame:
     """Pseudonymize + generalize the customer table and audit
     k-anonymity over the generalized quasi-identifiers
-    (region, market segment, balance bucket)."""
+    (region, market segment, balance bucket).
+
+    Threat-model honesty (self-review r12): ``c_custkey`` is retained
+    IN THE CLEAR by design — it is the linkage key internal analytics
+    joins on, so this output must stay INSIDE the trust boundary. The
+    name digest is unkeyed md5; for data leaving the boundary pass
+    ``salt`` (a secret) so the digest is not enumerable from the key
+    space, and drop ``c_custkey`` downstream."""
     gen = (
         customer.join(
             F.broadcast(nation.select("n_nationkey", "n_regionkey")),
@@ -47,7 +55,11 @@ def pseudonymize_customers(
         )
         .select(
             F.col("c_custkey"),
-            F.md5(F.col("c_name")).alias("name_pseudo"),
+            F.md5(
+                F.concat(F.lit(salt), F.col("c_name"))
+                if salt is not None
+                else F.col("c_name")
+            ).alias("name_pseudo"),
             F.col("r_name").alias("region"),
             F.col("c_mktsegment").alias("segment"),
             (
@@ -82,9 +94,27 @@ def scrub_terms(
     stateless, shuffle-free, whole-stage-codegen'd — a single scan at
     any scale. The pattern uses ``\\b`` boundaries and alternation,
     supported identically by Java regex and RE2, so the DuckDB twin
-    runs the same pattern verbatim.
+    runs the same pattern verbatim. Terms are regex-ESCAPED
+    (self-review r12: 'example.com' used to redact 'exampleXcom' and
+    'c++' threw PatternSyntaxException mid-job); an empty deny-list is
+    refused — the unescaped empty alternation matched zero-width at
+    every word boundary.
     """
-    pattern = r"\b(" + "|".join(terms) + r")\b"
+    import re as _re
+
+    if not terms:
+        raise ValueError("scrub_terms: empty deny-list")
+
+    def _wrap(t: str) -> str:
+        # \b only borders WORD characters: a term ending in '+' (or
+        # starting with '.') would never match with an unconditional
+        # boundary glued to it — apply each \b only where the term
+        # edge is a word char (RE2-safe; lookarounds are not)
+        pre = r"\b" if _re.match(r"\w", t) else ""
+        suf = r"\b" if _re.search(r"\w$", t) else ""
+        return pre + _re.escape(t) + suf
+
+    pattern = "(" + "|".join(_wrap(t) for t in terms) + ")"
     return df.select(
         F.col(id_col),
         F.regexp_replace(F.col(text_col), pattern, placeholder).alias("text_scrubbed"),
@@ -131,7 +161,13 @@ def detect_pii(
     full-corpus map with zero exchanges). Span EXTRACTION is the same
     expression with ``regexp_extract_all`` when the downstream redactor
     needs offsets; counts are what audit dashboards aggregate."""
-    pats = patterns or PII_PATTERNS
+    # None -> defaults; an EXPLICIT empty dict is refused rather than
+    # silently swapped for the defaults (self-review r12: a caller
+    # whose dynamic class filter ends empty must not get a compliance
+    # audit reporting classes it never asked for)
+    if patterns is not None and not patterns:
+        raise ValueError("detect_pii: empty patterns dict")
+    pats = PII_PATTERNS if patterns is None else patterns
     counts = [
         F.regexp_count(F.col(text_col), F.lit(p)).cast("bigint").alias(f"n_{k}")
         for k, p in pats.items()

@@ -241,6 +241,11 @@ def corpus_mix_token_budget(
     exchange), carrying (group, hash, tokens) — the running sum never
     materializes the group; the budget map is a CASE expression, no
     join at all.
+
+    NULL token counts are DROPPED (self-review r12): a document whose
+    size is unknown cannot be budgeted — the old coalesce admitted it
+    FREE even after the budget was exhausted, and diverged from the
+    plain-SQL form (where the NULL running sum fails the filter).
     """
     budget_expr = F.lit(None).cast("bigint")
     for g, t in budgets.items():
@@ -250,7 +255,8 @@ def corpus_mix_token_budget(
         F.sum(F.col(token_col)).over(w) - F.col(token_col), F.lit(0)
     )
     return (
-        df.withColumn("_budget", budget_expr)
+        df.filter(F.col(token_col).isNotNull())
+        .withColumn("_budget", budget_expr)
         .filter(F.col("_budget").isNotNull())
         .withColumn("_before", consumed_before.cast("bigint"))
         .filter(F.col("_before") < F.col("_budget"))

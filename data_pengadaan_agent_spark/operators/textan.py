@@ -104,7 +104,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(F.filter(t, lambda x: x.isin(*marks))).alias(f"score_{lang}")
         for lang, marks in LANG_MARKERS.items()
     ]
-    scored = df.select(F.col(id_col), t.alias("_t"), *scores)
+    scored = df.select(F.col(id_col), *scores)
     # argmax via greatest + chained when (few languages → shallow CASE)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
@@ -225,7 +225,11 @@ def chunk_text(
     come from sequence()+explode (no Python, no UDTF needed), substring
     slices each chunk, so the operator is codegen'd and shuffle-free.
     One output row per (doc, chunk_idx) with the chunk text and its
-    [start, end) span for provenance."""
+    [start, end) span for provenance. A trailing start whose chunk
+    would be entirely CONTAINED in the previous chunk (start + overlap
+    >= text length — the previous chunk already reached the end) is
+    dropped: it added zero new coverage and double-counted the tail in
+    a training corpus (self-review r12)."""
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
@@ -236,6 +240,8 @@ def chunk_text(
         F.col(text_col),
         n.alias("_n"),
         F.posexplode(starts).alias("chunk_idx", "start"),
+    ).filter(
+        (F.col("start") == 0) | (F.col("start") + F.lit(int(overlap)) < F.col("_n"))
     )
     return out.select(
         F.col(id_col),
@@ -1130,6 +1136,9 @@ def bm25_score(
     """
     toks = tokens(text_col)
     dl = F.size(toks).cast("double")
+    # tokens() lowercases; query terms are normalized to match, else a
+    # capitalized query term silently scored 0 (self-review r12)
+    query_terms = [t.lower() for t in query_terms]
 
     def _tf(term: str) -> Column:
         # one-arg lambda only: a second (defaulted) parameter would make
@@ -1215,7 +1224,12 @@ def _bm25_contrib_frame(
     coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
 
     toks = tokens(text_col)
-    qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
+    # lower the query terms to the tokens() convention (self-review
+    # r12: an uppercase term silently matched nothing); explode first
+    # — generators cannot nest inside expressions
+    qterms = queries_df.select(
+        F.col(qid_col), F.explode(terms_col).alias("_t_raw")
+    ).select(F.col(qid_col), F.lower(F.col("_t_raw")).alias("t"))
     vocab = qterms.select("t").distinct()
     posts = docs.select(
         F.col(id_col),
@@ -2263,7 +2277,11 @@ def collocations(
         raise ValueError("collocations: need k >= 1 and min_count >= 1")
     toks = df.select(F.explode(tokens(text_col)).alias("w"))
     c1 = toks.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    n_total = toks.count()
+    # 1-row broadcast aggregate, not an eager .count() at plan time —
+    # the tfidf_top_terms pattern: constructing the plan must not run
+    # a corpus scan, and execution reads the corpus once, not twice
+    # (self-review r12)
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("_n_total"))
     bg = (
         df.select(F.explode(word_ngrams(text_col, 2)).alias("bigram"))
         .groupBy("bigram")
@@ -2277,9 +2295,10 @@ def collocations(
         .select("bigram", "cnt", "_w2", F.col("c").alias("_c1"))
         .join(c1.hint("shuffle_hash"), F.col("_w2") == c1["w"])
         .select("bigram", "cnt", "_c1", F.col("c").alias("_c2"))
+        .crossJoin(F.broadcast(tot))
     )
     lift = F.expr(
-        f"(CAST(1000000 AS DECIMAL(38,0)) * CAST({int(n_total)} AS DECIMAL(38,0))"
+        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(_n_total AS DECIMAL(38,0))"
         " * CAST(cnt AS DECIMAL(38,0)))"
         " DIV (CAST(_c1 AS DECIMAL(38,0)) * CAST(_c2 AS DECIMAL(38,0)))"
     )

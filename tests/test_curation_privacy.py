@@ -345,3 +345,72 @@ def test_cluster_representatives_keeps_best(spark):
         for r in cluster_representatives(clusters, scores).collect()
     }
     assert got == {1: (2, 0.9, 3), 4: (4, 0.7, 2), 6: (6, 0.1, 1)}
+
+
+def test_scrub_terms_escapes_metacharacters_and_rejects_empty(spark):
+    """Self-review r12: deny-list terms are regex-escaped ('a.com'
+    used to redact 'aXcom'; 'c++' threw PatternSyntaxException) and an
+    empty deny-list is refused (the empty alternation matched
+    zero-width at every word boundary)."""
+    from data_pengadaan_agent_spark.operators.privacy import scrub_terms
+
+    df = spark.createDataFrame(
+        [(1, "visit a.com or aXcom now")], "doc_id LONG, text STRING"
+    )
+    out = scrub_terms(df, ("a.com",)).collect()[0]
+    assert out.text_scrubbed == "visit [REDACTED] or aXcom now"
+    assert out.n_redactions == 1
+    df2 = spark.createDataFrame([(1, "c++ rocks")], "doc_id LONG, text STRING")
+    out2 = scrub_terms(df2, ("c++",)).collect()[0]
+    assert out2.n_redactions == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty"):
+        scrub_terms(df, ())
+
+
+def test_detect_pii_empty_patterns_refused_none_means_default(spark):
+    """Self-review r12: an explicit empty dict must not be silently
+    swapped for the default classes (a dynamically-filtered audit
+    would report classes it never asked for)."""
+    from data_pengadaan_agent_spark.operators.privacy import detect_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id LONG, text STRING")
+    assert detect_pii(df).collect()[0].n_email == 1  # None -> defaults
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty patterns"):
+        detect_pii(df, patterns={})
+
+
+def test_pseudonymize_salt_changes_digest(spark, tables):
+    """Self-review r12: optional secret salt for data leaving the
+    trust boundary — the unkeyed digest is enumerable from the key
+    space; the salted one is not. Default (no salt) unchanged."""
+    from data_pengadaan_agent_spark.operators.privacy import (
+        pseudonymize_customers,
+    )
+
+    cust, nat, reg = tables["customer"], tables["nation"], tables["region"]
+    plain = pseudonymize_customers(cust, nat, reg)
+    salted = pseudonymize_customers(cust, nat, reg, salt="s3cr3t")
+    a = {r.c_custkey: r.name_pseudo for r in plain.limit(50).collect()}
+    b = {r.c_custkey: r.name_pseudo for r in salted.limit(50).collect()}
+    assert all(a[k] != b[k] for k in a)
+
+
+def test_corpus_mix_token_budget_null_tokens_never_admitted_free(spark):
+    """Self-review r12: a NULL token count used to be admitted FREE
+    even after the budget was exhausted (window sum skips NULLs,
+    coalesce read 0) — and diverged from the plain-SQL form where the
+    NULL running sum fails the filter. Unknown-size docs are dropped."""
+    from data_pengadaan_agent_spark.operators.sampling import (
+        corpus_mix_token_budget,
+    )
+
+    rows = [(i, "en", 50) for i in range(10)] + [(100, "en", None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_tokens LONG")
+    out = corpus_mix_token_budget(df, {"en": 100}, token_col="n_tokens")
+    got = sorted(r.doc_id for r in out.collect())
+    assert 100 not in got           # never admitted free
+    assert len(got) == 2            # budget 100 = exactly two 50-token docs

@@ -338,3 +338,34 @@ def test_ivf_trained_probe_rejects_wrong_dim(spark, tmp_path):
     S.build_ivf_table(df, "embedding", 16, path, n_centroids=2, train_iters=1)
     with pytest.raises(ValueError, match="dim"):
         S.ivf_topk_precomputed(spark, path, "embedding", [1.0] * 8, n_probe=1)
+
+
+def test_dedup_exact_and_incremental_keep_null_texts(spark):
+    """Self-review r12: xxhash64(NULL) is a constant, so every
+    NULL-text document used to collapse into one 'duplicate' group
+    (dedup_exact) or be anti-joined away by a single NULL in the seen
+    corpus (dedup_incremental). Nothing is known about NULL content —
+    all such rows are kept."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(r.doc_id for r in D.dedup_exact(df).collect())
+    assert got == [1, 3, 4, 5]
+    seen = spark.createDataFrame([(0, None), (9, "old")], "doc_id LONG, text STRING")
+    new = spark.createDataFrame(
+        [(10, None), (11, "old"), (12, "fresh")], "doc_id LONG, text STRING"
+    )
+    got2 = sorted(r.doc_id for r in D.dedup_incremental(new, seen).collect())
+    assert got2 == [10, 12]
+
+
+def test_minhash_banding_validation(spark):
+    """Self-review r12: bands > n_hashes made every band bucket the
+    hash of an EMPTY slice (all docs collide, quadratic pairs); a
+    non-dividing bands silently ignored trailing hashes."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_pairs(df, n_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="divide"):
+        D.minhash_lsh_pairs_arith(df, n_hashes=20, bands=8)

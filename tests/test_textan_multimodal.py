@@ -1087,3 +1087,39 @@ def test_payload_byte_stats_matches_python_reference(spark):
     rows = stats.collect()
     assert all(r.printable_ppm > 800_000 for r in rows)
     assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_chunk_text_drops_redundant_tail_chunk(tables):
+    """Self-review r12: a final start landing inside the previous
+    chunk's overlap produced a chunk entirely CONTAINED in it — pure
+    double-counted tail content. Exactly length-200 text with
+    chunk=200/overlap=50 now yields ONE chunk; length 221 yields two
+    with real new coverage."""
+    from data_pengadaan_agent_spark.operators.textan import chunk_text
+
+    spark = tables["documents"].sparkSession
+    df = spark.createDataFrame(
+        [(1, "x" * 200), (2, "y" * 221)], "doc_id LONG, text STRING"
+    )
+    out = chunk_text(df, chunk_chars=200, overlap=50).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.start, r.chunk_end))
+    assert by_doc[1] == [(0, 0, 200)]
+    assert sorted(by_doc[2]) == [(0, 0, 200), (1, 150, 221)]
+
+
+def test_bm25_terms_are_case_normalized(tables):
+    """Self-review r12: tokens() lowercases, so an uppercase query
+    term used to score 0 silently; terms now normalize to the token
+    convention."""
+    from data_pengadaan_agent_spark.operators.textan import bm25_score
+
+    spark = tables["documents"].sparkSession
+    df = spark.createDataFrame(
+        [(1, "Spark makes engines go"), (2, "nothing here")],
+        "doc_id LONG, text STRING",
+    )
+    up = {r.doc_id: r.bm25 for r in bm25_score(df, ["Spark"]).collect()}
+    lo = {r.doc_id: r.bm25 for r in bm25_score(df, ["spark"]).collect()}
+    assert up == lo and up[1] > 0

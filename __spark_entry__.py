@@ -8165,8 +8165,7 @@ def _oracle_sql_impls() -> dict[str, str]:
                    min(nrm) AS min_norm,
                    max(nrm) AS max_norm,
                    CAST(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
-                        / (count(*) - sum(CASE WHEN l IS NULL THEN 1
-                                          ELSE 0 END)) AS DOUBLE)
+                        / count(nrm) AS DOUBLE)
                      AS mean_norm
             FROM n GROUP BY label
         """,
@@ -9297,7 +9296,7 @@ def _oracle_sql_impls() -> dict[str, str]:
             )
             SELECT media_id,
                    unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS frame_ts_ms
-            FROM m WHERE mt = 2
+            FROM m WHERE mt = 2 AND duration_ms > 0
         """,
         "null_safe_join": """
             WITH a AS (
@@ -9350,7 +9349,7 @@ def _oracle_sql_impls() -> dict[str, str]:
             ), s AS (
               SELECT media_id, duration_ms,
                      unnest(range(0, greatest(duration_ms - 1, 0) + 1, 5000)) AS start_ms
-              FROM m WHERE mt = 1
+              FROM m WHERE mt = 1 AND duration_ms > 0
             )
             SELECT media_id, CAST(start_ms // 5000 AS INT) AS chunk_idx, start_ms,
                    least(start_ms + 5000, duration_ms) AS end_ms

@@ -51,16 +51,20 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     (doc_id, n_chars). Every derivation is a pure column expression, so
     an external oracle can recompute the whole pipeline from the same
     parquet — which makes the opaque-binary plumbing itself testable."""
+    # pmod, not % (self-review r12): content-addressed doc ids
+    # (read_text_corpus's xxhash64) are ~half NEGATIVE — Spark % keeps
+    # the dividend's sign, so element_at got index 0 (runtime error)
+    # or -1 (silently the WRONG media type) and heights went negative
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
-        (F.col("n_chars") % 640 + 64).cast("int").alias("width"),
-        (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
-        (F.col("n_chars") * 37 % 30000).cast("int").alias("duration_ms"),
+        (F.pmod(F.col("n_chars"), F.lit(640)) + 64).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(480)) + 48).cast("int").alias("height"),
+        F.pmod(F.col("n_chars") * 37, F.lit(30000)).cast("int").alias("duration_ms"),
         F.lit("fake/v1").alias("codec"),
     )
 
@@ -78,7 +82,7 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> list[float]:
     return [float((s + i * 37) % 251) / 251.0 for i in range(6)] + [float(width), float(height)]
 
 
-def extract_image_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def extract_image_features(df: DataFrame) -> DataFrame:
     """Decode + feature-extract over mapInPandas: Arrow-batched,
     one Python worker per partition, constant memory per batch. At
     100 TB the input should be repartitioned so each task holds
@@ -118,8 +122,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled
     timestamp (sequence + explode, JVM-side); the actual frame decode
     is the stubbed Python kernel."""
+    # duration NULL or <= 0 emits NO frames (self-review r12:
+    # greatest() skips NULLs, so an unknown-length clip fabricated a
+    # frame at t=0)
     return (
-        df.filter(F.col("media_type") == "video")
+        df.filter(
+            (F.col("media_type") == "video") & (F.col("duration_ms") > 0)
+        )
         .select(
             "media_id",
             F.explode(
@@ -134,8 +143,12 @@ def chunk_audio(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     audio row (sequence + explode, JVM-side; the waveform decode of
     each chunk is the stubbed Python kernel). end_ms clamps to the
     clip's duration."""
+    # duration NULL or <= 0 emits NO chunks (self-review r12: a NULL
+    # duration fabricated a phantom 5-second chunk of unknown media)
     return (
-        df.filter(F.col("media_type") == "audio")
+        df.filter(
+            (F.col("media_type") == "audio") & (F.col("duration_ms") > 0)
+        )
         .select(
             "media_id",
             "duration_ms",
@@ -154,7 +167,7 @@ def chunk_audio(df: DataFrame, chunk_ms: int = 5000) -> DataFrame:
     )
 
 
-def payload_byte_stats(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def payload_byte_stats(df: DataFrame) -> DataFrame:
     """REAL byte-level analytics over the opaque payload column — no
     codec needed, so unlike the decode stub this kernel runs for
     real in this container: per media row, numpy reads the raw bytes

@@ -464,7 +464,12 @@ def salted_user_totals_join(events: DataFrame, n_salts: int = 8) -> DataFrame:
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     dim_rep = dim.select(F.col("user_id").alias("d_user"), "user_n", salts)
     fact = events.select(
-        "event_id", "user_id", (F.col("event_id") % n_salts).cast("int").alias("_fsalt")
+        "event_id",
+        "user_id",
+        # pmod, not %: Spark % keeps the dividend's sign, so a negative
+        # event_id salted to a replica that doesn't exist and the row
+        # silently vanished from the join (self-review r12)
+        F.pmod(F.col("event_id"), F.lit(int(n_salts))).cast("int").alias("_fsalt"),
     )
     joined = fact.join(
         dim_rep,
@@ -478,13 +483,21 @@ def above_nation_avg_customers(customer: DataFrame) -> DataFrame:
     nation's average balance. Expressed via SQL so Catalyst's
     decorrelation rewrites it to ONE aggregate + join — never a
     per-row subquery execution (SURVEY.md §4.2 'subquery
-    decorrelation'). DataFrame twin: window avg over nationkey."""
-    customer.createOrReplaceTempView("_cust_corr")
+    decorrelation'). DataFrame twin: window avg over nationkey.
+
+    The temp view name is unique per call (self-review r12): a fixed
+    name mutated shared session state — a second call on a different
+    frame re-bound the view, and a still-lazy first result resolved
+    against the WRONG table at action time."""
+    import uuid
+
+    view = f"_cust_corr_{uuid.uuid4().hex}"
+    customer.createOrReplaceTempView(view)
     return customer.sparkSession.sql(
-        """
+        f"""
         SELECT c_custkey, c_nationkey, c_acctbal
-        FROM _cust_corr c1
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _cust_corr c2
+        FROM {view} c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {view} c2
                            WHERE c2.c_nationkey = c1.c_nationkey)
         ORDER BY c_custkey
         """
@@ -767,9 +780,18 @@ def latest_by_key(
     key (rank-1 of a per-key window ordered by time descending, ties
     broken deterministically). One hash exchange on the key; at scale
     this is the standard compaction step before snapshot joins —
-    never a self-join against max(ts)."""
+    never a self-join against max(ts). Without an explicit
+    ``tiebreak_col``, timestamp ties break over ALL remaining columns
+    ascending (self-review r12: the old fallback ordered by the
+    partition key itself — constant within the window, so ties were
+    partitioning-dependent despite the docstring's promise)."""
     order = [F.col(ts_col).desc()]
-    order.append(F.col(tiebreak_col).desc() if tiebreak_col else F.col(key_col))
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    else:
+        order.extend(
+            F.col(c) for c in df.columns if c not in (key_col, ts_col)
+        )
     w = Window.partitionBy(key_col).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
@@ -991,7 +1013,12 @@ def cohort_retention(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Weekly cohort retention matrix — the classic product-analytics
-    rollup: users are cohorted by the week of their FIRST event, and
+    rollup. NOT the same operator as :func:`retention_cohorts`
+    (self-review r12 cross-reference): this one uses Monday-truncated
+    calendar weeks and emits a RATIO; retention_cohorts uses
+    epoch-anchored integer periods (day/week/month grains) and emits
+    COUNTS — the cohort boundaries differ, pick by contract.
+    Users are cohorted by the week of their FIRST event, and
     each (cohort_week, offset_weeks) cell counts how many of them were
     active that many weeks later. ``retention`` is the cell count over
     the cohort's size, rounded to 6 places.
@@ -1172,6 +1199,7 @@ def embedding_qa(
             F.min("_norm").alias("min_norm"),
             F.max("_norm").alias("max_norm"),
             F.sum(F.col("_norm").cast("decimal(18,6)")).alias("_norm_sum"),
+            F.count("_norm").cast("bigint").alias("_n_norm"),
         )
         .select(
             F.col(group_col),
@@ -1181,9 +1209,14 @@ def embedding_qa(
             "n_zero",
             "min_norm",
             "max_norm",
+            # denominator = vectors whose norm actually summed
+            # (self-review r12: a vector containing a NULL element has
+            # a NULL norm — excluded from the sum yet previously still
+            # counted in the denominator, underestimating mean_norm
+            # exactly when an embedder is broken)
             (
                 F.col("_norm_sum")
-                / (F.col("n_vecs") - F.col("n_null")).cast("double")
+                / F.col("_n_norm").cast("double")
             )
             .cast("double")
             .alias("mean_norm"),
@@ -1225,8 +1258,16 @@ def skyline_2d(
     dx = pts.groupBy(F.col(x_col).alias("_x")).agg(
         F.max(F.col(y_col)).alias("_my")
     )
-    dxp = dx.repartitionByRange(int(n_partitions), F.desc("_x")).withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint (self-review r12): the per-partition maxes are
+    # collected in one job and the final filter runs in another — the
+    # _pid assignment MUST come from one materialization, or the range
+    # partitioner's sampled boundaries could differ between the two
+    # executions and mismatch prefix maxes to partitions (besides
+    # paying the distinct+range shuffle twice).
+    dxp = (
+        dx.repartitionByRange(int(n_partitions), F.desc("_x"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     summ = sorted(
         dxp.groupBy("_pid").agg(F.max("_my").alias("_pmax")).collect(),
@@ -1263,7 +1304,9 @@ def retention_cohorts(
     grain: str = "day",
 ) -> DataFrame:
     """Cohort retention matrix: users grouped by FIRST-active period,
-    counted in every period-offset they were active. All calendar
+    counted in every period-offset they were active. NOT the same
+    operator as :func:`cohort_retention` (see its docstring for the
+    anchor/output differences). All calendar
     arithmetic is integer — day index = datediff(epoch), week =
     day DIV 7 (epoch-anchored weeks), month = year·12 + month — so
     the matrix is exact on any engine. Two exchanges — distinct

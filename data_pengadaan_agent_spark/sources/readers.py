@@ -84,7 +84,12 @@ def write_bucketed(
         jvm = spark.sparkContext._jvm
         jsc = spark.sparkContext._jsc
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        # db-qualified names live under <warehouse>/<db>.db/<table>
+        # (self-review r12: checking <warehouse>/<db>.<table> missed the
+        # real orphaned location, defeating this guard's whole purpose)
+        parts = table.lower().split(".")
+        rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         if fs.exists(path):
             fs.delete(path, True)

@@ -38,12 +38,16 @@ def monthly_rollup(
     """A2: the canonical line-chart query —
     strftime('%Y-%m') → count(id) + sum(measure) → ORDER BY month
     (openai/function_definition.py:153-159). date_format preserves the
-    reference's *string* month dialect."""
+    reference's *string* month dialect. The money sum goes through
+    DECIMAL — the module contract (self-review r12: this operator was
+    the one float-sum holdout; float partial-aggregate merge order is
+    partitioning-dependent, and the entry file's registered query had
+    to hand-bypass it)."""
     return (
         df.groupBy(F.date_format(F.col(ts_col), "yyyy-MM").alias(month_alias))
         .agg(
             F.count(F.col(id_col)).alias(count_alias),
-            F.sum(F.col(measure_col)).alias(sum_alias),
+            F.sum(F.col(measure_col).cast("decimal(28,2)")).alias(sum_alias),
         )
         .orderBy(month_alias)
     )
@@ -257,9 +261,6 @@ def group_trend(
             F.sum(y * y).cast("decimal(38,0)").alias("_syy"),
         )
     )
-    num = F.expr("_n * _sxy - _sx * _sy")
-    denx = F.expr("_n * _sxx - _sx * _sx")
-    deny = F.expr("_n * _syy - _sy * _sy")
     slope = F.expr(
         "CASE WHEN (_n * _sxx - _sx * _sx) = 0 THEN NULL ELSE "
         "(CAST(1000000 AS DECIMAL(38,0)) * (_n * _sxy - _sx * _sy)) "

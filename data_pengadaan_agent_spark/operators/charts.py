@@ -11,7 +11,7 @@ frame ever crosses to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -43,8 +43,11 @@ def bar_chart_data(df: DataFrame, x: str, y: str, insights: bool = True) -> tupl
         F.min(y).alias("min_v"),
         F.avg(y).alias("mean_v"),
         F.sum(y).alias("sum_v"),
-        F.expr(f"max_by({x}, {y})").alias("top_category"),
-        F.expr(f"min_by({x}, {y})").alias("bottom_category"),
+        # backtick-quoted: stage-2 columns can be named `count(1)` or
+        # carry spaces — raw interpolation re-parsed them as SQL
+        # (self-review r12)
+        F.expr(f"max_by(`{x}`, `{y}`)").alias("top_category"),
+        F.expr(f"min_by(`{x}`, `{y}`)").alias("bottom_category"),
     ).first()
     return data, row.asDict()
 
@@ -60,7 +63,13 @@ def line_chart_data(
     _require(df, ts_col, id_col, measure_col)
     if not insights:
         return A.monthly_rollup(df, ts_col, id_col, measure_col), {}
-    data = A.monthly_rollup(df, ts_col, id_col, measure_col).cache()
+    # localCheckpoint, not cache (self-review r12): cached frames are
+    # held by the session's cache manager FOREVER unless explicitly
+    # unpersisted — repeated chart calls leaked storage; a checkpointed
+    # RDD is released by the ContextCleaner when the frame is GC'd
+    data = A.monthly_rollup(df, ts_col, id_col, measure_col).localCheckpoint(
+        eager=True
+    )
     row = data.agg(
         F.min("bulan").alias("first_month"),
         F.max("bulan").alias("last_month"),
@@ -78,15 +87,23 @@ def pie_chart_data(df: DataFrame, label: str, value: str) -> tuple[DataFrame, di
     (openai/list_of_tools.py:388-449). Share = value / sum(value) OVER ()
     — a windowed total, no second scan."""
     _require(df, label, value)
-    data = df.select(
-        F.col(label),
-        F.col(value),
-        (F.col(value) / F.sum(value).over(Window.partitionBy())).alias("share"),
+    # broadcast scalar total, not sum() OVER () with no partition keys
+    # (self-review r12): the unpartitioned window moved EVERY input row
+    # to one partition — a single-partition shuffle that serializes or
+    # OOMs on a large stage-2 frame; the values are identical
+    tot = df.agg(F.sum(value).alias("_tot"))
+    data = (
+        df.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(label),
+            F.col(value),
+            (F.col(value) / F.col("_tot")).alias("share"),
+        )
     )
     row = df.agg(
         F.sum(value).alias("total"),
-        F.expr(f"max_by({label}, {value})").alias("largest"),
-        F.expr(f"min_by({label}, {value})").alias("smallest"),
+        F.expr(f"max_by(`{label}`, `{value}`)").alias("largest"),
+        F.expr(f"min_by(`{label}`, `{value}`)").alias("smallest"),
     ).first()
     return data, row.asDict()
 
@@ -112,11 +129,17 @@ def histogram_data(df: DataFrame, col: str, bins: int = 12) -> tuple[DataFrame, 
         row = data.agg(F.expr("max_by(month_no, cnt)").alias("peak_month"), F.sum("cnt").alias("n")).first()
         return data, row.asDict()
     if isinstance(dtype, T.StringType):
-        # try datetime parse like the reference; fall back to categorical
-        # (try_to_timestamp: NULL on failure instead of ANSI error)
+        # ALL-or-nothing datetime parse like the pandas reference
+        # (to_datetime raises on the first bad value → fallback):
+        # any-one-parses dispatch silently dropped every non-parsing
+        # row from the chart (self-review r12). try_to_timestamp:
+        # NULL on failure instead of ANSI error.
         parsed = df.withColumn("_ts", F.try_to_timestamp(F.col(col)))
-        n_parsed = parsed.filter(F.col("_ts").isNotNull()).limit(1).count()
-        if n_parsed > 0:
+        probe = parsed.filter(F.col(col).isNotNull()).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count("_ts").alias("_ok"),
+        ).first()
+        if probe["_n"] > 0 and probe["_ok"] == probe["_n"]:
             dd = parsed.filter(F.col("_ts").isNotNull())
             data = A.histogram_month_of_year(dd, "_ts")
             row = data.agg(
@@ -125,7 +148,7 @@ def histogram_data(df: DataFrame, col: str, bins: int = 12) -> tuple[DataFrame, 
             return data, row.asDict()
     data = A.value_counts(df, col)
     row = data.agg(
-        F.expr("max_by(" + col + ", cnt)").alias("mode"), F.sum("cnt").alias("n")
+        F.expr(f"max_by(`{col}`, cnt)").alias("mode"), F.sum("cnt").alias("n")
     ).first()
     return data, row.asDict()
 
@@ -140,6 +163,13 @@ def render_png(data: DataFrame, kind: str, path: str, x: str, y: str | None = No
         import matplotlib.pyplot as plt
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError("matplotlib not available in this environment") from e
+    if kind not in ("bar", "line", "pie", "hist"):
+        raise ValueError(f"render_png: unknown kind {kind!r}")
+    if y is None:
+        # every supported kind plots a y series; a silent KeyError
+        # (or a blank 'success' PNG for a typo'd kind) helped nobody
+        # (self-review r12)
+        raise ValueError("render_png: y column is required")
     pdf = data.toPandas()
     fig, ax = plt.subplots(figsize=(10, 6))
     if kind == "bar":

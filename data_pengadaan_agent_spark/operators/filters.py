@@ -46,13 +46,21 @@ def keyword_cnf(col: Column, include: KeywordGroups, exclude: Sequence[str] = ()
     clauses: list[Column] = [_contains_any(col, grp) for grp in include if grp]
     if exclude:
         clauses.append(~_contains_any(col, exclude))
-    return reduce(lambda a, b: a & b, clauses)
+    # initial lit(True): include made only of EMPTY groups (each one
+    # skipped, the existing no-constraint semantics) used to reduce()
+    # an empty list and raise TypeError (self-review r12)
+    return reduce(lambda a, b: a & b, clauses, F.lit(True))
 
 
 def token_match(col: Column, token: str, sep: str = ",") -> Column:
     """Strict exact-token variant (NOT reference semantics — offered as
-    the separate, stricter operator SURVEY.md §1.4 recommends)."""
-    return F.array_contains(F.split(F.lower(col), sep), token.lower())
+    the separate, stricter operator SURVEY.md §1.4 recommends).
+    ``sep`` is a LITERAL separator — escaped before F.split's regex
+    (self-review r12: sep='|' used to split between every character
+    and the token never matched)."""
+    import re as _re
+
+    return F.array_contains(F.split(F.lower(col), _re.escape(sep)), token.lower())
 
 
 def filter_keywords(

@@ -70,11 +70,14 @@ def check_select_only(sql: str) -> str:
     stripping literals/comments, so CTE-wrapped DML is caught even
     without a SparkSession. Returns the SQL."""
     stripped = sql.strip().rstrip(";")
-    if ";" in stripped:
+    # strip literals/comments BEFORE the multi-statement check
+    # (self-review r12: SELECT ';' AS sep — a semicolon inside a
+    # string literal or comment — was falsely rejected)
+    scannable = _LITERALS.sub(" ", stripped)
+    if ";" in scannable:
         raise SqlGateError("multiple statements are not allowed")
     if not _ALLOWED.match(stripped):
         raise SqlGateError(f"only read-only queries are allowed, got: {stripped[:60]!r}")
-    scannable = _LITERALS.sub(" ", stripped)
     hit = _FORBIDDEN_WORD.search(scannable)
     if hit:
         raise SqlGateError(

@@ -155,3 +155,19 @@ def test_golden_scenarios_through_facade(spark, engine):
     assert months == {"2023-01": (1, 750_000_000), "2024-01": (1, 2_000_000_000)}
     assert insights["peak_value_month"] == "2024-01"
     assert insights["total_value"] == 2_750_000_000
+
+
+def test_sql_gate_semicolon_inside_literal_allowed(spark):
+    """Self-review r12: the multi-statement check ran BEFORE literal
+    stripping, falsely rejecting a semicolon inside a string literal
+    or comment."""
+    import pytest as _pt
+
+    from data_pengadaan_agent_spark.plans.sql_gate import (
+        SqlGateError, check_select_only,
+    )
+
+    check_select_only("SELECT ';' AS sep FROM t")
+    check_select_only("SELECT 1 -- note; details")
+    with _pt.raises(SqlGateError, match="multiple statements"):
+        check_select_only("SELECT 1; DROP TABLE t")

@@ -111,3 +111,17 @@ def test_preview_shape(spark, pengadaan):
     assert len(out["first_rows"]) == 5
     assert out["first_rows"][0]["kode_rup"] == 1
     assert [f["name"] for f in out["schema"]["fields"]] == ["kode_rup", "total_pagu"]
+
+
+def test_keyword_cnf_empty_groups_and_token_sep_escape(spark):
+    """Self-review r12: include made only of EMPTY groups used to
+    reduce() an empty list and raise TypeError (now: no constraint);
+    token_match's separator is a literal, not a regex (sep='|' used
+    to split between every character)."""
+    from data_pengadaan_agent_spark.operators.filters import (
+        keyword_cnf, token_match,
+    )
+
+    df = spark.createDataFrame([("a|b|c",), ("x|y",)], "s STRING")
+    assert df.filter(keyword_cnf(F.col("s"), include=[[]])).count() == 2
+    assert df.filter(token_match(F.col("s"), "b", sep="|")).count() == 1

@@ -234,3 +234,23 @@ def test_snapshot_diff_null_payloads(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_histogram_string_dispatch_is_all_or_nothing(spark):
+    """Self-review r12: a string column where only ONE value parses as
+    a timestamp used to dispatch to the month histogram and silently
+    drop every other row — the pandas reference is all-or-nothing."""
+    from data_pengadaan_agent_spark.operators import charts as C
+
+    df = spark.createDataFrame(
+        [("open",), ("closed",), ("closed",), ("2024-01-05",)], "status STRING"
+    )
+    data, row = C.histogram_data(df, "status")
+    got = {r.status: r.cnt for r in data.collect()}
+    assert got == {"open": 1, "closed": 2, "2024-01-05": 1}
+    assert row["n"] == 4
+    all_dates = spark.createDataFrame(
+        [("2024-01-05",), ("2024-02-11",)], "d STRING"
+    )
+    data2, row2 = C.histogram_data(all_dates, "d")
+    assert row2["n"] == 2 and "month_no" in data2.columns

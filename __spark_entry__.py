@@ -2752,6 +2752,22 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 13 (promoted from candidate_queries(); the
+        # 5-in/5-out triage written and simulator-verified in round 12
+        # — NOTES.md "r13 registration triage" — funded by retiring
+        # bm25_retrieval_batch + winnow_fingerprints + activity_heatmap
+        # + sim_topk_lsh + sim_topk_ivf from r13's due set, see
+        # _RETIRED_TIER3. Each new row hashes a family no registered
+        # entry covers: the KMV bottom-k sketch STATE + its estimate,
+        # the declarative DQ rule-report aggregate, degree-ordered
+        # triangle counting, the z-order + zonemap file-pruned scan
+        # (literal survivor paths ≡ full scan), and the leakage-free
+        # SCD2 point-in-time read with the zero-duration tiebreak.) ---
+        "kmv_distinct": _q_kmv_distinct,
+        "dq_report": _q_dq_report,
+        "graph_triangles": _q_graph_triangles,
+        "zorder_zonemap_scan": _q_zorder_zonemap_scan,
+        "pit_join": _q_pit_join,
         # --- NEW in round 12 (promoted from candidate_queries(); the
         # 2-in/1-out triage written and simulator-verified in round 11
         # — NOTES.md "Round 12 registration triage" — paired with
@@ -3829,6 +3845,34 @@ _RETIRED_TIER3 = frozenset(
         # the weighted generalization weighted_sample[_per_group] sits
         # value-checked in the candidate pool.
         "sample_per_group",
+        # round-13 retirements (the pre-verified 5-in/5-out triage
+        # written in round 12 — NOTES.md "r13 registration triage";
+        # all five in r13's due set, the r10-green cohort):
+        # bm25_retrieval_batch: the from-scratch scoring path, strictly
+        # dominated by registered bm25_index_retrieval (r11-green, the
+        # SAME shared twin _bm25_retrieval_batch_sql(k=5) — the index
+        # path must reproduce the from-scratch path bit-exactly); the
+        # index path is the steady-state 100 TB shape, and this retires
+        # the lap's single slowest non-streaming query.
+        "bm25_retrieval_batch",
+        # winnow_fingerprints: the candidate STAGE of registered
+        # winnow_matches (identical k=5-gram two-channel fingerprint
+        # lineage, then the match join) — the minhash_lsh_pairs
+        # precedent from r10.
+        "winnow_fingerprints",
+        # activity_heatmap: (dow, hour) count grid ≡ the registered
+        # groupby_count / monthly_rollup aggregate shapes on derived
+        # calendar keys (same dayofweek/hour exprs run inside
+        # chart_line_monthly's lineage).
+        "activity_heatmap",
+        # sim_topk_lsh + sim_topk_ivf: both probes run INSIDE
+        # registered ann_recall_lsh_ivf (r11-green — computes LSH and
+        # IVF top-k against the brute baseline in one row), and the
+        # IVF partition-pruned scan + ranking is also hashed by
+        # registered ivfpq_adc_batch (r12-green). The family keeps
+        # brute/recall/drift/kmeans/mmr/adc/stream driver rows.
+        "sim_topk_lsh",
+        "sim_topk_ivf",
     }
 )
 
@@ -7419,9 +7463,7 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trgm_ingest_stream": _q_trgm_ingest_stream,
         "hist_cube_stream": _q_hist_cube_stream,
         "bloom_fill_report": _q_bloom_fill_report,
-        "graph_triangles": _q_graph_triangles,
         "graph_pagerank": _q_graph_pagerank,
-        "dq_report": _q_dq_report,
         "retention_cohorts": _q_retention_cohorts,
         "event_transitions": _q_event_transitions,
         "cms_freq": _q_cms_freq,
@@ -7431,11 +7473,8 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _q_zonemap_scan,
         "change_point": _q_change_point,
         "hist_drift": _q_hist_drift,
-        "kmv_distinct": _q_kmv_distinct,
         "kmv_overlap": _q_kmv_overlap,
-        "pit_join": _q_pit_join,
         "valueset_scan": _q_valueset_scan,
-        "zorder_zonemap_scan": _q_zorder_zonemap_scan,
     }
 
 
@@ -7476,9 +7515,7 @@ def candidate_oracle_sql() -> dict[str, str]:
         "trgm_ingest_stream": _TRGM_INGEST_STREAM_SQL,
         "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
         "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
-        "graph_triangles": _GRAPH_TRIANGLES_SQL,
         "graph_pagerank": _GRAPH_PAGERANK_SQL,
-        "dq_report": _DQ_REPORT_SQL,
         "retention_cohorts": _RETENTION_COHORTS_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "cms_freq": _cms_freq_sql(d=4, w=512, seed=424242),
@@ -7521,16 +7558,19 @@ def candidate_oracle_sql() -> dict[str, str]:
         "zonemap_scan": _ZONEMAP_SCAN_SQL,
         "change_point": _CHANGE_POINT_SQL,
         "hist_drift": _HIST_DRIFT_SQL,
-        "kmv_distinct": _KMV_DISTINCT_SQL,
         "kmv_overlap": _KMV_OVERLAP_SQL,
-        "pit_join": _PIT_JOIN_SQL,
         "valueset_scan": _VALUESET_SCAN_SQL,
-        "zorder_zonemap_scan": _ZORDER_ZONEMAP_SQL,
     }
 
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-13 registrations (promoted candidates) ---
+        "kmv_distinct": _KMV_DISTINCT_SQL,
+        "dq_report": _DQ_REPORT_SQL,
+        "graph_triangles": _GRAPH_TRIANGLES_SQL,
+        "zorder_zonemap_scan": _ZORDER_ZONEMAP_SQL,
+        "pit_join": _PIT_JOIN_SQL,
         # --- round-12 registrations (promoted candidates) ---
         "ivfpq_adc_batch": _ivfpq_adc_batch_sql(
             kc=4, m=4, ksub=4, dim=64, k=5, n_probe=2

@@ -6506,7 +6506,7 @@ def _bloom_index_path(spark, sf):
     try:
         fresh = (
             spark.read.parquet(f"{path}/keys").distinct().count() == expected
-            and BL._read_meta(spark, path) == (8, 4096, 7)
+            and BL._read_meta(spark, path) == (8, 4096, 7, "fingerprint")
         )
     except Exception:
         fresh = False

@@ -157,7 +157,7 @@ def _word_rows(batch: DataFrame, key_col: str, n_buckets: int, n_words: int, k: 
     )
 
 
-def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
     _, _, meta_p = _paths(path)
     try:
         row = spark.read.parquet(meta_p).collect()
@@ -170,7 +170,28 @@ def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int]:
     if len(row) != 1:
         raise ValueError(f"bloom index meta at {path!r} must be exactly 1 row")
     r = row[0]
-    return int(r["n_buckets"]), int(r["n_words"]), int(r["k"])
+    if "key_col" not in r.asDict():
+        # meta v1 (pre key_col freeze): the index is structurally fine
+        # but its key-column contract is unverifiable — the exact
+        # miskeyed-append hazard the freeze exists to close. Loud
+        # rebuild beats silently trusting the caller's convention.
+        raise ValueError(
+            f"bloom index meta at {path!r} predates the key_col freeze "
+            "(meta v1); rebuild with build_bloom_index"
+        )
+    return int(r["n_buckets"]), int(r["n_words"]), int(r["k"]), str(r["key_col"])
+
+
+def _resolve_key(frozen: str, key_col: str | None, fn: str) -> str:
+    """Enforce the frozen-key contract (the kmv/cms meta rule): the
+    meta's key_col is THE key; a caller naming a different column is
+    the miskeyed-append bug this freeze catches, not a rename request."""
+    if key_col is None or key_col == frozen:
+        return frozen
+    raise ValueError(
+        f"{fn}: index is frozen on key column {frozen!r} but was called "
+        f"with key_col={key_col!r} — rename the batch column or rebuild"
+    )
 
 
 def grouped_words(spark: SparkSession, path: str) -> DataFrame:
@@ -196,7 +217,11 @@ def build_bloom_index(
     registry, distinct) → meta LAST as the commit marker; rebuild
     deletes the old meta first so every crash state is loudly
     invalid. Words-before-keys is the standing append order too —
-    see the module invariant (bits ⊇ keys at every reachable state)."""
+    see the module invariant (bits ⊇ keys at every reachable state).
+    Meta v2 freezes ``key_col`` alongside the geometry (the kmv/cms
+    contract): every post-build call validates its key column against
+    the frozen one, so an append keyed on the wrong column fails
+    loudly instead of silently classifying everything as new."""
     if n_buckets < 1 or n_words < 1 or not (1 <= k <= 16):
         raise ValueError("build_bloom_index: need n_buckets,n_words >= 1, 1 <= k <= 16")
     _require_integral(df, key_col, "build_bloom_index")
@@ -222,17 +247,21 @@ def build_bloom_index(
     ).partitionBy("bucket").parquet(words_p)
     fresh.write.mode("overwrite").parquet(keys_p)
     spark.createDataFrame(
-        [(int(n_buckets), int(n_words), int(k))], "n_buckets int, n_words int, k int"
+        [(int(n_buckets), int(n_words), int(k), str(key_col))],
+        "n_buckets int, n_words int, k int, key_col string",
     ).coalesce(1).write.mode("overwrite").parquet(meta_p)
 
 
-def probe_bloom(spark: SparkSession, path: str, batch: DataFrame, key_col: str = "key") -> DataFrame:
+def probe_bloom(
+    spark: SparkSession, path: str, batch: DataFrame, key_col: str | None = None
+) -> DataFrame:
     """batch + ``maybe`` BOOLEAN: true iff ALL k probed bits are set
     (the filter cannot rule the key out). Plan: explode k probes,
     left-join the grouped words (broadcast under the size cutoff —
     the common case; the filter is ~16 B per word), bool_and per key.
     NULL word (nothing ever landed in that slot) = bit clear."""
-    n_buckets, n_words, k = _read_meta(spark, path)
+    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    key_col = _resolve_key(frozen, key_col, "probe_bloom")
     probed = _probe_rows(batch.select(key_col), key_col, n_buckets, n_words, k)
     words = grouped_words(spark, path)
     if n_buckets * n_words <= _BROADCAST_WORD_ROWS:
@@ -253,7 +282,7 @@ def probe_bloom(spark: SparkSession, path: str, batch: DataFrame, key_col: str =
 
 
 def bloom_new_rows(
-    spark: SparkSession, path: str, batch: DataFrame, key_col: str = "key"
+    spark: SparkSession, path: str, batch: DataFrame, key_col: str | None = None
 ) -> DataFrame:
     """Rows of ``batch`` whose key is NOT in the indexed corpus —
     exactly the direct anti-join's answer, via the two-tier plan:
@@ -266,6 +295,7 @@ def bloom_new_rows(
     # probe rows explode to nothing, so its bits are never set) and
     # would be re-classified "new" on every ingest forever — drop them
     # up front, the same NULL contract as the cube key columns.
+    key_col = _resolve_key(_read_meta(spark, path)[3], key_col, "bloom_new_rows")
     _require_integral(batch, key_col, "bloom_new_rows")
     batch = batch.filter(F.col(key_col).isNotNull())
     probed = probe_bloom(spark, path, batch, key_col)
@@ -279,7 +309,7 @@ def bloom_new_rows(
 
 
 def ingest_bloom_batch(
-    spark: SparkSession, path: str, batch: DataFrame, key_col: str = "key"
+    spark: SparkSession, path: str, batch: DataFrame, key_col: str | None = None
 ) -> int:
     """Dedup-ingest one batch: classify with bloom_new_rows, append
     the genuinely-new keys' bits FIRST and their registry rows LAST.
@@ -289,7 +319,8 @@ def ingest_bloom_batch(
     re-classifies as new (bloom maybe → verify anti-join → absent)
     and re-appends — the keys write eventually lands, and no state
     ever violates bits ⊇ keys. Returns rows actually ingested."""
-    n_buckets, n_words, k = _read_meta(spark, path)
+    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    key_col = _resolve_key(frozen, key_col, "ingest_bloom_batch")
     words_p, keys_p, _ = _paths(path)
     fresh = bloom_new_rows(spark, path, batch.dropDuplicates([key_col]), key_col)
     # one deterministic barrier so words and keys see the SAME verdict
@@ -304,7 +335,9 @@ def ingest_bloom_batch(
     return n_new
 
 
-def audit_bloom_index(spark: SparkSession, path: str, key_col: str = "key") -> DataFrame:
+def audit_bloom_index(
+    spark: SparkSession, path: str, key_col: str | None = None
+) -> DataFrame:
     """Integrity audit of the module invariant: every registered key
     must probe POSITIVE (bits ⊇ keys). A flagged key is a standing
     false negative — the one state that silently duplicates data —
@@ -312,6 +345,7 @@ def audit_bloom_index(spark: SparkSession, path: str, key_col: str = "key") -> D
     or by losing word files. Bits without keys are invisible to the
     audit and harmless by design (a few extra false positives, paid
     at verify time). One probe pass over the compact registry."""
+    key_col = _resolve_key(_read_meta(spark, path)[3], key_col, "audit_bloom_index")
     _, keys_p, _ = _paths(path)
     keys = spark.read.parquet(keys_p).select(key_col).distinct()
     return (
@@ -321,14 +355,17 @@ def audit_bloom_index(spark: SparkSession, path: str, key_col: str = "key") -> D
     )
 
 
-def repair_bloom_index(spark: SparkSession, path: str, key_col: str = "key") -> int:
+def repair_bloom_index(
+    spark: SparkSession, path: str, key_col: str | None = None
+) -> int:
     """Heal ``missing_bits``: re-derive the flagged keys' word rows
     under the frozen probe law and append them. Self-contained (the
     registry row IS the repair input — no external source frame),
     append-only, convergent: a repair that crashes re-creates the
     state it was healing; over a clean audit it is a no-op. Returns
     keys repaired."""
-    n_buckets, n_words, k = _read_meta(spark, path)
+    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    key_col = _resolve_key(frozen, key_col, "repair_bloom_index")
     words_p, _, _ = _paths(path)
     flagged = audit_bloom_index(spark, path, key_col).select(key_col)
     flagged = flagged.localCheckpoint(eager=True)
@@ -341,7 +378,9 @@ def repair_bloom_index(spark: SparkSession, path: str, key_col: str = "key") -> 
     return n_flagged
 
 
-def compact_bloom_index(spark: SparkSession, path: str, key_col: str = "key") -> int:
+def compact_bloom_index(
+    spark: SparkSession, path: str, key_col: str | None = None
+) -> int:
     """Physical maintenance for the append loop: collapse words/ to
     its grouped form (one row per live (bucket, word_idx)) and keys/
     to distinct rows, with the meta-out/rename-swap/meta-in validity
@@ -350,7 +389,8 @@ def compact_bloom_index(spark: SparkSession, path: str, key_col: str = "key") ->
     Purely physical: the grouped view is unchanged (bit_or is the
     read law), so compaction needs no audit gate. Returns live word
     rows after compaction."""
-    n_buckets, n_words, k = _read_meta(spark, path)
+    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    key_col = _resolve_key(frozen, key_col, "compact_bloom_index")
     words_p, keys_p, meta_p = _paths(path)
     staged_w, staged_k = f"{words_p}__staged", f"{keys_p}__staged"
     grouped = grouped_words(spark, path)
@@ -385,7 +425,9 @@ def compact_bloom_index(spark: SparkSession, path: str, key_col: str = "key") ->
     return n_rows
 
 
-def bloom_fill_report(spark: SparkSession, path: str, key_col: str = "key") -> DataFrame:
+def bloom_fill_report(
+    spark: SparkSession, path: str, key_col: str | None = None
+) -> DataFrame:
     """Per-bucket saturation: registered keys, set bits, fill ratio
     in ppm (integer: set_bits·10^6 DIV m — never a float). The
     capacity dashboard: fill_ppm ≈ 632,000 is the classic 50%-
@@ -393,7 +435,8 @@ def bloom_fill_report(spark: SparkSession, path: str, key_col: str = "key") -> D
     bucket wants a rebuild at larger n_words. All-integer, so the
     DuckDB twin recomputes the EXACT bit contents — a green row
     certifies the filter's state bit-for-bit."""
-    n_buckets, n_words, k = _read_meta(spark, path)
+    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    key_col = _resolve_key(frozen, key_col, "bloom_fill_report")
     m = n_words * _WORD_BITS
     _, keys_p, _ = _paths(path)
     keys_per_bucket = (

@@ -96,7 +96,7 @@ def test_crash_between_words_and_keys_converges(spark, idx):
     completes the ingest — convergence from the worst crash point."""
     path, _ = idx
     batch = spark.range(300, 350).select(F.col("id").alias("key"))
-    n_buckets, n_words, k = B._read_meta(spark, path)
+    n_buckets, n_words, k, _ = B._read_meta(spark, path)
     # simulate the crash: words landed, keys did not
     B._word_rows(batch, "key", n_buckets, n_words, k).write.mode("append").partitionBy(
         "bucket"
@@ -141,8 +141,8 @@ def test_compaction_is_bit_identical_and_physical_only(spark, idx):
     # physically one row per live slot now
     raw = spark.read.parquet(f"{path}/words")
     assert raw.count() == raw.select("bucket", "word_idx").distinct().count()
-    # geometry survived the meta swap
-    assert B._read_meta(spark, path) == (4, 64, 5)
+    # geometry AND the frozen key column survived the meta swap
+    assert B._read_meta(spark, path) == (4, 64, 5, "key")
     # keys deduped
     keys = spark.read.parquet(f"{path}/keys")
     assert keys.count() == keys.distinct().count() == 500
@@ -297,3 +297,34 @@ def test_build_drops_null_keys_and_guards_key_type(spark, tmp_path):
         B.build_bloom_index(sdf, str(tmp_path / "bstr"), key_col="key")
     with pytest.raises(ValueError, match="integral"):
         B.bloom_new_rows(spark, path, sdf, "key")
+
+
+def test_meta_freezes_key_col(spark, idx, tmp_path):
+    """Meta v2 (VERDICT r12 ask #3): key_col is frozen at build like
+    the kmv/cms meta contract. A post-build call keyed on a DIFFERENT
+    column — the miskeyed-append bug previously caught only by
+    convention — fails loudly; omitting key_col resolves to the
+    frozen one; a v1 meta (no key_col) is rejected as a whole."""
+    path, corpus = idx
+    wrong = corpus.withColumnRenamed("key", "other_key")
+    with pytest.raises(ValueError, match="frozen on key column 'key'"):
+        B.bloom_new_rows(spark, path, wrong, "other_key")
+    with pytest.raises(ValueError, match="frozen on key column 'key'"):
+        B.ingest_bloom_batch(spark, path, wrong, "other_key")
+    with pytest.raises(ValueError, match="frozen on key column 'key'"):
+        B.probe_bloom(spark, path, wrong, "other_key")
+    with pytest.raises(ValueError, match="frozen on key column 'key'"):
+        B.audit_bloom_index(spark, path, "other_key")
+    # None resolves to the frozen column — full default-key lifecycle
+    assert B.bloom_new_rows(spark, path, corpus).count() == 0
+    assert B.audit_bloom_index(spark, path).count() == 0
+    assert B.repair_bloom_index(spark, path) == 0
+    assert B.bloom_fill_report(spark, path).count() == 4
+    # v1 meta (geometry only, no key_col) is loudly invalid
+    v1 = str(tmp_path / "bloom_v1")
+    B.build_bloom_index(corpus, v1, key_col="key", n_buckets=2, n_words=16, k=3)
+    spark.createDataFrame(
+        [(2, 16, 3)], "n_buckets int, n_words int, k int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{v1}/meta")
+    with pytest.raises(ValueError, match="key_col freeze"):
+        B.bloom_new_rows(spark, v1, corpus, "key")

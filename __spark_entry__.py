@@ -2025,15 +2025,24 @@ def _q_session_window_native(spark, sf):
 
 
 def _q_chart_pie_shares(spark, sf):
+    """C3 pie shares in LOCKSTEP with charts.pie_chart_data's fixed
+    plan (VERDICT r12 "what's wrong" #1): share via a broadcast
+    1-row scalar total, NOT sum() OVER () with no partition keys —
+    the certified entry must exercise the exact shape the operator
+    ships, and the unpartitioned window single-partitions its input.
+    Values (and the driver hash) are unchanged."""
     ev = load_table(spark, sf, "events")
     totals = ev.groupBy("event_type").agg(A.decimal_sum("value").cast("double").alias("total"))
-    from pyspark.sql import Window
-
-    return totals.select(
-        "event_type",
-        "total",
-        F.round(F.col("total") / F.sum("total").over(Window.partitionBy()), 6).alias("share"),
-    ).orderBy("event_type")
+    tot = totals.agg(F.sum("total").alias("_tot"))
+    return (
+        totals.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "total",
+            F.round(F.col("total") / F.col("_tot"), 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _q_flagship(spark, sf):

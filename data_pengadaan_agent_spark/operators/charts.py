@@ -91,13 +91,16 @@ def pie_chart_data(df: DataFrame, label: str, value: str) -> tuple[DataFrame, di
     # (self-review r12): the unpartitioned window moved EVERY input row
     # to one partition — a single-partition shuffle that serializes or
     # OOMs on a large stage-2 frame; the values are identical
-    tot = df.agg(F.sum(value).alias("_tot"))
+    tot_col = "_tot"
+    while tot_col in df.columns:  # collision-proof vs caller frames
+        tot_col += "_"
+    tot = df.agg(F.sum(value).alias(tot_col))
     data = (
         df.crossJoin(F.broadcast(tot))
         .select(
             F.col(label),
             F.col(value),
-            (F.col(value) / F.col("_tot")).alias("share"),
+            (F.col(value) / F.col(tot_col)).alias("share"),
         )
     )
     row = df.agg(

@@ -289,14 +289,20 @@ def replay_quarantine(
         stamp = F.lit(ep).cast(ep_type)
         report = dq_check(batch, rules_factory(batch)).withColumn(
             epoch_col, stamp
-        ).withColumn("_replay", F.lit(True))
+        ).withColumn("_replay", F.lit("true"))
         report = report.localCheckpoint(eager=True)
         n_bad = report.filter(F.col("violations") > 0).count()
-        # epoch-partitioned like the streaming gate writes them, so a
-        # replayed/released epoch never mixes layouts in one directory
-        report.coalesce(1).write.mode("append").partitionBy(epoch_col).parquet(
-            report_path
-        )
+        # ONE report layout shared with the streaming gate (ADVICE
+        # r12): partitioned by (epoch, _replay) with _replay a string
+        # partition value — the gate writes (_epoch=N, _replay=false),
+        # replay writes (_epoch=N, _replay=true), so the two dynamic
+        # overwrites touch disjoint partitions: a stream replay of the
+        # epoch can't wipe re-verdicts, a re-run of THIS replay
+        # idempotently rewrites its own re-verdict instead of
+        # appending a duplicate, and no partition ever mixes schemas.
+        report.coalesce(1).write.option(
+            "partitionOverwriteMode", "dynamic"
+        ).mode("overwrite").partitionBy(epoch_col, "_replay").parquet(report_path)
         if n_bad:
             retained.append(ep)
         else:

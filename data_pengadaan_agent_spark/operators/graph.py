@@ -215,6 +215,21 @@ def _pagerank_step(rank: DataFrame, deg: DataFrame, directed: DataFrame) -> Data
     )
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Actually free a superseded localCheckpoint: DataFrame.unpersist
+    only clears cache-manager entries and is a NO-OP for the RDD
+    blocks a localCheckpoint pins (ADVICE r12), so an iterative loop
+    would hold up to max_iters full copies until GC. The blocks
+    belong to the LogicalRDD behind the checkpointed plan — unpersist
+    THAT RDD (verified live: storage-info count drops to 0).
+    Best-effort: on any reflection surprise, fall back to the
+    ContextCleaner (correctness is unaffected either way)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - plan shape surprise
+        pass
+
+
 def pagerank_int_converged(
     edges: DataFrame,
     tol_ppm: int = 1_000,
@@ -269,8 +284,9 @@ def pagerank_int_converged(
         # release the superseded checkpoint: new_rank is already
         # materialized (eager) and the residual consumed the old one —
         # without this, max_iters full rank copies stay pinned in
-        # executor storage for the session (self-review r12)
-        rank.unpersist()
+        # executor storage for the session (self-review r12; the RDD
+        # handle, not DataFrame.unpersist, is what frees the blocks)
+        _release_local_checkpoint(rank)
         rank = new_rank
         if residual <= int(tol_ppm):
             break

@@ -781,16 +781,33 @@ def latest_by_key(
     broken deterministically). One hash exchange on the key; at scale
     this is the standard compaction step before snapshot joins —
     never a self-join against max(ts). Without an explicit
-    ``tiebreak_col``, timestamp ties break over ALL remaining columns
-    ascending (self-review r12: the old fallback ordered by the
-    partition key itself — constant within the window, so ties were
-    partitioning-dependent despite the docstring's promise)."""
+    ``tiebreak_col``, timestamp ties break over the remaining
+    ORDERABLE columns ascending (self-review r12: the old fallback
+    ordered by the partition key itself — constant within the window,
+    so ties were partitioning-dependent despite the docstring's
+    promise). Non-orderable columns (maps) are skipped — ADVICE r12:
+    including them failed at analysis on frames that previously ran —
+    so a frame whose only non-key columns are maps keeps ts-only
+    ordering; pass ``tiebreak_col`` for full determinism there."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
     order = [F.col(ts_col).desc()]
     if tiebreak_col:
         order.append(F.col(tiebreak_col).desc())
     else:
         order.extend(
-            F.col(c) for c in df.columns if c not in (key_col, ts_col)
+            F.col(f.name)
+            for f in df.schema.fields
+            if f.name not in (key_col, ts_col) and _orderable(f.dataType)
         )
     w = Window.partitionBy(key_col).orderBy(*order)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

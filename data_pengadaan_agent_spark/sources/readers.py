@@ -87,8 +87,15 @@ def write_bucketed(
         # db-qualified names live under <warehouse>/<db>.db/<table>
         # (self-review r12: checking <warehouse>/<db>.<table> missed the
         # real orphaned location, defeating this guard's whole purpose)
+        # — EXCEPT the default database, whose managed tables live at
+        # <warehouse>/<table> directly (ADVICE r12: 'default.t' mapped
+        # to default.db/t, missing the real orphan exactly for
+        # explicitly default-qualified names)
         parts = table.lower().split(".")
-        rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
+        if len(parts) > 1 and parts[-2] != "default":
+            rel = f"{parts[-2]}.db/{parts[-1]}"
+        else:
+            rel = parts[-1]
         path = jvm.org.apache.hadoop.fs.Path(warehouse, rel)
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         if fs.exists(path):

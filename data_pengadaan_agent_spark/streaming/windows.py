@@ -922,8 +922,18 @@ def foreach_batch_dq_gate_sink(
         if batch_df.isEmpty():
             return
         b = batch_df.localCheckpoint(eager=True)
-        report = DQ.dq_check(b, rules_factory(b)).withColumn(
-            "_epoch", FF.lit(int(epoch_id))
+        # _replay is a STRING partition value shared with
+        # replay_quarantine's re-verdict rows (ADVICE r12): one
+        # unified report layout, and the two writers' dynamic
+        # overwrites touch DISJOINT partitions — a stream replay of
+        # epoch N rewrites only (_epoch=N, _replay=false) and can
+        # never wipe the replay's re-verdicts. String, not boolean:
+        # partition-type inference reads booleans back as strings,
+        # so writing strings keeps the read schema deterministic.
+        report = (
+            DQ.dq_check(b, rules_factory(b))
+            .withColumn("_epoch", FF.lit(int(epoch_id)))
+            .withColumn("_replay", FF.lit("false"))
         )
         report = report.localCheckpoint(eager=True)
         n_bad = report.filter(FF.col("violations") > 0).count()
@@ -931,7 +941,7 @@ def foreach_batch_dq_gate_sink(
             report.coalesce(1)
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
-            .partitionBy("_epoch")
+            .partitionBy("_epoch", "_replay")
             .parquet(report_path)
         )
         target = quarantine_path if n_bad else clean_path

@@ -204,7 +204,7 @@ def test_replay_quarantine_releases_fixed_epochs(spark, tmp_path):
     assert {r._epoch for r in clean_rows.collect()} == {1}
     still = spark.read.parquet(quar)
     assert sorted(r.id for r in still.collect()) == [7, 7]
-    replays = spark.read.parquet(rep).filter("_replay")
+    replays = spark.read.parquet(rep).filter("_replay = 'true'")
     assert replays.filter("_epoch = 2 AND violations > 0").count() == 1
     # idempotent second pass: nothing new released
     assert DQ.replay_quarantine(spark, quar, fixed_rules, clean, rep) == (0, 1)
@@ -286,3 +286,49 @@ def test_referential_big_dim_can_shuffle(frame, dim):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert {r.violations for r in rep.collect()} == {1}
+
+
+def test_replay_report_survives_stream_epoch_rewrite(spark, tmp_path):
+    """ADVICE r12: the gate and replay_quarantine share ONE report
+    layout partitioned by (epoch, _replay string), so their dynamic
+    overwrites touch disjoint partitions — a stream replay of an
+    epoch rewrites only its _replay=false partition and can never
+    wipe the replay's re-verdicts, and no partition mixes schemas."""
+    quar = str(tmp_path / "rq")
+    clean = str(tmp_path / "rc")
+    rep = str(tmp_path / "rr")
+    spark.createDataFrame(
+        [(7, 7.0, 1), (7, 8.0, 1)], "id LONG, price DOUBLE, _epoch LONG"
+    ).write.parquet(quar)
+
+    def rules(_b):
+        return [DQ.not_null("id"), DQ.unique("id")]
+
+    # gate-style first verdict for epoch 1 (the streaming recipe)
+    batch = spark.read.parquet(quar).drop("_epoch")
+    from pyspark.sql import functions as F
+
+    def gate_write():
+        (
+            DQ.dq_check(batch, rules(batch))
+            .withColumn("_epoch", F.lit(1))
+            .withColumn("_replay", F.lit("false"))
+            .coalesce(1)
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_epoch", "_replay")
+            .parquet(rep)
+        )
+
+    gate_write()
+    assert DQ.replay_quarantine(spark, quar, rules, clean, rep) == (0, 1)
+    n_replay = spark.read.parquet(rep).filter("_replay = 'true'").count()
+    assert n_replay > 0
+    # a stream REPLAY of epoch 1 rewrites only (_epoch=1, _replay=false)
+    gate_write()
+    after = spark.read.parquet(rep)
+    assert after.filter("_replay = 'true'").count() == n_replay
+    # unified schema: plain read sees one consistent column set
+    assert set(after.columns) == {
+        "rule", "violations", "checked", "_epoch", "_replay"
+    }

@@ -249,3 +249,19 @@ def test_merge_components_string_labels_and_topk_zero(spark):
     assert G.pagerank_int(e, iters=1, top_k=0).count() == 0
     out, _ = G.pagerank_int_converged(e, tol_ppm=0, max_iters=2, top_k=0)
     assert out.count() == 0
+
+
+def test_pagerank_releases_superseded_checkpoints(spark):
+    """ADVICE r12: DataFrame.unpersist is a no-op for localCheckpoint
+    RDD blocks, so the iterative loop pinned up to max_iters rank
+    copies until GC. The loop now unpersists the LogicalRDD behind
+    the superseded checkpoint — persisted-block growth must be
+    bounded by the live handles (deg, directed, final rank), not by
+    the iteration count."""
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)])
+    out, info = G.pagerank_int_converged(e, tol_ppm=0, max_iters=8)
+    out.collect()
+    assert info["iters"] >= 3  # the loop actually iterated
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 3  # deg + directed + live rank, not per-iter

@@ -254,3 +254,24 @@ def test_histogram_string_dispatch_is_all_or_nothing(spark):
     )
     data2, row2 = C.histogram_data(all_dates, "d")
     assert row2["n"] == 2 and "month_no" in data2.columns
+
+
+def test_latest_by_key_fallback_skips_unorderable_columns(spark):
+    """ADVICE r12: the no-tiebreak_col fallback orders by every
+    remaining column, which failed at ANALYSIS for frames holding a
+    non-orderable type (map, or a struct/array containing one) that
+    previously ran. Unorderable columns are now skipped; orderable
+    payload columns still break ties deterministically."""
+    df = spark.createDataFrame(
+        [(1, 10, {"a": 1}, "x"), (1, 10, {"b": 2}, "y"), (2, 5, {"c": 3}, "z")],
+        "k INT, ts INT, m MAP<STRING,INT>, payload STRING",
+    )
+    out = R.latest_by_key(df, "k", "ts")  # must not raise
+    rows = {r.k: r.payload for r in out.collect()}
+    # the tie on (k=1, ts=10) breaks on the orderable payload asc
+    assert rows == {1: "x", 2: "z"}
+    nested = spark.createDataFrame(
+        [(1, 2, ({"a": 1},)), (1, 1, ({"b": 2},))],
+        "k INT, ts INT, s STRUCT<m: MAP<STRING,INT>>",
+    )
+    assert R.latest_by_key(nested, "k", "ts").count() == 1

@@ -244,3 +244,25 @@ def test_read_text_corpus_lines_and_wholefile(spark, tmp_path):
     assert len(whole) == 2
     texts = sorted(r["text"] for r in whole)
     assert texts[0].startswith("alpha beta\ngamma delta")
+
+
+def test_write_bucketed_clears_default_db_orphan(spark, tables):
+    """ADVICE r12: managed tables in the default database live at
+    <warehouse>/<table>, not <warehouse>/default.db/<table> — an
+    explicitly default-qualified name must clear THAT orphan. Simulate
+    the fresh-session state: location exists, catalog has no table."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan = os.path.join(warehouse, "orphan_b")
+    spark.sql("DROP TABLE IF EXISTS orphan_b")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+    try:
+        RD.write_bucketed(
+            tables["region"], "default.orphan_b", "r_regionkey", n_buckets=2
+        )
+        assert spark.table("default.orphan_b").count() == tables["region"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.orphan_b")

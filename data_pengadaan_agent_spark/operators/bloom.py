@@ -245,11 +245,14 @@ def build_bloom_index(
     _word_rows(fresh, key_col, n_buckets, n_words, k).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(words_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     fresh.write.mode("overwrite").parquet(keys_p)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(n_buckets), int(n_words), int(k), str(key_col))],
         "n_buckets int, n_words int, k int, key_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def probe_bloom(
@@ -421,7 +424,9 @@ def compact_bloom_index(
             f"compact_bloom_index: rename {staged_k} -> {keys_p} failed; "
             "meta left absent (index invalid), staged data preserved"
         )
-    spark.createDataFrame(meta_df, _meta_schema).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, meta_df, _meta_schema).write.mode("overwrite").parquet(meta_p)
     return n_rows
 
 

@@ -201,8 +201,10 @@ def apply_bpe_merges(
         "syms",
         F.expr(f"transform(sequence(1, length({word_col})), i -> substr({word_col}, i, 1))"),
     )
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     for x, y in merges:
-        m = df.sparkSession.createDataFrame([(x, y)], "mx string, my string")
+        m = local_df(df.sparkSession, [(x, y)], "mx string, my string")
         out = (
             out.crossJoin(F.broadcast(m))
             .withColumn("syms", F.expr(merge_fold_sql("spark", "mx", "my")))

@@ -199,11 +199,14 @@ def save_bq_thresholds(spark, path: str, thresholds: Sequence[float]) -> None:
     parameter-sized). Written LAST by the build — the commit marker:
     words without thresholds are a loudly-invalid index (the
     sq/lexindex/ivfpq meta discipline)."""
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     _, thr_p = _bq_sidecars(path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(i), float(t)) for i, t in enumerate(thresholds)],
         "dim int, t double",
-    ).coalesce(1).write.mode("overwrite").parquet(thr_p)
+    ).write.mode("overwrite").parquet(thr_p)
 
 
 def load_bq_thresholds(spark, path: str) -> list[float]:

@@ -126,13 +126,16 @@ def build_cms_cube(
         if fs.exists(jvm_path(stale)):
             fs.delete(jvm_path(stale), True)
     _cube_rows(df, dims, key_col, d, w, seed).write.mode("overwrite").parquet(cube_p)
-    spark.createDataFrame(
-        [("__build__",)], "batch_id string"
-    ).coalesce(1).write.mode("overwrite").parquet(batches_p)
-    spark.createDataFrame(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [("__build__",)], "batch_id string").write.mode(
+        "overwrite"
+    ).parquet(batches_p)
+    local_df(
+        spark,
         [(list(dims), str(key_col), int(d), int(w), int(seed))],
         "dims array<string>, key_col string, d int, w int, seed int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def append_cms_cube(shard: DataFrame, path: str, batch_id: str) -> int:
@@ -154,7 +157,9 @@ def append_cms_cube(shard: DataFrame, path: str, batch_id: str) -> int:
         return 0
     rows = _cube_rows(shard, dims, key_col, d, w, seed).localCheckpoint(eager=True)
     n = rows.count()
-    spark.createDataFrame([(str(batch_id),)], "batch_id string").write.mode(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(str(batch_id),)], "batch_id string").write.mode(
         "append"
     ).parquet(batches_p)
     rows.write.mode("append").parquet(cube_p)
@@ -201,7 +206,9 @@ def cms_estimate(
         for key in keys
         for row, col in py_slots(str(key), d, w, seed)
     ]
-    wanted = spark.createDataFrame(slot_rows, "key string, row int, col int")
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    wanted = local_df(spark, slot_rows, "key string, row int, col int")
     # ONE materialization of the rollup: the distinct-group list and
     # the join right side otherwise each re-scan + re-aggregate the
     # whole cube (self-review r12)

@@ -93,8 +93,10 @@ def kcenter_coreset(
         F.col(id_col).alias("vid"), micro_vec_col(vec_col, dp).alias("q")
     ).dropDuplicates(["vid"])
     picked, _ = _kcenter_select(base, k)
-    return spark.createDataFrame(
-        picked, f"sel_rank int, {id_col} bigint, dist_micro bigint"
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    return local_df(
+        spark, picked, f"sel_rank int, {id_col} bigint, dist_micro bigint"
     )
 
 

@@ -145,9 +145,11 @@ def _shard_counts(
 
 
 def _write_markers(spark: SparkSession, commits_p: str, batches: list[int]) -> None:
-    spark.createDataFrame(
-        [(int(b),) for b in batches], "batch bigint"
-    ).coalesce(1).write.mode("append").parquet(commits_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(int(b),) for b in batches], "batch bigint").write.mode(
+        "append"
+    ).parquet(commits_p)
 
 
 def _next_batch(
@@ -213,13 +215,16 @@ def build_gram_counts(
     docs.select(
         F.col(id_col), F.lit(0).cast("bigint").alias("batch")
     ).write.mode("overwrite").parquet(docs_p)
-    spark.createDataFrame([(0,)], "batch bigint").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(commits_p)
-    spark.createDataFrame(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(0,)], "batch bigint").write.mode("overwrite").parquet(
+        commits_p
+    )
+    local_df(
+        spark,
         [(int(length), int(n_buckets), bool(arith_hash))],
         "length int, n_buckets int, arith_hash boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def append_gram_counts(
@@ -353,9 +358,11 @@ def repair_gram_counts(
     # crashed repair's id is (a) never reused and (b) audit-flagged
     # until a successful repair marks it, so convergence holds from
     # any crash point with appends interleaved anywhere.
-    spark.createDataFrame(
-        [(int(repair_batch),)], "batch bigint"
-    ).coalesce(1).write.mode("append").parquet(_intents_path(path))
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(int(repair_batch),)], "batch bigint").write.mode(
+        "append"
+    ).parquet(_intents_path(path))
     negations = (
         spark.read.parquet(counts_p)
         .filter(F.col("batch").isin([int(b) for b in dead]))
@@ -462,10 +469,13 @@ def compact_gram_counts(
     # recommit meta with the ORIGINAL explicit schema — re-inferring
     # from collected Rows widened the int columns to bigint, silently
     # drifting the meta schema after the first compaction
-    spark.createDataFrame(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(
+        spark,
         [(int(length), int(n_buckets), bool(arith_hash))],
         "length int, n_buckets int, arith_hash boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
     return before_files - _n_files(counts_p), before_rows - after_rows
 
 

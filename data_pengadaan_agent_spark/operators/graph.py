@@ -388,8 +388,10 @@ def merge_components(
     # generic — string labels used to crash here and int labels
     # silently widened to bigint, breaking later unions
     # (self-review r12)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     ltype = all_labels.schema["label"].dataType.simpleString()
-    m = spark.createDataFrame(remap, f"label {ltype}, new_label {ltype}")
+    m = local_df(spark, remap, f"label {ltype}, new_label {ltype}")
     return (
         all_labels.join(F.broadcast(m), "label", "left")
         .select(

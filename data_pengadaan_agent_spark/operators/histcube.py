@@ -129,13 +129,16 @@ def build_hist_cube(
     _cube_rows(df, dims, value_col, lo, hi, n_bins).write.mode(
         "overwrite"
     ).parquet(cube_p)
-    spark.createDataFrame(
-        [("__build__",)], "batch_id string"
-    ).coalesce(1).write.mode("overwrite").parquet(batches_p)
-    spark.createDataFrame(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [("__build__",)], "batch_id string").write.mode(
+        "overwrite"
+    ).parquet(batches_p)
+    local_df(
+        spark,
         [(list(dims), str(value_col), float(lo), float(hi), int(n_bins))],
         "dims array<string>, value_col string, lo double, hi double, n_bins int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def append_hist_cube(shard: DataFrame, path: str, batch_id: str) -> int:
@@ -164,7 +167,9 @@ def append_hist_cube(shard: DataFrame, path: str, batch_id: str) -> int:
         eager=True
     )
     n = rows.count()
-    spark.createDataFrame([(str(batch_id),)], "batch_id string").write.mode(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(str(batch_id),)], "batch_id string").write.mode(
         "append"
     ).parquet(batches_p)
     rows.write.mode("append").parquet(cube_p)

@@ -104,11 +104,14 @@ def build_kmv_cube(
         fs.delete(meta_fs, True)
     if fs.exists(jvm_path(samples_p)):
         fs.delete(jvm_path(samples_p), True)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     _sample_rows(df, dims, key_col, k).write.mode("overwrite").parquet(samples_p)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(list(dims), str(key_col), int(k))],
         "dims array<string>, key_col string, k int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def append_kmv_cube(shard: DataFrame, path: str) -> int:
@@ -196,7 +199,9 @@ def compact_kmv_cube(spark: SparkSession, path: str) -> int:
             f"compact_kmv_cube: rename {staged} -> {samples_p} failed; "
             "meta left absent (cube invalid), staged data preserved"
         )
-    spark.createDataFrame(meta_df, _meta_schema).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, meta_df, _meta_schema).write.mode("overwrite").parquet(meta_p)
     return n
 
 

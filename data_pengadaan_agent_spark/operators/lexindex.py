@@ -109,9 +109,11 @@ def build_postings_index(
     docs.select(
         F.col(id_col), F.size(toks).cast("bigint").alias("dl")
     ).write.mode("overwrite").parquet(doclen_p)
-    spark.createDataFrame([(int(n_buckets),)], "n_buckets int").coalesce(
-        1
-    ).write.mode("overwrite").parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(int(n_buckets),)], "n_buckets int").write.mode(
+        "overwrite"
+    ).parquet(meta_p)
 
 
 def append_postings_index(
@@ -271,9 +273,9 @@ def compact_postings_index(
             "original restored, meta left absent (index invalid)"
         )
     fs.delete(jvm_path(old), True)
-    spark.createDataFrame(meta_df, _meta_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, meta_df, _meta_schema).write.mode("overwrite").parquet(meta_p)
     return before - _n_files(posts_p)
 
 

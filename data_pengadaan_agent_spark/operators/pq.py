@@ -472,19 +472,23 @@ def save_ivfpq_codebooks(
     frames). Written LAST by the build — the commit marker: a reader
     finding codes but no codebooks sees a loudly-invalid index, never
     a silently re-trainable one."""
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     _, coarse_p, pqcb_p = _ivfpq_sidecars(path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(int(i), [float(x) for x in v]) for i, v in enumerate(coarse)],
         "list int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(coarse_p)
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(coarse_p)
+    local_df(
+        spark,
         [
             (int(s), int(c), [float(x) for x in v])
             for s, sub in enumerate(codebooks)
             for c, v in enumerate(sub)
         ],
         "sub int, code int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(pqcb_p)
+    ).write.mode("overwrite").parquet(pqcb_p)
 
 
 def load_ivfpq_codebooks(

@@ -1296,9 +1296,9 @@ def skyline_2d(
         prefix_rows.append((int(r["_pid"]), run))
         run = r["_pmax"] if run is None else max(run, r["_pmax"])
     ytype = dict(dx.dtypes)["_my"]
-    pref = F.broadcast(
-        spark.createDataFrame(prefix_rows, f"_pid int, _pref {ytype}")
-    )
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    pref = F.broadcast(local_df(spark, prefix_rows, f"_pid int, _pref {ytype}"))
     w = (
         Window.partitionBy("_pid")
         .orderBy(F.desc("_x"))

@@ -97,8 +97,10 @@ def exact_quantiles(
         rows = [
             (g, q, s["lo"], s["hi"], s["inc"]) for (g, q), s in active.items()
         ]
-        return spark.createDataFrame(
-            rows, f"g_s {gtype}, q_ppm int, lo double, hi double, inc boolean"
+        from data_pengadaan_agent_spark.sources.catalog import local_df
+
+        return local_df(
+            spark, rows, f"g_s {gtype}, q_ppm int, lo double, hi double, inc boolean"
         )
 
     passes = 0
@@ -181,8 +183,11 @@ def exact_quantiles(
             )
         # final exact selection: sort ONLY the residual slices
         st = F.broadcast(state_df())
+        from data_pengadaan_agent_spark.sources.catalog import local_df
+
         rstate = F.broadcast(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(g, q, s["r"]) for (g, q), s in active.items()],
                 f"g_r {gtype}, q_r int, r bigint",
             )
@@ -208,7 +213,10 @@ def exact_quantiles(
             s = active[key]
             resolved.append((row["g"], row["q_ppm"], float(row["v"]), s["rank"], s["n"]))
 
-    out = spark.createDataFrame(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    out = local_df(
+        spark,
         resolved,
         f"{group_col} {gtype}, q_ppm int, value double, rank bigint, n bigint",
     )

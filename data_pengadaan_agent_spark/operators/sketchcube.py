@@ -96,10 +96,13 @@ def build_distinct_cube(
     _sketch_rows(df, dims, key_col, int(lg_k)).write.mode("overwrite").parquet(
         cube_p
     )
-    spark.createDataFrame(
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(
+        spark,
         [(list(dims), str(key_col), int(lg_k))],
         "dims array<string>, key_col string, lg_k int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def append_distinct_cube(shard: DataFrame, path: str) -> int:
@@ -191,7 +194,7 @@ def compact_distinct_cube(spark: SparkSession, path: str) -> int:
     # recommit with the READ schema, not inference: createDataFrame
     # over Python ints would silently widen lg_k int -> bigint and
     # drift the on-disk meta from the build schema (self-review r12)
-    spark.createDataFrame(meta_rows, meta_schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, meta_rows, meta_schema).write.mode("overwrite").parquet(meta_p)
     return before - spark.read.parquet(cube_p).count()

@@ -201,14 +201,17 @@ def save_sq_quantizer(
     parameter-sized). Written LAST by the build — the commit marker:
     codes without a quantizer are a loudly-invalid index (the
     lexindex/ivfpq meta discipline)."""
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     _, quant_p = _sq_sidecars(path)
-    spark.createDataFrame(
+    local_df(
+        spark,
         [
             (int(i), float(mn), float(sc), int(levels))
             for i, (mn, sc) in enumerate(zip(mins, scales))
         ],
         "dim int, mn double, sc double, levels int",
-    ).coalesce(1).write.mode("overwrite").parquet(quant_p)
+    ).write.mode("overwrite").parquet(quant_p)
 
 
 def load_sq_quantizer(

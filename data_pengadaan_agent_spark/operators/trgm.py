@@ -154,10 +154,12 @@ def build_trgm_index(
     fresh = spread(docs.dropDuplicates([id_col]), id_col)
     postings, registry = _gram_rows(fresh, text_col, id_col, n_buckets)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(posts_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     registry.write.mode("overwrite").parquet(docs_p)
-    spark.createDataFrame(
-        [(int(n_buckets), GRAM_N)], "n_buckets int, gram_n int"
-    ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    local_df(
+        spark, [(int(n_buckets), GRAM_N)], "n_buckets int, gram_n int"
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def append_trgm_index(
@@ -327,9 +329,9 @@ def compact_trgm_index(
     removed = _compact_partitioned_table(
         spark, posts_p, "bucket", int(target_files_per_bucket), "h"
     )
-    spark.createDataFrame(meta_rows, _meta_schema).coalesce(1).write.mode("overwrite").parquet(
-        meta_p
-    )
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, meta_rows, _meta_schema).write.mode("overwrite").parquet(meta_p)
     return removed
 
 
@@ -342,7 +344,9 @@ def _pattern_grams(
     engine that built the index, so the two can never drift (the
     merge_fold_sql no-drift discipline). One parameter-bounded collect:
     |patterns| × |pattern grams| rows."""
-    pat_df = spark.createDataFrame([(p,) for p in patterns], "pattern string")
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    pat_df = local_df(spark, [(p,) for p in patterns], "pattern string")
     rows = (
         pat_df.select("pattern", F.explode(char_grams("pattern")).alias("_g"))
         .select("pattern", F.xxhash64("_g").alias("h"))
@@ -398,9 +402,11 @@ def substring_search(
     hashes = sorted({h for h, _ in pairs})
     buckets = sorted({h % n_buckets for h in hashes})
 
-    pat_grams = spark.createDataFrame(pairs, "h bigint, pattern string")
-    need = spark.createDataFrame(
-        [(p, int(c)) for p, c in counts.items()], "pattern string, _need bigint"
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    pat_grams = local_df(spark, pairs, "h bigint, pattern string")
+    need = local_df(
+        spark, [(p, int(c)) for p, c in counts.items()], "pattern string, _need bigint"
     )
     posts = spark.read.parquet(posts_p).filter(
         F.col("bucket").isin([int(b) for b in buckets])

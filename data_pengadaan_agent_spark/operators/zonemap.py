@@ -152,8 +152,10 @@ def _footer_sweep(spark: SparkSession, files: list[str], want: list[str]) -> Dat
                     out["n_rows"].append(md.num_rows)
             yield pd.DataFrame(out)
 
-    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        min(len(files), 32)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    flist = local_df(
+        spark, [(f,) for f in files], "file string", slices=min(len(files), 32)
     )
     return flist.mapInPandas(
         footer_stats,
@@ -189,9 +191,11 @@ def build_zonemap(
 
     zones = _footer_sweep(spark, files, list(cols))
     zones.write.mode("overwrite").parquet(zones_p)
-    spark.createDataFrame([(list(cols),)], "cols array<string>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(list(cols),)], "cols array<string>").write.mode(
+        "overwrite"
+    ).parquet(meta_p)
     return len(files)
 
 
@@ -218,8 +222,11 @@ def _manifest_df(spark: SparkSession, data_path: str) -> DataFrame:
     directory listing here; a production 100 TB table would read its
     manifest table (Delta log / Iceberg manifest) instead, and every
     consumer below already treats it as a distributed frame."""
-    return spark.createDataFrame(
-        [(f,) for f in _data_files(data_path)], "file string"
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    files = _data_files(data_path)
+    return local_df(
+        spark, [(f,) for f in files], "file string", slices=min(max(len(files), 1), 32)
     )
 
 
@@ -421,8 +428,10 @@ def _value_rows(spark: SparkSession, files: list[str], col: str) -> DataFrame:
                     out["value"].append(None)
             yield pd.DataFrame(out)
 
-    flist = spark.createDataFrame([(f,) for f in files], "file string").repartition(
-        min(len(files), 32)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    flist = local_df(
+        spark, [(f,) for f in files], "file string", slices=min(len(files), 32)
     )
     return flist.mapInPandas(sweep, schema="file string, value string")
 
@@ -444,9 +453,11 @@ def build_valueset_index(
     if fs.exists(meta_fs):
         fs.delete(meta_fs, True)
     _value_rows(spark, files, col).write.mode("overwrite").parquet(values_p)
-    spark.createDataFrame([(str(col),)], "col string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(meta_p)
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(str(col),)], "col string").write.mode("overwrite").parquet(
+        meta_p
+    )
     return len(files)
 
 

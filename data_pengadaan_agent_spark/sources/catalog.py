@@ -151,6 +151,30 @@ def schema_head_echo(df: DataFrame, n: int = 5) -> dict:
     }
 
 
+def local_df(
+    spark: SparkSession, rows, schema, slices: int | None = None
+) -> DataFrame:
+    """Driver-local rows (metas, codebooks, parameter tables) as a
+    DataFrame with the slice count scaled to the ROW count, not
+    defaultParallelism. ``createDataFrame(list)`` parallelizes into
+    defaultParallelism slices regardless of size, and a later
+    ``coalesce(1).write`` walks every slice through a serial Python
+    round-trip — measured ~5 s of pure fixed cost PER 16-row
+    codebook/meta write at local[32], repeated inside every index
+    build. One slice per 1024 rows (min 1) keeps tiny frames one
+    cheap task while large driver-side lists stay parallel; pass
+    ``slices`` explicitly when per-row work dominates (e.g. a file
+    list fanned out to footer readers). Values are identical to the
+    plain form."""
+    rows = list(rows)
+    sc = spark.sparkContext
+    if slices is None:
+        slices = min(sc.defaultParallelism, (len(rows) + 1023) // 1024)
+    return spark.createDataFrame(
+        sc.parallelize(rows, max(1, int(slices))), schema
+    )
+
+
 def spread(df: DataFrame, key: str | None = None, min_parts: int | None = None) -> DataFrame:
     """Guarantee mapper parallelism for compute-heavy map-side
     operators: a single-file / single-row-group input scans as ONE

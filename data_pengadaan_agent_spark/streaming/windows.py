@@ -841,10 +841,12 @@ def foreach_batch_bloom_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        from data_pengadaan_agent_spark.sources.catalog import local_df
+
         n_new = BL.ingest_bloom_batch(spark, index_path, batch_df, key_col)
-        spark.createDataFrame(
-            [(int(epoch_id), int(n_new))], "batch_id bigint, n_new bigint"
-        ).coalesce(1).write.mode("append").parquet(ack_path)
+        local_df(
+            spark, [(int(epoch_id), int(n_new))], "batch_id bigint, n_new bigint"
+        ).write.mode("append").parquet(ack_path)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

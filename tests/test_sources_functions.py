@@ -266,3 +266,31 @@ def test_write_bucketed_clears_default_db_orphan(spark, tables):
         assert spark.table("default.orphan_b").count() == tables["region"].count()
     finally:
         spark.sql("DROP TABLE IF EXISTS default.orphan_b")
+
+
+def test_local_df_slices_and_values(spark):
+    """local_df (the per-build fixed-cost fix): tiny driver-local
+    frames become ONE slice (createDataFrame's defaultParallelism
+    slicing made every 16-row meta/codebook write walk 32 serial
+    Python round-trips), large lists stay parallel, empty rows and
+    collected Row objects round-trip, and values are identical to the
+    plain form."""
+    from pyspark.sql import Row
+
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    tiny = local_df(spark, [(1, "a"), (2, "b")], "k int, s string")
+    assert tiny.rdd.getNumPartitions() == 1
+    assert sorted((r.k, r.s) for r in tiny.collect()) == [(1, "a"), (2, "b")]
+    big = local_df(spark, [(i,) for i in range(5000)], "k int")
+    assert 1 < big.rdd.getNumPartitions() <= spark.sparkContext.defaultParallelism
+    assert big.count() == 5000
+    assert local_df(spark, [], "k int, s string").count() == 0
+    # collected Rows + read-back schema (the compaction recommit path)
+    src = local_df(spark, [(4, 64, 5, "key")], "a int, b int, c int, d string")
+    rows, schema = src.collect(), src.schema
+    back = local_df(spark, rows, schema)
+    assert back.collect() == rows and back.schema == schema
+    # explicit slices for per-row-work fan-out
+    fan = local_df(spark, [(i,) for i in range(8)], "k int", slices=8)
+    assert fan.rdd.getNumPartitions() == 8

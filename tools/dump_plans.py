@@ -19,6 +19,7 @@ HEADLINERS = {
     "minhash_lsh_pairs": "signature-sized shuffle, equi-join on band buckets",
     "sim_topk_ivf": "codebook pruning then exact rescoring",
     "window_cumulative": "keyed running total over the pre-aggregated rollup",
+    "chart_pie_shares": "share via broadcast 1-row scalar total — no unpartitioned WindowExec (r13 lockstep fix)",
     "corpus_curation": "three semi-join gates off one documents scan",
     "bucketed_join_revenue": "bucketed SMJ: zero join-side exchanges, only the final agg shuffles",
     "sim_topk_lsh_precomputed": "ingest-time signatures: PartitionFilters prune to one bucket",

@@ -113,8 +113,19 @@ def triangles(edges: DataFrame) -> DataFrame:
     """All triangles, one row (x, y, z) each, x→y→z in degree order.
     Wedges pair each vertex's out-neighbors ((deg,id) of y below z),
     then close against the oriented edge set — the bounded-out-degree
-    plan described in the module docstring."""
-    o = _oriented(edges)
+    plan described in the module docstring.
+
+    Both frames are materialized ONCE (localCheckpoint): ``edges`` is
+    typically a derived graph (a groupBy over a basket self-join) and
+    the oriented list is consumed THREE times (two wedge sides + the
+    closure). Without the barrier Catalyst inlines the derivation
+    into every leg — measured 94 scans of lineitem and zero
+    ReusedExchange in the co-purchase census plan — which is the
+    difference between a plan that survives a 100 TB basket table and
+    one that re-runs its heaviest join dozens of times. The
+    sparsified edge list is analytic-sized by the min_co contract."""
+    edges = edges.localCheckpoint(eager=True)
+    o = _oriented(edges).localCheckpoint(eager=True)
     w1 = o.select(
         F.col("src").alias("x"),
         F.col("dst").alias("y"),
@@ -136,7 +147,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     """Per-vertex (vertex, degree, triangles, clustering_ppm) for
     vertices on >= 1 triangle. clustering_ppm = 10^6·2·tri DIV
     (deg·(deg−1)) — the local clustering coefficient as exact integer
-    ppm (every vertex here has deg >= 2: it closes a triangle)."""
+    ppm (every vertex here has deg >= 2: it closes a triangle).
+    ``edges`` is materialized once up front so the census and the
+    degree join share the same checkpointed rows instead of each
+    re-deriving the graph (see ``triangles``)."""
+    edges = edges.localCheckpoint(eager=True)
     tri = triangles(edges)
     per_vertex = (
         tri.select(F.col("x").alias("vertex"))
@@ -175,10 +190,18 @@ def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> 
     Returns (vertex, rank_ppm) ordered by rank desc, vertex."""
     if iters < 1:
         raise ValueError("pagerank_int: iters must be >= 1")
-    deg = degrees(edges)
-    directed = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    # deg and directed are consumed by EVERY unrolled iteration, and
+    # edges is typically a derived graph (a basket self-join) —
+    # materialize once so the lazy plan doesn't re-derive the graph
+    # per use (the triangles() lesson: 94 redundant scans without the
+    # barrier; same discipline as pagerank_int_converged)
+    edges = edges.localCheckpoint(eager=True)
+    deg = degrees(edges).localCheckpoint(eager=True)
+    directed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
     rank = deg.select("vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm"))
     for _ in range(int(iters)):
         rank = _pagerank_step(rank, deg, directed)

@@ -300,8 +300,14 @@ def bloom_new_rows(
     # up front, the same NULL contract as the cube key columns.
     key_col = _resolve_key(_read_meta(spark, path)[3], key_col, "bloom_new_rows")
     _require_integral(batch, key_col, "bloom_new_rows")
-    batch = batch.filter(F.col(key_col).isNotNull())
-    probed = probe_bloom(spark, path, batch, key_col)
+    # materialize the shard ONCE: the batch is often a derived frame
+    # (e.g. content fingerprints over raw text) consumed twice inside
+    # probe_bloom (probe rows + the carry-columns join) and again by
+    # both union branches below — the lazy plan re-derives it per use.
+    # Shard-sized by the ingest contract, so the barrier is bounded
+    # (the ingest_bloom_batch `fresh` discipline).
+    batch = batch.filter(F.col(key_col).isNotNull()).localCheckpoint(eager=True)
+    probed = probe_bloom(spark, path, batch, key_col).localCheckpoint(eager=True)
     _, keys_p, _ = _paths(path)
     keys = spark.read.parquet(keys_p).select(F.col(key_col)).distinct()
     definitely_new = probed.filter(~F.col("maybe")).drop("maybe")

@@ -6058,8 +6058,13 @@ def _q_fuzzy_dup_pairs(spark, sf):
             F.expr("substring(nm, 1, 4)"), F.lit("q"), F.expr("substring(nm, 6)")
         ).alias("nm"),
     )
+    # slice-sized derived corpus, consumed five times inside the
+    # operator (segments/probes/short-block/both verify sides) —
+    # materialize once so the union+substring derivation isn't
+    # re-planned per consumer (plan_audit: 12 scans -> 0)
+    corpus = base.unionByName(variant).localCheckpoint(eager=True)
     return FZ.fuzzy_dup_pairs(
-        base.unionByName(variant), max_dist=1, text_col="nm", id_col="doc_id"
+        corpus, max_dist=1, text_col="nm", id_col="doc_id"
     )
 
 

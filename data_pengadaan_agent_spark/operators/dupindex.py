@@ -452,20 +452,13 @@ def compact_gram_counts(
     )
     after_rows = spark.read.parquet(tmp).count()
     fs.delete(jvm_path(meta_p), True)  # index invalid until recommit
-    # rename returns false on failure (self-review r12): abort the swap
-    # with the original restored rather than deleting the live copy
-    if not fs.rename(jvm_path(counts_p), jvm_path(old)):
-        raise OSError(
-            f"compact_gram_counts: rename {counts_p} -> {old} failed; "
-            "counts untouched, meta left absent (index invalid)"
-        )
-    if not fs.rename(jvm_path(tmp), jvm_path(counts_p)):
-        fs.rename(jvm_path(old), jvm_path(counts_p))  # restore original
-        raise OSError(
-            f"compact_gram_counts: rename {tmp} -> {counts_p} failed; "
-            "original restored, meta left absent (index invalid)"
-        )
-    fs.delete(jvm_path(old), True)
+    # rename returns false on failure (self-review r12): swap_dirs
+    # aborts with the original restored (restore itself checked)
+    # rather than deleting the live copy; meta stays absent on abort
+    # (index loudly invalid)
+    from data_pengadaan_agent_spark.sources.catalog import swap_dirs
+
+    swap_dirs(fs, jvm_path, tmp, counts_p, old, "compact_gram_counts")
     # recommit meta with the ORIGINAL explicit schema — re-inferring
     # from collected Rows widened the int columns to bigint, silently
     # drifting the meta schema after the first compaction

@@ -261,18 +261,9 @@ def compact_postings_index(
     # (self-review r12)
     _meta_schema = spark.read.parquet(meta_p).schema
     fs.delete(meta_fs, True)  # index invalid from here until recommit
-    if not fs.rename(jvm_path(posts_p), jvm_path(old)):
-        raise OSError(
-            f"compact_postings_index: rename {posts_p} -> {old} failed; "
-            "postings untouched, meta left absent (index invalid)"
-        )
-    if not fs.rename(jvm_path(tmp), jvm_path(posts_p)):
-        fs.rename(jvm_path(old), jvm_path(posts_p))  # restore original
-        raise OSError(
-            f"compact_postings_index: rename {tmp} -> {posts_p} failed; "
-            "original restored, meta left absent (index invalid)"
-        )
-    fs.delete(jvm_path(old), True)
+    from data_pengadaan_agent_spark.sources.catalog import swap_dirs
+
+    swap_dirs(fs, jvm_path, tmp, posts_p, old, "compact_postings_index")
     from data_pengadaan_agent_spark.sources.catalog import local_df
 
     local_df(spark, meta_df, _meta_schema).write.mode("overwrite").parquet(meta_p)

@@ -672,11 +672,14 @@ def compact_ivfpq_table(
         .partitionBy("list")
         .parquet(tmp)
     )
-    # index invalid from here until the codebook recommit
+    # index invalid from here until the codebook recommit; swap_dirs
+    # checks every rename return — an unchecked failed second rename
+    # followed by the old-copy delete would destroy the only copy of
+    # the codes while the recommit marked the index valid
+    from data_pengadaan_agent_spark.sources.catalog import swap_dirs
+
     fs.delete(jvm_path(pqcb_p), True)
-    fs.rename(jvm_path(path), jvm_path(old))
-    fs.rename(jvm_path(tmp), jvm_path(path))
-    fs.delete(jvm_path(old), True)
+    swap_dirs(fs, jvm_path, tmp, path, old, "compact_ivfpq_table")
     save_ivfpq_codebooks(spark, path, coarse, cb)
     return before - _n_files(path)
 

@@ -177,20 +177,11 @@ def compact_distinct_cube(spark: SparkSession, path: str) -> int:
     # Hadoop rename reports failure by RETURNING false: deleting the
     # old copy after an unchecked failed rename would destroy the only
     # surviving cube while the meta recommit marked it valid
-    # (self-review r12). On failure the swap aborts with the original
-    # restored and meta left absent (loudly invalid).
-    if not fs.rename(jvm_path(cube_p), jvm_path(old)):
-        raise OSError(
-            f"compact_distinct_cube: rename {cube_p} -> {old} failed; "
-            "cube data untouched, meta left absent (cube invalid)"
-        )
-    if not fs.rename(jvm_path(tmp), jvm_path(cube_p)):
-        fs.rename(jvm_path(old), jvm_path(cube_p))  # restore original
-        raise OSError(
-            f"compact_distinct_cube: rename {tmp} -> {cube_p} failed; "
-            "original cube restored, meta left absent (cube invalid)"
-        )
-    fs.delete(jvm_path(old), True)
+    # (self-review r12). swap_dirs aborts with the original restored
+    # (restore itself checked) and meta left absent (loudly invalid).
+    from data_pengadaan_agent_spark.sources.catalog import swap_dirs
+
+    swap_dirs(fs, jvm_path, tmp, cube_p, old, "compact_distinct_cube")
     # recommit with the READ schema, not inference: createDataFrame
     # over Python ints would silently widen lg_k int -> bigint and
     # drift the on-disk meta from the build schema (self-review r12)

@@ -398,10 +398,13 @@ def compact_sq_table(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    fs.delete(jvm_path(quant_p), True)  # index invalid until recommit
-    fs.rename(jvm_path(path), jvm_path(old))
-    fs.rename(jvm_path(tmp), jvm_path(path))
-    fs.delete(jvm_path(old), True)
+    # index invalid until recommit; swap_dirs checks every rename
+    # return — an unchecked failed swap followed by the old-copy
+    # delete would destroy the only copy of the codes
+    from data_pengadaan_agent_spark.sources.catalog import swap_dirs
+
+    fs.delete(jvm_path(quant_p), True)
+    swap_dirs(fs, jvm_path, tmp, path, old, "compact_sq_table")
     save_sq_quantizer(spark, path, mins, scales, levels)
     return before - _n_files(path)
 

@@ -190,3 +190,38 @@ def spread(df: DataFrame, key: str | None = None, min_parts: int | None = None) 
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key) if key else df.repartition(target)
+
+
+def swap_dirs(fs, jvm_path, tmp: str, live: str, old: str, label: str) -> None:
+    """Commit a rewritten directory over the live one: rename
+    ``live`` -> ``old``, ``tmp`` -> ``live``, delete ``old``.
+
+    Hadoop ``FileSystem.rename`` reports failure by RETURNING false,
+    not by raising — an unchecked failed second rename followed by the
+    old-copy delete would destroy the only surviving copy of the data
+    (the self-review-r12 finding; three compacts had reimplemented the
+    swap without the guard). Callers delete their validity sidecar
+    BEFORE the swap and recommit it after, so every abort here leaves
+    the index loudly invalid (sidecar absent), never silently
+    half-swapped:
+
+    - first rename fails  -> live data untouched, OSError;
+    - second rename fails -> original restored, OSError — and the
+      restore rename is ITSELF checked: if it also fails the data
+      still survives at ``old`` and the message says exactly that
+      (the previous inline guards' "original restored" could lie).
+    """
+    if not fs.rename(jvm_path(live), jvm_path(old)):
+        raise OSError(
+            f"{label}: rename {live} -> {old} failed; live data untouched"
+        )
+    if not fs.rename(jvm_path(tmp), jvm_path(live)):
+        if not fs.rename(jvm_path(old), jvm_path(live)):
+            raise OSError(
+                f"{label}: rename {tmp} -> {live} failed AND the restore "
+                f"rename failed; original data preserved at {old}"
+            )
+        raise OSError(
+            f"{label}: rename {tmp} -> {live} failed; original restored"
+        )
+    fs.delete(jvm_path(old), True)

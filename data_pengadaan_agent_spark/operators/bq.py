@@ -435,7 +435,10 @@ def micro_l2_col(vec_col: str, query: Sequence[float], dp: int = 6):
     """Exact integer squared L2 on the micro-unit grid:
     q_i = floor(x_i * 10^dp + 0.5) as BIGINT (one multiply + one floor
     on bit-identical doubles — structural), then sum of integer
-    squared diffs. 64 dims at |x| <= ~1e3 stays far inside int64."""
+    squared diffs. int64 headroom: per-dim diff <= 2·|x|max·10^dp,
+    so 64 dims at dp=6 are safe to |x| ~1.5e2 (sum ~9e18 at the
+    edge); beyond that ANSI mode raises loudly rather than wrapping —
+    drop ``dp`` for large-magnitude embeddings."""
     scale = float(10**dp)
     q_micro = [int(math.floor(float(x) * scale + 0.5)) for x in query]
     q_lit = F.array(*[F.lit(q).cast("bigint") for q in q_micro])
@@ -462,16 +465,19 @@ def bq_rerank_topk(
     id_col: str = "vec_id",
     dp: int = 6,
 ) -> DataFrame:
-    """The production two-stage shape: (1) the 1-bit Hamming scan cuts
-    the corpus to ``shortlist`` candidates (the ONLY full-corpus pass —
-    16 B/vector, pure codegen), (2) exact integer micro-unit L2
-    re-ranks just the shortlist. Both stages deterministic: Hamming
+    """The production two-stage shape: (1) a Hamming scan cuts the
+    corpus to ``shortlist`` candidates, (2) exact integer micro-unit
+    L2 re-ranks just the shortlist. Both stages deterministic: Hamming
     ties then l2 ties break by id ascending. Returns
     (rank, id, hamming, l2_micro).
 
-    At 100 TB stage 1 is a TakeOrderedAndProject over the packed
-    codes; stage 2 touches ``shortlist`` rows — driver-bounded by
-    construction, never data-sized."""
+    This variant encodes RAW vectors on the fly (one frame in, no
+    prebuilt index), so stage 1 reads the full embedding column; the
+    16 B/vector packed-scan shape is ``bq_topk`` over a
+    ``build_bq_table`` words table, with this function's stage-2
+    re-rank joined back on the shortlist ids. Stage 2 touches
+    ``shortlist`` rows — driver-bounded by construction, never
+    data-sized."""
     from pyspark.sql import Window
 
     qwords = encode_query_bq(query, thresholds)

@@ -76,6 +76,11 @@ def hash_ngram_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
     vec = [0] * dim
     for i in range(max(len(s), 1)):
         g = padded[i : i + 3]
-        h = ord(g[0]) * 961 + ord(g[1]) * 31 + ord(g[2])
+        # missing positions hash as 0, matching Spark's ascii('') = 0
+        # (reachable only for the empty string, whose single gram is
+        # the 2-char pad — g[2] used to IndexError where the column
+        # expression returned a vector)
+        o = [ord(ch) for ch in g] + [0, 0, 0]
+        h = o[0] * 961 + o[1] * 31 + o[2]
         vec[h % dim] += 1 if (h // dim) % 2 == 0 else -1
     return [float(v) for v in vec]

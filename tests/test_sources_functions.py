@@ -28,7 +28,11 @@ def test_vector_string_roundtrip_csv(spark, tables, tmp_path):
 
 
 def test_hash_ngram_embedder_spark_python_parity(spark):
-    words = ["spark", "sparkle", "ab", "x", "hash join"]
+    # "" pins the empty-string gram: its one gram is the 2-char pad,
+    # whose missing third position must hash as 0 on BOTH sides
+    # (Spark's ascii('') = 0; the Python twin used to IndexError);
+    # the unicode word pins ascii() = codepoint parity past 127
+    words = ["spark", "sparkle", "ab", "x", "hash join", "", "ünïcode ☃"]
     df = spark.createDataFrame([(w,) for w in words], "w string")
     got = {
         r["w"]: r["e"]

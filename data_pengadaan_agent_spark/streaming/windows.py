@@ -946,7 +946,11 @@ def foreach_batch_dq_gate_sink(
             .partitionBy("_epoch", "_replay")
             .parquet(report_path)
         )
-        target = quarantine_path if n_bad else clean_path
+        target, sibling = (
+            (quarantine_path, clean_path)
+            if n_bad
+            else (clean_path, quarantine_path)
+        )
         (
             b.withColumn("_epoch", FF.lit(int(epoch_id)))
             .write.option("partitionOverwriteMode", "dynamic")
@@ -954,6 +958,20 @@ def foreach_batch_dq_gate_sink(
             .partitionBy("_epoch")
             .parquet(target)
         )
+        # A replayed epoch whose verdict FLIPPED (rules_factory binds
+        # per-batch referential dims, which may legitimately change
+        # between the original run and a crash-replay) rewrites its
+        # partition in the NEW target but would leave the stale copy
+        # in the other root — the epoch's rows then exist in BOTH
+        # clean/ and quarantine/. Remove the sibling's partition after
+        # the target write so any replay converges to exactly one copy
+        # (write-then-delete: a crash between the two re-fires the
+        # epoch, which redoes both steps).
+        jvm_path = b.sparkSession._jvm.org.apache.hadoop.fs.Path
+        sib = jvm_path(f"{sibling}/_epoch={int(epoch_id)}")
+        fs = sib.getFileSystem(b.sparkSession._jsc.hadoopConfiguration())
+        if fs.exists(sib):
+            fs.delete(sib, True)
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

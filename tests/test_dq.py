@@ -179,6 +179,68 @@ def test_streaming_dq_gate_routes_batches(spark, tmp_path):
     assert bad == {"unique(id)": 2, "in_range(price)": 1}
 
 
+def test_streaming_dq_gate_replay_flip_leaves_one_copy(spark, tmp_path):
+    """A replayed epoch whose verdict FLIPPED (the rules_factory bound
+    different referential state) must not leave the epoch's rows in
+    BOTH roots: the sink removes the sibling's _epoch partition after
+    writing the new target. Simulated with a fresh checkpoint (epoch
+    ids restart at 0) and a relaxed rule set."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    papq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "price": pa.array([10.0, 20.0, 150.0], pa.float64()),
+        }),
+        os.path.join(src, "f1.parquet"),
+    )
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quar")
+    rep = str(tmp_path / "rep")
+
+    def make_stream():
+        return (
+            spark.readStream.schema("id long, price double")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+        )
+
+    def strict(_b):
+        return [DQ.in_range("price", 0.0, 100.0)]
+
+    def relaxed(_b):
+        return [DQ.in_range("price", 0.0, 200.0)]
+
+    q = SW.foreach_batch_dq_gate_sink(
+        make_stream(), strict, clean, quar, rep, str(tmp_path / "ckpt1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.id for r in spark.read.parquet(quar).collect()) == [1, 2, 3]
+
+    q = SW.foreach_batch_dq_gate_sink(
+        make_stream(), relaxed, clean, quar, rep, str(tmp_path / "ckpt2")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r.id for r in spark.read.parquet(clean).collect()) == [1, 2, 3]
+    # the stale quarantined copy of epoch 0 is gone (dir may be empty
+    # or unreadable once its only partition was removed)
+    try:
+        n_quar = spark.read.parquet(quar).count()
+    except Exception:
+        n_quar = 0
+    assert n_quar == 0
+
+
 def test_replay_quarantine_releases_fixed_epochs(spark, tmp_path):
     """After a rule fix, passing epochs move to clean/ with their
     original epoch stamp; still-violating epochs stay; the report

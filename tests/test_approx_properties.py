@@ -431,3 +431,50 @@ def test_pq_encode_matches_numpy_reference_property(spark, vec_lists):
     k = min(3, len(rows))
     top = PQ.pq_adc_topk(codes_df, cb, q, k=k).collect()
     assert [(r["adc_score"], r["vec_id"]) for r in top] == brute[:k]
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain-Python Levenshtein — the independent verifier for the
+    pigeonhole property test (never Spark's own function)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_dup_pairs_matches_bruteforce(spark, texts, d):
+    """PassJoin completeness is a lemma, not a sample: on adversarial
+    tiny corpora (tight alphabet forces collisions; lengths straddle
+    the short-block boundary) the pigeonhole candidates + banded
+    verify must equal the exact all-pairs answer, pair for pair,
+    distance for distance."""
+    from data_pengadaan_agent_spark.operators.fuzzy import fuzzy_dup_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): r.dist
+        for r in fuzzy_dup_pairs(df, max_dist=d).collect()
+    }
+    want = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            dist = _lev(ta, tb)
+            if dist <= d:
+                want[(ia, ib)] = dist
+    assert got == want

@@ -98,6 +98,28 @@ def test_cosine_topk_values(vecs):
     assert abs(out[2]["similarity"] - 0.5) < 1e-9
 
 
+def test_cosine_zero_vector_scores_zero_not_nan(spark):
+    """Zero-norm guard parity across the three retrieval paths (the
+    r12 pandas convention, now also the expression form): a zero
+    vector scores 0 and never enters the top-k ahead of real matches —
+    NaN would rank ABOVE every real similarity under desc."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = S.cosine_topk(df, "embedding", [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 2, 1]
+    assert out[-1]["similarity"] == 0.0  # the zero vector, last
+    pd_out = S.cosine_topk_pandas(df, "embedding", [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in pd_out] == [0, 2, 1]
+    # zero QUERY: everything scores 0, ties rank by id, nothing is NaN
+    zq = S.cosine_topk(df, "embedding", [0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in zq] == [0, 1, 2]
+    assert all(r["similarity"] == 0.0 for r in zq)
+    # the exact all-pairs baseline: a zero vector pairs at 0, below
+    # any positive threshold — never a NaN >= threshold artifact
+    pairs = S.cosine_pairs(df, "embedding", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 2)}
+
+
 def test_cosine_pandas_path_matches_builtin(vecs):
     q = [0.3, -0.2, 0.9, 0.1]
     a = {(r["vec_id"], round(r["similarity"], 9)) for r in S.cosine_topk(vecs, "embedding", q, k=5).collect()}

@@ -145,8 +145,18 @@ def check_registry(E) -> None:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --vanilla: run the Spark side under a DRIVER-STYLE session
+    # (bare local[32], none of session.get_spark's tuned confs) — the
+    # one divergence between this replica and the real gate. The r13
+    # continuation proved all 220 entries green under it; keep it that
+    # way by re-running `check_oracle.py --vanilla <sf_dir>` whenever
+    # an operator starts depending on a session conf (nanosAsLong,
+    # Arrow, shuffle partitions are the usual suspects — load_table
+    # sets nanosAsLong at runtime for exactly this reason).
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
 
@@ -155,7 +165,16 @@ def main():
 
     check_registry(E)
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
 
     con = duckdb.connect()
     for t in (

@@ -15,10 +15,12 @@ Determinism contract (the sq/bq structural-equality class):
 - every vector is quantized ONCE to the BIGINT micro-unit grid
   ``floor(x * 10^dp + 0.5)`` — one multiply + one floor on
   bit-identical doubles, identical on every engine;
-- ALL distances are exact integer squared L2 over those micro-units
-  (64 dims at |x| <= ~1e3, dp=6: per-dim diff^2 <= ~4e18/64 — sums
-  stay far inside int64 for the fixture's unit-scale embeddings; the
-  dp knob trades range for resolution);
+- ALL distances are exact integer squared L2 over those micro-units.
+  int64 headroom (the bq.micro_l2_col bound): per-dim diff <=
+  2·|x|max·10^dp, so 64 dims at dp=6 are safe to |x| ~1.5e2 (sum
+  ~9e18 at the edge) — far above the fixtures' unit-scale
+  embeddings; past that ANSI raises loudly rather than wrapping, and
+  the dp knob trades range for resolution;
 - the seed is the minimum id; every argmax breaks ties to the LOWEST
   id. Integer scores + total tiebreak = one deterministic trajectory,
   reproducible bit-for-bit by an unrolled SQL twin.

@@ -210,10 +210,25 @@ def swap_dirs(fs, jvm_path, tmp: str, live: str, old: str, label: str) -> None:
       restore rename is ITSELF checked: if it also fails the data
       still survives at ``old`` and the message says exactly that
       (the previous inline guards' "original restored" could lie).
+
+    A leftover ``old`` from a PRIOR swap (crash after the second
+    rename succeeded but before delete(old)) is deleted up front: at
+    that point ``live`` already holds the new copy, so ``old`` is by
+    construction a superseded duplicate — and Hadoop rename returns
+    false when the destination exists, so without this sweep every
+    subsequent swap would wedge on its FIRST rename with a misleading
+    "live data untouched" (ADVICE r13). The double-failure abort path
+    (data surviving only at ``old``) is NOT mistaken for this: it
+    leaves ``live`` absent, so its ``old`` is never swept by a retry —
+    the retry's first rename fails on the missing source instead.
     """
+    if fs.exists(jvm_path(old)) and fs.exists(jvm_path(live)):
+        fs.delete(jvm_path(old), True)
     if not fs.rename(jvm_path(live), jvm_path(old)):
         raise OSError(
             f"{label}: rename {live} -> {old} failed; live data untouched"
+            " (source missing, or a leftover old-copy destination from an"
+            " aborted restore — inspect before retrying)"
         )
     if not fs.rename(jvm_path(tmp), jvm_path(live)):
         if not fs.rename(jvm_path(old), jvm_path(live)):

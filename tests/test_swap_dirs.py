@@ -38,6 +38,9 @@ class FakeFS:
         self.calls.append(("delete", p))
         return self.dirs.discard(p) is None and p is not None
 
+    def exists(self, p):
+        return p in self.dirs
+
 
 IDENT = str  # jvm_path stand-in: paths are plain strings
 
@@ -75,6 +78,27 @@ def test_double_failure_preserves_data_at_old_and_says_so():
     with pytest.raises(OSError, match="preserved at old"):
         swap_dirs(fs, IDENT, "tmp", "live", "old", "t")
     # the data survives at old; nothing deleted it
+    assert "old" in fs.dirs
+    assert ("delete", "old") not in fs.calls
+
+
+def test_leftover_old_from_completed_swap_is_swept():
+    """ADVICE r13: a crash after the second rename but before
+    delete(old) leaves old alongside the (new) live copy; Hadoop
+    rename returns false when dst exists, so without the up-front
+    sweep every later swap wedges on its FIRST rename."""
+    fs = FakeFS({"live", "tmp", "old"})
+    swap_dirs(fs, IDENT, "tmp", "live", "old", "t")
+    assert fs.dirs == {"live"}  # swap completed, not wedged
+
+
+def test_leftover_old_without_live_is_never_swept():
+    """The double-failure abort leaves the ONLY copy at old and live
+    absent — a retry must not delete it; it fails on the missing
+    source instead."""
+    fs = FakeFS({"tmp", "old"})
+    with pytest.raises(OSError, match="live data untouched"):
+        swap_dirs(fs, IDENT, "tmp", "live", "old", "t")
     assert "old" in fs.dirs
     assert ("delete", "old") not in fs.calls
 

@@ -51,6 +51,23 @@ def test_unpartitioned_window_flagged_unless_bounded():
     assert audit_plan(bounded2) == []
 
 
+def test_second_global_window_not_masked_by_first_bounded_one():
+    """ADVICE r13: the first draft stopped at the first unpartitioned
+    window — a BOUNDED (accepted) global window early in the plan
+    masked an unbounded one later."""
+    bounded = (
+        "Window [rank() w], [score#1 DESC NULLS LAST]\n"
+        "+- HashAggregate(keys=[k])\n"
+    )
+    unbounded = (
+        "Window [row_number() w], [score#9 DESC NULLS LAST]\n"
+        "+- Sort\n+- Exchange SinglePartition\n" + "+- Scan parquet t\n" * 5
+    )
+    assert audit_plan(bounded + unbounded) == [
+        "GLOBAL_WINDOW: 1 unpartitioned window(s) w/o bounded input"
+    ]
+
+
 def test_cartesian_flags():
     assert any(
         f.startswith("CARTESIAN") for f in audit_plan("+- CartesianProduct")
@@ -60,3 +77,16 @@ def test_cartesian_flags():
     # the broadcast-scalar-total pattern: BNLJ over an aggregate
     ok = bnlj + "\n+- HashAggregate(keys=[], functions=[sum(v)])"
     assert audit_plan(ok) == []
+
+
+def test_bnlj_not_rescued_by_distant_aggregate():
+    """ADVICE r13: the old whole-plan aggregate test accepted nearly
+    any BNLJ (almost every plan aggregates SOMEWHERE); the test is now
+    scoped to the join's subtree lines."""
+    bnlj = "+- BroadcastNestedLoopJoin BuildRight, Inner\n"
+    filler = "+- Project [a, b]\n" * 20
+    distant_agg = "+- HashAggregate(keys=[k], functions=[count(1)])"
+    assert any(
+        f.startswith("CARTESIAN")
+        for f in audit_plan(bnlj + filler + distant_agg)
+    )

@@ -67,6 +67,9 @@ def audit_plan(plan: str) -> list[str]:
     #   fully global:            Window [<fns>]
     # so with two groups, the second is an ORDER spec (every entry
     # carries ASC/DESC) iff the window is unpartitioned.
+    # ADVICE r13: check EVERY Window match (the first draft broke after
+    # the first one and never saw later global windows in the same plan)
+    n_global = 0
     for m in re.finditer(r"Window (\[[^\]]*\])(?:, (\[[^\]]*\]))?(?:, (\[[^\]]*\]))?", plan):
         g2, g3 = m.group(2), m.group(3)
         unpartitioned = (
@@ -83,12 +86,27 @@ def audit_plan(plan: str) -> list[str]:
                 r"|CollectLimit|GlobalLimit|LocalLimit|WindowGroupLimit",
                 tail,
             ):
-                findings.append("GLOBAL_WINDOW: unpartitioned window w/o bounded input")
+                n_global += 1
+    if n_global:
+        findings.append(
+            f"GLOBAL_WINDOW: {n_global} unpartitioned window(s) w/o bounded input"
+        )
+    # ADVICE r13: scope the aggregate test to the lines FOLLOWING each
+    # BNLJ node (its subtree), not the whole plan — almost every plan
+    # contains an aggregate SOMEWHERE, which made the old whole-plan
+    # test accept nearly any BNLJ. The accepted broadcast-scalar-total
+    # pattern puts the 1-row aggregate directly under the BNLJ's
+    # BroadcastExchange, i.e. within a few lines of the join node.
+    lines = plan.split("\n")
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        subtree = "\n".join(lines[i + 1 : i + 16])
+        if not re.search(r"HashAggregate|SortAggregate", subtree):
+            findings.append(
+                "CARTESIAN: BNLJ without an aggregate-bounded side"
+            )
             break
-    if "BroadcastNestedLoopJoin" in plan and not re.search(
-        r"HashAggregate|SortAggregate", plan
-    ):
-        findings.append("CARTESIAN: BNLJ without an aggregate-bounded side")
     return findings
 
 

@@ -2761,6 +2761,27 @@ def _query_impls() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if any tiebreak ever pushes a must-check entry out of the gate
     window — the invariant is the assert, not the dict order."""
     return {
+        # --- NEW in round 14 (promoted from candidate_queries(); the
+        # EXPANDED 7-in/7-out triage written and simulator-verified in
+        # round 13 — NOTES.md "r14 registration triage" — funded by
+        # retiring window_cumulative + mode_per_group + pivot_counts +
+        # percentiles + embedding_normalize + tpch_q12_priority_mix +
+        # tpch_q14_promo_share from r14's due set, see _RETIRED_TIER3.
+        # Each new row hashes a family no registered entry covers:
+        # incremental graph connectivity (large-star/small-star ≡ the
+        # recursive-CTE closure), the Bloom fill/FPP audit STATE, the
+        # Count-Min sketch STATE + point estimates, KMV sketch-domain
+        # set algebra (union/intersection overlap from two sketches),
+        # length-bounded PassJoin fuzzy edit-distance pairs, the
+        # deterministic lossy-counting heavy-hitter sweep, and
+        # mergeable-histogram quantile interpolation.) ---
+        "incremental_components": _q_incremental_components,
+        "bloom_fill_report": _q_bloom_fill_report,
+        "cms_freq": _q_cms_freq,
+        "kmv_overlap": _q_kmv_overlap,
+        "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
+        "heavy_hitters": _q_heavy_hitters,
+        "hist_quantiles": _q_hist_quantiles,
         # --- NEW in round 13 (promoted from candidate_queries(); the
         # 5-in/5-out triage written and simulator-verified in round 12
         # — NOTES.md "r13 registration triage" — funded by retiring
@@ -3226,8 +3247,8 @@ p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         / ((CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END)
+            * (CASE WHEN sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END))
          AS similarity
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
@@ -3238,8 +3259,10 @@ FROM p WHERE similarity >= 0.35
 _COSINE_Q_SQL = """
   list_sum(list_transform(list_zip(e.embedding, q.qv),
            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+  / ((CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+           THEN 1.0 ELSE sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END)
+     * (CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+             THEN 1.0 ELSE sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END))
 """
 
 
@@ -3401,8 +3424,8 @@ p AS (
   SELECT id_a, id_b,
          list_sum(list_transform(list_zip(a.embedding, b.embedding),
                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         / ((CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END)
+            * (CASE WHEN sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END))
          AS similarity
   FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
             JOIN embeddings b ON b.vec_id = cand.id_b
@@ -3622,8 +3645,8 @@ s AS (
   SELECT keyword,
          list_sum(list_transform(list_zip(e, {qlit}),
                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform({qlit}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         / ((CASE WHEN sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END)
+            * (CASE WHEN sqrt(list_sum(list_transform({qlit}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform({qlit}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END))
          AS similarity
   FROM emb
 )
@@ -3698,8 +3721,8 @@ s AS (
   SELECT e.vec_id,
          list_sum(list_transform(list_zip(e.embedding, q.qv),
                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+         / ((CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END)
+            * (CASE WHEN sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END))
          AS similarity
   FROM embeddings e, q
 )
@@ -3882,6 +3905,39 @@ _RETIRED_TIER3 = frozenset(
         # brute/recall/drift/kmeans/mmr/adc/stream driver rows.
         "sim_topk_lsh",
         "sim_topk_ivf",
+        # round-14 retirements (the pre-verified EXPANDED 7-in/7-out
+        # triage written in round 13 — NOTES.md "r14 registration
+        # triage"; all seven in r14's due set, the r11-green cohort):
+        # window_cumulative: running-sum ROWS frame ⊂ registered
+        # window_range_frame's RANGE-frame family (r12-green), and the
+        # cumulative shape also runs inside the scd2_history /
+        # retention lineages.
+        "window_cumulative",
+        # mode_per_group: max_by-over-counts ≡ registered arg_extreme
+        # (max_by/min_by, r13-green) composed with the value_counts
+        # aggregate shape on a derived count.
+        "mode_per_group",
+        # pivot_counts: pivot ≡ groupBy + conditional agg; the
+        # grouping-set API surface keeps driver rows via cube_agg +
+        # grouping_sets + rollup_grouping_sets (cube_agg shares r14's
+        # due set and stays registered).
+        "pivot_counts",
+        # percentiles: continuous-percentile twin of registered
+        # quantile_band (same due set keeps quantile_band) — the
+        # length_outliers precedent from r11.
+        "percentiles",
+        # embedding_normalize: pure codegen select whose normalize
+        # lineage runs inside registered ann_recall_lsh_ivf /
+        # cluster_representatives / embedding_qa rows.
+        "embedding_normalize",
+        # tpch_q12_priority_mix + tpch_q14_promo_share: single-join
+        # conditional-agg shapes strictly dominated by the registered
+        # q8/q19-class rows (multi-way joins over the same tables with
+        # the same CASE-sum form); both stay value-checked as retired
+        # tier-3 per the "retire TPC-H LAST" rule's pre-vetted
+        # alternates list.
+        "tpch_q12_priority_mix",
+        "tpch_q14_promo_share",
     }
 )
 
@@ -7466,76 +7522,29 @@ def candidate_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coverage": _q_kcenter_coverage,
         "bq_topk_batch": _q_bq_topk_batch,
         "trgm_similar": _q_trgm_similar,
-        "fuzzy_dup_pairs": _q_fuzzy_dup_pairs,
         "weighted_sample": _q_weighted_sample,
-        "heavy_hitters": _q_heavy_hitters,
-        "hist_quantiles": _q_hist_quantiles,
         "exact_quantiles": _q_exact_quantiles,
         "skyline": _q_skyline,
         "group_trend": _q_group_trend,
         "collocations": _q_collocations,
         "trgm_ingest_stream": _q_trgm_ingest_stream,
         "hist_cube_stream": _q_hist_cube_stream,
-        "bloom_fill_report": _q_bloom_fill_report,
         "graph_pagerank": _q_graph_pagerank,
         "retention_cohorts": _q_retention_cohorts,
         "event_transitions": _q_event_transitions,
-        "cms_freq": _q_cms_freq,
         "event_ngrams": _q_event_ngrams,
         "peak_concurrency": _q_peak_concurrency,
-        "incremental_components": _q_incremental_components,
         "zonemap_scan": _q_zonemap_scan,
         "change_point": _q_change_point,
         "hist_drift": _q_hist_drift,
-        "kmv_overlap": _q_kmv_overlap,
         "valueset_scan": _q_valueset_scan,
     }
 
 
-def candidate_oracle_sql() -> dict[str, str]:
-    return {
-        "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
-        "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
-        "strip_dup_spans": _strip_dup_spans_sql(length=8, min_count=2),
-        "dup_run_pairs": _dup_run_pairs_sql(length=6, max_df=50),
-        "corpus_ingest_stream_dup_spans": _corpus_ingest_dup_spans_sql(
-            length=8, max_ppm=500_000
-        ),
-        "zorder_key_orders": _zorder_key_orders_sql(),
-        "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
-        "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
-        "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
-        "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
-        "pq_adc_batch": _pq_adc_batch_sql(m=4, ksub=4, dim=64, k=5),
-        "pq_quant_report": _pq_quant_report_sql(m=4, ksub=4, dim=64),
-        "sq_topk": _sq_topk_sql(dim=64, k=10),
-        "sq_quant_report": _sq_quant_report_sql(dim=64),
-        "bq_topk": _bq_topk_sql(dim=64, k=10),
-        "bq_rerank_topk": _bq_rerank_sql(dim=64, k=10, shortlist=50),
-        "kcenter_coreset": _kcenter_sql(k=5, dim=64),
-        "kcenter_coverage": _kcenter_coverage_sql(k=4, sample_frac=0.25),
-        "bq_topk_batch": _bq_topk_batch_sql(dim=64, k=5),
-        "trgm_similar": _trgm_similar_sql(
-            "the fast key order sort table scan merge", 250_000
-        ),
-        "fuzzy_dup_pairs": _FUZZY_DUP_PAIRS_SQL,
-        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
-        "heavy_hitters": _HEAVY_HITTERS_SQL,
-        "hist_quantiles": _HIST_QUANTILES_SQL,
-        "exact_quantiles": _EXACT_QUANTILES_SQL,
-        "skyline": _SKYLINE_SQL,
-        "group_trend": _GROUP_TREND_SQL,
-        "collocations": _COLLOCATIONS_SQL,
-        "trgm_ingest_stream": _TRGM_INGEST_STREAM_SQL,
-        "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
-        "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
-        "graph_pagerank": _GRAPH_PAGERANK_SQL,
-        "retention_cohorts": _RETENTION_COHORTS_SQL,
-        "event_transitions": _EVENT_TRANSITIONS_SQL,
-        "cms_freq": _cms_freq_sql(d=4, w=512, seed=424242),
-        "event_ngrams": _EVENT_NGRAMS_SQL,
-        "peak_concurrency": _PEAK_CONCURRENCY_SQL,
-        "incremental_components": """
+# incremental_components twin: the recursive-CTE transitive closure —
+# certifies that the iterative large-star/small-star Spark path
+# converges to the exact connected-components labeling.
+_INCREMENTAL_COMPONENTS_SQL = """
             WITH RECURSIVE d AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
               FROM documents WHERE doc_id < 200
@@ -7568,17 +7577,64 @@ def candidate_oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id < 200) dd
             LEFT JOIN reach r ON r.a = dd.doc_id
             GROUP BY dd.doc_id ORDER BY dd.doc_id
-        """,
+        """
+
+
+def candidate_oracle_sql() -> dict[str, str]:
+    return {
+        "dup_span_stats": _dup_span_stats_sql(length=8, min_count=2),
+        "lexical_diversity": _LEXICAL_DIVERSITY_SQL,
+        "strip_dup_spans": _strip_dup_spans_sql(length=8, min_count=2),
+        "dup_run_pairs": _dup_run_pairs_sql(length=6, max_df=50),
+        "corpus_ingest_stream_dup_spans": _corpus_ingest_dup_spans_sql(
+            length=8, max_ppm=500_000
+        ),
+        "zorder_key_orders": _zorder_key_orders_sql(),
+        "pq_adc_topk": _pq_adc_sql(m=4, ksub=4, dim=64, k=10),
+        "ivfpq_adc_topk": _ivfpq_adc_sql(kc=4, m=4, ksub=4, dim=64, k=10, n_probe=2),
+        "bpe_encode_vocab": _bpe_merges_sql(k=3, vocab=True),
+        "bm25_components_probe": _bm25_retrieval_batch_sql(tail=_BM25_PROBE_TAIL),
+        "pq_adc_batch": _pq_adc_batch_sql(m=4, ksub=4, dim=64, k=5),
+        "pq_quant_report": _pq_quant_report_sql(m=4, ksub=4, dim=64),
+        "sq_topk": _sq_topk_sql(dim=64, k=10),
+        "sq_quant_report": _sq_quant_report_sql(dim=64),
+        "bq_topk": _bq_topk_sql(dim=64, k=10),
+        "bq_rerank_topk": _bq_rerank_sql(dim=64, k=10, shortlist=50),
+        "kcenter_coreset": _kcenter_sql(k=5, dim=64),
+        "kcenter_coverage": _kcenter_coverage_sql(k=4, sample_frac=0.25),
+        "bq_topk_batch": _bq_topk_batch_sql(dim=64, k=5),
+        "trgm_similar": _trgm_similar_sql(
+            "the fast key order sort table scan merge", 250_000
+        ),
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "exact_quantiles": _EXACT_QUANTILES_SQL,
+        "skyline": _SKYLINE_SQL,
+        "group_trend": _GROUP_TREND_SQL,
+        "collocations": _COLLOCATIONS_SQL,
+        "trgm_ingest_stream": _TRGM_INGEST_STREAM_SQL,
+        "hist_cube_stream": _HIST_CUBE_STREAM_SQL,
+        "graph_pagerank": _GRAPH_PAGERANK_SQL,
+        "retention_cohorts": _RETENTION_COHORTS_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "event_ngrams": _EVENT_NGRAMS_SQL,
+        "peak_concurrency": _PEAK_CONCURRENCY_SQL,
         "zonemap_scan": _ZONEMAP_SCAN_SQL,
         "change_point": _CHANGE_POINT_SQL,
         "hist_drift": _HIST_DRIFT_SQL,
-        "kmv_overlap": _KMV_OVERLAP_SQL,
         "valueset_scan": _VALUESET_SCAN_SQL,
     }
 
 
 def _oracle_sql_impls() -> dict[str, str]:
     return {
+        # --- round-14 registrations (promoted candidates) ---
+        "incremental_components": _INCREMENTAL_COMPONENTS_SQL,
+        "bloom_fill_report": _bloom_fill_sql(n_buckets=8, n_words=4096, k=7),
+        "cms_freq": _cms_freq_sql(d=4, w=512, seed=424242),
+        "kmv_overlap": _KMV_OVERLAP_SQL,
+        "fuzzy_dup_pairs": _FUZZY_DUP_PAIRS_SQL,
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
+        "hist_quantiles": _HIST_QUANTILES_SQL,
         # --- round-13 registrations (promoted candidates) ---
         "kmv_distinct": _KMV_DISTINCT_SQL,
         "dq_report": _DQ_REPORT_SQL,
@@ -8102,7 +8158,8 @@ def _oracle_sql_impls() -> dict[str, str]:
                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
               WHERE list_sum(list_transform(range(1, len(a.v) + 1),
                              i -> a.v[i] * b.v[i]))
-                    / (a.nrm * b.nrm) >= 0.9
+                    / ((CASE WHEN a.nrm = 0 THEN 1.0 ELSE a.nrm END)
+                       * (CASE WHEN b.nrm = 0 THEN 1.0 ELSE b.nrm END)) >= 0.9
             )
             SELECT a2.vec_id, a2.cluster,
                    (a2.vec_id IN (SELECT vec_id FROM p)) AS pruned
@@ -8886,7 +8943,9 @@ def _oracle_sql_impls() -> dict[str, str]:
                        FROM embeddings WHERE vec_id < 100)
             SELECT vec_id,
                    unnest(range(len(embedding))) AS dim,
-                   round(unnest(list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)), 6) AS v
+                   round(unnest(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE)
+                              / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END))), 6) AS v
             FROM e
         """,
         "tpch_q4_late_orders": """
@@ -9134,10 +9193,14 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT e.vec_id AS doc_id,
                      list_sum(list_transform(list_zip(e.embedding, q.qv),
                               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-                     / (sqrt(list_sum(list_transform(e.embedding,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                        * sqrt(list_sum(list_transform(q.qv,
-                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     / ((CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0
+                          ELSE sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END)
+                        * (CASE WHEN sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0 THEN 1.0
+                          ELSE sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END))
                      AS similarity
               FROM embeddings e, q
             ), vec_top AS (

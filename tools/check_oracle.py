@@ -116,8 +116,8 @@ def spark_to_arrow(df) -> pa.Table:
 # stay implemented and locally value-checked — so total covered
 # surface can only grow even when driver slots are freed. Bump the
 # floors when (and only when) adding entries.
-REGISTRY_FLOOR = 149
-TOTAL_FLOOR = 168
+REGISTRY_FLOOR = 150
+TOTAL_FLOOR = 184
 
 
 def check_registry(E) -> None:

@@ -123,9 +123,18 @@ def triangles(edges: DataFrame) -> DataFrame:
     ReusedExchange in the co-purchase census plan — which is the
     difference between a plan that survives a 100 TB basket table and
     one that re-runs its heaviest join dozens of times. The
-    sparsified edge list is analytic-sized by the min_co contract."""
-    edges = edges.localCheckpoint(eager=True)
+    sparsified edge list is analytic-sized by the min_co contract.
+
+    ADVICE r13: an already-materialized input (triangle_stats passes
+    its own checkpoint) is NOT re-checkpointed — the second eager
+    pass copied the full edge list into executor storage again for
+    nothing — and an edge checkpoint THIS call created is released
+    once the oriented list exists (the result depends only on ``o``)."""
+    own_edges = not _is_materialized(edges)
+    edges = _materialize_once(edges)
     o = _oriented(edges).localCheckpoint(eager=True)
+    if own_edges:
+        _release_local_checkpoint(edges)
     w1 = o.select(
         F.col("src").alias("x"),
         F.col("dst").alias("y"),
@@ -150,8 +159,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ppm (every vertex here has deg >= 2: it closes a triangle).
     ``edges`` is materialized once up front so the census and the
     degree join share the same checkpointed rows instead of each
-    re-deriving the graph (see ``triangles``)."""
-    edges = edges.localCheckpoint(eager=True)
+    re-deriving the graph (see ``triangles`` — which, per ADVICE r13,
+    recognizes the checkpoint and no longer materializes a second
+    copy)."""
+    edges = _materialize_once(edges)
     tri = triangles(edges)
     per_vertex = (
         tri.select(F.col("x").alias("vertex"))
@@ -195,16 +206,28 @@ def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> 
     # materialize once so the lazy plan doesn't re-derive the graph
     # per use (the triangles() lesson: 94 redundant scans without the
     # barrier; same discipline as pagerank_int_converged)
-    edges = edges.localCheckpoint(eager=True)
+    own_edges = not _is_materialized(edges)
+    edges = _materialize_once(edges)
     deg = degrees(edges).localCheckpoint(eager=True)
     directed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    # edges fed only deg + directed, both now eager — release a
+    # checkpoint THIS call created (never a caller's) immediately
+    if own_edges:
+        _release_local_checkpoint(edges)
     rank = deg.select("vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm"))
     for _ in range(int(iters)):
         rank = _pagerank_step(rank, deg, directed)
+    # ADVICE r13: the three support checkpoints were pinned for the
+    # session. Materialize the final ranks (vertex-count-sized — tiny
+    # next to the edge list) so the returned plan depends on nothing
+    # but them, then free deg + directed.
+    rank = rank.localCheckpoint(eager=True)
+    _release_local_checkpoint(deg)
+    _release_local_checkpoint(directed)
     out = rank.orderBy(F.desc("rank_ppm"), "vertex")
     # `is not None`, not truthiness: top_k=0 must mean limit(0), not
     # the full ranking (self-review r12)
@@ -251,6 +274,29 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # pragma: no cover - plan shape surprise
         pass
+
+
+def _is_materialized(df: DataFrame) -> bool:
+    """True iff the frame IS a materialization barrier already — its
+    analyzed plan is the LogicalRDD a localCheckpoint leaves behind.
+    Used to avoid double-checkpointing (ADVICE r13: triangle_stats →
+    triangles re-materialized the same edge list, a full second copy
+    in executor storage) and to decide checkpoint OWNERSHIP: a frame
+    that arrives materialized belongs to the caller and must never be
+    released here. Conservative on any reflection surprise (False →
+    worst case one redundant checkpoint, never a lost release)."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # pragma: no cover - plan shape surprise
+        return False
+
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) unless the plan already is one."""
+    return df if _is_materialized(df) else df.localCheckpoint(eager=True)
 
 
 def pagerank_int_converged(
@@ -313,6 +359,11 @@ def pagerank_int_converged(
         rank = new_rank
         if residual <= int(tol_ppm):
             break
+    # the final rank is its own checkpoint; deg + directed fed only
+    # the now-finished iterations (ADVICE r13: don't pin them for the
+    # session)
+    _release_local_checkpoint(deg)
+    _release_local_checkpoint(directed)
     out = rank.orderBy(F.desc("rank_ppm"), "vertex")
     info = {
         "iters": iters_run,

@@ -264,4 +264,34 @@ def test_pagerank_releases_superseded_checkpoints(spark):
     out.collect()
     assert info["iters"] >= 3  # the loop actually iterated
     after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert after - before <= 3  # deg + directed + live rank, not per-iter
+    # ADVICE r13 tightened this from <=3: deg + directed are released
+    # once the loop ends — only the live final rank stays pinned
+    assert after - before <= 1
+
+
+def test_triangle_stats_does_not_double_checkpoint(spark):
+    """ADVICE r13: triangle_stats checkpoints edges, and triangles()
+    used to re-checkpoint the already-materialized frame — a second
+    full copy of the edge list in executor storage per census call.
+    Now triangles() recognizes a LogicalRDD input: the pins are
+    exactly {edges, oriented}, and the values are untouched."""
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)])
+    rows = G.triangle_stats(e).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 2  # edges + oriented, NOT a second edges
+    assert {(r.vertex, r.triangles) for r in rows} == {
+        (1, 1), (2, 1), (3, 2), (4, 1), (5, 1)
+    }
+
+
+def test_pagerank_int_releases_support_checkpoints(spark):
+    """ADVICE r13: the fixed-iteration form pinned edges + deg +
+    directed for the session. It now releases an edge checkpoint it
+    created as soon as deg/directed are eager, and frees those two
+    behind a final vertex-sized rank barrier — only that rank stays."""
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)])
+    G.pagerank_int(e, iters=3).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 1  # the live rank checkpoint only

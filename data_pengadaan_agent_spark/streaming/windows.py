@@ -895,6 +895,7 @@ def foreach_batch_dq_gate_sink(
     quarantine_path: str,
     report_path: str,
     checkpoint: str,
+    fresh_checkpoint_ok: bool = False,
 ):
     """Streaming quality-gated ingest — the ELEVENTH streaming form:
     each micro-batch runs the declarative constraint suite
@@ -915,10 +916,42 @@ def foreach_batch_dq_gate_sink(
     otherwise be indistinguishable from legitimate source duplicates
     (self-review r12).
 
+    LIFETIME CONTRACT (ADVICE r13): the three output roots are keyed
+    on THIS checkpoint's epoch ids for the lifetime of the data. A
+    fresh checkpoint restarts epochs at 0, so pointing one at roots
+    that already hold data would dynamically overwrite the previous
+    run's _epoch=0 partition in the target root and DELETE it from
+    the sibling — silent cross-run data loss. That combination now
+    fails loudly at start; pass ``fresh_checkpoint_ok=True`` only to
+    deliberately re-adopt existing roots (e.g. simulating a replay in
+    tests), accepting that colliding epoch partitions are rewritten.
+
     Returns the started StreamingQuery; callers stop it."""
     from pyspark.sql import functions as FF
 
     from data_pengadaan_agent_spark.operators import dq as DQ
+
+    spark = stream_df.sparkSession
+    jvm_path_ = spark._jvm.org.apache.hadoop.fs.Path
+    hconf = spark._jsc.hadoopConfiguration()
+    offsets = jvm_path_(checkpoint + "/offsets")
+    if not fresh_checkpoint_ok and not offsets.getFileSystem(hconf).exists(offsets):
+        for root in (clean_path, quarantine_path, report_path):
+            p = jvm_path_(root)
+            rfs = p.getFileSystem(hconf)
+            if not rfs.exists(p):
+                continue
+            for st in rfs.listStatus(p):
+                if st.getPath().getName().startswith("_epoch="):
+                    raise ValueError(
+                        f"dq gate: checkpoint {checkpoint!r} is fresh but"
+                        f" output root {root!r} already holds epoch"
+                        " partitions from a previous run — epoch ids would"
+                        " restart at 0 and overwrite/delete that data."
+                        " Reuse the original checkpoint, point at fresh"
+                        " roots, or pass fresh_checkpoint_ok=True to"
+                        " re-adopt the roots deliberately."
+                    )
 
     def write_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():

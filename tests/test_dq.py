@@ -226,8 +226,12 @@ def test_streaming_dq_gate_replay_flip_leaves_one_copy(spark, tmp_path):
     q.stop()
     assert sorted(r.id for r in spark.read.parquet(quar).collect()) == [1, 2, 3]
 
+    # fresh_checkpoint_ok: this test deliberately re-adopts the roots
+    # with a new checkpoint to SIMULATE a same-checkpoint replay; in
+    # production the replay reuses ckpt1 (ADVICE r13 guard)
     q = SW.foreach_batch_dq_gate_sink(
-        make_stream(), relaxed, clean, quar, rep, str(tmp_path / "ckpt2")
+        make_stream(), relaxed, clean, quar, rep, str(tmp_path / "ckpt2"),
+        fresh_checkpoint_ok=True,
     )
     q.processAllAvailable()
     q.stop()
@@ -239,6 +243,73 @@ def test_streaming_dq_gate_replay_flip_leaves_one_copy(spark, tmp_path):
     except Exception:
         n_quar = 0
     assert n_quar == 0
+
+
+def test_streaming_dq_gate_fresh_checkpoint_over_live_roots_refuses(
+    spark, tmp_path
+):
+    """ADVICE r13: the epoch-partitioned layout keys everything on the
+    checkpoint's epoch ids — a fresh checkpoint against roots that
+    already hold _epoch partitions would restart at 0 and silently
+    overwrite (target) / delete (sibling) the previous run's data.
+    The sink must refuse at start, before any write."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    papq.write_table(
+        pa.table({
+            "id": pa.array([1], pa.int64()),
+            "price": pa.array([10.0], pa.float64()),
+        }),
+        os.path.join(src, "f1.parquet"),
+    )
+    clean = str(tmp_path / "clean")
+    quar = str(tmp_path / "quar")
+    rep = str(tmp_path / "rep")
+    # a previous run's epoch-0 partition lives in clean/
+    spark.range(1).selectExpr(
+        "id", "CAST(99.0 AS DOUBLE) AS price", "CAST(0 AS LONG) AS _epoch"
+    ).write.partitionBy("_epoch").parquet(clean)
+    old_rows = spark.read.parquet(clean).count()
+
+    def make_stream():
+        return (
+            spark.readStream.schema("id long, price double")
+            .format("parquet")
+            .load(src)
+        )
+
+    def rules(_b):
+        return [DQ.not_null("id")]
+
+    with pytest.raises(ValueError, match="fresh"):
+        SW.foreach_batch_dq_gate_sink(
+            make_stream(), rules, clean, quar, rep, str(tmp_path / "ckpt_new")
+        )
+    assert spark.read.parquet(clean).count() == old_rows  # untouched
+    # a genuine restart (checkpoint has offsets) is NOT blocked: run
+    # once with fresh roots, then start again on the SAME checkpoint
+    clean2, quar2, rep2 = (
+        str(tmp_path / "c2"), str(tmp_path / "q2"), str(tmp_path / "r2")
+    )
+    ck = str(tmp_path / "ckpt_real")
+    q = SW.foreach_batch_dq_gate_sink(
+        make_stream(), rules, clean2, quar2, rep2, ck
+    )
+    q.processAllAvailable()
+    q.stop()
+    q = SW.foreach_batch_dq_gate_sink(
+        make_stream(), rules, clean2, quar2, rep2, ck
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(clean2).count() == 1
 
 
 def test_replay_quarantine_releases_fixed_epochs(spark, tmp_path):

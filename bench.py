@@ -7,8 +7,12 @@ the one JSON line carrying all ~90 per-query timings was longer than
 that): stdout is EXACTLY ONE compact JSON line, kept under ~1800 chars
 — {"metric", "value" (total sec), "unit", "sf", "cold_total",
 "n_queries", "queries" (slowest-first, truncated to fit),
-"detail_file"}. The untruncated per-query map goes to BENCH_DETAIL.json
-next to this file and to stderr for humans.
+"detail_file"}. The untruncated per-query map goes to the detail file
+next to this script and to stderr for humans: BENCH_DETAIL_LAST.json
+(untracked) by default, BENCH_DETAIL.json — the committed canonical
+close lap — only when SPARK_GRAFT_CANONICAL=1 is set (or an explicit
+SPARK_GRAFT_DETAIL_FILE), so per-round driver laps no longer clobber
+the lap the judge diffs against.
 
 Timing = plan build + full execution + collect of the (small) result.
 """
@@ -225,7 +229,18 @@ def main() -> None:
         "rerun_anchor_samples": rerun_anchor_samples,
         "rerun_lap_factor": rerun_lap_factor,
     }
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    # VERDICT r13 ask #4: every round the driver's per-round lap
+    # overwrote the committed canonical close lap in BENCH_DETAIL.json
+    # (a dirty file at the boundary, and the judge's diff target was
+    # whichever lap ran last). Default to the untracked
+    # BENCH_DETAIL_LAST.json; the builder's canonical close lap sets
+    # SPARK_GRAFT_CANONICAL=1 to write the committed artifact.
+    detail_name = os.environ.get("SPARK_GRAFT_DETAIL_FILE") or (
+        "BENCH_DETAIL.json"
+        if os.environ.get("SPARK_GRAFT_CANONICAL")
+        else "BENCH_DETAIL_LAST.json"
+    )
+    detail_path = os.path.join(REPO, detail_name)
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -248,7 +263,7 @@ def main() -> None:
         "segment_factors": [s["factor"] for s in segment_factors],
         "queries": {},
         "sf": sf,
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": detail_name,
     }
     for name in sorted(times, key=lambda n: -times[n]):
         summary["queries"][name] = times[name]

@@ -231,9 +231,16 @@ def hist_quantile_bins(
     qs = F.explode(
         F.array(*[F.lit(int(q)) for q in q_ppm])
     ).alias("q_ppm")
+    # the quantile test widened to DECIMAL: cum·10^6 and q·total leave
+    # bigint headroom once a group passes ~9.2e12 rows (ANSI multiply
+    # would throw at 100 TB scale); decimal(38,0) keeps the comparison
+    # exact with 10^12× the headroom
     hit = (
         cum.select(*group_by, "bin", "cum_cnt", "total", qs)
-        .filter(F.col("cum_cnt") * F.lit(1_000_000) >= F.col("q_ppm") * F.col("total"))
+        .filter(
+            F.col("cum_cnt").cast("decimal(38,0)") * F.lit(1_000_000)
+            >= F.col("q_ppm").cast("decimal(38,0)") * F.col("total")
+        )
     )
     wq = Window.partitionBy(*group_by, "q_ppm").orderBy("bin") if group_by else (
         Window.partitionBy("q_ppm").orderBy("bin")

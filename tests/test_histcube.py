@@ -197,3 +197,24 @@ def test_nan_values_do_not_pollute_bin_zero(spark, tmp_path):
                       n_bins=64)
     cube = spark.read.parquet(f"{path}/cube").collect()
     assert {(r.bin, r.cnt) for r in cube} == {(6, 1)}  # only the real 10.0
+
+
+def test_quantile_comparison_survives_near_max_bigint_counts(spark, tmp_path):
+    """100 TB headroom (self-review r14): the quantile test multiplies
+    cum_cnt by 10^6 and q_ppm by total — as plain bigints those ANSI-
+    throw once a group passes ~9.2e12 rows. The comparison is now
+    DECIMAL(38,0); fabricated cube rows with ~4.6e18 counts per bin
+    must still answer, and with equal mass in bins 3 and 11 the median
+    bin is 3."""
+    df = spark.createDataFrame([(1, "a", 1.0)], "id LONG, g STRING, v DOUBLE")
+    path = str(tmp_path / "hc_big")
+    HC.build_hist_cube(df, path, dims=["g"], value_col="v", lo=0.0, hi=16.0, n_bins=16)
+    big = 4_600_000_000_000_000_000  # 4.6e18; two bins sum inside int64
+    spark.createDataFrame(
+        [("a", 3, big), ("a", 11, big)], "g STRING, bin INT, cnt LONG"
+    ).write.mode("overwrite").parquet(HC._paths(path)[0])
+    rows = HC.hist_quantile_bins(
+        spark, path, ["g"], q_ppm=[500_000, 1_000_000]
+    ).collect()
+    got = {r["q_ppm"]: (r["bin"], r["total"]) for r in rows}
+    assert got == {500_000: (3, 2 * big), 1_000_000: (11, 2 * big)}

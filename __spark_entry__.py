@@ -7722,14 +7722,18 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
               FROM tk GROUP BY 1
             ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
-            SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
+            SELECT doc_id, term, tf, df, CAST(score AS DECIMAL(38,0)) AS score,
                    CAST(rnk AS INTEGER) AS rnk
             FROM (
               SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-                     tf.tf * ((n.n_total * 1000000) // dfq.df) AS score,
+                     CAST(tf.tf AS HUGEINT)
+                       * ((CAST(n.n_total AS HUGEINT) * 1000000) // dfq.df)
+                       AS score,
                      row_number() OVER (
                        PARTITION BY tf.doc_id
-                       ORDER BY tf.tf * ((n.n_total * 1000000) // dfq.df) DESC,
+                       ORDER BY CAST(tf.tf AS HUGEINT)
+                                  * ((CAST(n.n_total AS HUGEINT) * 1000000)
+                                     // dfq.df) DESC,
                                 tf.term) AS rnk
               FROM tf JOIN dfq USING (term), n
             ) WHERE rnk <= 3
@@ -8294,7 +8298,8 @@ def _oracle_sql_impls() -> dict[str, str]:
             ), r AS (
               SELECT o.doc_id,
                      CAST(count(*) AS BIGINT) AS n_tokens,
-                     CAST(sum((n_total * 1000000) // tf) AS BIGINT) AS rarity_sum
+                     CAST(sum((CAST(n_total AS HUGEINT) * 1000000) // tf)
+                          AS DECIMAL(38,0)) AS rarity_sum
               FROM occ2 o JOIN tf USING (term), tot GROUP BY o.doc_id
             )
             SELECT doc_id, n_tokens, rarity_sum,

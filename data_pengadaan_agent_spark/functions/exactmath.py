@@ -1,0 +1,34 @@
+"""Exact integer arithmetic beyond int64 — the DECIMAL(38,0) idioms.
+
+The repo's determinism discipline keeps scores and ratios in exact
+integer arithmetic so DuckDB twins reproduce them bit-for-bit. Plain
+BIGINT runs out of headroom at target scale (a 100 TB text corpus is
+~2e13 tokens; n_total * 1_000_000 already exceeds int64), and the two
+obvious Spark escapes are both WRONG (probed live, round 14):
+
+- ``a DIV b`` on DECIMAL operands silently wraps to LongType —
+  9.2e24 DIV 7 returned −7907477943847822483 even under ANSI mode;
+- ``FLOOR(a / b)`` mis-rounds: decimal division rounds HALF_UP at
+  result scale (min 6), so a true quotient within 5e-7 below an
+  integer floors to the NEXT integer (5999999/3000000 -> 2, not 1).
+
+``(a - a % b) / b`` is the exact form: the remainder subtraction
+makes the true quotient an integer, so the scale-6 rounding of the
+division is exact, and the final CAST to DECIMAL(38,0) is lossless
+for quotients up to 38 digits. DuckDB's ``//`` on HUGEINT needs no
+such dance — twins just widen the operands.
+"""
+
+from __future__ import annotations
+
+
+def dec_idiv_sql(num_sql: str, den_sql: str) -> str:
+    """SQL-expression string for exact ``num DIV den`` computed in
+    DECIMAL(38,0) — see module docstring for why neither ``DIV`` nor
+    ``FLOOR(/)`` can be used on decimals. Operands must be
+    nonnegative (every ppm/score/count in the repo is); the numerator
+    is evaluated twice textually, which Catalyst common-subexpression
+    collapses and is one multiply regardless."""
+    a = f"CAST({num_sql} AS DECIMAL(38,0))"
+    b = f"CAST({den_sql} AS DECIMAL(38,0))"
+    return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"

@@ -129,10 +129,23 @@ def histogram_drift(
     trow = totals.collect()[0]
     if trow.n_a == 0 or trow.n_b == 0:
         raise ValueError("histogram_drift: both snapshots must be non-empty")
+    # per-bin shares in DECIMAL(38,0): cnt * 1e6 leaves int64 once a
+    # snapshot passes ~9.2e12 rows (self-review r14, exactmath); each
+    # share is <= 1e6 so the bigint difference/sum are unchanged
+    from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+
     per_bin = joined.select(
         F.abs(
-            F.expr(f"cnt_a * 1000000 DIV {int(trow.n_a)}")
-            - F.expr(f"cnt_b * 1000000 DIV {int(trow.n_b)}")
+            F.expr(
+                dec_idiv_sql(
+                    "CAST(cnt_a AS DECIMAL(38,0)) * 1000000", str(int(trow.n_a))
+                )
+            )
+            - F.expr(
+                dec_idiv_sql(
+                    "CAST(cnt_b AS DECIMAL(38,0)) * 1000000", str(int(trow.n_b))
+                )
+            )
         )
         .cast("bigint")
         .alias("_d")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+
 # Tiny embedded stopword list (the reference's list is not shipped;
 # this one covers the fixture corpus + common English fillers).
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -1069,7 +1071,10 @@ def tfidf_top_terms(
     floating ``ln(N/df)`` (whose last-ulp libm drift across engines
     would break value-hash verification), the score is
     ``tf * ((N * 1_000_000) DIV df)`` — integer division, strictly
-    decreasing in df, identical on any SQL engine. Ranking behavior
+    decreasing in df, identical on any SQL engine — computed in
+    DECIMAL(38,0) because the product leaves int64 well inside the
+    design envelope (a df=1 term repeated 93× at 1e11 docs;
+    self-review r14, ``functions.exactmath``). Ranking behavior
     matches 1/df-weighted tf·idf; swap the expression for
     ``ln((N+1)/(df+1))`` when cross-engine equality is not required.
 
@@ -1094,13 +1099,29 @@ def tfidf_top_terms(
         # garbage and |vocabulary| grows with the corpus
         tf.join(dfreq.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(n_total))
-        .withColumn("score", F.expr("tf * ((n_total * 1000000) DIV df)"))
+        # DECIMAL(38,0) end to end (self-review r14): the idf proxy is
+        # n_total*1e6 (past int64 at ~9.2e12 docs) and the tf multiply
+        # overflows far earlier (a df=1 term repeated 93x at 1e11 docs)
+        .withColumn(
+            "score",
+            F.expr(
+                "CAST(tf AS DECIMAL(38,0)) * "
+                + dec_idiv_sql("CAST(n_total AS DECIMAL(38,0)) * 1000000", "df")
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
-        .select(id_col, "term", "tf", "df", F.col("score").cast("bigint").alias("score"), "rnk")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.col("score").cast("decimal(38,0)").alias("score"),
+            "rnk",
+        )
     )
 
 
@@ -1487,14 +1508,22 @@ def ngram_lm_score(
             "left",
         )
         .crossJoin(F.broadcast(n_total))
+        # both branches in DECIMAL(38,0): c2/c1 are corpus token counts
+        # (c2 * 1e6 leaves int64 past ~9.2e12 reference tokens — inside
+        # the design envelope; self-review r14, functions.exactmath).
+        # The per-occurrence score itself is <= 1e6, so the final
+        # bigint lm_sum below is unchanged in type and value.
         .withColumn(
             "_s",
             F.expr(
-                "CASE WHEN c2 IS NOT NULL"
-                "     THEN (c2 * 1000000) DIV _c1w1 "
-                "     WHEN _c1w2 IS NOT NULL"
-                "     THEN (2 * _c1w2 * 1000000) DIV (5 * n_total) "
-                "     ELSE CAST(0 AS BIGINT) END"
+                "CASE WHEN c2 IS NOT NULL THEN "
+                + dec_idiv_sql("CAST(c2 AS DECIMAL(38,0)) * 1000000", "_c1w1")
+                + " WHEN _c1w2 IS NOT NULL THEN "
+                + dec_idiv_sql(
+                    "2 * CAST(_c1w2 AS DECIMAL(38,0)) * 1000000",
+                    "5 * CAST(n_total AS DECIMAL(38,0))",
+                )
+                + " ELSE CAST(0 AS BIGINT) END"
             ),
         )
     )
@@ -1523,8 +1552,12 @@ def token_rarity(
     Rarity of one token occurrence = ``(n_total_tokens * 1e6) DIV tf``
     — the same integer idf-proxy discipline as tfidf_top_terms/bm25
     (a true ln-perplexity needs libm and would not value-check across
-    engines). ``mean_rarity`` is ONE double division of two exact
-    BIGINTs, so it is bit-identical on any IEEE engine.
+    engines), computed in DECIMAL(38,0) because ``n_total * 1e6``
+    leaves int64 once the corpus passes ~9.2e12 tokens — roughly
+    50 TB of text, i.e. INSIDE the design envelope (self-review r14;
+    ``functions.exactmath`` documents why DIV/FLOOR can't widen).
+    ``mean_rarity`` is ONE double division of two exact integers, so
+    it is bit-identical on any IEEE engine.
 
     Scale shape: explode → (term) partial-agg shuffle for corpus term
     frequencies → join back on term — pinned ``shuffle_hash`` because
@@ -1543,11 +1576,16 @@ def token_rarity(
     return (
         occ.join(tf.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(total))
-        .withColumn("rarity", F.expr("(n_total * 1000000) DIV tf"))
+        .withColumn(
+            "rarity",
+            F.expr(
+                dec_idiv_sql("CAST(n_total AS DECIMAL(38,0)) * 1000000", "tf")
+            ),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("rarity").cast("bigint").alias("rarity_sum"),
+            F.sum("rarity").cast("decimal(38,0)").alias("rarity_sum"),
         )
         .withColumn(
             "mean_rarity",

@@ -1,0 +1,51 @@
+"""dec_idiv_sql: exact integer division in DECIMAL(38,0) — the idiom
+that replaces DIV (silently wraps decimals to LongType) and
+FLOOR(a/b) (mis-rounds quotients within 5e-7 of an integer) for
+beyond-int64 score arithmetic (tfidf_top_terms, token_rarity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+
+CASES = [
+    # (num, den) — truth is Python's //
+    (9_200_000_000_000_000_000 * 1_000_000, 7),
+    (5_999_999, 3_000_000),           # FLOOR would round to 2, truth 1
+    (19_999_999_999_999, 10_000_000_000_000),  # same trap, bigger
+    (0, 5),
+    (10**24, 999_999_937),
+    (10**24 + 1, 10**12),
+]
+
+
+def test_matches_python_floordiv_beyond_int64(spark):
+    exprs = ", ".join(
+        f"{dec_idiv_sql(f'CAST({n} AS DECIMAL(38,0))', str(d))} AS q{i}"
+        for i, (n, d) in enumerate(CASES)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, (n, d) in enumerate(CASES):
+        assert int(row[f"q{i}"]) == n // d, (n, d)
+
+
+def test_spark_div_on_decimals_still_wraps(spark):
+    """The reason this module exists: if a Spark upgrade ever makes
+    decimal DIV exact, this xfail-style pin flags that dec_idiv_sql
+    can be simplified."""
+    v = spark.sql(
+        "SELECT (CAST(9200000000000000000 AS DECIMAL(38,0)) * 1000000) DIV 7 AS b"
+    ).collect()[0]["b"]
+    truth = (9_200_000_000_000_000_000 * 1_000_000) // 7
+    assert v != truth, "decimal DIV became exact — simplify dec_idiv_sql"
+
+
+def test_rarity_and_tfidf_survive_beyond_int64_totals(spark):
+    """End-to-end: fabricate the overflow arithmetic the operators now
+    run — a DECIMAL n_total at 2e13 (a ~100 TB corpus's token count)
+    times 1e6 divided by small tf must match Python exactly."""
+    n_total, tf = 20_000_000_000_000, 3
+    q = dec_idiv_sql(f"CAST({n_total} AS DECIMAL(38,0)) * 1000000", str(tf))
+    got = int(spark.sql(f"SELECT {q} AS r").collect()[0]["r"])
+    assert got == (n_total * 1_000_000) // tf

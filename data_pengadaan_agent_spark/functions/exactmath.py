@@ -25,10 +25,12 @@ from __future__ import annotations
 def dec_idiv_sql(num_sql: str, den_sql: str) -> str:
     """SQL-expression string for exact ``num DIV den`` computed in
     DECIMAL(38,0) — see module docstring for why neither ``DIV`` nor
-    ``FLOOR(/)`` can be used on decimals. Operands must be
-    nonnegative (every ppm/score/count in the repo is); the numerator
-    is evaluated twice textually, which Catalyst common-subexpression
-    collapses and is one multiply regardless."""
+    ``FLOOR(/)`` can be used on decimals. Truncates toward zero for
+    ANY sign combination, exactly like integral DIV and DuckDB's
+    ``//`` (Spark's ``%`` is the truncated remainder, so the
+    subtraction lands on the toward-zero multiple; all four sign
+    cases probed live r14). The numerator is evaluated twice
+    textually, which Catalyst common-subexpression collapses."""
     a = f"CAST({num_sql} AS DECIMAL(38,0))"
     b = f"CAST({den_sql} AS DECIMAL(38,0))"
     return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"

@@ -261,17 +261,28 @@ def group_trend(
             F.sum(y * y).cast("decimal(38,0)").alias("_syy"),
         )
     )
+    # dec_idiv_sql, not a bare DIV (self-review r14): Spark's DIV on
+    # decimal operands wraps past-int64 quotients silently through
+    # LongType, and a near-constant-x group can push 1e6*cov/var past
+    # int64 — the twin's HUGEINT // would then diverge without a
+    # single loud error. dec_idiv truncates toward zero for all sign
+    # combinations, exactly like DIV/`//` (negative-slope case pinned).
+    from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+
+    _num = "CAST(1000000 AS DECIMAL(38,0)) * (_n * _sxy - _sx * _sy)"
+    _stage1 = dec_idiv_sql(_num, "_n * _sxx - _sx * _sx")
     slope = F.expr(
         "CASE WHEN (_n * _sxx - _sx * _sx) = 0 THEN NULL ELSE "
-        "(CAST(1000000 AS DECIMAL(38,0)) * (_n * _sxy - _sx * _sy)) "
-        "DIV (_n * _sxx - _sx * _sx) END"
+        f"{_stage1} END"
     )
     r2 = F.expr(
         "CASE WHEN (_n * _sxx - _sx * _sx) = 0 "
         "OR (_n * _syy - _sy * _sy) = 0 THEN NULL ELSE "
-        "(((CAST(1000000 AS DECIMAL(38,0)) * (_n * _sxy - _sx * _sy)) "
-        "DIV (_n * _sxx - _sx * _sx)) * (_n * _sxy - _sx * _sy)) "
-        "DIV (_n * _syy - _sy * _sy) END"
+        + dec_idiv_sql(
+            f"({_stage1}) * (_n * _sxy - _sx * _sy)",
+            "_n * _syy - _sy * _sy",
+        )
+        + " END"
     )
     return agg.select(
         F.col(group_col),

@@ -310,13 +310,20 @@ def bm25_from_index(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
         F.sum("dl").cast("bigint").alias("_sum_dl"),
     )
+    # dec_idiv_sql, not a bare DIV (self-review r14): Spark's DIV on
+    # decimal operands silently wraps past-int64 quotients through
+    # LongType — same construct and bound as textan's
+    # _bm25_contrib_frame; values identical, overflow now loud.
+    from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+
     contrib = F.expr(
-        f"""(CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
-             * CAST({coef_a} AS DECIMAL(38,0)) * tf * _sum_dl)
-            DIV
-            (CAST({scale_l} AS DECIMAL(38,0)) * tf * _sum_dl
+        dec_idiv_sql(
+            f"""CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
+             * CAST({coef_a} AS DECIMAL(38,0)) * tf * _sum_dl""",
+            f"""CAST({scale_l} AS DECIMAL(38,0)) * tf * _sum_dl
              + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
-             + CAST({coef_c} AS DECIMAL(38,0)) * dl * _n_docs)"""
+             + CAST({coef_c} AS DECIMAL(38,0)) * dl * _n_docs""",
+        )
     )
     scored = (
         posts.join(F.broadcast(qterms), "t")

@@ -1268,13 +1268,20 @@ def _bm25_contrib_frame(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
         F.sum(F.size(toks)).cast("bigint").alias("_sum_dl"),
     )
+    # dec_idiv_sql, not a bare DIV: Spark's DIV on decimal operands
+    # routes the exact quotient through LongType and silently WRAPS
+    # past int64 (probed r14, functions.exactmath). The contribution
+    # bound below keeps the quotient int64-safe through N ~ 1.2e12
+    # docs, so values are identical — but beyond the bound the failure
+    # is now a loud ANSI cast error instead of a wrapped negative.
     contrib = F.expr(
-        f"""(CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
-             * CAST({coef_a} AS DECIMAL(38,0)) * _tf * _sum_dl)
-            DIV
-            (CAST({scale_l} AS DECIMAL(38,0)) * _tf * _sum_dl
+        dec_idiv_sql(
+            f"""CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
+             * CAST({coef_a} AS DECIMAL(38,0)) * _tf * _sum_dl""",
+            f"""CAST({scale_l} AS DECIMAL(38,0)) * _tf * _sum_dl
              + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
-             + CAST({coef_c} AS DECIMAL(38,0)) * _dl * _n_docs)"""
+             + CAST({coef_c} AS DECIMAL(38,0)) * _dl * _n_docs""",
+        )
     )
     return (
         tf.join(F.broadcast(qterms), "t")
@@ -2335,10 +2342,15 @@ def collocations(
         .select("bigram", "cnt", "_c1", F.col("c").alias("_c2"))
         .crossJoin(F.broadcast(tot))
     )
+    # dec_idiv_sql, not a bare DIV (self-review r14): decimal DIV
+    # wraps past-int64 quotients silently; the lift quotient is
+    # <= 1e6*N/min_count, past int64 around N ~ 2.8e13 tokens
     lift = F.expr(
-        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(_n_total AS DECIMAL(38,0))"
-        " * CAST(cnt AS DECIMAL(38,0)))"
-        " DIV (CAST(_c1 AS DECIMAL(38,0)) * CAST(_c2 AS DECIMAL(38,0)))"
+        dec_idiv_sql(
+            "CAST(1000000 AS DECIMAL(38,0)) * CAST(_n_total AS DECIMAL(38,0))"
+            " * CAST(cnt AS DECIMAL(38,0))",
+            "CAST(_c1 AS DECIMAL(38,0)) * CAST(_c2 AS DECIMAL(38,0))",
+        )
     )
     w = Window.orderBy(F.desc("lift_ppm"), F.asc("bigram"))
     return (

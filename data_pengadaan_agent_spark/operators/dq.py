@@ -17,11 +17,16 @@ Spark-first compilation strategy — the part that matters at scale:
   pass however many rules you declare);
 - ``unique`` needs its own groupBy exchange on the key columns
   (count>1 groups), one per distinct key set;
-- ``referential`` needs one left-anti join per foreign key, built
-  broadcast when the dimension is broadcastable.
+- ``referential`` needs one join per foreign key (a LEFT join against
+  the marked distinct dimension keys, so orphan count and checked
+  count come from the same pass), built broadcast when the dimension
+  is broadcastable.
 
 So a 12-rule suite over a fact table costs one scan + one exchange
-per uniqueness key + one join per FK — not 12 scans.
+per uniqueness key + one join per FK — not 12 scans (self-review
+r14 made this literal: the violations/checked pair for unique and
+referential used to be two separate aggregations, i.e. two fact
+scans per rule).
 
 All outputs are exact integers (violations, checked) — the report is
 oracle-certifiable value-for-value.
@@ -152,38 +157,47 @@ def dq_check(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     for r in rules:
         if r.kind == "unique":
-            cols = r.payload["cols"]
-            dup = (
-                df.groupBy(*cols)
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .filter(F.col("_c") > 1)
-                .agg(
-                    F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("violations")
-                )
+            # ONE scan + one exchange (self-review r14: the previous
+            # violations-aggregate + separate row-count crossJoin
+            # scanned the fact table twice per unique rule — the
+            # docstring's cost model said once): both numbers fold
+            # over the SAME grouped frame, since Σ_c = row count and
+            # Σ_c over duplicated groups = violations.
+            g = df.groupBy(*r.payload["cols"]).agg(
+                F.count(F.lit(1)).alias("_c")
             )
-            total = df.agg(F.count(F.lit(1)).cast("bigint").alias("checked"))
+            both = g.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)
+                ).cast("bigint").alias("violations"),
+                F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("checked"),
+            )
             parts.append(
-                dup.crossJoin(total).select(
-                    F.lit(r.name).alias("rule"), "violations", "checked"
-                )
+                both.select(F.lit(r.name).alias("rule"), "violations", "checked")
             )
         elif r.kind == "referential":
+            # ONE fk scan (self-review r14, same defect class): the
+            # anti-join count + separate fk count scanned the fact
+            # table twice per FK rule. A left join against the marked
+            # dimension keys yields both counts in one pass — an
+            # unmatched fk is an orphan, every row is checked.
             fk = df.select(r.col).filter(F.col(r.col).isNotNull())
             dim_keys = (
                 r.payload["dim"]
                 .select(F.col(r.payload["pk"]).alias(r.col))
                 .distinct()
+                .withColumn("_hit", F.lit(1))
             )
             if r.payload.get("broadcast", True):
                 dim_keys = F.broadcast(dim_keys)
-            orphans = fk.join(dim_keys, r.col, "left_anti").agg(
-                F.count(F.lit(1)).cast("bigint").alias("violations")
+            both = fk.join(dim_keys, r.col, "left").agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit").isNull(), 1)), F.lit(0)
+                ).cast("bigint").alias("violations"),
+                F.count(F.lit(1)).cast("bigint").alias("checked"),
             )
-            total = fk.agg(F.count(F.lit(1)).cast("bigint").alias("checked"))
             parts.append(
-                orphans.crossJoin(total).select(
-                    F.lit(r.name).alias("rule"), "violations", "checked"
-                )
+                both.select(F.lit(r.name).alias("rule"), "violations", "checked")
             )
         elif r.kind not in _ROW_LOCAL:
             raise ValueError(f"dq_check: unknown rule kind {r.kind!r}")
@@ -310,6 +324,18 @@ def replay_quarantine(
                 epoch_col
             ).parquet(clean_path)
             released.append(ep)
+        # free this epoch's checkpoints before the next iteration
+        # (self-review r14): both frames are fully consumed by the
+        # writes above, and without the release a long quarantine
+        # pins every epoch's full batch in executor storage for the
+        # session (the pagerank_int_converged lesson — the RDD handle,
+        # not DataFrame.unpersist, frees localCheckpoint blocks)
+        from data_pengadaan_agent_spark.operators.graph import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(report)
+        _release_local_checkpoint(batch)
     if released:
         # raw collected epoch values, NOT int()-coerced (ADVICE r11:
         # string/timestamp epoch columns were already read fine above;

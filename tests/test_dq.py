@@ -79,9 +79,13 @@ def test_row_local_rules_compile_to_one_scan(spark, tmp_path, frame):
 
 
 def test_referential_broadcasts_dimension(frame, dim):
+    # self-review r14: orphans + checked now come from ONE pass — a
+    # broadcast LEFT join against the marked dim keys, not an
+    # anti-join plus a second fact scan
     rep = DQ.dq_check(frame, [DQ.referential("ref", dim, "pk")])
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert plan.count("Scan ExistingRDD") <= 2  # fact once + dim once
 
 
 def test_clean_table_all_zero(spark):
@@ -417,7 +421,8 @@ def test_referential_big_dim_can_shuffle(frame, dim):
         frame, [DQ.referential("ref", dim, "pk", broadcast_dim=False)]
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan
+    # non-broadcast path: a shuffled LEFT join, still one fact pass
+    assert "LeftOuter" in plan and "BroadcastHashJoin" not in plan
     assert {r.violations for r in rep.collect()} == {1}
 
 

@@ -167,12 +167,23 @@ def learn_bpe_merges(
                 F.col("mcnt").alias("pair_count"),
             )
         )
+        prev_vocab = vocab
         vocab = (
             vocab.crossJoin(F.broadcast(m))
             .withColumn("syms", F.expr(merge_fold_sql("spark", "mx", "my")))
             .drop("mx", "my", "mcnt")
             .localCheckpoint(eager=True)
         )
+        # the new eager checkpoint fully consumed the old vocab —
+        # release it (self-review r14): without this every merge round
+        # pinned a full word-vocabulary copy for the session. The
+        # 1-row `m` checkpoints stay — the final merge-table union
+        # still reads them.
+        from data_pengadaan_agent_spark.operators.graph import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(prev_vocab)
     if return_vocab:
         return vocab.select("w", "n", "syms")
     if not merges:

@@ -119,6 +119,7 @@ def _kcenter_select(
     centers = [[int(v) for v in seed["q"]]]
     state = None
     for t in range(1, k):
+        prev = state
         if state is None:
             state = base.withColumn("mind", _dist_to(centers[-1]))
         else:
@@ -126,6 +127,16 @@ def _kcenter_select(
                 "mind", F.least(F.col("mind"), _dist_to(centers[-1]))
             )
         state = state.localCheckpoint(eager=True)
+        # release the superseded pass's checkpoint (self-review r14 —
+        # the pagerank_int_converged lesson: DataFrame.unpersist is a
+        # no-op for localCheckpoint blocks, and without the release
+        # k-1 full (vid, q, mind) copies stay pinned for the session)
+        if prev is not None:
+            from data_pengadaan_agent_spark.operators.graph import (
+                _release_local_checkpoint,
+            )
+
+            _release_local_checkpoint(prev)
         taken = [p[1] for p in picked]
         far = (
             state.filter(~F.col("vid").isin(taken))

@@ -524,6 +524,16 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        # the changed-count was the old checkpoint's last consumer —
+        # release it (self-review r14, the pagerank_int_converged
+        # lesson) instead of pinning one node-sized copy per round;
+        # round 1's `labels` is a plain select, not a checkpoint, and
+        # _release_local_checkpoint no-ops on it by plan shape
+        from data_pengadaan_agent_spark.operators.graph import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -485,3 +485,20 @@ def test_coverage_sampled_deterministic_under_duplicate_ids(spark):
     c = CS.kcenter_coverage_sampled(df.orderBy(F.desc("vec_id")), k=3,
                                     sample_frac=1.0).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b] == [tuple(r) for r in c]
+
+
+def test_kcenter_loop_releases_superseded_state(spark):
+    """Self-review r14: the greedy loop frees each pass's superseded
+    (vid, q, mind) checkpoint — growth is one live state frame, not
+    k-1 full vector-frame copies."""
+    from data_pengadaan_agent_spark.operators import coreset as CS
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(40)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    rows = CS.kcenter_coreset(df, k=8).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert len(rows) == 8
+    assert after - before <= 1  # the live state only

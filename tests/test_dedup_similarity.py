@@ -391,3 +391,22 @@ def test_minhash_banding_validation(spark):
         D.minhash_lsh_pairs(df, n_hashes=32, bands=64)
     with pytest.raises(ValueError, match="divide"):
         D.minhash_lsh_pairs_arith(df, n_hashes=20, bands=8)
+
+
+def test_cc_loop_releases_superseded_label_checkpoints(spark):
+    """Self-review r14 (the pagerank_int_converged lesson applied to
+    the min-label CC loop): each round's superseded labels checkpoint
+    is freed once the convergence count has consumed it — growth is
+    the live handles (edges + final labels), not one copy per round."""
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(12)], "doc_id LONG, text STRING"
+    )
+    # a path graph: diameter 11 forces many propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a LONG, id_b LONG"
+    )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    out = D.dedup_clusters(docs, pairs, max_iter=20).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert {r["cluster_rep"] for r in out} == {0}  # one component, min id
+    assert after - before <= 2  # edges + live labels, not per-round

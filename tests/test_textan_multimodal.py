@@ -1123,3 +1123,21 @@ def test_bm25_terms_are_case_normalized(tables):
     up = {r.doc_id: r.bm25 for r in bm25_score(df, ["Spark"]).collect()}
     lo = {r.doc_id: r.bm25 for r in bm25_score(df, ["spark"]).collect()}
     assert up == lo and up[1] > 0
+
+
+def test_bpe_training_releases_superseded_vocab_checkpoints(spark):
+    """Self-review r14: each merge round frees the superseded
+    word-vocabulary checkpoint (the 1-row merge frames stay — the
+    final merge table unions them). Growth is bounded by
+    k (merge rows) + the live vocab, never 2 vocab copies per round."""
+    from data_pengadaan_agent_spark.operators import bpe as B
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest slow slower"), (2, "low slow lower")],
+        "doc_id LONG, text STRING",
+    )
+    k = 4
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    B.learn_bpe_merges(docs, k=k).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= k + 1

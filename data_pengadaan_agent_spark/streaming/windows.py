@@ -211,18 +211,69 @@ def enrich_events_stream(events: DataFrame, dim: DataFrame, on: str = "event_typ
     return events.join(F.broadcast(dim), on)
 
 
+def _guard_fresh_checkpoint_roots(
+    stream_df: DataFrame,
+    checkpoint: str,
+    roots: tuple[str, ...],
+    what: str,
+    fresh_checkpoint_ok: bool,
+) -> None:
+    """Refuse to start an epoch-partitioned sink with a FRESH
+    checkpoint over output roots that already hold _epoch partitions
+    (ADVICE r13, generalized in r14 to every epoch-overwrite sink):
+    epoch ids restart at 0 with a new checkpoint, and the dynamic
+    overwrite would silently destroy the previous run's partitions.
+    Output roots are paired with one checkpoint location for the
+    lifetime of the data; ``fresh_checkpoint_ok=True`` re-adopts
+    existing roots deliberately (replay simulations), accepting that
+    colliding epoch partitions are rewritten."""
+    if fresh_checkpoint_ok:
+        return
+    spark = stream_df.sparkSession
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    hconf = spark._jsc.hadoopConfiguration()
+    offsets = jvm_path(checkpoint + "/offsets")
+    if offsets.getFileSystem(hconf).exists(offsets):
+        return  # a genuine restart — epoch ids continue
+    for root in roots:
+        p = jvm_path(root)
+        rfs = p.getFileSystem(hconf)
+        if not rfs.exists(p):
+            continue
+        for st in rfs.listStatus(p):
+            if st.getPath().getName().startswith("_epoch="):
+                raise ValueError(
+                    f"{what}: checkpoint {checkpoint!r} is fresh but output"
+                    f" root {root!r} already holds epoch partitions from a"
+                    " previous run — epoch ids would restart at 0 and"
+                    " overwrite/delete that data. Reuse the original"
+                    " checkpoint, point at fresh roots, or pass"
+                    " fresh_checkpoint_ok=True to re-adopt the roots"
+                    " deliberately."
+                )
+
+
 def foreach_batch_parquet_sink(
-    stream_df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    fresh_checkpoint_ok: bool = False,
 ):
     """foreachBatch sink: per micro-batch, write the batch DataFrame
     to parquet stamped with the epoch id. Combined with the streaming
     checkpoint this gives effectively-once file output: a replayed
     epoch rewrites the SAME _epoch partition (dynamic partition
     overwrite) instead of duplicating rows — the standard idempotent
-    foreachBatch recipe for sinks without native exactly-once.
+    foreachBatch recipe for sinks without native exactly-once. The
+    path is paired with the checkpoint for the data's lifetime
+    (``_guard_fresh_checkpoint_roots``).
 
     Returns the started StreamingQuery; callers stop it (tests use
     processAllAvailable)."""
+    _guard_fresh_checkpoint_roots(
+        stream_df, checkpoint, (path,), "parquet sink", fresh_checkpoint_ok
+    )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         (
@@ -249,6 +300,7 @@ def foreach_batch_dup_span_sink(
     max_ppm: int = 500_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fresh_checkpoint_ok: bool = False,
 ):
     """Streaming exact-substring dedup gate — the dup-span family's
     ingest deployment: each micro-batch is appended to the maintained
@@ -276,6 +328,9 @@ def foreach_batch_dup_span_sink(
     index build and read from its meta, never passed per batch.
 
     Returns the started StreamingQuery; callers stop it."""
+    _guard_fresh_checkpoint_roots(
+        stream_df, checkpoint, (path,), "dup-span sink", fresh_checkpoint_ok
+    )
     from data_pengadaan_agent_spark.operators import dupindex as DI
     from data_pengadaan_agent_spark.operators.textan import tokens
 
@@ -347,6 +402,7 @@ def foreach_batch_classify_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     arith_hash: bool = False,
+    fresh_checkpoint_ok: bool = False,
 ):
     """The xxhash64 path of the streaming quality gate: score each
     micro-batch with the BATCH ``quality_classifier`` inside
@@ -364,6 +420,9 @@ def foreach_batch_classify_sink(
     every epoch's broadcast join.
 
     Returns the started StreamingQuery; callers stop it."""
+    _guard_fresh_checkpoint_roots(
+        stream_df, checkpoint, (path,), "classify sink", fresh_checkpoint_ok
+    )
     from data_pengadaan_agent_spark.operators.textan import (
         quality_classifier,
     )
@@ -931,27 +990,13 @@ def foreach_batch_dq_gate_sink(
 
     from data_pengadaan_agent_spark.operators import dq as DQ
 
-    spark = stream_df.sparkSession
-    jvm_path_ = spark._jvm.org.apache.hadoop.fs.Path
-    hconf = spark._jsc.hadoopConfiguration()
-    offsets = jvm_path_(checkpoint + "/offsets")
-    if not fresh_checkpoint_ok and not offsets.getFileSystem(hconf).exists(offsets):
-        for root in (clean_path, quarantine_path, report_path):
-            p = jvm_path_(root)
-            rfs = p.getFileSystem(hconf)
-            if not rfs.exists(p):
-                continue
-            for st in rfs.listStatus(p):
-                if st.getPath().getName().startswith("_epoch="):
-                    raise ValueError(
-                        f"dq gate: checkpoint {checkpoint!r} is fresh but"
-                        f" output root {root!r} already holds epoch"
-                        " partitions from a previous run — epoch ids would"
-                        " restart at 0 and overwrite/delete that data."
-                        " Reuse the original checkpoint, point at fresh"
-                        " roots, or pass fresh_checkpoint_ok=True to"
-                        " re-adopt the roots deliberately."
-                    )
+    _guard_fresh_checkpoint_roots(
+        stream_df,
+        checkpoint,
+        (clean_path, quarantine_path, report_path),
+        "dq gate",
+        fresh_checkpoint_ok,
+    )
 
     def write_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -894,3 +894,36 @@ def test_sessionize_batch_boundary_matches_native(spark):
         .count()
         == 2
     )
+
+
+def test_parquet_sink_fresh_checkpoint_over_live_root_refuses(spark, tmp_path):
+    """The ADVICE-r13 dq-gate guard, generalized (r14) to every
+    epoch-overwrite sink: a fresh checkpoint over a root that already
+    holds _epoch partitions refuses at start instead of silently
+    overwriting the previous run's epoch-0 partition."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import pytest
+
+    from data_pengadaan_agent_spark.streaming import windows as SW
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    papq.write_table(pa.table({"v": pa.array([1], pa.int64())}),
+                     os.path.join(src, "f.parquet"))
+    sink = str(tmp_path / "sink")
+    spark.range(1).selectExpr("id AS v", "CAST(0 AS LONG) AS _epoch").write \
+        .partitionBy("_epoch").parquet(sink)
+
+    stream = spark.readStream.schema("v long").format("parquet").load(src)
+    with pytest.raises(ValueError, match="fresh"):
+        SW.foreach_batch_parquet_sink(stream, sink, str(tmp_path / "ck_new"))
+    # deliberate re-adoption still works
+    q = SW.foreach_batch_parquet_sink(
+        stream, sink, str(tmp_path / "ck_new"), fresh_checkpoint_ok=True
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(sink).count() >= 1

@@ -95,7 +95,7 @@ HEADLINERS = {
     "bloom_fill_report": "filter saturation: bit_or group + bit_count fold over geometry-sized word rows, never the corpus",
     "graph_triangles": "degree-ordered triangle census: oriented wedge join bounded by out-degree O(sqrt m), left-semi closure",
     "graph_pagerank": "integer PageRank: two contribution shuffles on the vertex key, rank DIV degree — no float anywhere",
-    "dq_report": "constraint suite: ONE scan for all row-local rules (stack over a single agg), one unique exchange, one broadcast FK anti-join",
+    "dq_report": "constraint suite: ONE scan for all row-local rules (stack over a single agg), one one-pass unique exchange, one broadcast FK LEFT join (orphans + checked from the same pass, r14)",
     "cms_freq": "Count-Min point lookups: driver-side slots -> literal-filtered counter scan, min-over-rows fold",
     "retention_cohorts": "cohort matrix: distinct (user,period) + min-period, both exchanges on the user key",
     "event_transitions": "transition matrix: one user-keyed lag window + a tiny from-type share window",

@@ -423,7 +423,14 @@ def _value_rows(spark: SparkSession, files: list[str], col: str) -> DataFrame:
                 for v in sorted(str(x) for x in vals if x is not None):
                     out["file"].append(fname)
                     out["value"].append(v)
-                if None in vals:
+                # the NULL row doubles as the EMPTY-file marker
+                # (self-review r14): a 0-row file used to emit nothing,
+                # so a FRESH index read it back as 'unmapped' and the
+                # pruned scan raised a misleading stale-index error.
+                # A NULL value never matches an IN list, so the empty
+                # file correctly prunes — which is lossless: it has no
+                # rows to lose.
+                if None in vals or not vals:
                     out["file"].append(fname)
                     out["value"].append(None)
             yield pd.DataFrame(out)

@@ -319,3 +319,27 @@ def test_zorder_composition_prunes_on_both_columns(spark, tmp_path):
         .collect()
     )
     assert got == want and len(want) == 64
+
+
+def test_valueset_index_covers_empty_files(spark, tmp_path):
+    """Self-review r14: a 0-row parquet file emitted no existence rows,
+    so a FRESH index read it back as 'unmapped' and the pruned scan
+    raised a misleading stale-index error. The NULL row now doubles as
+    the empty-file marker: the file correctly (and losslessly) prunes,
+    and repair treats it as already mapped."""
+    from pyspark.sql import functions as FF
+
+    data = str(tmp_path / "vs_data")
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "id LONG, status STRING"
+    ).coalesce(1).write.mode("append").parquet(data)
+    # an empty file with the same schema
+    spark.createDataFrame([], "id LONG, status STRING").coalesce(1).write.mode(
+        "append"
+    ).parquet(data)
+    vs = str(tmp_path / "vs_idx")
+    n_files = len(Z._data_files(data))
+    assert Z.build_valueset_index(spark, data, vs, "status") == n_files
+    out = Z.valueset_pruned_scan(spark, data, vs, ["A"])
+    assert [r.id for r in out.collect()] == [1]
+    assert Z.repair_valueset_index(spark, data, vs) == 0  # nothing unmapped

@@ -69,6 +69,23 @@ def rerun_trigger(anchor_spread: float, lap_factor: float) -> str | None:
     return None
 
 
+def run_laps(lap_fn, laps: int):
+    """Cold lap (always anchored) + optional warm lap. Returns
+    (times, anchor_points, cold_total). Factored out of main so the
+    slow-host branch is unit-pinned: when the cold lap blows the 300 s
+    warm-lap budget, the cold lap's OWN anchor samples must carry the
+    lap-factor bookkeeping — before r14 they did not exist (the cold
+    lap was only anchored in single-lap mode) and the bench died on
+    an empty-median IndexError with zero JSON emitted, exactly on the
+    hosts slow enough to need the self-labeling."""
+    times, anchor_points = lap_fn(True)
+    cold_total = round(sum(t for t in times.values() if t >= 0), 3)
+    if laps > 1 and cold_total < 300:
+        warm, anchor_points = lap_fn(True)
+        times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
+    return times, anchor_points, cold_total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as E
@@ -133,12 +150,9 @@ def main() -> None:
     # warm lap already blew the time budget, record it instead of
     # doubling the wall clock. SPARK_GRAFT_BENCH_LAPS=1 forces cold.
     laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2"))
-    single_lap = not (laps > 1)
-    times, anchor_points = lap(anchored=single_lap)
-    cold_total = round(sum(t for t in times.values() if t >= 0), 3)
-    if not single_lap and cold_total < 300:
-        warm, anchor_points = lap(anchored=True)
-        times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
+    times, anchor_points, cold_total = run_laps(
+        lambda anchored: lap(anchored=anchored), laps
+    )
     anchor_samples = [p["sec"] for p in anchor_points]
     anchor_sec = round(sorted(anchor_samples)[len(anchor_samples) // 2], 4)
     lap_factor = round(anchor_sec / ANCHOR_REF_SEC, 3)

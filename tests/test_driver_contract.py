@@ -460,3 +460,27 @@ def test_bench_rerun_trigger_branches():
     assert rerun_trigger(anchor_spread=2.25, lap_factor=1.5) == "anchor_spread"
     assert rerun_trigger(anchor_spread=1.3, lap_factor=1.0) is None
     assert rerun_trigger(anchor_spread=1.99, lap_factor=1.15) is None
+
+
+def test_bench_slow_host_cold_lap_keeps_anchor_points():
+    """r14 inherited-state fix: on a host where the cold lap blows the
+    300 s warm-lap budget, the bench must still carry anchor samples —
+    the pre-fix flow only anchored the single-lap mode, so the skipped
+    warm lap left anchor_points empty and the median computation died
+    (IndexError) before any JSON was printed."""
+    from bench import run_laps
+
+    def fake_lap(anchored):
+        times = {"a": 200.0, "b": 150.0}  # cold_total 350 >= 300
+        points = [{"after_n": 0, "sec": 0.5}, {"after_n": 2, "sec": 0.6}]
+        return times, (points if anchored else [])
+
+    times, anchor_points, cold_total = run_laps(fake_lap, laps=2)
+    assert cold_total == 350.0
+    assert anchor_points, "slow-host cold lap must keep its anchor samples"
+    # fast host: warm lap runs and its (anchored) points are the ones kept
+    def fast_lap(anchored):
+        return {"a": 1.0}, [{"after_n": 0, "sec": 0.2}, {"after_n": 1, "sec": 0.2}]
+
+    _, pts, ct = run_laps(fast_lap, laps=2)
+    assert ct == 1.0 and pts

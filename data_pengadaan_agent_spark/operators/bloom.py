@@ -256,14 +256,21 @@ def build_bloom_index(
 
 
 def probe_bloom(
-    spark: SparkSession, path: str, batch: DataFrame, key_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_col: str | None = None,
+    _meta: tuple[int, int, int, str] | None = None,
 ) -> DataFrame:
     """batch + ``maybe`` BOOLEAN: true iff ALL k probed bits are set
     (the filter cannot rule the key out). Plan: explode k probes,
     left-join the grouped words (broadcast under the size cutoff —
     the common case; the filter is ~16 B per word), bool_and per key.
-    NULL word (nothing ever landed in that slot) = bit clear."""
-    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    NULL word (nothing ever landed in that slot) = bit clear.
+    ``_meta``: a caller that already read the meta sidecar this call
+    (bloom_new_rows) passes it through instead of paying the read +
+    collect again (r14, guide §1.2: don't compute things twice)."""
+    n_buckets, n_words, k, frozen = _meta or _read_meta(spark, path)
     key_col = _resolve_key(frozen, key_col, "probe_bloom")
     probed = _probe_rows(batch.select(key_col), key_col, n_buckets, n_words, k)
     words = grouped_words(spark, path)
@@ -298,7 +305,8 @@ def bloom_new_rows(
     # probe rows explode to nothing, so its bits are never set) and
     # would be re-classified "new" on every ingest forever — drop them
     # up front, the same NULL contract as the cube key columns.
-    key_col = _resolve_key(_read_meta(spark, path)[3], key_col, "bloom_new_rows")
+    meta = _read_meta(spark, path)
+    key_col = _resolve_key(meta[3], key_col, "bloom_new_rows")
     _require_integral(batch, key_col, "bloom_new_rows")
     # materialize the shard ONCE: the batch is often a derived frame
     # (e.g. content fingerprints over raw text) consumed twice inside
@@ -307,7 +315,9 @@ def bloom_new_rows(
     # Shard-sized by the ingest contract, so the barrier is bounded
     # (the ingest_bloom_batch `fresh` discipline).
     batch = batch.filter(F.col(key_col).isNotNull()).localCheckpoint(eager=True)
-    probed = probe_bloom(spark, path, batch, key_col).localCheckpoint(eager=True)
+    probed = probe_bloom(
+        spark, path, batch, key_col, _meta=meta
+    ).localCheckpoint(eager=True)
     _, keys_p, _ = _paths(path)
     keys = spark.read.parquet(keys_p).select(F.col(key_col)).distinct()
     definitely_new = probed.filter(~F.col("maybe")).drop("maybe")

@@ -554,6 +554,40 @@ def append_ivfpq_table(
     return n_new
 
 
+def append_ivfpq_residuals(
+    spark,
+    resid: DataFrame,
+    cb: Sequence[Sequence[Sequence[float]]],
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Append a PRE-COMPUTED residual frame (id, list, resid — already
+    deduped and materialized by the caller) to the index under the
+    caller-supplied frozen PQ codebooks. The crash contract is
+    append_ivfpq_table's, unchanged: the not-yet-seen subset is
+    materialized BEFORE any write (the anti-join keys on the ids
+    sidecar, which the first write itself mutates), ids land first,
+    codes second; replay is a no-op and the surviving failure mode is
+    probe-invisible ids-without-codes, flagged by audit_ivfpq_table.
+
+    Exists so the streaming sink can share ONE coarse-assign pass
+    between the index append and its ack log (r14): the r13 sink paid
+    per epoch two dropDuplicates exchanges, two codebook sidecar loads
+    (4 collect jobs) and two full Arrow residual passes over the same
+    batch — one inside append_ivfpq_table, one rebuilt for the ack."""
+    ids_p, _, _ = _ivfpq_sidecars(path)
+    seen = spark.read.parquet(ids_p).select(id_col)
+    fresh = resid.join(seen, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    fresh.select(id_col).write.mode("append").parquet(ids_p)
+    pq_encode(
+        fresh, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
+    ).write.mode("append").partitionBy("list").parquet(path)
+    return n_new
+
+
 def audit_ivfpq_table(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     """Integrity audit for the append crash contract: ids present in
     the sidecar (committed) but missing from the codes table (an

@@ -722,17 +722,24 @@ def foreach_batch_ivfpq_sink(
     from data_pengadaan_agent_spark.operators import pq as PQ
 
     def write_batch(batch_df, epoch_id: int) -> None:
+        # ONE dedup exchange, ONE codebook load and ONE Arrow
+        # coarse-assign pass per epoch, shared between the index
+        # append and the ack log (r14; the r13 shape paid each twice —
+        # once inside append_ivfpq_table, once rebuilt for the ack —
+        # guide §1.2 step 1: don't compute things twice). The
+        # materialization barrier doubles as the determinism point the
+        # ids-first crash contract needs.
         spark = batch_df.sparkSession
-        b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
-        if b.isEmpty():
+        coarse, cb = PQ.load_ivfpq_codebooks(spark, index_path)
+        resid = PQ.ivfpq_residuals(
+            batch_df.dropDuplicates([id_col]), coarse, vec_col, id_col
+        ).localCheckpoint(eager=True)
+        if resid.isEmpty():
             return
-        PQ.append_ivfpq_table(b, index_path, vec_col=vec_col, id_col=id_col)
-        coarse, _ = PQ.load_ivfpq_codebooks(spark, index_path)
-        ack = PQ.ivfpq_residuals(b, coarse, vec_col, id_col).select(
-            F.col(id_col), F.col("list")
-        )
+        PQ.append_ivfpq_residuals(spark, resid, cb, index_path, id_col=id_col)
         (
-            ack.withColumn("_epoch", F.lit(epoch_id))
+            resid.select(F.col(id_col), F.col("list"))
+            .withColumn("_epoch", F.lit(epoch_id))
             .write.option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .partitionBy("_epoch")

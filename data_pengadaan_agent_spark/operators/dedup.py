@@ -502,39 +502,43 @@ def dedup_clusters(
         .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .localCheckpoint()
     )
+    from data_pengadaan_agent_spark.operators.graph import (
+        _release_local_checkpoint,
+    )
+
     labels = df.select(F.col(id_col).alias("node")).withColumn("label", F.col("node"))
+    prev_ck = None  # the previous round's checkpoint, for release
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the PREVIOUS label through the checkpoint so the
+        # convergence probe is a filter over the already-materialized
+        # frame — the r13 shape re-joined new labels against old ones
+        # on node, paying one extra exchange + join per round just to
+        # ask "did anything change" (r14, guide §2.4)
+        new_ck = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("_prev"),
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = new_ck.filter(F.col("label") != F.col("_prev")).limit(1).count()
         # the changed-count was the old checkpoint's last consumer —
         # release it (self-review r14, the pagerank_int_converged
-        # lesson) instead of pinning one node-sized copy per round;
-        # round 1's `labels` is a plain select, not a checkpoint, and
-        # _release_local_checkpoint no-ops on it by plan shape
-        from data_pengadaan_agent_spark.operators.graph import (
-            _release_local_checkpoint,
-        )
-
-        _release_local_checkpoint(labels)
-        labels = new_labels
+        # lesson) instead of pinning one node-sized copy per round.
+        # Release the CHECKPOINT handle, not the projected view over
+        # it (_release_local_checkpoint unpersists the LogicalRDD it
+        # is handed — a Project on top would silently no-op).
+        if prev_ck is not None:
+            _release_local_checkpoint(prev_ck)
+        prev_ck = new_ck
+        labels = new_ck.select("node", "label")
         if changed == 0:
             break
     else:

@@ -293,7 +293,15 @@ def bm25_from_index(
     n_buckets = _read_meta(spark, path)
     posts_p, doclen_p, _ = _paths(path)
 
-    qterms = queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
+    # materialize the exploded query batch ONCE: it is broadcast-sized
+    # by contract and consumed three times (bucket-list collect, the
+    # vocab semi-join build, the scored broadcast join) — the lazy
+    # plan re-derived it per consumer, re-tokenizing the query source
+    # each time (r14, guide §1.2: don't compute things twice)
+    qterms = (
+        queries_df.select(F.col(qid_col), F.explode(terms_col).alias("t"))
+        .localCheckpoint(eager=True)
+    )
     vocab = qterms.select("t").distinct()
     buckets = sorted(
         r["b"] for r in vocab.select(_bucket(F.col("t"), n_buckets).alias("b"))

@@ -517,8 +517,20 @@ def winnow_matches(
     (a, b) aggregate. Both join sides descend from explodes —
     garbage size estimates — so the join is pinned shuffle-capable
     (merge), never a corpus-sized broadcast."""
-    fa = winnow_fingerprints(df_a, k, w, text_col, id_col, arith_hash)
-    fb = winnow_fingerprints(df_b, k, w, text_col, id_col, arith_hash)
+    # materialize each side's fingerprints ONCE: _rare consumes fp
+    # twice (the df-cap aggregate AND the semi-join probe), and the
+    # executed plan re-ran the whole explode + doc-window selection
+    # pass per consumer (verified in plans/r14/winnow_matches_before
+    # .txt: two Generate→Window chains per side) — exactly the
+    # "computed twice" defect the docstring's one-pass claim denies
+    # (r14, guide §1.2). Fingerprint rows are (id, pos, hash) ints at
+    # ~2/(w+1) density — far smaller than the text they index.
+    fa = winnow_fingerprints(
+        df_a, k, w, text_col, id_col, arith_hash
+    ).localCheckpoint(eager=True)
+    fb = winnow_fingerprints(
+        df_b, k, w, text_col, id_col, arith_hash
+    ).localCheckpoint(eager=True)
 
     def _rare(fp: DataFrame) -> DataFrame:
         dfreq = fp.groupBy("fp_hash").agg(
@@ -2047,10 +2059,18 @@ def train_quality_weights(
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
-    merged = pos_counts.join(neg_counts, "b", "full_outer").select(
-        "b",
-        F.coalesce("cp", F.lit(0)).alias("cp"),
-        F.coalesce("cn", F.lit(0)).alias("cn"),
+    # materialize the merged per-bucket counts ONCE: ≤n_buckets rows,
+    # but consumed twice (the totals aggregate and the weight select)
+    # — lazily that re-ran BOTH corpus feature passes per consumer
+    # (r14, guide §1.2: don't compute things twice)
+    merged = (
+        pos_counts.join(neg_counts, "b", "full_outer")
+        .select(
+            "b",
+            F.coalesce("cp", F.lit(0)).alias("cp"),
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = merged.agg(F.sum("cp").alias("tp"), F.sum("cn").alias("tn"))
     w = (

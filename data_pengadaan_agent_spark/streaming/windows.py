@@ -132,20 +132,68 @@ def streaming_dedup_within_watermark(
     return src.dropDuplicatesWithinWatermark(id_cols)
 
 
+def stream_shuffle_partitions(spark: SparkSession) -> int:
+    """State-store partition count for a NEW streaming query.
+
+    Streaming shuffles are exempt from AQE coalescing, and the count
+    is a durable choice: Spark snapshots spark.sql.shuffle.partitions
+    into the checkpoint at query start and keeps that state sharding
+    for the checkpoint's lifetime. So unlike batch (where AQE sizes
+    partitions from observed bytes), a stream's state partitioning
+    must be sized explicitly — to expected STATE volume (rate ×
+    watermark horizon), not to the session's batch-query width.
+
+    Default: min(8, cores). Rationale (measured r14, guide §2.2): the
+    per-micro-batch fixed cost of a stateful exchange scales with
+    partition count (one task + one state-store instance + delta/
+    commit files PER PARTITION per batch), so width the state doesn't
+    need is pure overhead — at 32 partitions for KB-scale state the
+    three corpus-ingest queries ran 1.6–2.9× slower than at 8
+    (tools/stream_partitions_probe.py, interleaved A/B). A production
+    deployment with real state volume raises
+    $SPARK_GRAFT_STREAM_SHUFFLE (or passes shuffle_partitions) to
+    rate-appropriate width; state can only use parallelism it has
+    partitions for."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    try:
+        cores = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 - conf surprise → conservative
+        cores = 8
+    return max(1, min(8, cores))
+
+
 def run_stream_to_memory(
-    spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming frame to completion against a finite source
     (file/parquet) and return the materialized result — the local test
-    harness for every operator above."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    harness for every operator above. The stateful-shuffle width is
+    set per stream (see stream_shuffle_partitions) and the session
+    conf restored afterwards; results are partition-count-invariant
+    (aggregations/dedup keyed per row; duplicate keys here are
+    byte-identical rows by construction)."""
+    n = shuffle_partitions or stream_shuffle_partitions(spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
 
 

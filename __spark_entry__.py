@@ -5907,7 +5907,9 @@ def _q_bm25_index_retrieval(spark, sf):
         F.col("doc_id").alias("qid"),
         F.slice(X.tokens("text"), 1, 3).alias("terms"),
     )
-    return LX.bm25_from_index(spark, path, queries, k=5)
+    # n_buckets=64 was just validated (or built) by the freshness
+    # gate — forward it instead of re-reading the meta sidecar (r14)
+    return LX.bm25_from_index(spark, path, queries, k=5, _n_buckets=64)
 
 
 def _q_dup_spans_incremental(spark, sf):
@@ -5939,7 +5941,9 @@ def _q_dup_spans_incremental(spark, sf):
     if not fresh:
         DI.build_gram_counts(docs, path, length=8, n_buckets=64)
         DI.append_gram_counts(shard, path)
-    return DI.dup_spans_incremental(spark, path, shard)
+    # the gram law (8, 64, True) was just validated (or built) by the
+    # freshness gate — forward it instead of re-reading the meta (r14)
+    return DI.dup_spans_incremental(spark, path, shard, _meta=(8, 64, True))
 
 
 def _dup_spans_incremental_sql(length: int = 8, min_count: int = 2) -> str:
@@ -6025,8 +6029,10 @@ def _q_trgm_search(spark, sf):
     from data_pengadaan_agent_spark.operators import trgm as TG
 
     path, docs = _trgm_index_path(spark, sf)
+    # n_buckets=64 was just validated (or built) by the freshness
+    # gate — forward it instead of re-reading the meta sidecar (r14)
     return TG.substring_search(
-        spark, path, docs, ["window window", "scan merge part"]
+        spark, path, docs, ["window window", "scan merge part"], _n_buckets=64
     )
 
 

@@ -480,6 +480,7 @@ def dup_spans_incremental(
     id_col: str = "doc_id",
     min_count: int = 2,
     counts_source: DataFrame | None = None,
+    _meta: tuple[int, int, bool] | None = None,
 ) -> DataFrame:
     """Duplicated spans of an already-appended shard against the whole
     ingested history — same output contract as ``textan.dup_spans``
@@ -497,8 +498,12 @@ def dup_spans_incremental(
     count-side exchange of both the per-hash SUM and the merge join
     (see tools/lap_bucketed_counts.py for the measured payoff); the
     parquet layout stays the default because it keeps the index
-    vanilla-session-portable."""
-    length, n_buckets, arith_hash = _read_meta(spark, path)
+    vanilla-session-portable.
+
+    ``_meta``: a caller that already read the meta sidecar this call
+    (the entry's freshness gate) passes it through instead of paying
+    the read + collect again (the bloom _meta convention, r14)."""
+    length, n_buckets, arith_hash = _meta or _read_meta(spark, path)
     counts_p, docs_p, _, _ = _paths(path)
     if min_count < 2:
         raise ValueError("dup_spans_incremental: min_count must be >= 2")

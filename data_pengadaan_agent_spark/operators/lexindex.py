@@ -280,6 +280,7 @@ def bm25_from_index(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
+    _n_buckets: int | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 per query over the MATERIALIZED index — same
     output contract and same exact-integer arithmetic as
@@ -290,7 +291,10 @@ def bm25_from_index(
     one parameter-bounded collect over the query batch — the batch is
     broadcast-sized by contract, exactly as in bm25_retrieval_batch."""
     coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
-    n_buckets = _read_meta(spark, path)
+    # _n_buckets: a caller that already validated the meta this call
+    # passes it through instead of paying the read + collect again
+    # (the bloom _meta convention, r14)
+    n_buckets = _n_buckets if _n_buckets is not None else _read_meta(spark, path)
     posts_p, doclen_p, _ = _paths(path)
 
     # materialize the exploded query batch ONCE: it is broadcast-sized

@@ -367,6 +367,7 @@ def substring_search(
     patterns: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    _n_buckets: int | None = None,
 ) -> DataFrame:
     """Docs containing each pattern (case-insensitive substring — the
     reference's keyword semantics), answered through the index:
@@ -396,7 +397,10 @@ def substring_search(
                 f"length ({GRAM_N}) — the index cannot prune it; use the "
                 "full-scan keyword filter for sub-gram patterns"
             )
-    n_buckets = _read_meta(spark, path)
+    # _n_buckets: a caller that already validated the meta this call
+    # passes it through instead of paying the sidecar read + collect
+    # again (the bloom probe_bloom _meta convention, r14)
+    n_buckets = _n_buckets if _n_buckets is not None else _read_meta(spark, path)
     posts_p, _, _ = _paths(path)
     pairs, counts = _pattern_grams(spark, patterns)
     hashes = sorted({h for h, _ in pairs})

@@ -1102,6 +1102,13 @@ def tfidf_top_terms(
     tf = exploded.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
     )
+    # NOTE (r14 optimization audit): deriving df from the tf table
+    # (groupBy(term).count over the (doc, term) rows) compiles to the
+    # IDENTICAL physical plan — Catalyst expands count_distinct into
+    # the same (doc, term) partial-aggregate shape, and column
+    # pruning makes the two subtrees canonically different either
+    # way, so no exchange is reusable. Verified both ways in the
+    # executed plan; keeping the direct form.
     dfreq = exploded.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).cast("bigint").alias("df")
     )
@@ -1590,10 +1597,20 @@ def token_rarity(
     occ = spread(df, id_col).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
-    tf = occ.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    # aggregate BEFORE the term shuffle (r14, guide §2.3): one
+    # (doc, term, cnt) partial-combine collapses repeated tokens so
+    # the join probe ships per-(doc, term) rows instead of every
+    # occurrence, and the corpus-tf aggregate now derives from the
+    # same exchange instead of re-exploding the corpus (the r13 shape
+    # tokenized twice). rarity_sum = Σ cnt·rarity ≡ the per-occurrence
+    # sum exactly (integer × integer in DECIMAL(38,0)).
+    per = occ.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tf = per.groupBy("term").agg(F.sum("cnt").cast("bigint").alias("tf"))
     total = tf.agg(F.sum("tf").cast("bigint").alias("n_total"))
     return (
-        occ.join(tf.hint("shuffle_hash"), "term")
+        per.join(tf.hint("shuffle_hash"), "term")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "rarity",
@@ -1603,8 +1620,10 @@ def token_rarity(
         )
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("rarity").cast("decimal(38,0)").alias("rarity_sum"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("rarity") * F.col("cnt"))
+            .cast("decimal(38,0)")
+            .alias("rarity_sum"),
         )
         .withColumn(
             "mean_rarity",

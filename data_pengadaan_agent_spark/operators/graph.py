@@ -234,10 +234,28 @@ def pagerank_int(edges: DataFrame, iters: int = 2, top_k: int | None = None) -> 
     return out.limit(int(top_k)) if top_k is not None else out
 
 
-def _pagerank_step(rank: DataFrame, deg: DataFrame, directed: DataFrame) -> DataFrame:
+def _pagerank_step(
+    rank: DataFrame,
+    deg: DataFrame,
+    directed: DataFrame,
+    carry_prev: bool = False,
+) -> DataFrame:
     """ONE exact-integer PageRank update — shared verbatim by the
     fixed-iteration form (the certified twin) and the residual-stop
-    form, so converged(t iters) ≡ pagerank_int(iters=t) bit-for-bit."""
+    form, so converged(t iters) ≡ pagerank_int(iters=t) bit-for-bit.
+
+    ``carry_prev`` (optimization r14, guide §2.4): the residual-stop
+    caller needs Σ|rank_t − rank_{t−1}| each iteration; joining the
+    two rank frames costs an exchange of both sides per iteration
+    just to pair old with new. With ``carry_prev=True`` the update is
+    based on ``rank`` itself (same vertex set as ``deg`` — rank_0 is
+    derived from deg and every step preserves the base's vertex set,
+    so base-on-rank ≡ base-on-deg row-for-row) and the previous rank
+    rides along as ``_prev``; the residual becomes a plain aggregate
+    over the step's own output. rank_ppm arithmetic is untouched —
+    the bit-identical-trajectory contract holds for both forms
+    (pinned by test_pagerank_converged_matches_fixed_form_bit_exact).
+    """
     contrib = (
         rank.join(deg, "vertex")
         .select(
@@ -248,16 +266,17 @@ def _pagerank_step(rank: DataFrame, deg: DataFrame, directed: DataFrame) -> Data
         .groupBy(F.col("dst").alias("vertex"))
         .agg(F.sum("c").cast("bigint").alias("in_sum"))
     )
-    return (
-        deg.select("vertex")
-        .join(contrib, "vertex", "left")
-        .select(
-            "vertex",
-            (
-                F.lit(150_000).cast("bigint")
-                + F.expr("85 * coalesce(in_sum, 0) DIV 100").cast("bigint")
-            ).alias("rank_ppm"),
-        )
+    base = (
+        rank.select("vertex", F.col("rank_ppm").alias("_prev"))
+        if carry_prev
+        else deg.select("vertex")
+    )
+    new_rank = (
+        F.lit(150_000).cast("bigint")
+        + F.expr("85 * coalesce(in_sum, 0) DIV 100").cast("bigint")
+    ).alias("rank_ppm")
+    return base.join(contrib, "vertex", "left").select(
+        "vertex", new_rank, *(["_prev"] if carry_prev else [])
     )
 
 
@@ -332,31 +351,39 @@ def pagerank_int_converged(
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    rank = deg.select(
+    rank_ck = deg.select(
         "vertex", F.lit(_PPM).cast("bigint").alias("rank_ppm")
     ).localCheckpoint(eager=True)
+    rank = rank_ck
     residual = None
     iters_run = 0
     for _ in range(int(max_iters)):
-        new_rank = _pagerank_step(rank, deg, directed).localCheckpoint(eager=True)
+        # carry_prev: the step emits (vertex, rank_ppm, _prev), so the
+        # residual is ONE aggregate over the just-materialized frame —
+        # the old per-iteration rank_t ⋈ rank_{t−1} join (an exchange
+        # of both checkpoints every round) is gone (optimization r14)
+        new_ck = _pagerank_step(rank, deg, directed, carry_prev=True).localCheckpoint(
+            eager=True
+        )
         iters_run += 1
         residual = (
-            new_rank.withColumnRenamed("rank_ppm", "new_ppm")
-            .join(rank, "vertex")
-            .agg(
+            new_ck.agg(
                 F.coalesce(
-                    F.sum(F.abs(F.col("new_ppm") - F.col("rank_ppm"))), F.lit(0)
+                    F.sum(F.abs(F.col("rank_ppm") - F.col("_prev"))), F.lit(0)
                 ).cast("bigint")
             )
             .collect()[0][0]
         )
-        # release the superseded checkpoint: new_rank is already
-        # materialized (eager) and the residual consumed the old one —
+        # release the superseded checkpoint: new_ck is already
+        # materialized (eager) and the residual read only new_ck —
         # without this, max_iters full rank copies stay pinned in
         # executor storage for the session (self-review r12; the RDD
-        # handle, not DataFrame.unpersist, is what frees the blocks)
-        _release_local_checkpoint(rank)
-        rank = new_rank
+        # handle, not DataFrame.unpersist, is what frees the blocks).
+        # Release the CHECKPOINT handle, never a projection over it
+        # (the dedup_clusters lesson, optimization r14 §4).
+        _release_local_checkpoint(rank_ck)
+        rank_ck = new_ck
+        rank = new_ck.select("vertex", "rank_ppm")
         if residual <= int(tol_ppm):
             break
     # the final rank is its own checkpoint; deg + directed fed only

@@ -1646,33 +1646,48 @@ def boilerplate_ngrams(
     that are boilerplate. ``ngram_contamination`` is the train-vs-test
     twin of this join core; here the corpus is audited against itself.
 
-    Scale shape: the ``distinct_hashed_ngrams`` core explodes once and
-    is reused for the document-frequency aggregate, the boilerplate
-    semi-join, and the per-doc totals; every exchange carries
-    (id, int64) — n-gram text never shuffles. Both join inputs descend
-    from an explode (garbage static size estimates), so the joins are
-    pinned ``shuffle_hash`` per the house rule. Docs shorter than ``n``
-    words have no n-grams and are absent from the output by contract."""
+    Scale shape (optimization r14, guide §1.2/§2.4): the
+    ``distinct_hashed_ngrams`` core feeds exactly TWO consumers — the
+    document-frequency aggregate and the probe side of ONE left join
+    against the (small, ``min_docs``-filtered) boilerplate marker —
+    and per-doc totals and boiler counts come out of a SINGLE
+    ``groupBy(id)`` over the joined rows. The previous
+    totals ⟕ hits split cost a third explode+distinct pass AND a
+    second corpus scan: the final join's ``IsNotNull(id)`` pushdown
+    reached only the hits branch, making the two scan subtrees
+    canonically different, so exchange reuse could not fire (measured:
+    2 scans / 3 Generates → 1 scan / 2 Generates; the surviving
+    second Generate is the recompute-vs-materialize trade documented
+    at ``dup_spans`` — gram rows are corpus-sized, recompute wins at
+    scale). Every exchange still carries (id, int64) — n-gram text
+    never shuffles — and the join build side is still only the
+    boilerplate grams, pinned ``shuffle_hash`` per the explode-
+    descended house rule. Docs shorter than ``n`` words have no
+    n-grams and are absent from the output by contract. (A doc with
+    NULL id now gets its true boiler count; the old shape's final
+    join on id silently zeroed it. No fixture carries null ids —
+    value-checked identical — and the twin's tot⟕hit shape agrees on
+    every non-null id.)"""
     g = distinct_hashed_ngrams(df, n, text_col, id_col)
     boiler = (
         g.groupBy("g")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
         .filter(F.col("df_docs") >= min_docs)
-        .select("g")
+        .select("g", F.lit(1).cast("bigint").alias("_is_b"))
     )
-    hits = (
-        g.join(boiler.hint("shuffle_hash"), "g", "left_semi")
+    per_doc = (
+        g.join(boiler.hint("shuffle_hash"), "g", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.coalesce(F.sum("_is_b"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
     )
-    totals = g.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
-    )
-    nb = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
-    return totals.join(hits.hint("shuffle_hash"), id_col, "left").select(
+    nb = F.col("n_boiler")
+    return per_doc.select(
         F.col(id_col),
         F.col("n_ngrams"),
-        nb.alias("n_boiler"),
+        F.col("n_boiler"),
         F.round(nb / F.col("n_ngrams"), 6).alias("boilerplate_frac"),
         (nb * 2 >= F.col("n_ngrams")).alias("mostly_boilerplate"),
     )

@@ -251,6 +251,32 @@ def test_merge_components_string_labels_and_topk_zero(spark):
     assert out.count() == 0
 
 
+def test_pagerank_step_carry_prev_is_joinfree_residual_source(spark):
+    """Optimization r14 (guide §2.4): the residual-stop loop no longer
+    joins rank_t against rank_{t−1} per iteration — _pagerank_step
+    carries the previous rank through as `_prev`. Pin the contract:
+    (a) carry_prev=True emits the SAME (vertex, rank_ppm) rows as the
+    certified carry_prev=False form, (b) `_prev` is exactly the input
+    rank, (c) the public converged output carries no `_prev` column."""
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)])
+    deg = G.degrees(e)
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    rank0 = deg.select("vertex", F.lit(1_000_000).cast("bigint").alias("rank_ppm"))
+    plain = {
+        r.vertex: r.rank_ppm
+        for r in G._pagerank_step(rank0, deg, directed).collect()
+    }
+    carried = G._pagerank_step(rank0, deg, directed, carry_prev=True).collect()
+    assert {r.vertex: r.rank_ppm for r in carried} == plain
+    assert {r.vertex: r._prev for r in carried} == {
+        r.vertex: r.rank_ppm for r in rank0.collect()
+    }
+    out, _ = G.pagerank_int_converged(e, tol_ppm=0, max_iters=2)
+    assert out.columns == ["vertex", "rank_ppm"]
+
+
 def test_pagerank_releases_superseded_checkpoints(spark):
     """ADVICE r12: DataFrame.unpersist is a no-op for localCheckpoint
     RDD blocks, so the iterative loop pinned up to max_iters rank

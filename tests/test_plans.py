@@ -266,15 +266,21 @@ def test_token_rarity_pins_explode_joins(spark, tables):
 
 
 def test_boilerplate_ngrams_joins_pinned_shuffle(spark, tables):
-    """Every join input in boilerplate_ngrams descends from the n-gram
-    explode (garbage static size estimates, corpus-proportional): the
-    house rule pins them shuffle_hash so the planner can never elect a
-    broadcast build that grows with the corpus."""
+    """boilerplate_ngrams is ONE left join (probe = distinct ngrams,
+    build = the min_docs-filtered boiler marker) feeding ONE per-doc
+    aggregate — the optimization-r14 shape that dropped the old
+    totals ⟕ hits split (a third explode pass + second scan). The
+    join input descends from the n-gram explode (garbage static size
+    estimates, corpus-proportional): the house rule pins it
+    shuffle_hash so the planner can never elect a broadcast build
+    that grows with the corpus."""
     from data_pengadaan_agent_spark.operators.textan import boilerplate_ngrams
 
     out = boilerplate_ngrams(tables["documents"], n=3, min_docs=2)
     plan = _plan(out)
-    assert plan.count("ShuffledHashJoin") >= 2, plan
+    assert plan.count("ShuffledHashJoin") == 1, plan
+    # the per-doc counts come from the joined rows, not a second join
+    assert "LeftSemi" not in plan, plan
     for sub in _broadcast_subtrees(plan):
         assert "Generate explode" not in sub, sub
 

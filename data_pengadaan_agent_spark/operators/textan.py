@@ -949,25 +949,21 @@ def lexical_diversity(
     )
 
 
-def ngram_contamination(
+def _overlap_hits(
     test_df: DataFrame,
     train_df: DataFrame,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_hits: int = 1,
-) -> DataFrame:
-    """Benchmark-contamination check: for each *test* document, the
-    share of its distinct word n-grams that occur anywhere in the
-    *training* corpus (the standard train/test overlap audit before an
-    eval — e.g. GPT-3 appendix C runs exactly this shape with 13-grams).
-
-    Spark-first: both corpora explode to distinct n-grams via the
-    shared ``distinct_hashed_ngrams`` core (hash-before-shuffle: at
-    100 TB that is the difference between moving ~8 bytes and ~50
-    bytes per n-gram; see its docstring for the collision bound);
-    the overlap is a left-semi join (test side keeps no train
-    payload), then two small per-doc counts."""
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared train/test n-gram overlap core: returns
+    (test_g, hits) where ``test_g`` is the test side's distinct
+    (id, hashed n-gram) frame and ``hits`` the per-doc count of test
+    n-grams that occur anywhere in the training corpus. Factored out
+    (optimization r14) so ``decontaminate_train`` can consume ONLY the
+    hits aggregate — its old path went through the full audit output,
+    whose totals ⟕ hits join forced a third explode+distinct pass and
+    an extra scan that the anti-join then threw away."""
     from data_pengadaan_agent_spark.sources.catalog import spread
 
     test_g = distinct_hashed_ngrams(test_df, n, text_col, id_col)
@@ -992,6 +988,29 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+    return test_g, hits
+
+
+def ngram_contamination(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: for each *test* document, the
+    share of its distinct word n-grams that occur anywhere in the
+    *training* corpus (the standard train/test overlap audit before an
+    eval — e.g. GPT-3 appendix C runs exactly this shape with 13-grams).
+
+    Spark-first: both corpora explode to distinct n-grams via the
+    shared ``distinct_hashed_ngrams`` core (hash-before-shuffle: at
+    100 TB that is the difference between moving ~8 bytes and ~50
+    bytes per n-gram; see its docstring for the collision bound);
+    the overlap is a left-semi join (test side keeps no train
+    payload), then two small per-doc counts."""
+    test_g, hits = _overlap_hits(test_df, train_df, n, text_col, id_col)
     totals = test_g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
     n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0))
     return totals.join(hits.hint("shuffle_hash"), id_col, "left").select(
@@ -1751,13 +1770,23 @@ def decontaminate_train(
     same join core with the roles reversed; this is the step that acts
     on it, GPT-3 appendix-C style).
 
-    Scale shape: the audit's exchanges all carry (id, int64) hashed
-    n-grams; the final step is a left-anti join of train against the
-    (small) contaminated-id set, so full text crosses no exchange."""
-    audit = ngram_contamination(
-        train_df, test_df, n=n, text_col=text_col, id_col=id_col, min_hits=1
-    )
-    bad = audit.filter(F.col("n_overlap") > max_overlap).select(id_col)
+    Scale shape (optimization r14): the contaminated-id set comes from
+    the overlap core's hits aggregate DIRECTLY — the old path built the
+    full ``ngram_contamination`` audit and filtered it, which executed
+    the audit's per-doc totals branch (one more explode+distinct pass
+    over the training corpus plus its scan and the totals ⟕ hits join)
+    only for the anti-join to discard everything but the ids. A doc
+    with zero overlapping n-grams has no hits row and n_overlap 0 on
+    the audit path — identical survivor sets for every
+    ``max_overlap >= 0`` (negative values, which would have dropped
+    zero-overlap docs too, are rejected loudly). The exchanges all
+    carry (id, int64) hashed n-grams; the final step is a left-anti
+    join of train against the (small) contaminated-id set, so full
+    text crosses no exchange."""
+    if max_overlap < 0:
+        raise ValueError("decontaminate_train: max_overlap must be >= 0")
+    _, hits = _overlap_hits(train_df, test_df, n, text_col, id_col)
+    bad = hits.filter(F.col("n_overlap") > max_overlap).select(id_col)
     return train_df.join(bad.hint("shuffle_hash"), id_col, "left_anti")
 
 

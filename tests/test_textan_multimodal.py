@@ -447,6 +447,42 @@ def test_decontaminate_train_drops_overlap(spark):
     assert kept == [2, 3]
 
 
+def test_decontaminate_train_threshold_and_negative_guard(spark):
+    """Optimization r14: the contaminated-id set comes from the overlap
+    core's hits aggregate directly (zero-overlap docs have no hits row,
+    n_overlap 0 on the old audit path — same survivors for every
+    max_overlap >= 0). Pin the threshold boundary (doc 1 shares exactly
+    two 3-grams: 'the quick brown', 'quick brown fox' — dropped at
+    max_overlap=1, kept at 2) and the loud rejection of the negative
+    max_overlap the hits-only path cannot express."""
+    import pytest
+
+    from data_pengadaan_agent_spark.operators.textan import decontaminate_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over lazy dogs"),
+            (2, "completely unrelated training content here"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, "benchmark asks about the quick brown fox today")],
+        "doc_id long, text string",
+    )
+    at1 = sorted(
+        r["doc_id"]
+        for r in decontaminate_train(train, test, n=3, max_overlap=1).collect()
+    )
+    at2 = sorted(
+        r["doc_id"]
+        for r in decontaminate_train(train, test, n=3, max_overlap=2).collect()
+    )
+    assert at1 == [2] and at2 == [1, 2]
+    with pytest.raises(ValueError, match="max_overlap"):
+        decontaminate_train(train, test, n=3, max_overlap=-1)
+
+
 def test_boilerplate_ngrams_flags_shared_trigrams(spark):
     """A 3-gram in >=2 distinct docs is boilerplate; per-doc fractions
     count DISTINCT n-grams; docs shorter than n are absent."""

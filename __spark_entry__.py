@@ -7728,7 +7728,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
               FROM tk GROUP BY 1
             ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
-            SELECT doc_id, term, tf, df, CAST(score AS DECIMAL(38,0)) AS score,
+            SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
                    CAST(rnk AS INTEGER) AS rnk
             FROM (
               SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
@@ -8305,7 +8305,7 @@ def _oracle_sql_impls() -> dict[str, str]:
               SELECT o.doc_id,
                      CAST(count(*) AS BIGINT) AS n_tokens,
                      CAST(sum((CAST(n_total AS HUGEINT) * 1000000) // tf)
-                          AS DECIMAL(38,0)) AS rarity_sum
+                          AS BIGINT) AS rarity_sum
               FROM occ2 o JOIN tf USING (term), tot GROUP BY o.doc_id
             )
             SELECT doc_id, n_tokens, rarity_sum,

@@ -6,13 +6,18 @@ LAST 2000 characters of stdout and recorded ``"parsed": null`` because
 the one JSON line carrying all ~90 per-query timings was longer than
 that): stdout is EXACTLY ONE compact JSON line, kept under ~1800 chars
 — {"metric", "value" (total sec), "unit", "sf", "cold_total",
-"n_queries", "queries" (slowest-first, truncated to fit),
-"detail_file"}. The untruncated per-query map goes to the detail file
-next to this script and to stderr for humans: BENCH_DETAIL_LAST.json
+"n_queries", "queries" (slowest-first, truncated to fit — check
+"queries_complete" before joining on it), "detail_file"}. The
+DETAIL FILE IS THE CANONICAL PER-QUERY SOURCE: it always carries every
+query's time (r14 lesson — round-over-round joins on the truncated
+stdout map manufacture phantom dropped/new statuses). It goes next to
+this script and to stderr for humans: BENCH_DETAIL_LAST.json
 (untracked) by default, BENCH_DETAIL.json — the committed canonical
 close lap — only when SPARK_GRAFT_CANONICAL=1 is set (or an explicit
 SPARK_GRAFT_DETAIL_FILE), so per-round driver laps no longer clobber
-the lap the judge diffs against.
+the lap the judge diffs against; a _c{cpus} suffixed copy is written
+too so different-core-count laps in one round don't clobber each
+other.
 
 Timing = plan build + full execution + collect of the (small) result.
 """
@@ -69,21 +74,47 @@ def rerun_trigger(anchor_spread: float, lap_factor: float) -> str | None:
     return None
 
 
-def run_laps(lap_fn, laps: int):
+def run_laps(lap_fn, laps: int, run_one=None, subset_budget: float = 120.0):
     """Cold lap (always anchored) + optional warm lap. Returns
-    (times, anchor_points, cold_total). Factored out of main so the
-    slow-host branch is unit-pinned: when the cold lap blows the 300 s
-    warm-lap budget, the cold lap's OWN anchor samples must carry the
-    lap-factor bookkeeping — before r14 they did not exist (the cold
-    lap was only anchored in single-lap mode) and the bench died on
-    an empty-median IndexError with zero JSON emitted, exactly on the
-    hosts slow enough to need the self-labeling."""
+    (times, anchor_points, cold_total, warm_subset). Factored out of
+    main so the slow-host branch is unit-pinned: when the cold lap
+    blows the 300 s warm-lap budget, the cold lap's OWN anchor samples
+    must carry the lap-factor bookkeeping — before r14 they did not
+    exist (the cold lap was only anchored in single-lap mode) and the
+    bench died on an empty-median IndexError with zero JSON emitted,
+    exactly on the hosts slow enough to need the self-labeling.
+
+    Slow-host warm-subset fallback (VERDICT r14 ask #3/#4): the old
+    flow skipped the warm lap entirely when the cold lap exceeded
+    300 s — which happens precisely when the host is noisy — so the
+    round's headline was a cold-only lap compared against warm
+    baselines (the r14 0.497 "regression" artifact: cold laps rebuild
+    every index fixture and pay first-touch codegen). Now the slowest
+    queries are still re-run WARM, in cold-time order until their
+    summed cold time reaches ``subset_budget`` (bounding the extra
+    wall clock at roughly that), and their warm times replace the
+    cold ones. ``warm_subset`` names what was re-run so the detail
+    file self-labels which numbers are warm; cold_total keeps the raw
+    cold lap either way."""
     times, anchor_points = lap_fn(True)
     cold_total = round(sum(t for t in times.values() if t >= 0), 3)
+    warm_subset: list[str] = []
     if laps > 1 and cold_total < 300:
         warm, anchor_points = lap_fn(True)
         times = {k: (warm[k] if warm.get(k, -1) >= 0 else times[k]) for k in times}
-    return times, anchor_points, cold_total
+    elif laps > 1 and run_one is not None:
+        spent = 0.0
+        for name in sorted(times, key=lambda n: -times[n]):
+            if times[name] < 0:
+                continue
+            if spent >= subset_budget:
+                break
+            spent += times[name]
+            w = run_one(name)
+            if w >= 0:
+                times[name] = w
+                warm_subset.append(name)
+    return times, anchor_points, cold_total, warm_subset
 
 
 def main() -> None:
@@ -150,8 +181,18 @@ def main() -> None:
     # warm lap already blew the time budget, record it instead of
     # doubling the wall clock. SPARK_GRAFT_BENCH_LAPS=1 forces cold.
     laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2"))
-    times, anchor_points, cold_total = run_laps(
-        lambda anchored: lap(anchored=anchored), laps
+
+    def run_one(name: str) -> float:
+        t0 = time.time()
+        try:
+            len(E.queries()[name](spark, sf_dir).collect())
+            return round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            print(f"# warm-subset {name} FAILED: {e}", file=sys.stderr)
+            return -1.0
+
+    times, anchor_points, cold_total, warm_subset = run_laps(
+        lambda anchored: lap(anchored=anchored), laps, run_one=run_one
     )
     anchor_samples = [p["sec"] for p in anchor_points]
     anchor_sec = round(sorted(anchor_samples)[len(anchor_samples) // 2], 4)
@@ -242,6 +283,7 @@ def main() -> None:
         "worst_segment_rerun": rerun_times,
         "rerun_anchor_samples": rerun_anchor_samples,
         "rerun_lap_factor": rerun_lap_factor,
+        "warm_subset": warm_subset,
     }
     # VERDICT r13 ask #4: every round the driver's per-round lap
     # overwrote the committed canonical close lap in BENCH_DETAIL.json
@@ -255,11 +297,18 @@ def main() -> None:
         else "BENCH_DETAIL_LAST.json"
     )
     detail_path = os.path.join(REPO, detail_name)
-    try:
-        with open(detail_path, "w") as f:
-            json.dump(detail, f, indent=1, sort_keys=True)
-    except OSError as e:  # pragma: no cover
-        print(f"# could not write {detail_path}: {e}", file=sys.stderr)
+    # Per-run suffixed copy (VERDICT r14 ask #7): the driver's 8-core
+    # lap overwrote the 32-core lap's detail in BENCH_DETAIL_LAST.json,
+    # losing the round's 32-core per-query map. A cpu-count-keyed
+    # sibling keeps each core-count's last lap readable side by side.
+    cpus_tag = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    suffixed = detail_name.replace(".json", f"_c{cpus_tag}.json")
+    for p in {detail_path, os.path.join(REPO, suffixed)}:
+        try:
+            with open(p, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
+        except OSError as e:  # pragma: no cover
+            print(f"# could not write {p}: {e}", file=sys.stderr)
     print(json.dumps(detail), file=sys.stderr)
 
     # Compact stdout line: include per-query times slowest-first until
@@ -275,6 +324,13 @@ def main() -> None:
         "anchor_spread": anchor_spread,
         "noisy_lap": noisy_lap,
         "segment_factors": [s["factor"] for s in segment_factors],
+        # value divided by the frozen-anchor lap factor: the
+        # host-load-corrected headline, emitted alongside (never
+        # instead of) the raw value (VERDICT r14 ask #3/#4 — a slow
+        # host must carry its own normalization, not force the judge
+        # to do it by hand).
+        "value_normalized": round(total / max(lap_factor, 1e-9), 3),
+        "warm_subset_n": len(warm_subset),
         "queries": {},
         "sf": sf,
         "detail_file": detail_name,
@@ -284,6 +340,12 @@ def main() -> None:
         if len(json.dumps(summary)) > MAX_STDOUT_LINE:
             del summary["queries"][name]
             break
+    # The stdout map is TRUNCATED to the line budget (slowest-first);
+    # round-over-round joins on it manufacture phantom dropped/new
+    # statuses (VERDICT r14 ask #3). Say so in-band: the complete
+    # 150-query map lives in detail_file, the canonical per-query
+    # source.
+    summary["queries_complete"] = len(summary["queries"]) == len(times)
     line = json.dumps(summary)
     assert len(line) <= MAX_STDOUT_LINE + 100, len(line)
     print(line)

@@ -34,3 +34,31 @@ def dec_idiv_sql(num_sql: str, den_sql: str) -> str:
     a = f"CAST({num_sql} AS DECIMAL(38,0))"
     b = f"CAST({den_sql} AS DECIMAL(38,0))"
     return f"CAST((({a}) - (({a}) % ({b}))) / ({b}) AS DECIMAL(38,0))"
+
+
+def dec_to_bigint_sql(expr_sql: str, label: str) -> str:
+    """SQL-expression string narrowing an exact DECIMAL(38,0) value
+    back to BIGINT at a query's OUTPUT edge, raising loudly (never
+    wrapping, never silently nulling — a plain non-ANSI CAST nulls on
+    overflow) when the value leaves int64.
+
+    Why this exists (r15, driver-gate fix): DECIMAL(38,0) output
+    columns hash-diverge between the driver's Spark and DuckDB
+    collection paths even when both engines compute identical integer
+    values (token_rarity / tfidf_top_terms, red since the widening in
+    1eac05a despite the Arrow-canonical replica passing). Integer
+    results therefore stay DECIMAL(38,0) only INSIDE the plan, where
+    the headroom matters, and cross the output edge as BIGINT. The
+    guard keeps the overflow loud: at the design envelope the guarded
+    values fit int64 for any corpus below ~9.2e12 docs/tokens, and a
+    corpus past that must fail the query, not emit wrapped garbage.
+    Boundary values (±int64 max/min) cast exactly — probed live r15.
+    """
+    e = f"CAST({expr_sql} AS DECIMAL(38,0))"
+    return (
+        f"CASE WHEN ({e}) > CAST(9223372036854775807 AS DECIMAL(38,0)) "
+        f"OR ({e}) < CAST(-9223372036854775808 AS DECIMAL(38,0)) "
+        f"THEN CAST(raise_error('{label}: DECIMAL(38,0) value exceeds "
+        f"BIGINT output range') AS BIGINT) "
+        f"ELSE CAST(({e}) AS BIGINT) END"
+    )

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+from data_pengadaan_agent_spark.functions.exactmath import (
+    dec_idiv_sql,
+    dec_to_bigint_sql,
+)
 
 # Tiny embedded stopword list (the reference's list is not shipped;
 # this one covers the fixture corpus + common English fillers).
@@ -1157,7 +1160,15 @@ def tfidf_top_terms(
             "term",
             "tf",
             "df",
-            F.col("score").cast("decimal(38,0)").alias("score"),
+            # score stays DECIMAL(38,0) INSIDE the plan (ranking
+            # headroom) but crosses the output edge as guarded BIGINT
+            # (r15 driver-gate fix — see exactmath.dec_to_bigint_sql):
+            # only the k survivors per doc pay the narrowing, and a
+            # score past int64 (a df=1 term repeated 93x at 1e11 docs)
+            # fails loudly instead of hash-diverging.
+            F.expr(dec_to_bigint_sql("score", "tfidf_top_terms.score")).alias(
+                "score"
+            ),
             "rnk",
         )
     )
@@ -1640,9 +1651,21 @@ def token_rarity(
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tokens"),
+            # the Σ cnt·rarity fold stays DECIMAL(38,0) (exact, no
+            # wrap) but crosses the output edge as guarded BIGINT
+            # (r15 driver-gate fix — exactmath.dec_to_bigint_sql):
+            # per-doc sums fit int64 below ~9.2e12 corpus tokens and
+            # past that the query fails loudly instead of diverging.
             F.sum(F.col("rarity") * F.col("cnt"))
             .cast("decimal(38,0)")
-            .alias("rarity_sum"),
+            .alias("_rarity_dec"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(dec_to_bigint_sql("_rarity_dec", "token_rarity.rarity_sum")).alias(
+                "rarity_sum"
+            ),
         )
         .withColumn(
             "mean_rarity",

@@ -475,12 +475,50 @@ def test_bench_slow_host_cold_lap_keeps_anchor_points():
         points = [{"after_n": 0, "sec": 0.5}, {"after_n": 2, "sec": 0.6}]
         return times, (points if anchored else [])
 
-    times, anchor_points, cold_total = run_laps(fake_lap, laps=2)
+    times, anchor_points, cold_total, warm_subset = run_laps(fake_lap, laps=2)
     assert cold_total == 350.0
     assert anchor_points, "slow-host cold lap must keep its anchor samples"
+    assert warm_subset == []  # no run_one supplied — cold-only, labeled
     # fast host: warm lap runs and its (anchored) points are the ones kept
     def fast_lap(anchored):
         return {"a": 1.0}, [{"after_n": 0, "sec": 0.2}, {"after_n": 1, "sec": 0.2}]
 
-    _, pts, ct = run_laps(fast_lap, laps=2)
-    assert ct == 1.0 and pts
+    _, pts, ct, ws = run_laps(fast_lap, laps=2)
+    assert ct == 1.0 and pts and ws == []
+
+
+def test_bench_slow_host_warm_subset_fallback():
+    """VERDICT r14 ask #3/#4: a cold lap past the 300 s warm-lap budget
+    must no longer produce a cold-only headline — the slowest queries
+    are re-run warm (in cold-time order until subset_budget of cold
+    time is covered) and self-labeled in warm_subset; failed warm
+    reruns keep the cold number and stay out of the label."""
+    from bench import run_laps
+
+    def fake_lap(anchored):
+        times = {"slow1": 200.0, "slow2": 90.0, "mid": 40.0, "tail": 10.0}
+        points = [{"after_n": 0, "sec": 0.5}, {"after_n": 4, "sec": 0.6}]
+        return times, points
+
+    warm = {"slow1": 20.0, "slow2": 9.0, "mid": 4.0, "tail": 1.0}
+    ran = []
+
+    def run_one(name):
+        ran.append(name)
+        return warm[name]
+
+    # budget 120: slow1 (200) alone exceeds it AFTER being counted, so
+    # exactly slow1 + nothing else? spent=200 >= 120 stops before slow2.
+    times, _, cold_total, ws = run_laps(fake_lap, 2, run_one=run_one, subset_budget=120)
+    assert cold_total == 340.0
+    assert ws == ["slow1"] and ran == ["slow1"]
+    assert times == {"slow1": 20.0, "slow2": 90.0, "mid": 40.0, "tail": 10.0}
+    # budget 300: slow1 (200) + slow2 (90) = 290 < 300, so mid is
+    # still admitted (budget checked before adding); tail is not
+    times2, _, _, ws2 = run_laps(fake_lap, 2, run_one=run_one, subset_budget=300)
+    assert ws2 == ["slow1", "slow2", "mid"]
+    assert times2["slow1"] == 20.0 and times2["slow2"] == 9.0
+    assert times2["mid"] == 4.0 and times2["tail"] == 10.0
+    # a failed warm rerun keeps the cold time and is not labeled warm
+    times3, _, _, ws3 = run_laps(fake_lap, 2, run_one=lambda n: -1.0)
+    assert ws3 == [] and times3["slow1"] == 200.0

@@ -7,7 +7,10 @@ from __future__ import annotations
 
 import pytest
 
-from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
+from data_pengadaan_agent_spark.functions.exactmath import (
+    dec_idiv_sql,
+    dec_to_bigint_sql,
+)
 
 CASES = [
     # (num, den) — truth is Python's //
@@ -39,6 +42,35 @@ def test_spark_div_on_decimals_still_wraps(spark):
     ).collect()[0]["b"]
     truth = (9_200_000_000_000_000_000 * 1_000_000) // 7
     assert v != truth, "decimal DIV became exact — simplify dec_idiv_sql"
+
+
+def test_dec_to_bigint_guard_exact_at_boundary(spark):
+    """Output-edge narrowing (r15 driver-gate fix): both int64
+    boundary values cast exactly and the result column is LongType —
+    the class the driver's value-hash serializes identically from
+    Spark and DuckDB (DECIMAL(38,0) at the edge does not)."""
+    g = dec_to_bigint_sql("v", "pin")
+    df = spark.sql(
+        f"SELECT {g} AS g FROM VALUES "
+        "(CAST(9223372036854775807 AS DECIMAL(38,0))), "
+        "(CAST(-9223372036854775808 AS DECIMAL(38,0))), "
+        "(CAST(123 AS DECIMAL(38,0))) t(v)"
+    )
+    assert dict(df.dtypes)["g"] == "bigint"
+    assert sorted(r["g"] for r in df.collect()) == [
+        -9223372036854775808,
+        123,
+        9223372036854775807,
+    ]
+
+
+def test_dec_to_bigint_guard_raises_on_overflow(spark):
+    """One past int64 max must raise loudly (never wrap, never null):
+    a 100 TB-scale corpus that genuinely overflows the output column
+    fails the query instead of hash-diverging."""
+    g = dec_to_bigint_sql("CAST(9223372036854775808 AS DECIMAL(38,0))", "pin")
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|BIGINT output"):
+        spark.sql(f"SELECT {g} AS g").collect()
 
 
 def test_rarity_and_tfidf_survive_beyond_int64_totals(spark):

@@ -12,6 +12,19 @@ Now both results are fetched as Arrow tables and their canonical types
 must agree: an integer column only matches an integer column, a
 decimal's scale must match, floats only match floats.
 
+Round-15 hardening (VERDICT r14 ask #1): the driver's value-hash
+serializes scale-0 DECIMAL columns DIFFERENTLY between its Spark and
+DuckDB collection paths — CORRECTNESS_r14 failed token_rarity /
+tfidf_top_terms on hash_match with rows+schema green and this replica
+green (both engines computed identical integers). The driver's hash
+function itself is not reproducible here (no driver source), so the
+enforcement is class-level: any query whose OUTPUT schema contains a
+scale-0 decimal column is now flagged DRIVER-HASH-RISK and fails the
+sweep — exact integer results must cross the output edge as BIGINT
+(``functions.exactmath.dec_to_bigint_sql`` keeps the overflow loud).
+Scale>0 decimals (money aggregates) have been driver-hash-green for
+14 rounds and stay allowed.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -214,6 +227,23 @@ def main():
             dtbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             results[name] = f"DUCKDB-ERROR: {type(e).__name__}: {e}"
+            continue
+        risky = [
+            f.name
+            for f in stbl.schema
+            if pa.types.is_decimal(f.type) and f.type.scale == 0
+        ] + [
+            f.name
+            for f in dtbl.schema
+            if pa.types.is_decimal(f.type) and f.type.scale == 0
+        ]
+        if risky:
+            results[name] = (
+                f"DRIVER-HASH-RISK: scale-0 decimal output column(s) "
+                f"{sorted(set(risky))} — the class the driver's hash "
+                f"serializes divergently (r14); narrow with "
+                f"dec_to_bigint_sql"
+            )
             continue
         sn, scn, sct = table_to_normalized(stbl)
         dn, dcn, dct = table_to_normalized(dtbl)

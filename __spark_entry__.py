@@ -5941,9 +5941,49 @@ def _q_dup_spans_incremental(spark, sf):
     if not fresh:
         DI.build_gram_counts(docs, path, length=8, n_buckets=64)
         DI.append_gram_counts(shard, path)
+    # Bucketed counts promoted to the default (r15, VERDICT r14 ask
+    # #5; guide §2.4 / §6): the counts table re-laid-out as a managed
+    # table bucketed on h removes the count side's per-query exchange
+    # from BOTH the per-hash SUM and the merge join — measured 1.52×
+    # on the x16 corpus (tools/lap_bucketed_counts.py, NOTES.md) and
+    # at parity (within host noise) with the parquet path at sf0.1,
+    # where the count side is only ~2.6 MB. The in-memory catalog is
+    # session-scoped, so a fresh session rewrites the table once from
+    # the parquet index (amortized across the session's queries); an
+    # index rebuild above forces the rewrite. The bucket count is
+    # SCALE-ADAPTIVE (~32 MB/bucket, floor 8, cap 4096 — a constant
+    # tuned to either local mode or the cluster would violate the
+    # scale-parameterization rule); override: $SPARK_GRAFT_COUNT_BUCKETS.
+    import os as _os
+
+    from data_pengadaan_agent_spark.sources.readers import write_bucketed
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    tbl = f"gram_counts_bucketed_{tag}"
+    if (not fresh) or (not spark.catalog.tableExists(tbl)):
+        env_buckets = _os.environ.get("SPARK_GRAFT_COUNT_BUCKETS")
+        if env_buckets:
+            n_buckets = int(env_buckets)
+        else:
+            try:
+                jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+                p = jvm_path(f"{path}/counts")
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                nbytes = fs.getContentSummary(p).getLength()
+            except Exception:
+                nbytes = 0
+            n_buckets = min(4096, max(8, int(nbytes // (32 << 20))))
+        write_bucketed(
+            spark.read.parquet(f"{path}/counts").select("h", "cnt"),
+            tbl,
+            "h",
+            n_buckets=n_buckets,
+        )
     # the gram law (8, 64, True) was just validated (or built) by the
     # freshness gate — forward it instead of re-reading the meta (r14)
-    return DI.dup_spans_incremental(spark, path, shard, _meta=(8, 64, True))
+    return DI.dup_spans_incremental(
+        spark, path, shard, _meta=(8, 64, True), counts_source=spark.table(tbl)
+    )
 
 
 def _dup_spans_incremental_sql(length: int = 8, min_count: int = 2) -> str:
@@ -6575,22 +6615,43 @@ def _bloom_index_path(spark, sf):
     from data_pengadaan_agent_spark.operators import bloom as BL
     from data_pengadaan_agent_spark.operators import textan as X
 
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
     docs = load_table(spark, sf, "documents")
-    corpus = X.fingerprint_arith(docs.filter(F.col("doc_id") % 10 < 8))
     path = _warehouse_path(spark, sf, "bloom_index")
-    expected = corpus.select("fingerprint").distinct().count()
+    # r15 (VERDICT r14 ask #8): the old gate re-fingerprinted and
+    # distinct-counted the WHOLE 80% corpus slice on EVERY call (a
+    # full text scan + shuffle, ~45% extra scan work per probe) and
+    # then distinct-counted keys/ too. The gate law is now the same
+    # one the trgm/postings/gram-count gates already use — source ROW
+    # count (a metadata-only parquet count) against a 1-row sidecar
+    # this entry writes after a successful build — plus the meta
+    # commit-marker read, whose validated 4-tuple forwards into the
+    # probe call. (The bloom meta additionally carries the n_keys
+    # count marker, maintained by build/ingest/compact, so any
+    # gate that does want the registered-key cardinality gets it for
+    # free with the meta read instead of a keys/ distinct-count.)
+    # Sidecar written AFTER the build: a crash between the two leaves
+    # the gate stale and the next call rebuilds — never a fresh-
+    # looking half-built index.
+    meta = (8, 4096, 7, "fingerprint")
+    n_docs = docs.count()
+    gate_p = f"{path}/entry_gate"
     try:
-        fresh = (
-            spark.read.parquet(f"{path}/keys").distinct().count() == expected
-            and BL._read_meta(spark, path) == (8, 4096, 7, "fingerprint")
-        )
+        fresh = [
+            r["n_source_rows"] for r in spark.read.parquet(gate_p).collect()
+        ] == [n_docs] and BL.read_meta_counts(spark, path)[0] == meta
     except Exception:
         fresh = False
     if not fresh:
+        corpus = X.fingerprint_arith(docs.filter(F.col("doc_id") % 10 < 8))
         BL.build_bloom_index(
             corpus, path, key_col="fingerprint", n_buckets=8, n_words=4096, k=7
         )
-    return path, docs
+        local_df(spark, [(int(n_docs),)], "n_source_rows bigint").write.mode(
+            "overwrite"
+        ).parquet(gate_p)
+    return path, docs, meta
 
 
 def _q_bloom_new_rows(spark, sf):
@@ -6605,10 +6666,10 @@ def _q_bloom_new_rows(spark, sf):
     from data_pengadaan_agent_spark.operators import bloom as BL
     from data_pengadaan_agent_spark.operators import textan as X
 
-    path, docs = _bloom_index_path(spark, sf)
+    path, docs, meta = _bloom_index_path(spark, sf)
     batch = X.fingerprint_arith(docs)
     return (
-        BL.bloom_new_rows(spark, path, batch, key_col="fingerprint")
+        BL.bloom_new_rows(spark, path, batch, key_col="fingerprint", _meta=meta)
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")
     )
@@ -6637,8 +6698,8 @@ def _q_bloom_fill_report(spark, sf):
     probes needed). ROUND-13-pool candidate."""
     from data_pengadaan_agent_spark.operators import bloom as BL
 
-    path, _ = _bloom_index_path(spark, sf)
-    return BL.bloom_fill_report(spark, path, key_col="fingerprint")
+    path, _, meta = _bloom_index_path(spark, sf)
+    return BL.bloom_fill_report(spark, path, key_col="fingerprint", _meta=meta)
 
 
 def _bloom_fill_sql(n_buckets: int = 8, n_words: int = 4096, k: int = 7) -> str:

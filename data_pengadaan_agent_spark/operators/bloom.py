@@ -157,7 +157,7 @@ def _word_rows(batch: DataFrame, key_col: str, n_buckets: int, n_words: int, k: 
     )
 
 
-def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
+def _read_meta_row(spark: SparkSession, path: str):
     _, _, meta_p = _paths(path)
     try:
         row = spark.read.parquet(meta_p).collect()
@@ -179,7 +179,58 @@ def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
             f"bloom index meta at {path!r} predates the key_col freeze "
             "(meta v1); rebuild with build_bloom_index"
         )
+    if "n_keys" not in r.asDict():
+        # meta v2 (pre count marker, r15): probes would have to
+        # re-count the key registry per call to gate freshness — the
+        # exact per-call job the marker exists to remove. Same loud-
+        # rebuild policy as the v1 key_col freeze.
+        raise ValueError(
+            f"bloom index meta at {path!r} predates the n_keys count "
+            "marker (meta v2); rebuild with build_bloom_index"
+        )
+    return r
+
+
+def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
+    r = _read_meta_row(spark, path)
     return int(r["n_buckets"]), int(r["n_words"]), int(r["k"]), str(r["key_col"])
+
+
+def read_meta_counts(
+    spark: SparkSession, path: str
+) -> tuple[tuple[int, int, int, str], int]:
+    """(geometry+key 4-tuple, registered distinct key count) in ONE
+    meta read — the r15 count marker (VERDICT r14 ask #8): a caller
+    gating index freshness compares ``n_keys`` against its expected
+    source cardinality instead of re-counting keys/ per call, and
+    forwards the 4-tuple onward (``_meta``), so the whole gate costs
+    one 1-row read. ``n_keys`` is maintained by build (exact),
+    ingest_bloom_batch (recounted from the registry after the append
+    — self-healing under crash-replay) and compact (carried through:
+    compaction never changes the key set)."""
+    r = _read_meta_row(spark, path)
+    return (
+        (int(r["n_buckets"]), int(r["n_words"]), int(r["k"]), str(r["key_col"])),
+        int(r["n_keys"]),
+    )
+
+
+def _write_meta(
+    spark: SparkSession,
+    meta_p: str,
+    n_buckets: int,
+    n_words: int,
+    k: int,
+    key_col: str,
+    n_keys: int,
+) -> None:
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(
+        spark,
+        [(int(n_buckets), int(n_words), int(k), str(key_col), int(n_keys))],
+        "n_buckets int, n_words int, k int, key_col string, n_keys bigint",
+    ).write.mode("overwrite").parquet(meta_p)
 
 
 def _resolve_key(frozen: str, key_col: str | None, fn: str) -> str:
@@ -237,22 +288,24 @@ def build_bloom_index(
     # probe rows explode to nothing, so registering one writes a keys/
     # row with NO bits — a permanent missing_bits audit alarm that
     # repair can never converge away (self-review r12).
+    from pyspark import StorageLevel
+
+    # one materialization of the distinct key set (key-registry-sized,
+    # DISK_ONLY per the no-corpus-scale-memory-pins rule): it feeds
+    # the words derivation, the keys/ write AND the n_keys count —
+    # before r15 the distinct ran once per consumer
     fresh = (
         df.select(key_col)
         .filter(F.col(key_col).isNotNull())
         .dropDuplicates([key_col])
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
+    n_keys = fresh.count()
     _word_rows(fresh, key_col, n_buckets, n_words, k).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(words_p)
-    from data_pengadaan_agent_spark.sources.catalog import local_df
-
     fresh.write.mode("overwrite").parquet(keys_p)
-    local_df(
-        spark,
-        [(int(n_buckets), int(n_words), int(k), str(key_col))],
-        "n_buckets int, n_words int, k int, key_col string",
-    ).write.mode("overwrite").parquet(meta_p)
+    _write_meta(spark, meta_p, n_buckets, n_words, k, key_col, n_keys)
 
 
 def probe_bloom(
@@ -292,7 +345,11 @@ def probe_bloom(
 
 
 def bloom_new_rows(
-    spark: SparkSession, path: str, batch: DataFrame, key_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_col: str | None = None,
+    _meta: tuple[int, int, int, str] | None = None,
 ) -> DataFrame:
     """Rows of ``batch`` whose key is NOT in the indexed corpus —
     exactly the direct anti-join's answer, via the two-tier plan:
@@ -300,12 +357,18 @@ def bloom_new_rows(
     (zero contact with the key registry); only the maybe sliver
     takes the exact LEFT ANTI against keys/. The oracle twin is the
     direct anti-join, so a green row certifies the invariant, the
-    probe law, and the verify in one equality."""
+    probe law, and the verify in one equality.
+
+    ``_meta``: a caller that already read (and gated on) the meta
+    sidecar this call forwards the 4-tuple instead of paying the
+    read + collect again (r15 — the probe_bloom convention one level
+    up; with the entry gate's n_keys marker this makes the whole
+    call single-meta-read)."""
     # NULL keys carry no identity: a NULL can never be registered (its
     # probe rows explode to nothing, so its bits are never set) and
     # would be re-classified "new" on every ingest forever — drop them
     # up front, the same NULL contract as the cube key columns.
-    meta = _read_meta(spark, path)
+    meta = _meta or _read_meta(spark, path)
     key_col = _resolve_key(meta[3], key_col, "bloom_new_rows")
     _require_integral(batch, key_col, "bloom_new_rows")
     # materialize the shard ONCE: the batch is often a derived frame
@@ -337,20 +400,35 @@ def ingest_bloom_batch(
     between the two writes leaves bits-without-keys, which the replay
     re-classifies as new (bloom maybe → verify anti-join → absent)
     and re-appends — the keys write eventually lands, and no state
-    ever violates bits ⊇ keys. Returns rows actually ingested."""
-    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    ever violates bits ⊇ keys. Returns rows actually ingested.
+
+    Meta count marker (r15): after the keys append the meta's
+    ``n_keys`` is refreshed from a RECOUNT of the registry (keys/ is
+    distinct by construction, so this is a cheap metadata count) —
+    recount, not increment, so any crash-replay state self-heals: a
+    crash after the keys append but before the meta rewrite leaves
+    ``n_keys`` stale-low, and the next ingest (even an all-duplicate
+    no-op) syncs it. The meta rewrite itself has the module's
+    standard failure mode — a crash mid-write leaves the index
+    loudly invalid (absent meta), same as a crashed build."""
+    meta4, n_keys_meta = read_meta_counts(spark, path)
+    n_buckets, n_words, k, frozen = meta4
     key_col = _resolve_key(frozen, key_col, "ingest_bloom_batch")
-    words_p, keys_p, _ = _paths(path)
-    fresh = bloom_new_rows(spark, path, batch.dropDuplicates([key_col]), key_col)
+    words_p, keys_p, meta_p = _paths(path)
+    fresh = bloom_new_rows(
+        spark, path, batch.dropDuplicates([key_col]), key_col, _meta=meta4
+    )
     # one deterministic barrier so words and keys see the SAME verdict
     fresh = fresh.select(key_col).localCheckpoint(eager=True)
     n_new = fresh.count()
-    if n_new == 0:
-        return 0
-    _word_rows(fresh, key_col, n_buckets, n_words, k).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(words_p)
-    fresh.write.mode("append").parquet(keys_p)
+    if n_new:
+        _word_rows(fresh, key_col, n_buckets, n_words, k).write.mode(
+            "append"
+        ).partitionBy("bucket").parquet(words_p)
+        fresh.write.mode("append").parquet(keys_p)
+    registered = spark.read.parquet(keys_p).count()
+    if registered != n_keys_meta:
+        _write_meta(spark, meta_p, n_buckets, n_words, k, key_col, registered)
     return n_new
 
 
@@ -447,7 +525,10 @@ def compact_bloom_index(
 
 
 def bloom_fill_report(
-    spark: SparkSession, path: str, key_col: str | None = None
+    spark: SparkSession,
+    path: str,
+    key_col: str | None = None,
+    _meta: tuple[int, int, int, str] | None = None,
 ) -> DataFrame:
     """Per-bucket saturation: registered keys, set bits, fill ratio
     in ppm (integer: set_bits·10^6 DIV m — never a float). The
@@ -455,8 +536,9 @@ def bloom_fill_report(
     occupancy design point; past ~700,000 the fpr grows fast and the
     bucket wants a rebuild at larger n_words. All-integer, so the
     DuckDB twin recomputes the EXACT bit contents — a green row
-    certifies the filter's state bit-for-bit."""
-    n_buckets, n_words, k, frozen = _read_meta(spark, path)
+    certifies the filter's state bit-for-bit. ``_meta``: the
+    bloom_new_rows forwarding convention (r15)."""
+    n_buckets, n_words, k, frozen = _meta or _read_meta(spark, path)
     key_col = _resolve_key(frozen, key_col, "bloom_fill_report")
     m = n_words * _WORD_BITS
     _, keys_p, _ = _paths(path)

@@ -164,10 +164,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     copy)."""
     edges = _materialize_once(edges)
     tri = triangles(edges)
+    # ONE wedge pass (r15, guide §1.2): the old 3-way unionAll of
+    # per-corner projections kept THREE copies of the wedge-join
+    # subtree in the plan — each union leg prunes a different corner
+    # column, so the subtrees are canonically different and only
+    # their input exchanges (not the join work) could be reused; the
+    # expensive wedge pairing + closure probe executed three times.
+    # explode(array(x, y, z)) yields the identical vertex multiset
+    # from a single copy of the join.
     per_vertex = (
-        tri.select(F.col("x").alias("vertex"))
-        .unionAll(tri.select(F.col("y").alias("vertex")))
-        .unionAll(tri.select(F.col("z").alias("vertex")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
     )

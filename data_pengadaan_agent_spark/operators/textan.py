@@ -1516,28 +1516,61 @@ def ngram_lm_score(
     the oracle replays the same construction, empty-token edges
     included.
 
-    Scale shape: the reference explodes once into vocab-sized c1/c2
-    count tables (map-side partial combine); the target corpus
-    explodes once to (doc, bigram) rows and takes THREE hash joins —
-    bigram→c2, w1→c1, w2→c1 — all pinned ``shuffle_hash`` because
-    every side descends from an explode (the house rule: explode-
-    derived frames have garbage size estimates; at 100 TB a reference
-    vocabulary is NOT broadcastable). N arrives via a 1-row
-    broadcast. Every exchange carries ids + strings + int64 counts;
-    the final per-doc aggregate is the only corpus-sized shuffle."""
+    Scale shape (r15, guide §1.2/§2.3): the reference corpus is
+    scanned and exploded exactly ONCE — unigrams and bigrams ride one
+    tagged generator (``concat`` of kind-tagged struct arrays) into
+    one (kind, gram) aggregate, checkpointed DISK_ONLY (vocab-scale —
+    bounded by |unigram|+|bigram| vocabulary, never corpus-row-scale,
+    but the no-corpus-scale-memory-pins house rule applies to big
+    vocabularies too). Before r15 the lazy c1 table was consumed
+    THREE times (w1 join, w2 join, the N aggregate) and c2 once, so
+    the executed plan re-scanned and re-exploded the reference corpus
+    FOUR times. The target corpus explodes once to (doc, bigram)
+    rows and takes THREE hash joins — bigram→c2, w1→c1, w2→c1 — all
+    pinned ``shuffle_hash`` because every side descends from an
+    explode (the house rule: explode-derived frames have garbage size
+    estimates; at 100 TB a reference vocabulary is NOT
+    broadcastable). N arrives via a 1-row broadcast. Every exchange
+    carries ids + strings + int64 counts; the final per-doc aggregate
+    is the only corpus-sized shuffle."""
+    from pyspark import StorageLevel
+
     from data_pengadaan_agent_spark.sources.catalog import spread
 
-    c1 = (
-        spread(ref_df, id_col)
-        .select(F.explode(tokens(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    # ONE reference pass: tag each unigram (k=1) and bigram (k=2) and
+    # count in a single aggregate. Semantics identical to the two
+    # separate explodes: tokens()/word_ngrams() are the same
+    # expressions; explode() drops NULL/empty arrays on both shapes
+    # (a 1-token doc contributes its token and no bigram; NULL text
+    # contributes nothing, exactly as before).
+    tagged = spread(ref_df, id_col).select(
+        F.explode(
+            F.concat(
+                F.transform(
+                    tokens(text_col),
+                    lambda t: F.struct(
+                        F.lit(1).cast("int").alias("k"), t.alias("g")
+                    ),
+                ),
+                F.transform(
+                    word_ngrams(text_col, 2),
+                    lambda b: F.struct(
+                        F.lit(2).cast("int").alias("k"), b.alias("g")
+                    ),
+                ),
+            )
+        ).alias("kg")
     )
-    c2 = (
-        spread(ref_df, id_col)
-        .select(F.explode(word_ngrams(text_col, 2)).alias("bg"))
-        .groupBy("bg")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    counts = (
+        tagged.groupBy(F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    c1 = counts.filter(F.col("k") == 1).select(
+        F.col("g").alias("w"), F.col("cnt").alias("c1")
+    )
+    c2 = counts.filter(F.col("k") == 2).select(
+        F.col("g").alias("bg"), F.col("cnt").alias("c2")
     )
     n_total = c1.agg(F.sum("c1").cast("bigint").alias("n_total"))
     occ = spread(df, id_col).select(

@@ -4,9 +4,17 @@ traps and integer-hash parity."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+# Whole module: brute-force-reference / hypothesis property sweeps —
+# the heaviest test class in the suite. Excluded from the default
+# run (driver window, VERDICT r14 ask #2); included at round close
+# via SPARK_GRAFT_SLOW_TESTS=1.
+pytestmark = pytest.mark.slow
 
 from data_pengadaan_agent_spark.functions.vectors import hash_ngram_embed
 from data_pengadaan_agent_spark.operators.filters import keyword_cnf

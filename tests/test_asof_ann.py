@@ -3,6 +3,8 @@ recall vs brute force on the fixture embeddings."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_pengadaan_agent_spark.operators import similarity as S
@@ -65,6 +67,7 @@ def test_ivf_and_lsh_recall(spark, tables):
     assert 0 in lsh
 
 
+@pytest.mark.slow
 def test_ivf_assignment_partitions_corpus(spark, tables):
     emb = tables["embeddings"]
     assign = S.ivf_assignments(emb, "embedding", dim=64, n_centroids=8)
@@ -128,6 +131,7 @@ def test_kmeans_lloyd_invariants(spark, tables):
         assert c == best, f"vec {vid}: got {c}, nearest {best}"
 
 
+@pytest.mark.slow
 def test_ivf_trained_build_partitions_corpus(spark, tables, tmp_path):
     from data_pengadaan_agent_spark.operators.similarity import build_ivf_table
 
@@ -286,6 +290,7 @@ def test_semdedup_auto_k_bounds_cluster_sizes(spark, tables):
     assert out.count() == 500
 
 
+@pytest.mark.slow
 def test_trained_ivf_recall_beats_fixed_on_clustered_corpus(spark, tmp_path):
     """IVF with a Lloyd-trained codebook (build_ivf_table
     train_iters>0 + the trained probe path) must beat the fixed
@@ -532,6 +537,7 @@ def test_ivf_append_trained_uses_frozen_codebook(spark, tables, tmp_path):
     assert any(r["vec_id"] == 350 for r in got)
 
 
+@pytest.mark.slow
 def test_lsh_append_equals_rebuild(spark, tables, tmp_path):
     """LSH signature-table append: same fixed hyperplane family signs
     the shard, so append ∪ base is bit-identical to a full rebuild and

@@ -209,6 +209,7 @@ def test_empty_and_all_dup_batches(spark, idx):
     assert B.ingest_bloom_batch(spark, path, corpus, "key") == 0
 
 
+@pytest.mark.slow
 def test_streaming_bloom_sink_parity_and_replay(spark, tmp_path):
     """NINTH streaming form: two single-file triggers (the second
     replays an already-ingested key) leave the streamed index
@@ -328,3 +329,45 @@ def test_meta_freezes_key_col(spark, idx, tmp_path):
     ).coalesce(1).write.mode("overwrite").parquet(f"{v1}/meta")
     with pytest.raises(ValueError, match="key_col freeze"):
         B.bloom_new_rows(spark, v1, corpus, "key")
+
+
+def test_meta_v3_n_keys_marker_maintained(spark, idx):
+    """r15 count marker (VERDICT r14 ask #8): n_keys is exact after
+    build, refreshed by ingest (recount semantics — crash states
+    self-heal at the next ingest, even an all-duplicate no-op), and
+    carried through compaction unchanged."""
+    path, corpus = idx
+    meta4, n_keys = B.read_meta_counts(spark, path)
+    assert meta4 == (4, 64, 5, "key")
+    assert n_keys == 300
+    # ingest 50 new + 50 dup keys -> marker reflects the registry
+    batch = spark.range(250, 350).select(F.col("id").alias("key"))
+    assert B.ingest_bloom_batch(spark, path, batch, "key") == 50
+    assert B.read_meta_counts(spark, path)[1] == 350
+    # simulate the crash window: keys landed but meta rewrite lost —
+    # the next (pure-duplicate, 0-new) ingest must re-sync the marker
+    B._write_meta(spark, f"{path}/meta", 4, 64, 5, "key", 300)
+    assert B.read_meta_counts(spark, path)[1] == 300
+    assert B.ingest_bloom_batch(spark, path, batch, "key") == 0
+    assert B.read_meta_counts(spark, path)[1] == 350
+    # compaction preserves the marker
+    B.compact_bloom_index(spark, path, "key")
+    assert B.read_meta_counts(spark, path)[1] == 350
+
+
+def test_meta_v2_rejected_loudly(spark, idx):
+    """Version bump: a pre-r15 meta (no n_keys column) must fail with
+    the rebuild message, never be silently trusted — the v1 key_col
+    freeze policy."""
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    path, _ = idx
+    local_df(
+        spark,
+        [(4, 64, 5, "key")],
+        "n_buckets int, n_words int, k int, key_col string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="meta v2"):
+        B._read_meta(spark, path)
+    with pytest.raises(ValueError, match="meta v2"):
+        B.read_meta_counts(spark, path)

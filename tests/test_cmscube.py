@@ -115,6 +115,7 @@ def test_meta_gates_and_validation(spark, corpus, tmp_path):
         C.cms_estimate(spark, path, [], ["lang"])
 
 
+@pytest.mark.slow
 def test_streaming_cms_sink_parity(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as papq

@@ -49,6 +49,7 @@ def test_ngram_jaccard_exact_value(spark):
     assert abs(out[0]["jaccard"] - 3 / 5) < 1e-12
 
 
+@pytest.mark.slow
 def test_minhash_pipeline_finds_near_dups(docs):
     out = D.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=32, bands=16, shingle_n=2)
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
@@ -56,6 +57,7 @@ def test_minhash_pipeline_finds_near_dups(docs):
     assert all(p[0] in (1, 2, 3) and p[1] in (2, 3) for p in pairs)
 
 
+@pytest.mark.slow
 def test_minhash_signature_deterministic(docs):
     a = D.minhash_signatures(docs).collect()
     b = D.minhash_signatures(docs).collect()
@@ -127,6 +129,7 @@ def test_cosine_pandas_path_matches_builtin(vecs):
     assert a == b
 
 
+@pytest.mark.slow
 def test_lsh_topk_subset_of_brute(tables):
     emb = tables["embeddings"]
     q = emb.filter(F.col("vec_id") == 7).first()["embedding"]
@@ -393,6 +396,7 @@ def test_minhash_banding_validation(spark):
         D.minhash_lsh_pairs_arith(df, n_hashes=20, bands=8)
 
 
+@pytest.mark.slow
 def test_cc_loop_releases_superseded_label_checkpoints(spark):
     """Self-review r14 (the pagerank_int_converged lesson applied to
     the min-label CC loop): each round's superseded labels checkpoint

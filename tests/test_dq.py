@@ -123,6 +123,7 @@ def test_rejects_bad_suites(frame):
         DQ.dq_check(frame, [DQ.Rule("x", "nonsense")])
 
 
+@pytest.mark.slow
 def test_streaming_dq_gate_routes_batches(spark, tmp_path):
     """ELEVENTH streaming form: a clean epoch lands in clean/, a
     violating epoch lands WHOLE in quarantine/, and the per-rule
@@ -183,6 +184,7 @@ def test_streaming_dq_gate_routes_batches(spark, tmp_path):
     assert bad == {"unique(id)": 2, "in_range(price)": 1}
 
 
+@pytest.mark.slow
 def test_streaming_dq_gate_replay_flip_leaves_one_copy(spark, tmp_path):
     """A replayed epoch whose verdict FLIPPED (the rules_factory bound
     different referential state) must not leave the epoch's rows in

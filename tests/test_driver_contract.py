@@ -4,6 +4,8 @@ before the driver's gate does."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as E
 from tests.conftest import SF_DIR
 
@@ -96,6 +98,7 @@ def test_rotation_manifest_current():
     )
 
 
+@pytest.mark.slow
 def test_retired_entries_match_oracle(spark):
     """Tier-3 entries retired from the driver gate (round 6 capacity
     fix) keep full LOCAL value-checks: same Arrow-normalized
@@ -239,7 +242,15 @@ def test_round8_candidate_dedup_passages_matches_oracle(spark):
     )
 
 
+@pytest.mark.slow
 def test_every_query_executes_and_has_oracle(spark):
+    """Every registered entry executes at sf0.001 and has a twin.
+    slow-marked (r15): at ~2 min this was the single largest test in
+    the default run; the same surface is executed by bench.py (all
+    150) and value-checked by the tools/check_oracle.py sweep (all
+    220) every round, and the oracle-twin pairing is structurally
+    asserted by test_registry_floor on every default run. Included
+    at round close via SPARK_GRAFT_SLOW_TESTS=1."""
     qs = E.queries()
     oracles = E.oracle_sql()
     missing = sorted(set(qs) - set(oracles))

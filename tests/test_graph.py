@@ -136,6 +136,7 @@ def test_pagerank_rejects_bad_iters(spark):
         G.pagerank_int_converged(_edges(spark, [(1, 2)]), max_iters=0)
 
 
+@pytest.mark.slow
 def test_pagerank_converged_matches_fixed_form_bit_exact(spark):
     """VERDICT r11 #4: the residual-stop form shares _pagerank_step
     with the certified fixed-iteration twin — converged-after-t ≡

@@ -128,6 +128,7 @@ def test_validation_and_meta_contract(spark, tmp_path):
         HC.hist_rollup(spark, path)
 
 
+@pytest.mark.slow
 def test_streaming_hist_cube_sink_counts_equal_batch(spark, tmp_path):
     """The eighth streaming form: file-per-trigger ingest gives bin
     counts and quantile bins identical to a from-scratch build over

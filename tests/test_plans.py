@@ -469,3 +469,25 @@ def test_bm25_from_index_stats_scan_prunes_columns(spark, tables, tmp_path):
     assert doclen_scans, plan
     # no scan reads a text/terms payload off the index
     assert all("text" not in s for s in doclen_scans), doclen_scans
+
+
+def test_ngram_lm_score_single_reference_pass(spark, tables):
+    """r15 (guide §1.2): the reference corpus must be scanned and
+    exploded exactly ONCE — unigram and bigram counts ride one tagged
+    generator into one checkpointed aggregate. Before the fix the lazy
+    c1 table was consumed three times (w1 join, w2 join, N aggregate)
+    and c2 once: four reference explodes in the executed plan."""
+    from data_pengadaan_agent_spark.operators.textan import ngram_lm_score
+
+    docs = tables["documents"]
+    out = ngram_lm_score(docs, docs.filter(F.col("lang") == "en"))
+    out.collect()  # AQE-final plan
+    plan = _plan(out)
+    # the only parquet scan left is the TARGET side; the reference
+    # pass ran once inside the checkpoint job (count the AQE FINAL
+    # plan section only — the printed initial plan duplicates nodes)
+    final_section = plan.split("Initial Plan")[0]
+    n_scans = final_section.count("FileScan parquet")
+    assert n_scans <= 1, plan
+    # the checkpointed (k, g, cnt) table is what the joins consume
+    assert "Scan ExistingRDD" in plan, plan

@@ -632,13 +632,28 @@ def dup_spans(
     ~10⁹ grams; ``arith_hash=False`` = JVM xxhash64 (production,
     64-bit, same property).
 
-    Scale shape: posexplode → (id, pos, h) rows; the occurrence count
-    is a partial-aggregated groupBy(h) whose result joins back on h
-    (both sides explode-descended ⇒ pinned shuffle-capable, never a
-    corpus-sized broadcast); then ONE doc_id exchange drives the
-    lag window, the run-id running sum, and the final run aggregate
-    — the scd2_history single-exchange discipline. Exchanges carry
-    (int64, int64) rows only, never text."""
+    Scale shape: posexplode → (id, pos, h) rows; the occurrence
+    gate is ``count(*) OVER (PARTITION BY h) >= min_count`` computed
+    directly on the h exchange — r15: the previous groupBy(h) +
+    left-semi merge-join-back shape ran the scan→tokenize→posexplode→
+    hash chain TWICE (once per join side; only the pre-explode corpus
+    exchange was reusable), plus a second (tiny) exchange for the
+    partial-aggregated counts and the merge sort of both sides. The
+    window count rides the single (id, pos, h) exchange the probe
+    side already paid, so the corpus is tokenized and exploded ONCE.
+    Then ONE doc_id exchange drives the lag window, the run-id
+    running sum, and the final run aggregate — the scd2_history
+    single-exchange discipline. Exchanges carry (int64, int64) rows
+    only, never text.
+
+    Skew trade (same class as dedup_passages' window vote, stated
+    honestly): a viral gram's occurrences all land in one window
+    group, which WindowExec buffers SPILLABLY (ints only, never
+    text), where the old merge join's probe partition could have
+    been split by AQE skew handling. The old shape paid a full extra
+    corpus tokenize pass on EVERY call to buy that; at 100 TB the
+    tokenize pass is corpus-proportional while a viral gram's group
+    is repeat-proportional and disk-backed."""
     from data_pengadaan_agent_spark.sources.catalog import spread
 
     if length < 1:
@@ -654,17 +669,12 @@ def dup_spans(
         F.col("pos").cast("bigint").alias("pos"),
         dup_gram_hash(F.col("g"), arith_hash).alias("h"),
     )
-    occ = hashed.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("_occ"))
-    # merge, not shuffle_hash: the duplicated-hash side is small on
-    # organic corpora but CORPUS-PROPORTIONAL in the worst case (a
-    # fully-duplicated corpus), and a shuffled-hash build is the
-    # non-spillable shape that OOM'd ngram_contamination at x64 — the
-    # external sort spills (both sides are explode-descended, so the
-    # static planner must never pick a broadcast either)
-    dup = hashed.join(
-        occ.filter(F.col("_occ") >= F.lit(int(min_count))).select("h").hint("merge"),
-        "h",
-        "left_semi",
+    dup = (
+        hashed.withColumn(
+            "_occ", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .where(F.col("_occ") >= F.lit(int(min_count)))
+        .drop("_occ")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup.withColumn(

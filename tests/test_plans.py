@@ -432,19 +432,25 @@ def test_dsir_checkpoint_discipline(spark, tables):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
-def test_dup_spans_never_broadcasts_exploded_frames(spark, tables):
-    """dup_spans' occurrence-count semi-join has BOTH sides descended
-    from the gram explode (garbage size estimates) — the join is
-    pinned shuffle-capable, and no exploded frame may ever be a
-    broadcast build side (the ngram_jaccard_pairs lesson). The gram
-    lineage must also reach the window through ONE doc_id exchange."""
+def test_dup_spans_single_tokenize_pass(spark, tables):
+    """r15: dup_spans' occurrence gate is a count window ON the gram
+    (h) exchange — the old groupBy(h) + left-semi merge-join-back ran
+    the tokenize→posexplode→hash chain once per join side. The final
+    shape must carry NO join at all, exactly one posexplode Generate,
+    and exactly two required hashpartitioning exchanges (h for the
+    occurrence window, doc_id for the span merge — spread()'s
+    REPARTITION_BY_NUM on a starved input doesn't count)."""
+    import re
+
     from data_pengadaan_agent_spark.operators import textan as X
 
     docs = tables["documents"].filter(F.col("doc_id") < 200)
     plan = _plan(X.dup_spans(docs, length=8, arith_hash=False))
-    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
-    for sub in _broadcast_subtrees(plan):
-        assert "Generate posexplode" not in sub, sub
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Generate posexplode", plan)) == 1, plan
+    assert (
+        len(re.findall(r"Exchange hashpartitioning.*ENSURE_REQUIREMENTS", plan)) == 2
+    ), plan
 
 
 def test_bm25_from_index_stats_scan_prunes_columns(spark, tables, tmp_path):

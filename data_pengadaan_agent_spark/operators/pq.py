@@ -383,16 +383,53 @@ def build_ivfpq_table(
     # ids sidecar all see the same frame.
     df = df.dropDuplicates([id_col])
     coarse = coarse_codebook(df, kc, vec_col, id_col)
-    resid = ivfpq_residuals(df, coarse, vec_col, id_col)
-    cb = train_pq(
-        resid, dim=dim, m=m, ksub=ksub, iters=iters, vec_col="resid", id_col=id_col
+    # Materialize the residual pass ONCE: its consumers (train_pq's
+    # init collect — filters cannot push through mapInPandas — and
+    # Lloyd rounds, pq_encode, the ids-registry write) otherwise each
+    # re-run the dedup shuffle + spread + Arrow residual pass over the
+    # full build input. DISK_ONLY because the frame carries the
+    # residual vectors and is corpus-proportional (the
+    # no-corpus-scale-memory-pins house rule); released after the
+    # commit-marker write.
+    from pyspark import StorageLevel
+
+    resid = ivfpq_residuals(df, coarse, vec_col, id_col).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
-    codes = pq_encode(
-        resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
-    )
-    codes.write.mode("overwrite").partitionBy("list").parquet(path)
-    df.select(id_col).write.mode("overwrite").parquet(ids_p)
-    save_ivfpq_codebooks(spark, path, coarse, cb)
+    try:
+        cb = train_pq(
+            resid,
+            dim=dim,
+            m=m,
+            ksub=ksub,
+            iters=iters,
+            vec_col="resid",
+            id_col=id_col,
+        )
+        codes = pq_encode(
+            resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
+        )
+        # partition-aligned AQE rebalance before the dynamic-partition
+        # write (guide §6): without it every mapper task writes a file
+        # into every list partition it touches (width × kc tiny files
+        # per build/append — 117 files for a 300-vector build); with it
+        # each list lands in size-appropriate files, and AQE splits a
+        # skewed list across tasks rather than serializing it.
+        codes.hint("rebalance", "list").write.mode("overwrite").partitionBy(
+            "list"
+        ).parquet(path)
+        # same id set as df (residuals are 1:1 with the deduped input)
+        # — read from the checkpoint instead of re-running the dedup.
+        resid.select(id_col).hint("rebalance").write.mode(
+            "overwrite"
+        ).parquet(ids_p)
+        save_ivfpq_codebooks(spark, path, coarse, cb)
+    finally:
+        from data_pengadaan_agent_spark.operators.graph import (
+            _release_local_checkpoint,
+        )
+
+        _release_local_checkpoint(resid)
     return coarse, cb
 
 
@@ -546,11 +583,13 @@ def append_ivfpq_table(
     n_new = fresh.count()
     if n_new == 0:
         return 0
-    fresh.select(id_col).write.mode("append").parquet(ids_p)
+    fresh.select(id_col).hint("rebalance").write.mode("append").parquet(ids_p)
     resid = ivfpq_residuals(fresh, coarse, vec_col, id_col)
     pq_encode(
         resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
-    ).write.mode("append").partitionBy("list").parquet(path)
+    ).hint("rebalance", "list").write.mode("append").partitionBy(
+        "list"
+    ).parquet(path)
     return n_new
 
 
@@ -581,10 +620,12 @@ def append_ivfpq_residuals(
     n_new = fresh.count()
     if n_new == 0:
         return 0
-    fresh.select(id_col).write.mode("append").parquet(ids_p)
+    fresh.select(id_col).hint("rebalance").write.mode("append").parquet(ids_p)
     pq_encode(
         fresh, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
-    ).write.mode("append").partitionBy("list").parquet(path)
+    ).hint("rebalance", "list").write.mode("append").partitionBy(
+        "list"
+    ).parquet(path)
     return n_new
 
 
@@ -653,7 +694,9 @@ def repair_ivfpq_table(
     resid = ivfpq_residuals(todo, coarse, vec_col, id_col)
     pq_encode(
         resid, cb, vec_col="resid", id_col=id_col, passthrough=["list"]
-    ).write.mode("append").partitionBy("list").parquet(path)
+    ).hint("rebalance", "list").write.mode("append").partitionBy(
+        "list"
+    ).parquet(path)
     return n_todo
 
 

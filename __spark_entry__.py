@@ -5894,22 +5894,26 @@ def _q_bm25_index_retrieval(spark, sf):
 
     docs = load_table(spark, sf, "documents")
     path = _warehouse_path(spark, sf, "postings_index")
+    # gate law (r15, the bloom n_keys shape): the meta stats marker's
+    # n_docs vs the source row count — ONE 1-row read replaces the
+    # per-call doclen parquet count (meta n_docs == doclen count at
+    # every committed state by maintenance; a crashed append leaves
+    # them mismatched against the source and rebuilds here)
     try:
-        fresh = (
-            spark.read.parquet(f"{path}/doclen").count() == docs.count()
-            and LX._read_meta(spark, path) == 64
-        )
+        meta = LX.read_meta_stats(spark, path)
+        fresh = meta[1] == docs.count() and meta[0] == 64
     except Exception:
         fresh = False
     if not fresh:
         LX.build_postings_index(docs, path, n_buckets=64)
+        meta = LX.read_meta_stats(spark, path)
     queries = docs.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("qid"),
         F.slice(X.tokens("text"), 1, 3).alias("terms"),
     )
-    # n_buckets=64 was just validated (or built) by the freshness
-    # gate — forward it instead of re-reading the meta sidecar (r14)
-    return LX.bm25_from_index(spark, path, queries, k=5, _n_buckets=64)
+    # the gate just validated (or the build just wrote) the meta —
+    # forward it instead of re-reading the sidecar (r14)
+    return LX.bm25_from_index(spark, path, queries, k=5, _meta=meta)
 
 
 def _q_dup_spans_incremental(spark, sf):

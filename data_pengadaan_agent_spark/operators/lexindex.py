@@ -53,7 +53,7 @@ def _bucket(term_col, n_buckets: int):
     return F.pmod(F.xxhash64(term_col), F.lit(int(n_buckets))).cast("int")
 
 
-def _read_meta(spark: SparkSession, path: str) -> int:
+def _read_meta_row(spark: SparkSession, path: str):
     _, _, meta = _paths(path)
     try:
         row = spark.read.parquet(meta).collect()
@@ -65,7 +65,62 @@ def _read_meta(spark: SparkSession, path: str) -> int:
         ) from exc
     if len(row) != 1:
         raise ValueError(f"postings index meta at {path!r} must be exactly 1 row")
-    return int(row[0]["n_buckets"])
+    r = row[0]
+    if "n_docs" not in r.asDict():
+        # meta v1 (pre corpus-stats marker, r15): every query re-scanned
+        # and re-aggregated the corpus-sized doclen table for (N, Σdl) —
+        # the exact per-call pass the marker exists to remove. Same
+        # loud-rebuild policy as the bloom v2→v3 n_keys bump.
+        raise ValueError(
+            f"postings index meta at {path!r} predates the corpus-stats "
+            "marker (meta v1); rebuild with build_postings_index"
+        )
+    return r
+
+
+def _read_meta(spark: SparkSession, path: str) -> int:
+    return int(_read_meta_row(spark, path)["n_buckets"])
+
+
+def read_meta_stats(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    """(n_buckets, n_docs, sum_dl) in ONE 1-row meta read — the r15
+    corpus-stats marker (the bloom n_keys discipline, VERDICT r14 ask
+    #8): BM25's global statistics (N, Σdl) are properties of the INDEX,
+    maintained by build/append (recounted from the committed doclen
+    table after each append — recount, not increment, so crash-replay
+    states self-heal on the next successful append) and carried through
+    compact (which never touches doclen). Callers gating freshness
+    compare ``n_docs`` against the expected source cardinality instead
+    of re-counting doclen per call, and the query path scores with the
+    meta stats instead of re-aggregating the corpus-sized doclen table
+    on every batch. The one crash window (doclen appended, meta rewrite
+    died) leaves stats stale-low; the gate law sees the mismatch and
+    rebuilds — never silently serves a half-updated meta (an absent or
+    torn meta is rejected loudly above)."""
+    r = _read_meta_row(spark, path)
+    return int(r["n_buckets"]), int(r["n_docs"]), int(r["sum_dl"])
+
+
+def _write_meta(
+    spark: SparkSession, meta_p: str, n_buckets: int, n_docs: int, sum_dl: int
+) -> None:
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(
+        spark,
+        [(int(n_buckets), int(n_docs), int(sum_dl))],
+        "n_buckets int, n_docs bigint, sum_dl bigint",
+    ).write.mode("overwrite").parquet(meta_p)
+
+
+def _doclen_stats(spark: SparkSession, doclen_p: str) -> tuple[int, int]:
+    """Exact (n_docs, Σdl) recounted from the committed doclen table —
+    the post-write source of truth for the meta stats."""
+    r = spark.read.parquet(doclen_p).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("s"),
+    ).collect()[0]
+    return int(r["n"]), int(r["s"])
 
 
 def build_postings_index(
@@ -109,11 +164,8 @@ def build_postings_index(
     docs.select(
         F.col(id_col), F.size(toks).cast("bigint").alias("dl")
     ).write.mode("overwrite").parquet(doclen_p)
-    from data_pengadaan_agent_spark.sources.catalog import local_df
-
-    local_df(spark, [(int(n_buckets),)], "n_buckets int").write.mode(
-        "overwrite"
-    ).parquet(meta_p)
+    n_docs, sum_dl = _doclen_stats(spark, doclen_p)
+    _write_meta(spark, meta_p, n_buckets, n_docs, sum_dl)
 
 
 def append_postings_index(
@@ -168,6 +220,13 @@ def append_postings_index(
         F.col(id_col), F.size(toks).cast("bigint").alias("dl")
     ).write.mode("append").parquet(doclen_p)
     postings.write.mode("append").partitionBy("bucket").parquet(posts_p)
+    # meta stats recommit LAST (recounted from the committed doclen —
+    # recount, not increment, so a replayed or crashed append can never
+    # double-count; a crash before this rewrite leaves stats stale-low,
+    # which the freshness-gate law catches as a mismatch → rebuild)
+    _, _, meta_p = _paths(path)
+    n_docs, sum_dl = _doclen_stats(spark, doclen_p)
+    _write_meta(spark, meta_p, n_buckets, n_docs, sum_dl)
     return n_new
 
 
@@ -280,22 +339,26 @@ def bm25_from_index(
     id_col: str = "doc_id",
     k1: float = 1.5,
     b: float = 0.75,
-    _n_buckets: int | None = None,
+    _meta: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Top-``k`` BM25 per query over the MATERIALIZED index — same
     output contract and same exact-integer arithmetic as
     ``bm25_retrieval_batch``, but the corpus is never re-tokenized:
     the scan reads only the query terms' bucket partitions (literal
     IN-list → PartitionFilters), tf/dl come off the posting rows, and
-    (N, Σdl) folds from the compact doclen table. The bucket list is
-    one parameter-bounded collect over the query batch — the batch is
-    broadcast-sized by contract, exactly as in bm25_retrieval_batch."""
+    (N, Σdl) come off the meta stats marker (r15) — the corpus-sized
+    doclen table is never scanned on the query path. The bucket list
+    is one parameter-bounded collect over the query batch — the batch
+    is broadcast-sized by contract, exactly as in
+    bm25_retrieval_batch."""
     coef_a, coef_b, coef_c, scale_l = bm25_int_coeffs(k1, b)
-    # _n_buckets: a caller that already validated the meta this call
-    # passes it through instead of paying the read + collect again
-    # (the bloom _meta convention, r14)
-    n_buckets = _n_buckets if _n_buckets is not None else _read_meta(spark, path)
-    posts_p, doclen_p, _ = _paths(path)
+    # _meta: a caller that already validated the meta this call passes
+    # (n_buckets, n_docs, sum_dl) through instead of paying the 1-row
+    # read again (the bloom _meta convention, r14)
+    n_buckets, n_docs, sum_dl = (
+        _meta if _meta is not None else read_meta_stats(spark, path)
+    )
+    posts_p, _, _ = _paths(path)
 
     # materialize the exploded query batch ONCE: it is broadcast-sized
     # by contract and consumed three times (bucket-list collect, the
@@ -318,29 +381,29 @@ def bm25_from_index(
         .join(F.broadcast(vocab), "t", "left_semi")
     )
     dfreq = posts.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
-    stats = spark.read.parquet(doclen_p).agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
-        F.sum("dl").cast("bigint").alias("_sum_dl"),
-    )
     # dec_idiv_sql, not a bare DIV (self-review r14): Spark's DIV on
     # decimal operands silently wraps past-int64 quotients through
     # LongType — same construct and bound as textan's
     # _bm25_contrib_frame; values identical, overflow now loud.
     from data_pengadaan_agent_spark.functions.exactmath import dec_idiv_sql
 
+    # (N, Σdl) are exact BIGINT literals off the meta marker — same
+    # values and same type lattice the old doclen-aggregate columns
+    # carried (N·1e6 precomputed exactly in Python, so no int-literal
+    # overflow under ANSI), so every score is bit-identical.
     contrib = F.expr(
         dec_idiv_sql(
-            f"""CAST((_n_docs * 1000000) DIV greatest(_df, 1) AS DECIMAL(38,0))
-             * CAST({coef_a} AS DECIMAL(38,0)) * tf * _sum_dl""",
-            f"""CAST({scale_l} AS DECIMAL(38,0)) * tf * _sum_dl
-             + CAST({coef_b} AS DECIMAL(38,0)) * _sum_dl
-             + CAST({coef_c} AS DECIMAL(38,0)) * dl * _n_docs""",
+            f"""CAST(CAST({n_docs * 1000000} AS BIGINT)
+               DIV greatest(_df, 1) AS DECIMAL(38,0))
+             * CAST({coef_a} AS DECIMAL(38,0)) * tf * CAST({sum_dl} AS BIGINT)""",
+            f"""CAST({scale_l} AS DECIMAL(38,0)) * tf * CAST({sum_dl} AS BIGINT)
+             + CAST({coef_b} AS DECIMAL(38,0)) * CAST({sum_dl} AS BIGINT)
+             + CAST({coef_c} AS DECIMAL(38,0)) * dl * CAST({n_docs} AS BIGINT)""",
         )
     )
     scored = (
         posts.join(F.broadcast(qterms), "t")
         .join(F.broadcast(dfreq), "t")
-        .crossJoin(F.broadcast(stats))
         .select(F.col(qid_col), F.col(id_col), contrib.alias("_c"))
         .groupBy(qid_col, id_col)
         .agg(F.sum("_c").cast("bigint").alias("bm25"))

@@ -98,6 +98,43 @@ def test_append_postings_index_validates_and_matches_rebuild(spark, tmp_path):
     assert LX.append_postings_index(shard, path) == 0
 
 
+def test_postings_meta_stats_marker(spark, tmp_path):
+    """r15 meta v2: the meta carries exact (n_docs, Σdl) maintained by
+    build and recounted-on-append, equal to the committed doclen
+    aggregate at every state; a pre-stats (v1) meta is rejected with a
+    loud rebuild message, never silently served."""
+    docs = _mini_corpus(spark)
+    base = docs.filter(F.col("doc_id") <= 4)
+    shard = docs.filter(F.col("doc_id") >= 5)
+    path = str(tmp_path / "pidx")
+    LX.build_postings_index(base, path, n_buckets=8)
+
+    def doclen_agg():
+        r = (
+            spark.read.parquet(f"{path}/doclen")
+            .agg(F.count(F.lit(1)), F.sum("dl"))
+            .collect()[0]
+        )
+        return int(r[0]), int(r[1])
+
+    assert LX.read_meta_stats(spark, path) == (8, *doclen_agg())
+    assert LX.append_postings_index(shard, path) == 2
+    assert LX.read_meta_stats(spark, path) == (8, *doclen_agg())
+    # replayed append (n_new == 0) leaves the stats untouched and right
+    assert LX.append_postings_index(shard, path) == 0
+    assert LX.read_meta_stats(spark, path) == (8, *doclen_agg())
+    # a v1 meta (n_buckets only) is rejected loudly
+    from data_pengadaan_agent_spark.sources.catalog import local_df
+
+    local_df(spark, [(8,)], "n_buckets int").write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+    with pytest.raises(ValueError, match="meta v1"):
+        LX.read_meta_stats(spark, path)
+    with pytest.raises(ValueError, match="meta v1"):
+        LX.bm25_from_index(spark, path, _queries(spark))
+
+
 def test_postings_meta_is_commit_marker(spark, tmp_path):
     """No meta = no index: readers reject an uncommitted build (the
     crash-mid-build state) with a clear error, and bad build params

@@ -453,10 +453,11 @@ def test_dup_spans_single_tokenize_pass(spark, tables):
     ), plan
 
 
-def test_bm25_from_index_stats_scan_prunes_columns(spark, tables, tmp_path):
-    """The (N, Σdl) stats fold must read ONLY the doclen table's dl
-    column — never postings — and the postings scan must read no more
-    than (bucket, t, doc_id, tf, dl)."""
+def test_bm25_from_index_never_scans_doclen(spark, tables, tmp_path):
+    """r15 (guide §1.2): the (N, Σdl) corpus stats come off the 1-row
+    meta marker, so the query-path plan must contain NO doclen scan at
+    all — only the bucket-pruned postings scan — and no scan may read a
+    text payload off the index."""
     from data_pengadaan_agent_spark.operators import lexindex as LX
     from data_pengadaan_agent_spark.operators import textan as X
 
@@ -467,14 +468,13 @@ def test_bm25_from_index_stats_scan_prunes_columns(spark, tables, tmp_path):
         F.col("doc_id").alias("qid"), F.slice(X.tokens("text"), 1, 3).alias("terms")
     )
     plan = _plan(LX.bm25_from_index(spark, path, qs, k=3))
-    doclen_scans = [
-        seg.splitlines()[0]
-        for seg in plan.split("ReadSchema: ")[1:]
-        if "dl" in seg.splitlines()[0]
+    assert "doclen" not in plan, plan
+    scans = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
     ]
-    assert doclen_scans, plan
+    assert scans, plan
     # no scan reads a text/terms payload off the index
-    assert all("text" not in s for s in doclen_scans), doclen_scans
+    assert all("text" not in s for s in scans), scans
 
 
 def test_ngram_lm_score_single_reference_pass(spark, tables):

@@ -685,6 +685,7 @@ def dedup_passages(
     text_col: str = "text",
     id_col: str = "doc_id",
     window: int = 16,
+    skew_salt: int = 0,
 ) -> DataFrame:
     """Passage-level dedup ACTION twin of ``passage_dedup_stats`` (the
     decontaminate_train ↔ ngram_contamination relationship): split
@@ -717,7 +718,23 @@ def dedup_passages(
     final per-doc aggregate rebuilds the text with an in-group
     array_sort. A hash collision would merge two distinct passages
     (probability ~n²/2⁶⁴); the oracle twin compares raw passage
-    strings, guarding the shortcut."""
+    strings, guarding the shortcut.
+
+    ``skew_salt`` (r15, VERDICT r14 ask #9 — the guard behind the
+    trade above): at 0 (default) the vote is the single window pass.
+    A deployment whose corpus carries genuinely viral passages (one
+    _ph group too large even to SPILL comfortably, or hot enough to
+    straggle its task) sets ``skew_salt`` = S > 1: the vote becomes a
+    two-level aggregate — min(struct) per (_ph, salt-of-(doc,idx))
+    over ≤k/S-row partial groups, then min over the ≤S partials — and
+    joins back to the exploded rows (shuffle-hash, never broadcast: a
+    distinct-passage count is corpus-scale). Identical verdict for
+    any S by associativity of min. The price is the join-back's
+    second tokenize+explode pass — exactly what the window shape
+    exists to avoid — so the salt is an explicit opt-in for skewed
+    corpora, not a default (measured at sf0.1, no skew: ~2× slower;
+    the fixtures cannot exercise a viral passage, so the guard is
+    pinned by a synthetic-skew test, not by the bench)."""
     from pyspark.sql import Window
 
     from data_pengadaan_agent_spark.sources.catalog import spread
@@ -731,12 +748,18 @@ def dedup_passages(
     ph = p.select(
         F.col(id_col), "idx", "passage", F.xxhash64("passage").alias("_ph")
     )
-    joined = ph.withColumn(
-        "_first",
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i"))).over(
-            Window.partitionBy("_ph")
-        ),
-    )
+    vote = F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i")))
+    if int(skew_salt) > 1:
+        salted = ph.groupBy(
+            "_ph",
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col("idx")), F.lit(int(skew_salt))
+            ).alias("_salt"),
+        ).agg(vote.alias("_m"))
+        votes = salted.groupBy("_ph").agg(F.min("_m").alias("_first"))
+        joined = ph.join(votes.hint("shuffle_hash"), "_ph")
+    else:
+        joined = ph.withColumn("_first", vote.over(Window.partitionBy("_ph")))
     is_first = (F.col(id_col) == F.col("_first.d")) & (
         F.col("idx") == F.col("_first.i")
     )

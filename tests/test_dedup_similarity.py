@@ -247,6 +247,33 @@ def test_dedup_passages_rewrites_documents(spark):
     assert out[4]["text"] == "nu xi" and out[4]["n_kept"] == 1
 
 
+def test_dedup_passages_skew_salt_same_answer_two_level_plan(spark):
+    """r15 (VERDICT r14 ask #9): the opt-in skew salt must (a) return
+    the identical verdict for any salt width on a synthetic viral
+    passage (min is associative over the salted partials), and (b)
+    actually switch the vote to the two-level aggregate + join-back —
+    no WindowExec — while the default keeps the single window pass."""
+    from data_pengadaan_agent_spark.operators.dedup import dedup_passages
+
+    viral = "alpha beta gamma delta"
+    rows = [(i, f"{viral} tail{i} x y z") for i in range(1, 41)]
+    rows.append((41, viral))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, dedup_passages(df, window=4).collect()))
+    for s in (2, 7):
+        salted = dedup_passages(df, window=4, skew_salt=s)
+        assert sorted(map(tuple, salted.collect())) == base
+    plan_salted = salted._jdf.queryExecution().executedPlan().toString()
+    plan_default = (
+        dedup_passages(df, window=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan_salted and "ShuffledHashJoin" in plan_salted
+    assert "Window" in plan_default and "ShuffledHashJoin" not in plan_default
+
+
 def test_weighted_sample_pps_and_determinism(spark):
     """Sequential Poisson sampling: (a) membership is a pure function
     of (id, weight) — repartitioning never changes it; (b) selection

@@ -91,18 +91,49 @@ def audit_plan(plan: str) -> list[str]:
         findings.append(
             f"GLOBAL_WINDOW: {n_global} unpartitioned window(s) w/o bounded input"
         )
-    # ADVICE r13: scope the aggregate test to the lines FOLLOWING each
-    # BNLJ node (its subtree), not the whole plan — almost every plan
-    # contains an aggregate SOMEWHERE, which made the old whole-plan
-    # test accept nearly any BNLJ. The accepted broadcast-scalar-total
-    # pattern puts the 1-row aggregate directly under the BNLJ's
-    # BroadcastExchange, i.e. within a few lines of the join node.
+    # ADVICE r13: scope the aggregate test to each BNLJ's OWN subtree,
+    # not the whole plan — almost every plan contains an aggregate
+    # SOMEWHERE, which made the old whole-plan test accept nearly any
+    # BNLJ. r15: the subtree is walked by TREE DEPTH, not a fixed
+    # 15-line window — the accepted broadcast-scalar-total pattern can
+    # legally print its 1-row aggregate arbitrarily far below the join
+    # node when the STREAM side is deep (ngram_lm_score's three-join
+    # probe side pushed the n_total aggregate past the old window and
+    # manufactured a finding). Specifically: only the BUILD side (the
+    # join's LAST child subtree) must contain the bounding aggregate —
+    # an aggregate on the stream side never bounds the broadcast.
     lines = plan.split("\n")
+
+    def _depth(s: str) -> int:
+        # length of the tree-glyph prefix (spaces, ':', '+', '-') —
+        # NOT the '*(n)' codegen tag, which follows the glyphs and
+        # varies in width between siblings
+        return len(re.match(r"^[ :+\-]*", s).group(0))
+
     for i, line in enumerate(lines):
         if "BroadcastNestedLoopJoin" not in line:
             continue
-        subtree = "\n".join(lines[i + 1 : i + 16])
-        if not re.search(r"HashAggregate|SortAggregate", subtree):
+        d = _depth(line)
+        subtree_end = i + 1
+        while subtree_end < len(lines) and _depth(lines[subtree_end]) > d:
+            subtree_end += 1
+        kids = lines[i + 1 : subtree_end]
+        if kids:
+            # real treeString output: children are indented below the
+            # node; the BUILD side (BuildLeft → first child subtree,
+            # BuildRight → last) is where the bounding aggregate must
+            # live — a stream-side aggregate never bounds the broadcast
+            child_d = min(_depth(x) for x in kids)
+            roots = [j for j, x in enumerate(kids) if _depth(x) == child_d]
+            if "BuildLeft" in line and len(roots) > 1:
+                build = "\n".join(kids[roots[0] : roots[1]])
+            else:
+                build = "\n".join(kids[roots[-1] :])
+        else:
+            # flat (synthetic/log-extract) plan text: keep the r13
+            # nearby-window semantics
+            build = "\n".join(lines[i + 1 : i + 16])
+        if not re.search(r"HashAggregate|SortAggregate", build):
             findings.append(
                 "CARTESIAN: BNLJ without an aggregate-bounded side"
             )

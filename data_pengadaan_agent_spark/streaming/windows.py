@@ -769,22 +769,34 @@ def foreach_batch_ivfpq_sink(
     Returns the started StreamingQuery; callers stop it."""
     from data_pengadaan_agent_spark.operators import pq as PQ
 
+    # Codebooks load ONCE at sink construction, not once per epoch
+    # (r15, guide §1.2/§4 heavyweight-init-once): the geometry is
+    # FROZEN by the append contract — appends never retrain and
+    # compact recommits identical content — so a per-epoch reload
+    # bought nothing but 2 collect jobs + 2 sidecar reads per trigger,
+    # and under a (contract-violating) concurrent rebuild it would
+    # silently MIX geometries across one stream's epochs; loading once
+    # pins the stream to one geometry for its lifetime and turns an
+    # invalid index into a construction-time error instead of a
+    # first-batch one.
+    coarse, cb = PQ.load_ivfpq_codebooks(stream_df.sparkSession, index_path)
+
     def write_batch(batch_df, epoch_id: int) -> None:
-        # ONE dedup exchange, ONE codebook load and ONE Arrow
-        # coarse-assign pass per epoch, shared between the index
-        # append and the ack log (r14; the r13 shape paid each twice —
-        # once inside append_ivfpq_table, once rebuilt for the ack —
-        # guide §1.2 step 1: don't compute things twice). The
-        # materialization barrier doubles as the determinism point the
-        # ids-first crash contract needs.
-        spark = batch_df.sparkSession
-        coarse, cb = PQ.load_ivfpq_codebooks(spark, index_path)
+        # ONE dedup exchange and ONE Arrow coarse-assign pass per
+        # epoch, shared between the index append and the ack log (r14;
+        # the r13 shape paid each twice — once inside
+        # append_ivfpq_table, once rebuilt for the ack — guide §1.2
+        # step 1: don't compute things twice). The materialization
+        # barrier doubles as the determinism point the ids-first crash
+        # contract needs.
         resid = PQ.ivfpq_residuals(
             batch_df.dropDuplicates([id_col]), coarse, vec_col, id_col
         ).localCheckpoint(eager=True)
         if resid.isEmpty():
             return
-        PQ.append_ivfpq_residuals(spark, resid, cb, index_path, id_col=id_col)
+        PQ.append_ivfpq_residuals(
+            batch_df.sparkSession, resid, cb, index_path, id_col=id_col
+        )
         (
             resid.select(F.col(id_col), F.col("list"))
             .withColumn("_epoch", F.lit(epoch_id))
